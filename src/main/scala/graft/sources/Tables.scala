@@ -1,0 +1,30 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table loaders for the graft test corpus (TESTDATA.md / FIXTURES.md §B).
+  *
+  * The reference engine's only "source" is whole/ranged text-blob reads
+  * (srics96/SDC_Mapreduce `src/util/blob.cpp:49-70`); Spark's file sources subsume
+  * both (input splits = ranged reads, `spark.sql.files.maxPartitionBytes` = the
+  * reference's shard planner `src/master/sharding.h:27-83`). We standardize on
+  * parquet for the analytic tables and expose text in/out via [[graft.ops.Engine]].
+  *
+  * At 100 TB these same calls work unchanged against `s3a://`/`abfss://` paths:
+  * the loaders are path-agnostic and columnar scans prune columns + push filters.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame    = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}

@@ -1,0 +1,52 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run each oracle_sql.json
+query in DuckDB against the sf parquet tables and compare with the Spark
+result parquet written by graft.Verify. Columns sorted by name; rows sorted;
+values compared exactly (floats bit-compared, with a reported max-abs-diff
+fallback so near-misses are visible while iterating)."""
+import json, sys, math
+import duckdb
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+TABLES = ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]
+con = duckdb.connect()
+for t in TABLES:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+fails = 0
+for name, sql in sorted(oracle.items()):
+    try:
+        odf = con.execute(sql).df()
+    except Exception as e:
+        print(f"FAIL {name}: oracle SQL error: {e}"); fails += 1; continue
+    try:
+        sdf = con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+    except Exception as e:
+        print(f"FAIL {name}: spark result missing: {e}"); fails += 1; continue
+    ocols, scols = sorted(odf.columns), sorted(sdf.columns)
+    if ocols != scols:
+        print(f"FAIL {name}: columns differ oracle={ocols} spark={scols}"); fails += 1; continue
+    o = odf[ocols].sort_values(ocols).reset_index(drop=True)
+    s = sdf[scols].sort_values(scols).reset_index(drop=True)
+    if len(o) != len(s):
+        print(f"FAIL {name}: rows oracle={len(o)} spark={len(s)}"); fails += 1; continue
+    ok, worst = True, 0.0
+    for c in ocols:
+        ov, sv = o[c].tolist(), s[c].tolist()
+        for a, b in zip(ov, sv):
+            if a is None and b is None: continue
+            fa = isinstance(a, float) and isinstance(b, float)
+            if fa and math.isnan(a) and math.isnan(b): continue
+            if a != b:
+                ok = False
+                if fa: worst = max(worst, abs(a - b))
+                else: worst = float("inf")
+    if ok:
+        print(f"PASS {name} ({len(o)} rows)")
+    else:
+        print(f"FAIL {name}: value mismatch, max_abs_float_diff={worst}"); fails += 1
+sys.exit(1 if fails else 0)
