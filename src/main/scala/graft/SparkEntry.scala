@@ -2,7 +2,9 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Relational, TextOps}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{MapReduce, Relational, TextOps}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -24,6 +26,35 @@ object SparkEntry {
     "wordcount" -> ((s, d) => TextOps.wordCount(Tables.documents(s, d))),
     "tokens_per_doc" -> ((s, d) => TextOps.tokensPerDoc(Tables.documents(s, d))),
     "q1_pricing_summary" -> Relational.q1PricingSummary,
+    // typed map/reduce surface (reference M1/R1/R2) — same oracle as wordcount
+    "mapreduce_wordcount" -> ((s, d) => {
+      import s.implicits._
+      MapReduce.wordCountJob(Tables.documents(s, d).select("text").as[String])
+        .toDF("word", "cnt").orderBy("word")
+    }),
+    // M3+M4: predicate filter + projection, pushed into the parquet scan
+    "filter_project" -> ((s, d) =>
+      Tables.documents(s, d)
+        .filter(col("lang") === "en" && col("n_chars") > lit(200))
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")),
+    // P1: hash-partition demo with a portable bucketing function
+    "partition_hist" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(pmod(col("doc_id"), lit(8)).as("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("bucket")),
+    // R3 + top-k: global sort with deterministic tiebreak, then limit
+    "sort_topk" -> ((s, d) =>
+      Tables.orders(s, d)
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_custkey", "o_totalprice")),
+    // distinct (absent in reference; trivial map/reduce job there)
+    "distinct_flags" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select("l_returnflag", "l_linestatus").distinct()
+        .orderBy("l_returnflag", "l_linestatus")),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -50,6 +81,22 @@ object SparkEntry {
         |  count(*) AS count_order
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "mapreduce_wordcount" ->
+      """SELECT w AS word, count(*) AS cnt
+        |FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS w FROM documents)
+        |WHERE regexp_matches(w, '^[A-Za-z0-9]+$')
+        |GROUP BY w ORDER BY w""".stripMargin,
+    "filter_project" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE lang = 'en' AND n_chars > 200 ORDER BY doc_id""".stripMargin,
+    "partition_hist" ->
+      "SELECT doc_id % 8 AS bucket, count(*) AS cnt FROM documents GROUP BY 1 ORDER BY 1",
+    "sort_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "distinct_flags" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
   )
 }

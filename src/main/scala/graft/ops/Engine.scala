@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Job-control surface of the reference, as a library facade (SURVEY C1/C2).
+  *
+  * The reference submits jobs as `{reducer_count, shard_size, files[]}` over
+  * HTTP into a ZooKeeper queue (`src/webclient/webclient.cpp:17-55`,
+  * `clientsdk/job_details.py:3-6`); a polling master shards the files by byte
+  * ranges (`src/master/sharding.h:27-83`) and drives map/reduce workers. All of
+  * that control plane is Spark itself; what remains meaningful to a user is the
+  * job spec and the text-in/sorted-text-out contract, which this keeps.
+  *
+  * `shardSize` maps to `spark.sql.files.maxPartitionBytes` — Spark's input-split
+  * planner is the reference's shard planner (greedy byte bin-packing across
+  * files, record-aligned boundaries, `src/worker/worker.cpp:124-182`).
+  * `reducerCount` maps to the output partitioning (one sorted text file per
+  * reducer, `final_<task>.txt` shape, `src/worker/worker.cpp:298-303`).
+  */
+object Engine {
+
+  /** Reference job payload (FIXTURES.md §A.4), defaults from
+    * `clientsdk/job_details.py:3-6`. */
+  final case class JobSpec(
+      files: Seq[String],
+      reducerCount: Int = 3,
+      shardSize: Long = 50000L)
+
+  /** Run `body` with the job's shard size as Spark's input-split target.
+    * Spark reads `spark.sql.files.maxPartitionBytes` when the scan is
+    * *planned* (at action time), not when `spark.read` is called — so the
+    * conf must stay set for the duration of the job's actions. */
+  def withShardSize[T](spark: SparkSession, shardSize: Long)(body: => T): T = {
+    val key = "spark.sql.files.maxPartitionBytes"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, shardSize.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
+  /** Read the job's text files: one `value: string` row per line. */
+  def readText(spark: SparkSession, spec: JobSpec): DataFrame =
+    spark.read.text(spec.files: _*)
+
+  /** The reference's canonical job: word count over text files, written as
+    * `reducerCount` key-sorted `word count` text files (no global merge —
+    * per-partition sort, exactly the reference's output contract). Returns the
+    * counted DataFrame for further composition. */
+  def submitWordCount(spark: SparkSession, spec: JobSpec, outDir: String): DataFrame =
+    withShardSize(spark, spec.shardSize) {
+      val counts = TextOps.wordCount(readText(spark, spec).withColumnRenamed("value", "text"))
+      counts
+        .repartition(spec.reducerCount, col("word"))
+        .sortWithinPartitions("word")
+        .select(concat_ws(" ", col("word"), col("cnt")))
+        .write.mode(SaveMode.Overwrite).text(outDir)
+      counts
+    }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.ops.Engine
+import graft.ops.Engine.JobSpec
+
+class EngineSpec extends SparkTestBase {
+
+  test("submitWordCount: text in -> reducerCount sorted 'word count' text files out") {
+    val in = Files.createTempDirectory("graft_in")
+    val out = Files.createTempDirectory("graft_out").resolve("job1")
+    Files.writeString(in.resolve("a.txt"), "the quick fox\nthe fox\n")
+    Files.writeString(in.resolve("b.txt"), "quick quick fox!\n")
+
+    val spec = JobSpec(files = Seq(in.resolve("a.txt").toString, in.resolve("b.txt").toString),
+      reducerCount = 2, shardSize = 16L)
+    val counts = Engine.submitWordCount(spark, spec, out.toString)
+
+    val expected = Map("the" -> 2L, "quick" -> 3L, "fox" -> 2L) // "fox!" dropped (alnum filter)
+    import spark.implicits._
+    assert(counts.as[(String, Long)].collect().toMap == expected)
+
+    // K1 contract: R text part-files, `word count` lines, each file key-sorted
+    val parts = Files.list(out).toArray.map(_.toString).filter(_.matches(".*part-.*\\.txt$")).sorted
+    assert(parts.length == 2)
+    val lines = parts.flatMap(p => scala.io.Source.fromFile(p).getLines().toSeq.map((p, _)))
+    val parsed = lines.map { case (p, l) => val Array(w, c) = l.split(" "); (p, w, c.toLong) }
+    assert(parsed.map(t => (t._2, t._3)).toMap == expected)
+    parsed.groupBy(_._1).values.foreach { ws =>
+      val keys = ws.map(_._2).toSeq
+      assert(keys == keys.sorted)
+    }
+  }
+
+  test("withShardSize honors shardSize as input-split size (shard planner parity)") {
+    val in = Files.createTempDirectory("graft_shard")
+    Files.writeString(in.resolve("big.txt"), ("x" * 50 + "\n") * 100) // ~5.1 KB
+    val spec = JobSpec(Seq(in.resolve("big.txt").toString), shardSize = 1024L)
+    Engine.withShardSize(spark, spec.shardSize) {
+      val df = Engine.readText(spark, spec)
+      assert(df.rdd.getNumPartitions >= 4) // ~5 KB / 1 KB shards
+      assert(df.count() == 100)
+    }
+  }
+}
