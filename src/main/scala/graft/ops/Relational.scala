@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -43,4 +44,206 @@ object Relational {
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
+
+  /** Fact-to-dimension join with an explicit broadcast of the small side —
+    * at 100 TB the orders scan shuffles nothing; customer ships to every
+    * executor once. */
+  def revenueBySegment(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        sum(col("o_totalprice").cast(money)).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Three-table dimension chain (customer -> nation -> region), both dims
+    * broadcast; the aggregate shuffles only the 5-row region grouping. */
+  def acctbalByRegion(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        sum(col("c_acctbal").cast(money)).cast("double").as("sum_acctbal"),
+        count(lit(1)).as("n_customers"))
+      .orderBy(col("r_name"))
+  }
+
+  /** Left-semi join: customers having at least one order (EXISTS). */
+  def customersWithOrders(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name").orderBy("c_custkey")
+  }
+
+  /** Left-anti join: customers with no orders (NOT EXISTS). */
+  def customersWithoutOrders(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name").orderBy("c_custkey")
+  }
+
+  /** As-of join: for each order, the customer's most recent event at or
+    * before the order date. Planned as an equi-join on the user key with the
+    * temporal predicate as a post-join filter, then a max per order — the
+    * composition Spark plans well at scale (shuffle on the equi key only).
+    * Reference has no joins at all (SURVEY §2b) — users hand-rolled these in
+    * Python reduce scripts. */
+  def lastEventAsOfOrder(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_orderdate")
+    val e = Tables.events(s, dir).select("user_id", "ts")
+    o.join(e, e("user_id") === o("o_custkey") && e("ts") <= o("o_orderdate"))
+      .groupBy(col("o_orderkey"))
+      .agg(max(col("ts")).as("last_event_ts"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Range (band) self-join: pairs of events by the same user within one
+    * hour of each other. Equi key = user, band predicate post-join. */
+  def eventPairsWithinHour(s: SparkSession, dir: String): DataFrame = {
+    val e1 = Tables.events(s, dir).select(
+      col("user_id"), col("event_id").as("id1"), col("ts").as("ts1"))
+    val e2 = Tables.events(s, dir).select(
+      col("user_id").as("uid2"), col("event_id").as("id2"), col("ts").as("ts2"))
+    e1.join(e2,
+        e1("user_id") === e2("uid2") && e1("id1") < e2("id2") &&
+          abs(unix_timestamp(col("ts2")) - unix_timestamp(col("ts1"))) <= 3600)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Window: top-3 orders per customer by total price (deterministic
+    * tiebreak on order key). */
+  def top3OrdersPerCustomer(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** Window: running quantity per supplier over a fully deterministic order
+    * (integral doubles sum exactly in any order). */
+  def runningQtyPerSupplier(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitem(s, dir)
+      .withColumn("running_qty", sum(col("l_quantity")).over(w))
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
+      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** Window: 3-row moving average of event value per user. Money math in
+    * DECIMAL inside the frame so the result is frame-order independent, cast
+    * to DOUBLE only for the final division. */
+  def movingAvgEventValue(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-2, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("mavg_value",
+        sum(col("value").cast(money)).over(w).cast("double") /
+          count(lit(1)).over(w))
+      .select("user_id", "event_id", "mavg_value")
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Rollup over the Q1 grouping: subtotals + grand total, null grouping
+    * markers made explicit so the oracle compare is unambiguous. */
+  def rollupFlagStatus(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("sum_qty"), col("n"))
+      .orderBy(col("rf"), col("ls"))
+
+  /** Cube over order status x priority. */
+  def cubeStatusPriority(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"))
+      .orderBy(col("status"), col("priority"))
+
+  /** Grouping sets: per-lang and per-source document counts in one pass. */
+  def groupingSetsDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupingSets(Seq(Seq(col("lang")), Seq(col("source"))), col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+      .select(
+        coalesce(col("lang"), lit("ALL")).as("lang"),
+        coalesce(col("source"), lit("ALL")).as("source"),
+        col("n"), col("sum_chars"))
+      .orderBy(col("lang"), col("source"))
+
+  /** Set operations: big-spender custkeys UNION (distinct) building-segment
+    * custkeys, minus (EXCEPT) machinery-segment, INTERSECT with customers
+    * that actually have orders — exercises all three set ops in one query. */
+  def setOpsCustkeys(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    val bigSpenders = o.filter(col("o_totalprice") > 400000).select(col("o_custkey").as("k"))
+    val building = c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("k"))
+    val machinery = c.filter(col("c_mktsegment") === "MACHINERY").select(col("c_custkey").as("k"))
+    val withOrders = o.select(col("o_custkey").as("k"))
+    bigSpenders.union(building).distinct()
+      .except(machinery)
+      .intersect(withOrders)
+      .orderBy(col("k"))
+  }
+
+  /** Scalar function sampler: string/date/math built-ins chosen to be
+    * bit-deterministic across engines (no double rounding ties). */
+  def scalarSampler(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      upper(col("o_orderpriority")).as("prio_upper"),
+      substring(col("o_orderpriority"), 1, 1).as("prio_code"),
+      length(col("o_orderpriority")).cast("long").as("prio_len"),
+      concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("status_prio"),
+      year(col("o_orderdate")).cast("long").as("o_year"),
+      month(col("o_orderdate")).cast("long").as("o_month"),
+      dayofmonth(col("o_orderdate")).cast("long").as("o_day"),
+      date_trunc("month", col("o_orderdate")).as("month_start"),
+      floor(col("o_totalprice") / 1000).cast("long").as("price_k"),
+      sqrt(col("o_totalprice")).as("price_sqrt"),
+      abs(col("o_totalprice") * lit(-1)).as("price_abs"))
+      .orderBy(col("o_orderkey"))
+
+  /** JSON extraction over the events.props string column with an explicit
+    * schema (inference is a nondeterminism hazard — SURVEY §7.3). */
+  def jsonExtractEvents(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("k_val",
+        from_json(col("props"), lit("k INT")).getField("k"))
+      .groupBy(col("event_type"), (col("k_val") % 10).cast("long").as("k_mod"))
+      .agg(count(lit(1)).as("n"), sum(col("k_val")).as("sum_k"))
+      .orderBy(col("event_type"), col("k_mod"))
+
+  /** Temporal aggregation: orders per month. */
+  def ordersPerMonth(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(money)).cast("double").as("revenue"))
+      .orderBy(col("y"), col("m"))
 }
