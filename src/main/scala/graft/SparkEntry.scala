@@ -60,7 +60,7 @@ object SparkEntry {
     "join_multi_region" -> Relational.acctbalByRegion,
     "join_semi_customers" -> Relational.customersWithOrders,
     "join_anti_customers" -> Relational.customersWithoutOrders,
-    "join_asof_last_event" -> Relational.lastEventAsOfOrder,
+    "join_asof_last_order" -> Relational.lastOrderAsOfEvent,
     "join_range_event_pairs" -> Relational.eventPairsWithinHour,
     // window functions
     "window_top3_orders" -> Relational.top3OrdersPerCustomer,
@@ -141,11 +141,11 @@ object SparkEntry {
       """SELECT c_custkey, c_name FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
         |ORDER BY c_custkey""".stripMargin,
-    "join_asof_last_event" ->
-      """SELECT o_orderkey, max(e.ts) AS last_event_ts
-        |FROM orders o JOIN events e
-        |  ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
-        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+    "join_asof_last_order" ->
+      """SELECT event_id, max(o.o_orderdate) AS last_order_date
+        |FROM events e JOIN orders o
+        |  ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        |GROUP BY event_id ORDER BY event_id""".stripMargin,
     "join_range_event_pairs" ->
       """SELECT e1.user_id, count(*) AS n_pairs
         |FROM events e1 JOIN events e2
@@ -186,7 +186,7 @@ object SparkEntry {
         |ORDER BY status, priority""".stripMargin,
     "grouping_sets_docs" ->
       """SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
-        |  count(*) AS n, sum(n_chars) AS sum_chars
+        |  count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY GROUPING SETS ((lang), (source))
         |ORDER BY lang, source""".stripMargin,
     "setops_custkeys" ->

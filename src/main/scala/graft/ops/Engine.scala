@@ -45,10 +45,14 @@ object Engine {
   /** The reference's canonical job: word count over text files, written as
     * `reducerCount` key-sorted `word count` text files (no global merge —
     * per-partition sort, exactly the reference's output contract). Returns the
-    * counted DataFrame for further composition. */
+    * counted DataFrame for further composition; it is persisted and
+    * materialized inside the shard-size scope, so later caller actions reuse
+    * the cached result instead of re-planning the scan with the restored
+    * default split size (ADVICE r1). */
   def submitWordCount(spark: SparkSession, spec: JobSpec, outDir: String): DataFrame =
     withShardSize(spark, spec.shardSize) {
       val counts = TextOps.wordCount(readText(spark, spec).withColumnRenamed("value", "text"))
+        .persist()
       counts
         .repartition(spec.reducerCount, col("word"))
         .sortWithinPartitions("word")

@@ -90,19 +90,21 @@ object Relational {
       .select("c_custkey", "c_name").orderBy("c_custkey")
   }
 
-  /** As-of join: for each order, the customer's most recent event at or
-    * before the order date. Planned as an equi-join on the user key with the
-    * temporal predicate as a post-join filter, then a max per order — the
+  /** As-of join: for each event, the user's most recent order at or before
+    * the event timestamp. Planned as an equi-join on the user key with the
+    * temporal predicate as a post-join filter, then a max per event — the
     * composition Spark plans well at scale (shuffle on the equi key only).
     * Reference has no joins at all (SURVEY §2b) — users hand-rolled these in
-    * Python reduce scripts. */
-  def lastEventAsOfOrder(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_orderdate")
-    val e = Tables.events(s, dir).select("user_id", "ts")
-    o.join(e, e("user_id") === o("o_custkey") && e("ts") <= o("o_orderdate"))
-      .groupBy(col("o_orderkey"))
-      .agg(max(col("ts")).as("last_event_ts"))
-      .orderBy(col("o_orderkey"))
+    * Python reduce scripts. Direction chosen so the test corpus exercises
+    * real rows: orders (1992–2001) all precede events (2024), so every
+    * event with an ordering user matches (ADVICE r1). */
+  def lastOrderAsOfEvent(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select("event_id", "user_id", "ts")
+    val o = Tables.orders(s, dir).select("o_custkey", "o_orderdate")
+    e.join(o, o("o_custkey") === e("user_id") && o("o_orderdate") <= e("ts"))
+      .groupBy(col("event_id"))
+      .agg(max(col("o_orderdate")).as("last_order_date"))
+      .orderBy(col("event_id"))
   }
 
   /** Range (band) self-join: pairs of events by the same user within one
@@ -126,7 +128,7 @@ object Relational {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     Tables.orders(s, dir)
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 3)
       .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
       .orderBy(col("o_custkey"), col("rn"))

@@ -27,12 +27,13 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
   /** events.ts is parquet TIMESTAMP(NANOS), which vanilla Spark rejects
-    * (PARQUET_TYPE_ILLEGAL). Read nanos as long and truncate to micros —
-    * the same conversion DuckDB applies, so oracle comparisons line up.
-    * The integer `div` matters: a double division would lose precision
-    * above 2^53 ns (~mid-1970s). */
+    * (PARQUET_TYPE_ILLEGAL) unless `spark.sql.legacy.parquet.nanosAsLong`
+    * is set — set it at session construction (Verify/Bench/test builders;
+    * this loader does NOT mutate session conf — ADVICE r1). Nanos arrive as
+    * long and are truncated to micros, the same conversion DuckDB applies,
+    * so oracle comparisons line up. The integer `div` matters: a double
+    * division would lose precision above 2^53 ns (~mid-1970s). */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(s, d, "events")
     if (raw.schema("ts").dataType == LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -35,6 +35,18 @@ for name, sql in sorted(oracle.items()):
     if len(o) != len(s):
         print(f"FAIL {name}: rows oracle={len(o)} spark={len(s)}"); fails += 1; continue
     ok, worst = True, 0.0
+    # dtype gate: the driver hashes typed Python values, so int64-vs-float64
+    # (e.g. a DuckDB HUGEINT sum surfacing as float64) must FAIL even though
+    # Python `7949 == 7949.0` — exactly how grouping_sets_docs slipped in r1.
+    # Width differences (int32 vs int64) hash identically, so compare dtype
+    # *kind* ('i'/'u' vs 'f' vs object), not the exact dtype.
+    def kind(dt):
+        k = dt.kind
+        return "int" if k in "iu" else k
+    dtype_mismatch = [c for c in ocols if kind(o[c].dtype) != kind(s[c].dtype)]
+    if dtype_mismatch:
+        details = {c: (str(o[c].dtype), str(s[c].dtype)) for c in dtype_mismatch}
+        print(f"FAIL {name}: dtype mismatch (oracle, spark): {details}"); fails += 1; continue
     for c in ocols:
         ov, sv = o[c].tolist(), s[c].tolist()
         for a, b in zip(ov, sv):
