@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{MapReduce, Relational, TextOps}
+import graft.ops.{Dedup, MapReduce, Multimodal, Relational, Similarity, TextAnalysis, TextOps}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -76,7 +76,111 @@ object SparkEntry {
     "scalar_sampler" -> Relational.scalarSampler,
     "json_extract_events" -> Relational.jsonExtractEvents,
     "orders_per_month" -> Relational.ordersPerMonth,
+    // north-star: text analysis (SURVEY §2c)
+    "ta_token_stats" -> ((s, d) => TextAnalysis.tokenStats(Tables.documents(s, d))),
+    "ta_lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
+    "ta_quality" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
+    "ta_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
+    // north-star: deduplication
+    "dedup_exact" -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
+    "dedup_minhash_pairs" -> ((s, d) => Dedup.minHashPairs(Tables.documents(s, d))),
+    "dedup_simhash" -> ((s, d) => Dedup.simHash(Tables.documents(s, d))),
+    "dedup_simhash_pairs" -> ((s, d) => Dedup.simHashPairs(Tables.documents(s, d))),
+    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d))),
+    // north-star: similarity search
+    "sim_topk_cosine" -> ((s, d) =>
+      Similarity.bruteForceTopK(Tables.embeddings(s, d), col("vec_id") < 10)),
+    "sim_neardup_embedding" -> ((s, d) =>
+      Similarity.embeddingNearDupPairs(Tables.embeddings(s, d))),
+    "ann_lsh_topk" -> ((s, d) =>
+      Similarity.lshTopK(Tables.embeddings(s, d), col("vec_id") < 10)),
+    // north-star: multimodal binary columns
+    "mm_metadata" -> ((s, d) =>
+      Multimodal.blobMetadata(Multimodal.asBlobTable(Tables.documents(s, d)))),
+    "mm_frames" -> ((s, d) =>
+      Multimodal.sampleFrames(Multimodal.asBlobTable(Tables.documents(s, d)))
+        .select(col("doc_id"), col("byte_len"), col("frame_idx").cast("long").as("frame_idx"),
+          hex(col("frame_bytes")).as("frame_hex"))
+        .orderBy("doc_id", "frame_idx")),
+    "mm_decode_features" -> ((s, d) =>
+      Multimodal.decodeStub(Multimodal.asBlobTable(Tables.documents(s, d))).orderBy("doc_id")),
   )
+
+  // ---- DuckDB oracle builders for the hash-based north-star operators ----
+  // Generated from the same constants as the Spark implementations
+  // (Dedup.NumHashes/BandRows, Similarity.planes, TextAnalysis.LangMarkers)
+  // so the two sides cannot drift.
+
+  private val WS = "\\s+"
+
+  private def h32Sql(e: String): String =
+    s"CAST(('0x' || substring(md5($e), 1, 8)) AS BIGINT)"
+  private def h60Sql(e: String): String =
+    s"CAST(('0x' || substring(md5($e), 1, 15)) AS BIGINT)"
+
+  private def markerSql(lang: String): String = {
+    val set = TextAnalysis.LangMarkers.toMap.apply(lang)
+    val in = set.map(w => s"'$w'").mkString(", ")
+    s"CAST(len(list_filter(regexp_split_to_array(lower(text), '$WS'), t -> t IN ($in))) AS BIGINT)"
+  }
+
+  /** DuckDB mirror of [[Dedup.shingles]] (distinct lowercased word 3-grams). */
+  private val shingleCte: String =
+    s"""toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '$WS') AS ws FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+       |       FROM toks, unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS t(i))""".stripMargin
+
+  private val minhashOracleSql: String = {
+    val sigCols = (0 until Dedup.NumHashes)
+      .map(i => s"min(${Dedup.minHashChunkSql(i)}) AS h$i").mkString(", ")
+    val bands = (0 until Dedup.NumBands).map { b =>
+      val parts = (0 until Dedup.BandRows).map(r => s"h${b * Dedup.BandRows + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band_idx, md5(concat_ws(',', $parts)) AS band_hash FROM sig"
+    }.mkString(" UNION ALL ")
+    val matches = (0 until Dedup.NumHashes)
+      .map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH $shingleCte,
+       |sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+       |banded AS ($bands),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded a JOIN banded b
+       |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+       |scored AS (SELECT doc_a, doc_b, CAST($matches AS DOUBLE) / ${Dedup.NumHashes} AS sig_sim
+       |  FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b)
+       |SELECT doc_a, doc_b, sig_sim FROM scored WHERE sig_sim >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  private val simhashCteSql: String = {
+    val votes = (0 until 32)
+      .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j").mkString(", ")
+    val bits = (0 until 32)
+      .map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    s"""tk AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '$WS')) AS tok FROM documents),
+       |hh AS (SELECT doc_id, ${h32Sql("tok")} AS h FROM tk),
+       |votes AS (SELECT doc_id, $votes FROM hh GROUP BY doc_id),
+       |shash AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM votes)""".stripMargin
+  }
+
+  private val annOracleSql: String = {
+    val sig = (0 until Similarity.NumPlanes).map { m =>
+      val arr = Similarity.planes(m).map(w => if (w > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), $arr) >= 0 THEN ${1L << m} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH sigt AS (SELECT vec_id, embedding, CAST($sig AS BIGINT) AS sig FROM embeddings),
+       |banded AS (SELECT vec_id, embedding, band_idx, (sig >> (band_idx * 4)) & 15 AS band_val
+       |  FROM sigt, unnest(generate_series(0, ${Similarity.SigBands - 1})) AS t(band_idx)),
+       |cand AS (SELECT DISTINCT q.vec_id AS query_id, q.embedding AS qv,
+       |    n.vec_id AS neighbor_id, n.embedding AS nv
+       |  FROM banded q JOIN banded n
+       |  ON q.band_idx = n.band_idx AND q.band_val = n.band_val
+       |    AND q.vec_id < 10 AND n.vec_id <> q.vec_id),
+       |scored AS (SELECT query_id, neighbor_id,
+       |  list_cosine_similarity(CAST(qv AS DOUBLE[]), CAST(nv AS DOUBLE[])) AS cos FROM cand),
+       |r AS (SELECT query_id, neighbor_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn, cos
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rn, cos FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -227,5 +331,107 @@ object SparkEntry {
         |  count(*) AS n_orders,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // ---- north-star: text analysis ----
+    "ta_token_stats" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_split_to_array(lower(text), '$WS')) AS BIGINT) AS n_ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.BpeRe}')) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(len(list_filter(regexp_split_to_array(lower(text), '$WS'),
+         |    t -> regexp_matches(t, '^[a-z0-9]+$$'))) AS BIGINT) AS n_alnum_tokens,
+         |  CAST(list_sum(list_transform(regexp_split_to_array(lower(text), '$WS'), t -> length(t))) AS DOUBLE)
+         |    / len(regexp_split_to_array(lower(text), '$WS')) AS mean_tok_len
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "ta_lang_id" ->
+      s"""WITH sc AS (SELECT doc_id, ${markerSql("en")} AS en, ${markerSql("de")} AS de,
+         |  ${markerSql("fr")} AS fr, ${markerSql("es")} AS es FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+         |       WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+         |       WHEN fr >= es AND fr > 0 THEN 'fr'
+         |       WHEN es > 0 THEN 'es'
+         |       ELSE 'und' END AS pred_lang,
+         |  greatest(en, de, fr, es) AS n_hits
+         |FROM sc ORDER BY doc_id""".stripMargin,
+    "ta_quality" ->
+      s"""WITH c AS (SELECT doc_id,
+         |  CAST(len(regexp_split_to_array(lower(text), '$WS')) AS BIGINT) AS nt,
+         |  CAST(len(list_filter(regexp_split_to_array(lower(text), '$WS'),
+         |    t -> regexp_matches(t, '^[a-z0-9]+$$'))) AS BIGINT) AS alnum,
+         |  ${markerSql("en")} AS stop
+         |FROM documents)
+         |SELECT doc_id, nt AS n_tokens,
+         |  CAST(alnum AS DOUBLE) / nt AS alnum_ratio,
+         |  CAST(stop AS DOUBLE) / nt AS stop_ratio,
+         |  least(CAST(nt AS DOUBLE) / 100.0, 1.0) * 0.2 + CAST(alnum AS DOUBLE) / nt * 0.5
+         |    + least(CAST(stop AS DOUBLE) / nt * 4.0, 1.0) * 0.3 AS quality
+         |FROM c ORDER BY doc_id""".stripMargin,
+    "ta_fingerprint" ->
+      s"""SELECT doc_id, ${h60Sql("text")} AS fp_raw,
+         |  ${h60Sql(s"trim(regexp_replace(lower(text), '$WS', ' ', 'g'))")} AS fp_norm
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    // ---- north-star: deduplication ----
+    "dedup_exact" ->
+      s"""WITH k AS (SELECT doc_id,
+         |  ${h60Sql(s"array_to_string(list_sort(list_distinct(regexp_split_to_array(lower(text), '$WS'))), ' ')")} AS dup_key
+         |  FROM documents)
+         |SELECT doc_id, dup_key FROM (
+         |  SELECT doc_id, dup_key, row_number() OVER (PARTITION BY dup_key ORDER BY doc_id) AS rn FROM k)
+         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "dedup_minhash_pairs" -> minhashOracleSql,
+    "dedup_simhash" ->
+      s"WITH $simhashCteSql SELECT doc_id, simhash FROM shash ORDER BY doc_id",
+    "dedup_simhash_pairs" ->
+      s"""WITH $simhashCteSql,
+         |banded AS (SELECT doc_id, simhash, band_idx, (simhash >> (band_idx * 8)) & 255 AS band_val
+         |  FROM shash, unnest(generate_series(0, 3)) AS t(band_idx)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM banded a JOIN banded b
+         |  ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+         |FROM cand JOIN shash sa ON sa.doc_id = doc_a JOIN shash sb ON sb.doc_id = doc_b
+         |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= ${Dedup.DefaultMaxHamming}
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH $shingleCte,
+         |card AS (SELECT doc_id, count(*) AS card FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |j AS (SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (ca.card + cb.card - i) AS jaccard
+         |  FROM inter JOIN card ca ON ca.doc_id = doc_a JOIN card cb ON cb.doc_id = doc_b)
+         |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.2 ORDER BY doc_a, doc_b""".stripMargin,
+    // ---- north-star: similarity search ----
+    "sim_topk_cosine" ->
+      """WITH p AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |  list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])) AS cos
+        |  FROM embeddings q JOIN embeddings n ON q.vec_id < 10 AND n.vec_id <> q.vec_id),
+        |r AS (SELECT query_id, neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn, cos
+        |  FROM p)
+        |SELECT query_id, neighbor_id, rn, cos FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+    "sim_neardup_embedding" ->
+      """SELECT id_a, id_b, cos FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS cos
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+    "ann_lsh_topk" -> annOracleSql,
+    // ---- north-star: multimodal (ASCII corpus: char substring == byte substring) ----
+    "mm_metadata" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  'application/octet-stream' AS mime,
+        |  CAST(n_chars % 640 + 64 AS INTEGER) AS width,
+        |  CAST(n_chars % 480 + 48 AS INTEGER) AS height,
+        |  md5(text) AS checksum,
+        |  hex(encode(substring(text, 1, 8))) AS prefix_hex
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_frames" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  CAST(k AS BIGINT) AS frame_idx,
+        |  hex(encode(substring(text, CAST(k * greatest(length(text) // 4, 1) + 1 AS INT), 16))) AS frame_hex
+        |FROM documents, unnest(generate_series(0, 3)) AS t(k)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+    // mm_decode_features: mapPartitions decode stub — not SQL-expressible; rows-only check.
   )
 }

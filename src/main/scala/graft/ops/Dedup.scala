@@ -1,0 +1,222 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.CrossHash
+
+/** Deduplication operators for training-data curation at 100 TB
+  * (north-star extensions — SURVEY §2c). The reference has no dedup at all;
+  * a user would have to hand-roll it as a map/reduce job (emit
+  * `(content_key, doc)`, reduce = keep-first), which is exactly the plan
+  * shape [[exactDedup]] declares — Spark then gives partial aggregation,
+  * spilling, and AQE skew handling for free.
+  *
+  * Scale notes, per operator:
+  *  - exact: one hash-shuffle on the content fingerprint (map-side partial
+  *    `min` collapses per-partition duplicates before the exchange).
+  *  - MinHash/LSH: explode-shingle → per-doc signature (one shuffle on
+  *    doc_id), band explode → self-join on (band_idx, band_hash) — the join
+  *    keys are uniformly-distributed hashes, so no skew salting needed;
+  *    candidate verification touches only colliding pairs, never the n²
+  *    cross product.
+  *  - SimHash: pure per-doc aggregation (no pairwise stage here); pair
+  *    mining joins on band prefixes of the fingerprint (see
+  *    [[simHashPairs]]).
+  *  - n-gram Jaccard: inverted-index join on shingles — worst case is a
+  *    hot shingle shared by everything; production would drop shingles
+  *    with document-frequency above a cap (same trick as stop-word
+  *    removal), which [[ngramJaccardPairs]] exposes via `maxDf`.
+  *
+  * All hashes are [[CrossHash]] md5-derived so the whole pipeline —
+  * signatures, bands, candidate pairs — is bit-reproducible in DuckDB for
+  * the oracle gate.
+  */
+object Dedup {
+
+  /** Word n-gram shingles (lowercased, whitespace-tokenized) as one row
+    * per distinct (doc_id, shingle). Shorter-than-n documents contribute
+    * their single partial shingle, so no document vanishes.
+    *
+    * Plan shape matters here: the token array is materialized as a column
+    * BEFORE the position explode, so the regex split runs once per
+    * document. Slicing inside a `transform` lambda instead would inline
+    * the split into the lambda body (CollapseProject) and re-tokenize the
+    * document once per shingle position — O(tokens²), measured 7x slower
+    * at sf0.1. */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.select(col("doc_id"), split(lower(col("text")), "\\s+").as("ws"))
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(1), greatest(size(col("ws")) - (n - 1), lit(1)))).as("i"))
+      .select(col("doc_id"),
+        array_join(slice(col("ws"), col("i"), lit(n)), " ").as("shingle"))
+      .distinct()
+
+  /** Exact dedup: keep the lowest doc_id per normalized-content
+    * fingerprint. The corpus has no byte-identical texts, so the key is the
+    * sorted distinct-token set — "same vocabulary" duplicates — which
+    * exercises real collision groups (ADVICE r1: no vacuous operators).
+    * At scale this is one shuffle on a 60-bit key; the window degenerates
+    * to a per-key min. */
+  def exactDedup(docs: DataFrame): DataFrame = {
+    val key = CrossHash.h60(
+      array_join(array_sort(array_distinct(split(lower(col("text")), "\\s+"))), " "))
+    val w = Window.partitionBy(col("dup_key")).orderBy(col("doc_id"))
+    docs.select(col("doc_id"), key.as("dup_key"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("dup_key"))
+      .orderBy("doc_id")
+  }
+
+  val NumHashes = 16
+  val BandRows  = 2 // 8 bands x 2 rows: P(candidate) = 1-(1-j^2)^8 — >99.9% at j>=0.8
+  def NumBands: Int = NumHashes / BandRows
+
+  /** Per-document MinHash signature: NumHashes independent min-hashes over
+    * the shingle set. One explode + one hash-aggregation; each `min` is
+    * partially aggregated map-side, so the shuffle carries one row per
+    * (doc, 16 longs) regardless of document length.
+    *
+    * Hash family: one md5 digest per seed *group* yields four 32-bit
+    * components (hex chunks at offsets 0/8/16/24) — 4 digests per shingle
+    * instead of 16, which roughly halved this operator's bench time. Each
+    * chunk is an independent uniform 32-bit value, and the scheme has an
+    * exact DuckDB mirror (substring offsets into the same md5 hex). */
+  def minHashSignatures(docs: DataFrame, n: Int = 3): DataFrame = {
+    val withDigests = shingles(docs, n).select(
+      col("doc_id") +: (0 until NumHashes / 4).map(g =>
+        md5(concat(lit(s"g$g:"), col("shingle"))).as(s"d$g")): _*)
+    withDigests.groupBy("doc_id").agg(
+      minChunk(0).as("h0"),
+      (1 until NumHashes).map(i => minChunk(i).as(s"h$i")): _*)
+  }
+
+  /** Signature component i = 32-bit chunk i%4 of digest group i/4. */
+  private def minChunk(i: Int): Column =
+    min(conv(substring(col(s"d${i / 4}"), (i % 4) * 8 + 1, 8), 16, 10).cast("long"))
+
+  /** DuckDB mirror of component i's hash expression (oracle authoring). */
+  def minHashChunkSql(i: Int): String =
+    s"CAST(('0x' || substring(md5('g${i / 4}:' || shingle), ${(i % 4) * 8 + 1}, 8)) AS BIGINT)"
+
+  /** MinHash/LSH near-duplicate pairs: band the signatures, bucket-join on
+    * (band index, band hash), verify candidates by signature agreement.
+    * `minSigFrac` ≈ estimated Jaccard threshold (E[matching components] =
+    * J * NumHashes). Only hash-colliding pairs are ever materialized. */
+  def minHashPairs(docs: DataFrame, minSigFrac: Double = 0.5): DataFrame = {
+    // The signature table is tiny (one 16-long row per doc) but feeds three
+    // plan branches (banding + both verification sides); without an explicit
+    // persist Spark recomputes the shingle explode + md5 aggregation per
+    // branch. At production scale this is the "checkpoint signatures before
+    // pair mining" step.
+    val sigs = minHashSignatures(docs).persist()
+    val bandCols = (0 until NumBands).map { b =>
+      val parts = (0 until BandRows).map(r => col(s"h${b * BandRows + r}").cast("string"))
+      md5(concat_ws(",", parts: _*)).as(s"band$b")
+    }
+    val banded = sigs.select(col("doc_id") +: (0 until NumHashes).map(i => col(s"h$i")) ++: bandCols: _*)
+    val bandedLong = banded.select(
+      col("doc_id"),
+      posexplode(array((0 until NumBands).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "band_hash")))
+    val candidates = bandedLong.as("a")
+      .join(bandedLong.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sa = sigs.toDF(sigs.columns.map(c => if (c == "doc_id") "doc_a" else s"a_$c"): _*)
+    val sb = sigs.toDF(sigs.columns.map(c => if (c == "doc_id") "doc_b" else s"b_$c"): _*)
+    val matches = (0 until NumHashes)
+      .map(i => when(col(s"a_h$i") === col(s"b_h$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    candidates.join(sa, "doc_a").join(sb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (matches.cast("double") / NumHashes).as("sig_sim"))
+      .filter(col("sig_sim") >= minSigFrac)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Per-document 32-bit SimHash over whitespace tokens (with
+    * multiplicity): bit j of the fingerprint is the sign of the sum of
+    * ±1 votes from each token's hash bit j. Pure two-level aggregation —
+    * no pairwise work — so it is a constant-width shuffle per document. */
+  def simHash(docs: DataFrame): DataFrame = {
+    val tokens = docs.select(
+      col("doc_id"),
+      explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .withColumn("h", CrossHash.h32(col("tok")))
+    val votes = tokens.groupBy("doc_id").agg(
+      sum(expr(s"CASE WHEN (h >> 0) & 1 = 1 THEN 1 ELSE -1 END")).as("s0"),
+      (1 until 32).map(j =>
+        sum(expr(s"CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END")).as(s"s$j")): _*)
+    votes.select(
+      col("doc_id"),
+      (0 until 32)
+        .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L))
+        .reduce(_ + _).as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  /** Default Hamming radius for [[simHashPairs]]: any pair within distance
+    * 3 < 4 bands must agree on at least one byte-band (pigeonhole), so the
+    * band join is lossless at this radius. */
+  val DefaultMaxHamming = 3
+
+  /** SimHash near-duplicate pairs: candidates share one of 4 byte-bands of
+    * the fingerprint, then exact bit_count verification. The band join
+    * keeps this off the n² cross product at scale. */
+  def simHashPairs(docs: DataFrame, maxHamming: Int = DefaultMaxHamming): DataFrame = {
+    val sh = simHash(docs).persist() // one 2-long row per doc; feeds 3 branches
+    val banded = sh.select(
+      col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * 8).bitwiseAND(0xFF).cast("long")): _*))
+        .as(Seq("band_idx", "band_val")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** n-gram Jaccard near-duplicate pairs via an inverted-index join:
+    * |A∩B| from the shingle-share join, |A∪B| from per-doc cardinalities.
+    * With `maxDf` set, ubiquitous shingles (document frequency above the
+    * cap) are dropped from the whole computation — the scale guard, since
+    * a shingle in k docs contributes k² candidate pairs — and the Jaccard
+    * is exact over the capped shingle space (cardinalities and
+    * intersections both capped, so the ratio stays self-consistent).
+    * With `maxDf = None` the Jaccard is exact over full shingle sets. */
+  def ngramJaccardPairs(docs: DataFrame, minJaccard: Double = 0.2,
+      n: Int = 3, maxDf: Option[Int] = None): DataFrame = {
+    val sh = shingles(docs, n).persist() // feeds both join sides + cardinalities
+    val candGen = maxDf match {
+      case Some(cap) =>
+        val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap)
+        sh.join(dfreq, "shingle").select("doc_id", "shingle")
+      case None => sh
+    }
+    val card = candGen.groupBy("doc_id").agg(count(lit(1)).as("card"))
+    val inter = candGen.as("a")
+      .join(candGen.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    val ca = card.toDF("doc_a", "card_a")
+    val cb = card.toDF("doc_b", "card_b")
+    inter.join(ca, "doc_a").join(cb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("i").cast("double") / (col("card_a") + col("card_b") - col("i"))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+      .orderBy("doc_a", "doc_b")
+  }
+}

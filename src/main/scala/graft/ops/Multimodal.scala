@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing — north-star extension (SURVEY §2c): treat
+  * image/audio/video payloads as opaque `BINARY` columns with typed
+  * metadata, and run decode / feature-extraction as *batched
+  * per-partition* transforms, the shape a real decoder (JNI codec, native
+  * lib, model runtime) plugs into.
+  *
+  * The container has no media libraries, so the decode step is a
+  * clearly-marked DETERMINISTIC STUB ([[decodeStub]]) — but everything
+  * around it is real and load-bearing: the blob schema, the binary
+  * metadata expressions (pure codegen — `length`/`substring`/`md5` all
+  * operate natively on BINARY), the `mapPartitions` batch loop (one
+  * decoder init per partition, not per row — the same amortization
+  * `mapInPandas` gives Python UDFs), and the row-preserving output schema
+  * contract.
+  *
+  * At 100 TB: blobs ride the same parquet scans as everything else
+  * (columnar, so metadata-only queries never read the bytes column —
+  * check `ReadSchema` in the plan), and decode parallelism is partition
+  * parallelism. Frame sampling is byte slicing (`substring` on BINARY),
+  * i.e. no decode at all for fixed-stride formats.
+  */
+object Multimodal {
+
+  /** Blob table schema: payload + typed metadata, synthesized
+    * deterministically from `documents` (text bytes stand in for media
+    * bytes; width/height/duration derive from content length). */
+  def asBlobTable(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("bytes"),
+      lit("application/octet-stream").as("mime"),
+      struct(
+        (pmod(col("n_chars"), lit(640)) + 64).cast("int").as("width"),
+        (pmod(col("n_chars"), lit(480)) + 48).cast("int").as("height"),
+        (col("n_chars") / 100.0).as("duration_s")).as("meta"))
+
+  /** Metadata + checksum extraction — pure binary expressions, no decode.
+    * A scan-only query over blob metadata must prune the payload column;
+    * see MultimodalSpec's ReadSchema assertion. */
+  def blobMetadata(blobs: DataFrame): DataFrame =
+    blobs.select(
+      col("doc_id"),
+      length(col("bytes")).cast("long").as("byte_len"),
+      col("mime"),
+      col("meta.width").as("width"),
+      col("meta.height").as("height"),
+      md5(col("bytes")).as("checksum"),
+      hex(substring(col("bytes"), 1, 8)).as("prefix_hex"))
+      .orderBy("doc_id")
+
+  /** Frame sampling as byte slicing: `n` evenly spaced fixed-size windows
+    * of the payload (for real fixed-stride media, frame k = bytes
+    * [k*stride, k*stride+frameSize)). One generator + binary substring —
+    * no decoder in the loop. */
+  def sampleFrames(blobs: DataFrame, n: Int = 4, frameSize: Int = 16): DataFrame =
+    blobs.select(
+      col("doc_id"),
+      length(col("bytes")).cast("long").as("byte_len"),
+      posexplode(expr(
+        s"transform(sequence(0, ${n - 1}), " +
+          s"k -> substring(bytes, CAST(k * greatest(length(bytes) div $n, 1) + 1 AS INT), $frameSize))"))
+        .as(Seq("frame_idx", "frame_bytes")))
+
+  /** Output schema of [[decodeStub]]. */
+  val decodedSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_bytes", LongType),
+    StructField("mean_byte", DoubleType),
+    StructField("feature", ArrayType(DoubleType))))
+
+  /** STUBBED decode / feature-extract: a real implementation would
+    * initialize a native decoder once per partition and emit one feature
+    * vector per blob (`??? // decoder.decode(bytes)`); the stand-in
+    * computes a deterministic 4-dim byte-statistics vector so the
+    * batching, schema, and partition-amortized-init plumbing are testable
+    * without media libraries. Swapping in a real codec changes ONLY the
+    * marked line. */
+  def decodeStub(blobs: DataFrame): DataFrame = {
+    val spark = blobs.sparkSession
+    val input = blobs.select("doc_id", "bytes")
+    val enc = RowEncoder.encoderFor(decodedSchema)
+    input.mapPartitions { rows =>
+      // per-partition init happens HERE (decoder handle, model session, …)
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        // ??? real decode goes here; deterministic fake features below
+        var sum = 0L; var mn = 255; var mx = 0
+        var i = 0
+        while (i < bytes.length) {
+          val b = bytes(i) & 0xFF
+          sum += b; if (b < mn) mn = b; if (b > mx) mx = b
+          i += 1
+        }
+        val n = math.max(bytes.length, 1)
+        Row(id, bytes.length.toLong, sum.toDouble / n,
+          Seq(mn.toDouble, mx.toDouble, sum.toDouble / n, n.toDouble))
+      }
+    }(enc).toDF()
+  }
+}

@@ -1,0 +1,145 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`ARRAY<FLOAT>`) — north-star
+  * extension (SURVEY §2c). The reference has nothing comparable; this is
+  * the approximate-nearest-neighbor surface a training-data pipeline needs
+  * for near-dup mining and retrieval curation.
+  *
+  * Two tiers, same results contract:
+  *  - [[bruteForceTopK]]: exact cosine top-k. The query side is tiny and
+  *    broadcast, so the plan is one narrow pass over the corpus — no
+  *    shuffle of the big side at all until the final per-query top-k
+  *    (which AQE plans as a cheap partial top-k). Right answer for
+  *    |queries| × |corpus| up to ~10⁹ pairs.
+  *  - [[lshTopK]]: random-hyperplane LSH. Corpus and queries are bucketed
+  *    by sign-pattern bands of their projections; candidates are pairs
+  *    sharing a band bucket, then exact cosine re-ranks. At 100 TB the
+  *    bucket join replaces the cross product with a hash-shuffle on
+  *    uniformly distributed band keys; recall tunes with bands × bits.
+  *
+  * All dot products run as codegen'd higher-order functions
+  * (`zip_with` + `aggregate`) over doubles in array order — bit-identical
+  * to DuckDB's `list_cosine_similarity`, which the oracle gate exploits.
+  * Hyperplane weights are md5-derived (deterministic, seedless), so LSH
+  * results are reproducible across engines and runs.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two float-array columns in double
+    * precision — the same accumulation order DuckDB uses, so scores are
+    * bit-reproducible for the oracle. Backed by the native codegen'd
+    * [[graft.functions.FloatDot]] expression; the equivalent composable
+    * form (`aggregate(zip_with(a, b, (x,y) -> double(x)*double(y)), 0D,
+    * (s,v) -> s+v)`) computes the same bits ~20x slower (interpreted
+    * lambdas + an intermediate array per row), which dominated the bench. */
+  def dot(a: String, b: String): Column = expr(s"float_dot($a, $b)")
+
+  /** Cosine as dot / (sqrt(na) * sqrt(nb)) — this exact association is what
+    * DuckDB's `list_cosine_similarity` produces (verified bit-equal over
+    * the full pair set), so precomputed per-side norms keep the oracle
+    * match while doing each self-dot once per vector, not once per pair. */
+  def cosine(a: String, b: String): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Exact top-k neighbors by cosine for each query vector (queries =
+    * `queryPred` subset of the corpus; self-pairs excluded). The query set
+    * is broadcast; ties break on neighbor id for determinism. Norms are
+    * computed once per side before the join. */
+  def bruteForceTopK(emb: DataFrame, queryPred: Column, k: Int = 5): DataFrame = {
+    graft.functions.FloatDot.register(emb.sparkSession)
+    val q = emb.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        sqrt(dot("embedding", "embedding")).as("qnorm"))
+    val n = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
+      sqrt(dot("embedding", "embedding")).as("nnorm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(q).join(n, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", dot("qv", "nv") / (col("qnorm") * col("nnorm")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select("query_id", "neighbor_id", "rn", "cos")
+      .orderBy("query_id", "rn")
+  }
+
+  /** All near-duplicate pairs with cosine ≥ `minCos`. Exact (symmetric
+    * cross join, a < b); at scale, swap the cross join for the
+    * [[lshTopK]]-style band join — same verification expression. */
+  def embeddingNearDupPairs(emb: DataFrame, minCos: Double = 0.4): DataFrame = {
+    graft.functions.FloatDot.register(emb.sparkSession)
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+      sqrt(dot("embedding", "embedding")).as("na"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+      sqrt(dot("embedding", "embedding")).as("nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", dot("va", "vb") / (col("na") * col("nb")))
+      .filter(col("cos") >= minCos)
+      .select("id_a", "id_b", "cos")
+      .orderBy("id_a", "id_b")
+  }
+
+  val NumPlanes = 16
+  val Dim       = 64
+  val SigBands  = 4 // 4 bands x 4 bits; a pair collides if any 4-bit band agrees
+
+  /** Deterministic ±1 hyperplane weights: plane m, dimension j gets
+    * sign(parity of md5("m:j")). Computed once on the driver — tiny — and
+    * inlined as array literals, so executors evaluate pure codegen
+    * expressions (no closure capture, no randomness). */
+  lazy val planes: Array[Array[Double]] = {
+    val mdf = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(NumPlanes, Dim) { (m, j) =>
+      val d = mdf.digest(s"$m:$j".getBytes("UTF-8"))
+      if ((d(0) & 1) == 0) 1.0 else -1.0
+    }
+  }
+
+  private def sigBits(vecCol: String): Column = {
+    // bit m = (v · plane_m) >= 0; planes are ±1 (exact in FLOAT, so the
+    // cast to ARRAY<FLOAT> for the native dot loses nothing).
+    val bits = (0 until NumPlanes).map { m =>
+      val weights = planes(m).mkString("array(", "D,", "D)")
+      val proj = expr(s"float_dot($vecCol, CAST($weights AS ARRAY<FLOAT>))")
+      when(proj >= 0, lit(1L << m)).otherwise(0L)
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** ANN top-k via random-hyperplane LSH: candidates share at least one
+    * 4-bit band of the 16-bit signature, exact cosine re-ranks, top-k per
+    * query. Recall vs [[bruteForceTopK]] is checked in SimilaritySpec. */
+  def lshTopK(emb: DataFrame, queryPred: Column, k: Int = 5): DataFrame = {
+    graft.functions.FloatDot.register(emb.sparkSession)
+    val signed = emb.select(col("vec_id"), col("embedding"),
+      sigBits("embedding").as("sig"))
+    val banded = signed.select(
+      col("vec_id"), col("embedding"),
+      posexplode(array((0 until SigBands).map(b =>
+        shiftright(col("sig"), b * 4).bitwiseAND(0xF).cast("long")): _*))
+        .as(Seq("band_idx", "band_val")))
+    val q = banded.filter(queryPred).select(
+      col("vec_id").as("query_id"), col("embedding").as("qv"),
+      col("band_idx"), col("band_val"))
+    val n = banded.select(
+      col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
+      col("band_idx").as("n_band_idx"), col("band_val").as("n_band_val"))
+    val candidates = broadcast(q)
+      .join(n, col("band_idx") === col("n_band_idx") &&
+        col("band_val") === col("n_band_val") &&
+        col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "qv", "neighbor_id", "nv")
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    candidates
+      .withColumn("cos", dot("qv", "nv") / (sqrt(dot("qv", "qv")) * sqrt(dot("nv", "nv"))))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select("query_id", "neighbor_id", "rn", "cos")
+      .orderBy("query_id", "rn")
+  }
+}

@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.CrossHash
+
+/** Text-analysis operators for a large-scale training-data pipeline
+  * (north-star extensions beyond the reference's word count — SURVEY §2c).
+  *
+  * The reference's only text analytics is whitespace tokenization + alnum
+  * filtering inside a user Python mapper (srics96/SDC_Mapreduce
+  * `src/app/mapper.py:4-18`); everything here generalizes that surface into
+  * declarative per-document statistics. Every operator is a single
+  * narrow-dependency projection or one hash-aggregation — no joins, no
+  * multi-pass — so at 100 TB each is one scan over `documents` with
+  * map-side partial aggregation and full whole-stage codegen (no UDFs:
+  * tokenization and scoring are built-in expression trees Catalyst prunes
+  * to just the `text` + key columns at the parquet reader).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of the lowercased text — the reference mapper's
+    * tokenizer (`src/app/mapper.py:4-6`) with case folding. */
+  def toks(c: Column): Column = split(lower(c), "\\s+")
+
+  /** BPE-ish subword segmentation regex: runs of 1–4 letters, single
+    * digits, or single non-alnum glyphs — a deterministic stand-in for a
+    * byte-pair vocabulary that needs no model file. */
+  val BpeRe = "[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]"
+
+  /** Per-language marker words for the n-gram/stopword language heuristic.
+    * Deliberately tiny and deterministic; order is the tiebreak priority. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "los", "las", "y", "es"))
+
+  private def markerHits(lang: String): Column = {
+    val set = LangMarkers.toMap.apply(lang)
+    val hits = expr(
+      s"size(filter(split(lower(text), '\\\\s+'), t -> t IN (${set.map("'" + _ + "'").mkString(",")})))")
+    hits.cast("long")
+  }
+
+  /** Token-count statistics per document: whitespace tokens, BPE-ish
+    * subword tokens, alnum tokens, and mean token length. One projection —
+    * scales as a pure map over the corpus. */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(toks(col("text"))).cast("long").as("n_ws_tokens"),
+      size(regexp_extract_all(col("text"), lit(BpeRe), lit(0))).cast("long").as("n_bpe_tokens"),
+      expr("size(filter(split(lower(text), '\\\\s+'), t -> t rlike '^[a-z0-9]+$'))")
+        .cast("long").as("n_alnum_tokens"),
+      (expr("aggregate(transform(split(lower(text), '\\\\s+'), t -> length(t)), 0L, (a, x) -> a + x)")
+        .cast("double") / size(toks(col("text")))).as("mean_tok_len"))
+      .orderBy("doc_id")
+
+  /** Language identification via marker-word scoring: count each language's
+    * marker hits, predict the argmax (priority order breaks ties), emit
+    * `und` when nothing matches. A real lang-ID model swaps in as a richer
+    * marker table — the plan shape (single scan, no shuffle until the
+    * optional aggregate) is the production shape. */
+  def langId(docs: DataFrame): DataFrame = {
+    val scored = docs.select(
+      col("doc_id"),
+      markerHits("en").as("en_hits"),
+      markerHits("de").as("de_hits"),
+      markerHits("fr").as("fr_hits"),
+      markerHits("es").as("es_hits"))
+    scored.select(
+      col("doc_id"),
+      when(col("en_hits") >= col("de_hits") && col("en_hits") >= col("fr_hits") &&
+           col("en_hits") >= col("es_hits") && col("en_hits") > 0, "en")
+        .when(col("de_hits") >= col("fr_hits") && col("de_hits") >= col("es_hits") &&
+              col("de_hits") > 0, "de")
+        .when(col("fr_hits") >= col("es_hits") && col("fr_hits") > 0, "fr")
+        .when(col("es_hits") > 0, "es")
+        .otherwise("und").as("pred_lang"),
+      greatest(col("en_hits"), col("de_hits"), col("fr_hits"), col("es_hits")).as("n_hits"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: length score, alnum ratio, stopword-density penalty —
+    * the standard cheap pre-filter before expensive LLM-data curation.
+    * All arithmetic is int-ratio → double in a fixed operation order, so
+    * the score is bit-reproducible across engines and partitionings. */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val nTok = size(toks(col("text"))).cast("long")
+    val alnum = expr("size(filter(split(lower(text), '\\\\s+'), t -> t rlike '^[a-z0-9]+$'))").cast("long")
+    val stop = markerHits("en")
+    docs.select(
+      col("doc_id"),
+      nTok.as("n_tokens"),
+      (alnum.cast("double") / nTok).as("alnum_ratio"),
+      (stop.cast("double") / nTok).as("stop_ratio"),
+      (least(nTok.cast("double") / 100.0, lit(1.0)) * 0.2 +
+        (alnum.cast("double") / nTok) * 0.5 +
+        least(stop.cast("double") / nTok * 4.0, lit(1.0)) * 0.3).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprints: a 60-bit content hash of the raw text and one
+    * of the whitespace-normalized text (lowercase, runs of whitespace
+    * collapsed) — the exact-dedup keys, usable directly in a groupBy at
+    * any scale because they are plain codegen'd column expressions. */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      CrossHash.h60(col("text")).as("fp_raw"),
+      CrossHash.h60(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp_norm"))
+      .orderBy("doc_id")
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Dedup
+import graft.sources.Tables
+
+class DedupSpec extends SparkTestBase {
+
+  private def docs = Tables.documents(spark, sfDir)
+
+  test("exactDedup keeps exactly one (minimal) doc_id per duplicate key") {
+    val out = Dedup.exactDedup(docs).cache()
+    val nKeys = out.select("dup_key").distinct().count()
+    assert(out.count() === nKeys, "one survivor per key")
+    // survivors must be the min doc_id of their group
+    val all = docs.select(col("doc_id"),
+      graft.functions.CrossHash.h60(
+        array_join(array_sort(array_distinct(split(lower(col("text")), "\\s+"))), " ")).as("dup_key"))
+    val mins = all.groupBy("dup_key").agg(min("doc_id").as("doc_id"))
+    assert(out.join(mins, Seq("dup_key", "doc_id"), "left_anti").count() === 0)
+    assert(out.count() < docs.count(), "corpus has real duplicate groups")
+  }
+
+  test("minHashPairs recovers all high-Jaccard pairs (LSH recall)") {
+    val trueDups = Dedup.ngramJaccardPairs(docs, minJaccard = 0.8)
+      .select("doc_a", "doc_b")
+    assert(trueDups.count() > 0, "corpus has planted near-duplicates")
+    val found = Dedup.minHashPairs(docs, minSigFrac = 0.5).select("doc_a", "doc_b")
+    val missed = trueDups.join(found, Seq("doc_a", "doc_b"), "left_anti").count()
+    // 8 bands x 2 rows: P(miss | J>=0.8) <= (1 - 0.64)^8 ~ 3e-4 per pair,
+    // and the pipeline is deterministic, so this is a fixed property of the corpus
+    assert(missed === 0, s"LSH missed $missed high-similarity pairs")
+  }
+
+  test("simHash is deterministic and identical docs collide") {
+    val a = Dedup.simHash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Dedup.simHash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+    // fingerprints are 32-bit values
+    assert(a.values.forall(v => v >= 0 && v <= 0xFFFFFFFFL))
+  }
+
+  test("simHashPairs: hamming bound respected and pairs symmetric-free") {
+    val pairs = Dedup.simHashPairs(docs, maxHamming = 7).cache()
+    val bad = pairs.filter(col("hamming") > 7 || col("doc_a") >= col("doc_b")).count()
+    assert(bad === 0)
+    assert(pairs.count() > 0)
+  }
+
+  test("ngramJaccardPairs: jaccard in (0,1], capped variant is consistent") {
+    val exact = Dedup.ngramJaccardPairs(docs, minJaccard = 0.2).cache()
+    assert(exact.filter(col("jaccard") <= 0 || col("jaccard") > 1).count() === 0)
+    assert(exact.count() > 0)
+    // df-capped candidate generation must still find the near-identical pairs
+    // (their distinctive shingles are rare by construction)
+    val capped = Dedup.ngramJaccardPairs(docs, minJaccard = 0.8, maxDf = Some(50))
+    val exactHigh = exact.filter(col("jaccard") >= 0.9).select("doc_a", "doc_b")
+    assert(exactHigh.join(capped, Seq("doc_a", "doc_b"), "left_anti").count() === 0)
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Multimodal
+import graft.sources.Tables
+
+class MultimodalSpec extends SparkTestBase {
+
+  private def blobs = Multimodal.asBlobTable(Tables.documents(spark, sfDir))
+
+  test("blobMetadata: byte lengths and checksums match source text") {
+    val meta = Multimodal.blobMetadata(blobs)
+    val src = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), length(col("text")).cast("long").as("src_len"),
+        md5(col("text")).as("src_md5"))
+    val joined = meta.join(src, "doc_id").cache()
+    // ASCII corpus: byte length == char length; md5(bytes) == md5(text)
+    assert(joined.filter(col("byte_len") =!= col("src_len")).count() === 0)
+    assert(joined.filter(col("checksum") =!= col("src_md5")).count() === 0)
+    assert(joined.filter(col("width") < 64 || col("height") < 48).count() === 0)
+  }
+
+  test("metadata-only plan prunes unused document columns from the scan") {
+    val plan = Multimodal.blobMetadata(blobs).queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema"))
+    assert(!plan.contains("lang"), "lang column must be pruned from the parquet scan")
+  }
+
+  test("sampleFrames: n frames per blob, bounded frame size, in-range slices") {
+    val frames = Multimodal.sampleFrames(blobs, n = 4, frameSize = 16).cache()
+    val perDoc = frames.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    assert(perDoc.filter(col("n") =!= 4).count() === 0)
+    assert(frames.filter(length(col("frame_bytes")) > 16).count() === 0)
+    assert(frames.filter(length(col("frame_bytes")) === 0).count() === 0)
+  }
+
+  test("decodeStub: schema contract and deterministic byte statistics") {
+    val out = Multimodal.decodeStub(blobs).cache()
+    assert(out.schema === Multimodal.decodedSchema)
+    assert(out.count() === blobs.count())
+    assert(out.filter(col("mean_byte") < 0 || col("mean_byte") > 255).count() === 0)
+    assert(out.filter(size(col("feature")) =!= 4).count() === 0)
+    // n_bytes agrees with the declarative byte_len
+    val meta = Multimodal.blobMetadata(blobs).select("doc_id", "byte_len")
+    assert(out.join(meta, "doc_id")
+      .filter(col("n_bytes") =!= col("byte_len")).count() === 0)
+    // determinism: run twice, same features
+    val again = Multimodal.decodeStub(blobs)
+    assert(out.select("doc_id", "mean_byte").except(
+      again.select("doc_id", "mean_byte")).count() === 0)
+  }
+}

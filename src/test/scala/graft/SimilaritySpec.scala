@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.Similarity
+import graft.sources.Tables
+
+class SimilaritySpec extends SparkTestBase {
+
+  private def emb = Tables.embeddings(spark, sfDir)
+
+  private def mkVecs(rows: Seq[(Long, Seq[Float])]) = {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (id, v) => Row(id, v) }),
+      schema)
+  }
+
+  test("cosine on known vectors") {
+    val df = mkVecs(Seq(
+      1L -> Seq(1f, 0f, 0f),
+      2L -> Seq(0f, 1f, 0f),
+      3L -> Seq(2f, 0f, 0f)))
+    val out = Similarity.bruteForceTopK(df, col("vec_id") === 1, k = 2)
+      .collect().map(r => (r.getLong(1), r.getDouble(3)))
+    // neighbor 3 is colinear (cos 1), neighbor 2 orthogonal (cos 0)
+    assert(out.toSeq === Seq((3L, 1.0), (2L, 0.0)))
+  }
+
+  test("bruteForceTopK contract: k rows per query, ranked, no self-pairs") {
+    val out = Similarity.bruteForceTopK(emb, col("vec_id") < 5, k = 5).cache()
+    assert(out.count() === 25)
+    assert(out.filter(col("query_id") === col("neighbor_id")).count() === 0)
+    val ranks = out.groupBy("query_id").agg(collect_list("rn").as("rns"))
+      .collect().map(_.getSeq[Long](1).sorted)
+    assert(ranks.forall(_ == Seq(1L, 2L, 3L, 4L, 5L)))
+    assert(out.filter(col("cos") < -1.0 || col("cos") > 1.0).count() === 0)
+  }
+
+  test("lshTopK recall vs brute force") {
+    val exact = Similarity.bruteForceTopK(emb, col("vec_id") < 20, k = 5)
+      .select("query_id", "neighbor_id")
+    val approx = Similarity.lshTopK(emb, col("vec_id") < 20, k = 5)
+      .select("query_id", "neighbor_id")
+    val hit = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi").count()
+    val recall = hit.toDouble / exact.count()
+    // Deterministic given the fixed corpus + md5-derived planes; measured 0.41
+    // on sf0.001. The corpus is random vectors, so true top-5 neighbors sit at
+    // cosine ~0.4 (P(plane bit agrees) ~ 0.63) — hard for LSH by construction;
+    // a 4x4-bit banding still prunes ~77% of candidates. The floor asserts the
+    // bucketing keeps finding a large multiple of the 2.3% a random 23%-size
+    // candidate set would hit.
+    assert(recall >= 0.35, s"recall $recall below floor")
+  }
+
+  test("lshTopK ranks candidates by exact cosine") {
+    val out = Similarity.lshTopK(emb, col("vec_id") < 5, k = 5).cache()
+    // within each query, cos must be non-increasing in rn
+    val viol = out.as("x").join(out.as("y"),
+        col("x.query_id") === col("y.query_id") && col("x.rn") < col("y.rn") &&
+          col("x.cos") < col("y.cos"))
+      .count()
+    assert(viol === 0)
+  }
+
+  test("embeddingNearDupPairs: symmetric-free, threshold respected") {
+    val out = Similarity.embeddingNearDupPairs(emb, minCos = 0.4).cache()
+    assert(out.filter(col("id_a") >= col("id_b") || col("cos") < 0.4).count() === 0)
+    assert(out.count() > 0, "corpus has pairs above threshold")
+  }
+}

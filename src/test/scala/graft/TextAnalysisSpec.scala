@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.TextAnalysis
+import graft.sources.Tables
+
+class TextAnalysisSpec extends SparkTestBase {
+
+  private def docs = Tables.documents(spark, sfDir)
+
+  private def tinyDocs = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox", "en", "src0", 19L),
+      (2L, "the  quick   brown fox", "en", "src0", 22L), // extra whitespace
+      (3L, "der hund und die katze", "de", "src1", 22L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  test("tokenStats invariants: counts positive, alnum <= ws, mean length sane") {
+    val out = TextAnalysis.tokenStats(docs).cache()
+    assert(out.count() === docs.count())
+    assert(out.filter(col("n_ws_tokens") <= 0).count() === 0)
+    assert(out.filter(col("n_alnum_tokens") > col("n_ws_tokens")).count() === 0)
+    assert(out.filter(col("mean_tok_len") <= 0 || col("mean_tok_len") > 50).count() === 0)
+    // BPE-ish segmentation is never coarser than whitespace tokens
+    assert(out.filter(col("n_bpe_tokens") < col("n_ws_tokens")).count() === 0)
+  }
+
+  test("langId picks marker-dominant language with priority tiebreak") {
+    val out = TextAnalysis.langId(tinyDocs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "en") // 'the' + 'a'... 'the' hits en
+    assert(out(3L) === "de") // der/und/die
+    val corpus = TextAnalysis.langId(docs)
+    assert(corpus.filter(!col("pred_lang").isin("en", "de", "fr", "es", "und")).count() === 0)
+  }
+
+  test("quality score bounded in [0, 1]") {
+    val out = TextAnalysis.qualityScore(docs)
+    assert(out.filter(col("quality") < 0 || col("quality") > 1).count() === 0)
+    assert(out.filter(col("alnum_ratio") < 0 || col("alnum_ratio") > 1).count() === 0)
+  }
+
+  test("fingerprint: fp_norm is whitespace-invariant, fp_raw is not") {
+    val fps = TextAnalysis.fingerprint(tinyDocs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(fps(1L)._2 === fps(2L)._2, "normalized fingerprints collapse whitespace variants")
+    assert(fps(1L)._1 !== fps(2L)._1, "raw fingerprints differ")
+    assert(fps(1L)._1 !== fps(3L)._1)
+  }
+}
