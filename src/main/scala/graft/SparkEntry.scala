@@ -104,6 +104,11 @@ object SparkEntry {
         .orderBy("doc_id", "frame_idx")),
     "mm_decode_features" -> ((s, d) =>
       Multimodal.decodeStub(Multimodal.asBlobTable(Tables.documents(s, d))).orderBy("doc_id")),
+    // streaming-unified transform run over batch input (same code drives
+    // readStream in StreamOpsSpec's MemoryStream test)
+    "stream_windowed_counts" -> ((s, d) =>
+      graft.streaming.StreamOps.windowedEventCounts(Tables.events(s, d))
+        .orderBy("win_start", "event_type")),
   )
 
   // ---- DuckDB oracle builders for the hash-based north-star operators ----
@@ -433,5 +438,10 @@ object SparkEntry {
         |FROM documents, unnest(generate_series(0, 3)) AS t(k)
         |ORDER BY doc_id, frame_idx""".stripMargin,
     // mm_decode_features: mapPartitions decode stub — not SQL-expressible; rows-only check.
+    "stream_windowed_counts" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -1,0 +1,119 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.DecimalType
+
+/** Structured Streaming surface (SURVEY §2b: streaming is ❌ in the
+  * reference — its only "streaming" is a 5 s ZooKeeper job-queue poll,
+  * `src/master/master.cpp:343-366`). Here the stream operators are the
+  * SAME declarative transforms as batch: [[windowedEventCounts]] runs
+  * unchanged over `spark.read.parquet` (the oracle-checked
+  * `stream_windowed_counts` query) or `spark.readStream` (StreamOpsSpec
+  * drives it through a MemoryStream) — Spark's batch/streaming unification
+  * doing the work.
+  *
+  * At scale: the windowed aggregation is an incremental stateful agg keyed
+  * by (window, event_type) — state size is bounded by the watermark, which
+  * also bounds late-data wait. Sessionization keeps one state row per
+  * active user and emits sessions as they close (event-time timeout), the
+  * `flatMapGroupsWithState` pattern for custom state machines.
+  */
+object StreamOps {
+
+  private val money = DecimalType(18, 2)
+
+  /** Tumbling-window counts + exact-decimal sums per event type, tolerant
+    * of `delay` late data. Works identically on batch and streaming input
+    * (on batch, the watermark is a no-op). */
+  def windowedEventCounts(
+      events: DataFrame,
+      windowDur: String = "1 hour",
+      delay: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(money)).cast("double").as("sum_value"))
+      .select(
+        col("window.start").as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Input record for sessionization. */
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  /** A closed user session. */
+  final case class Session(user_id: Long, start_ts: Timestamp, end_ts: Timestamp,
+      n_events: Long, sum_value: Double)
+
+  private final case class SessionBuf(start: Long, last: Long, n: Long, sum: Double)
+
+  /** Gap-based sessionizer: a user's session closes after `gapMs` of
+    * event-time inactivity (or on state timeout in streaming mode).
+    * Custom state machine via flatMapGroupsWithState — the Spark-native
+    * replacement for the reference's "arbitrary user reduce code" surface
+    * when the reduce needs ordering + state rather than a commutative
+    * fold. */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val streaming = events.isStreaming // captured by value — the Dataset itself must not leak into the closure
+
+    def fold(userId: Long, it: Iterator[Event], state: GroupState[SessionBuf]): Iterator[Session] = {
+      val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var buf = state.getOption.orNull
+      val closed = Seq.newBuilder[Session]
+      for (e <- sorted) {
+        val t = e.ts.getTime
+        if (buf == null) buf = SessionBuf(t, t, 1L, e.value)
+        else if (t - buf.last > gapMs) {
+          closed += Session(userId, new Timestamp(buf.start), new Timestamp(buf.last), buf.n, buf.sum)
+          buf = SessionBuf(t, t, 1L, e.value)
+        } else buf = buf.copy(last = math.max(buf.last, t), n = buf.n + 1, sum = buf.sum + e.value)
+      }
+      if (state.hasTimedOut) {
+        // streaming: event-time timeout fired — flush the open session
+        if (buf != null)
+          closed += Session(userId, new Timestamp(buf.start), new Timestamp(buf.last), buf.n, buf.sum)
+        state.remove()
+      } else if (buf != null) {
+        state.update(buf)
+        if (streaming) state.setTimeoutTimestamp(buf.last + gapMs)
+      }
+      closed.result().iterator
+    }
+
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fold)
+  }
+
+  /** Batch-mode sessionization of the same semantics, for parity checks and
+    * for running the sessionizer over historical data: gap-based windows by
+    * cumulative sum of gap-break flags — pure declarative window functions,
+    * no state API. */
+  def sessionizeBatch(events: DataFrame, gapMs: Long = 30 * 60 * 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val tsMs = expr("unix_micros(ts) div 1000").as("ts_ms")
+    events
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"), tsMs)
+      .withColumn("prev_ms", lag(col("ts_ms"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ms").isNull || col("ts_ms") - col("prev_ms") > gapMs, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("new_session")).over(byUser))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        min(col("ts")).as("start_ts"),
+        max(col("ts")).as("end_ts"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(money)).cast("double").as("sum_value"))
+      .select("user_id", "session_idx", "start_ts", "end_ts", "n_events", "sum_value")
+      .orderBy("user_id", "session_idx")
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.Event
+
+class StreamOpsSpec extends SparkTestBase {
+
+  private def ts(minute: Int) = new Timestamp(1700000000000L + minute * 60000L)
+
+  test("streaming windowed counts equal the batch result (unified transform)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val events = Seq(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(5), 2, "click", 2.0),
+      Event(3, ts(70), 1, "view", 3.0),
+      Event(4, ts(130), 2, "click", 4.0))
+
+    val stream = MemoryStream[Event]
+    val q = StreamOps.windowedEventCounts(stream.toDF())
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("complete").start()
+    try {
+      stream.addData(events: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("win_counts")
+        .orderBy("win_start", "event_type").collect()
+      val batch = StreamOps.windowedEventCounts(events.toDF())
+        .orderBy("win_start", "event_type").collect()
+      assert(streamed.toSeq === batch.toSeq)
+      assert(streamed.length === 3) // 3 hourly windows (two clicks share one)
+    } finally q.stop()
+  }
+
+  test("batch windowed counts over the events table are sane") {
+    val out = StreamOps.windowedEventCounts(Tables.events(spark, sfDir)).cache()
+    assert(out.count() > 0)
+    val total = out.agg(sum("n")).collect()(0).getLong(0)
+    assert(total === Tables.events(spark, sfDir).count())
+  }
+
+  test("sessionize closes sessions at event-time gaps") {
+    import spark.implicits._
+    // user 1: events at t0, t10, then t60 (gap 50 min > 30 min) -> one closed session
+    // user 2: single event (never closes in batch mode)
+    val events = Seq(
+      Event(1, ts(0), 1, "a", 1.0),
+      Event(2, ts(10), 1, "a", 2.0),
+      Event(3, ts(60), 1, "a", 4.0),
+      Event(4, ts(0), 2, "b", 8.0)).toDS()
+    val sessions = StreamOps.sessionize(events).collect()
+    assert(sessions.length === 1)
+    val s = sessions(0)
+    assert(s.user_id === 1 && s.n_events === 2 && s.sum_value === 3.0)
+    assert(s.start_ts === ts(0) && s.end_ts === ts(10))
+  }
+
+  test("sessionizeBatch matches hand-computed sessions and counts all events") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 1L, ts(0), 1.0),
+      (2L, 1L, ts(10), 2.0),
+      (3L, 1L, ts(60), 4.0),
+      (4L, 2L, ts(0), 8.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val out = StreamOps.sessionizeBatch(df).collect()
+    assert(out.length === 3) // user1: 2 sessions, user2: 1
+    val u1 = out.filter(_.getLong(0) == 1L)
+    assert(u1.map(_.getLong(4)).toSeq === Seq(2L, 1L))
+    // corpus-level: session event counts partition the event set
+    val corpus = StreamOps.sessionizeBatch(Tables.events(spark, sfDir))
+    assert(corpus.agg(sum("n_events")).collect()(0).getLong(0) ===
+      Tables.events(spark, sfDir).count())
+  }
+}
