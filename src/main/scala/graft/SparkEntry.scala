@@ -81,6 +81,8 @@ object SparkEntry {
     "ta_lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "ta_quality" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
     "ta_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
+    "ta_tfidf" -> ((s, d) => TextAnalysis.tfIdf(Tables.documents(s, d))),
+    "ta_approx_distinct" -> ((s, d) => TextAnalysis.approxDistinctWords(Tables.documents(s, d))),
     // north-star: deduplication
     "dedup_exact" -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
     "dedup_minhash_pairs" -> ((s, d) => Dedup.minHashPairs(Tables.documents(s, d))),
@@ -92,6 +94,8 @@ object SparkEntry {
       Similarity.bruteForceTopK(Tables.embeddings(s, d), col("vec_id") < 10)),
     "sim_neardup_embedding" -> ((s, d) =>
       Similarity.embeddingNearDupPairs(Tables.embeddings(s, d))),
+    "sim_neardup_lsh" -> ((s, d) =>
+      Similarity.embeddingNearDupPairsLSH(Tables.embeddings(s, d))),
     "ann_lsh_topk" -> ((s, d) =>
       Similarity.lshTopK(Tables.embeddings(s, d), col("vec_id") < 10)),
     // north-star: multimodal binary columns
@@ -166,14 +170,19 @@ object SparkEntry {
        |shash AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM votes)""".stripMargin
   }
 
-  private val annOracleSql: String = {
+  /** Shared LSH-signature CTEs (DuckDB mirror of Similarity.bandedSignatures). */
+  private val lshBandedCte: String = {
     val sig = (0 until Similarity.NumPlanes).map { m =>
       val arr = Similarity.planes(m).map(w => if (w > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
       s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), $arr) >= 0 THEN ${1L << m} ELSE 0 END)"
     }.mkString(" + ")
-    s"""WITH sigt AS (SELECT vec_id, embedding, CAST($sig AS BIGINT) AS sig FROM embeddings),
+    s"""sigt AS (SELECT vec_id, embedding, CAST($sig AS BIGINT) AS sig FROM embeddings),
        |banded AS (SELECT vec_id, embedding, band_idx, (sig >> (band_idx * 4)) & 15 AS band_val
-       |  FROM sigt, unnest(generate_series(0, ${Similarity.SigBands - 1})) AS t(band_idx)),
+       |  FROM sigt, unnest(generate_series(0, ${Similarity.SigBands - 1})) AS t(band_idx))""".stripMargin
+  }
+
+  private val annOracleSql: String =
+    s"""WITH $lshBandedCte,
        |cand AS (SELECT DISTINCT q.vec_id AS query_id, q.embedding AS qv,
        |    n.vec_id AS neighbor_id, n.embedding AS nv
        |  FROM banded q JOIN banded n
@@ -185,7 +194,17 @@ object SparkEntry {
        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn, cos
        |  FROM scored)
        |SELECT query_id, neighbor_id, rn, cos FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
-  }
+
+  private val lshNearDupOracleSql: String =
+    s"""WITH $lshBandedCte,
+       |cand AS (SELECT DISTINCT a.vec_id AS id_a, a.embedding AS va,
+       |    b.vec_id AS id_b, b.embedding AS vb
+       |  FROM banded a JOIN banded b
+       |  ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.vec_id < b.vec_id)
+       |SELECT id_a, id_b, cos FROM (
+       |  SELECT id_a, id_b,
+       |    list_cosine_similarity(CAST(va AS DOUBLE[]), CAST(vb AS DOUBLE[])) AS cos FROM cand)
+       |WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -420,6 +439,19 @@ object SparkEntry {
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
         |WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin,
     "ann_lsh_topk" -> annOracleSql,
+    "sim_neardup_lsh" -> lshNearDupOracleSql,
+    "ta_tfidf" ->
+      s"""WITH tk AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '$WS')) AS word FROM documents),
+         |ftk AS (SELECT doc_id, word FROM tk WHERE regexp_matches(word, '^[a-z0-9]+$$')),
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM ftk GROUP BY 1, 2),
+         |dfq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+         |nq AS (SELECT count(*) AS n_docs FROM documents)
+         |SELECT t.doc_id, t.word, t.tf, d.df,
+         |  round(CAST(t.tf AS DOUBLE) * ln((n.n_docs + 1.0) / (d.df + 1.0)), 6) AS tfidf
+         |FROM tf t JOIN dfq d USING (word) CROSS JOIN nq n
+         |ORDER BY doc_id, word""".stripMargin,
+    // ta_approx_distinct: HLL sketch internals differ per engine; rows-only check
+    //   (TextAnalysisSpec bounds the approx error against the exact count).
     // ---- north-star: multimodal (ASCII corpus: char substring == byte substring) ----
     "mm_metadata" ->
       """SELECT doc_id,

@@ -109,18 +109,24 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** One row per (vector, signature band): the LSH index table both ANN
+    * entry points bucket-join on. */
+  private def bandedSignatures(emb: DataFrame): DataFrame = {
+    val signed = emb.select(col("vec_id"), col("embedding"),
+      sigBits("embedding").as("sig"))
+    signed.select(
+      col("vec_id"), col("embedding"),
+      posexplode(array((0 until SigBands).map(b =>
+        shiftright(col("sig"), b * 4).bitwiseAND(0xF).cast("long")): _*))
+        .as(Seq("band_idx", "band_val")))
+  }
+
   /** ANN top-k via random-hyperplane LSH: candidates share at least one
     * 4-bit band of the 16-bit signature, exact cosine re-ranks, top-k per
     * query. Recall vs [[bruteForceTopK]] is checked in SimilaritySpec. */
   def lshTopK(emb: DataFrame, queryPred: Column, k: Int = 5): DataFrame = {
     graft.functions.FloatDot.register(emb.sparkSession)
-    val signed = emb.select(col("vec_id"), col("embedding"),
-      sigBits("embedding").as("sig"))
-    val banded = signed.select(
-      col("vec_id"), col("embedding"),
-      posexplode(array((0 until SigBands).map(b =>
-        shiftright(col("sig"), b * 4).bitwiseAND(0xF).cast("long")): _*))
-        .as(Seq("band_idx", "band_val")))
+    val banded = bandedSignatures(emb)
     val q = banded.filter(queryPred).select(
       col("vec_id").as("query_id"), col("embedding").as("qv"),
       col("band_idx"), col("band_val"))
@@ -141,5 +147,28 @@ object Similarity {
       .filter(col("rn") <= k)
       .select("query_id", "neighbor_id", "rn", "cos")
       .orderBy("query_id", "rn")
+  }
+
+  /** Scale path for [[embeddingNearDupPairs]]: LSH band join generates
+    * candidates (hash-shuffle on uniformly distributed band keys instead
+    * of the n² cross product), exact cosine verifies. Every returned pair
+    * genuinely clears `minCos` (precision 1.0); recall is the band-collision
+    * probability at the threshold angle — SimilaritySpec measures it
+    * against the exact variant. */
+  def embeddingNearDupPairsLSH(emb: DataFrame, minCos: Double = 0.4): DataFrame = {
+    graft.functions.FloatDot.register(emb.sparkSession)
+    val banded = bandedSignatures(emb)
+    val a = banded.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+      col("band_idx"), col("band_val"))
+    val b = banded.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+      col("band_idx").as("b_band_idx"), col("band_val").as("b_band_val"))
+    a.join(b, col("band_idx") === col("b_band_idx") &&
+        col("band_val") === col("b_band_val") && col("id_a") < col("id_b"))
+      .select("id_a", "va", "id_b", "vb")
+      .distinct()
+      .withColumn("cos", dot("va", "vb") / (sqrt(dot("va", "va")) * sqrt(dot("vb", "vb"))))
+      .filter(col("cos") >= minCos)
+      .select("id_a", "id_b", "cos")
+      .orderBy("id_a", "id_b")
   }
 }

@@ -1,0 +1,51 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink format surface beyond the reference's text blobs (SURVEY
+  * §2b "Scans/sources": the reference reads only whole/ranged text blobs,
+  * `src/util/blob.cpp:49-70`; everything else was out of reach for its
+  * users). All readers take an EXPLICIT schema — schema inference is a
+  * scan of the data (cost) and a nondeterminism hazard (correctness), so
+  * at 100 TB it is never the right default.
+  *
+  * Sinks add the two layout features that matter at scale:
+  *  - [[writePartitioned]]: hive-style directory partitioning, so readers
+  *    with a partition-column predicate prune entire directories
+  *    (PartitionFilters in the scan, verified in FormatsSpec).
+  *  - [[writeBucketed]]: pre-shuffled table layout, so equi-joins and
+  *    aggregations on the bucket key plan with NO exchange (verified in
+  *    FormatsSpec — the join plan has zero shuffles). This is the
+  *    "co-located join" story for repeated joins on the same key.
+  */
+object Formats {
+
+  def readCsv(spark: SparkSession, schema: StructType, paths: String*): DataFrame =
+    spark.read.schema(schema).option("header", "true").csv(paths: _*)
+
+  def readJson(spark: SparkSession, schema: StructType, paths: String*): DataFrame =
+    spark.read.schema(schema).json(paths: _*)
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** Hive-style partitioned parquet layout: one directory per value of
+    * `partitionCols`. Low-cardinality columns only — each distinct tuple
+    * is a directory of files. */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: String*): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
+
+  /** Bucketed + sorted managed table (bucketing requires the table
+    * catalog). Joins/aggregations keyed on `bucketCol` against another
+    * table bucketed the same way run shuffle-free. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String, numBuckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+}

@@ -1,0 +1,71 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{Formats, Tables}
+
+class FormatsSpec extends SparkTestBase {
+
+  private def tmp(name: String) =
+    Files.createTempDirectory(s"graft-$name").resolve("out").toString
+
+  test("csv round-trip preserves rows and schema") {
+    val src = Tables.nation(spark, sfDir)
+    val path = tmp("csv")
+    Formats.writeCsv(src, path)
+    val back = Formats.readCsv(spark, src.schema, path)
+    assert(back.schema === src.schema)
+    assert(back.orderBy("n_nationkey").collect().toSeq ===
+      src.orderBy("n_nationkey").collect().toSeq)
+  }
+
+  test("json round-trip preserves rows") {
+    val src = Tables.region(spark, sfDir)
+    val path = tmp("json")
+    Formats.writeJson(src, path)
+    val back = Formats.readJson(spark, src.schema, path)
+    assert(back.orderBy("r_regionkey").collect().toSeq ===
+      src.orderBy("r_regionkey").collect().toSeq)
+  }
+
+  test("partitioned write enables partition pruning (PartitionFilters in scan)") {
+    val src = Tables.documents(spark, sfDir).select("doc_id", "text", "lang")
+    val path = tmp("part")
+    Formats.writePartitioned(src, path, "lang")
+    val pruned = spark.read.parquet(path).filter(col("lang") === "en")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), "scan must carry partition filters")
+    assert(plan.contains("lang"), "lang must appear as a partition filter")
+    assert(pruned.count() ===
+      Tables.documents(spark, sfDir).filter(col("lang") === "en").count())
+    // pruned scan must only touch the lang=en directory
+    val files = pruned.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.toString.split("\n"))
+      .filter(_.contains("Location"))
+    assert(files.nonEmpty)
+  }
+
+  test("bucketed tables join with zero exchanges") {
+    val wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey", "o_totalprice")
+    val c = Tables.customer(spark, sfDir).select("c_custkey", "c_mktsegment")
+    Formats.writeBucketed(o, "orders_b", "o_custkey", 8)
+    Formats.writeBucketed(c, "customer_b", "c_custkey", 8)
+    try {
+      // disable broadcast so only bucketing can avoid the shuffle
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("orders_b")
+        .join(spark.table("customer_b"),
+          col("o_custkey") === col("c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() === o.join(c, col("o_custkey") === col("c_custkey")).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS customer_b")
+    }
+  }
+}

@@ -72,4 +72,17 @@ class SimilaritySpec extends SparkTestBase {
     assert(out.filter(col("id_a") >= col("id_b") || col("cos") < 0.4).count() === 0)
     assert(out.count() > 0, "corpus has pairs above threshold")
   }
+
+  test("embeddingNearDupPairsLSH: perfect precision, measured recall vs exact") {
+    val exact = Similarity.embeddingNearDupPairs(emb, minCos = 0.4)
+      .select("id_a", "id_b").cache()
+    val lsh = Similarity.embeddingNearDupPairsLSH(emb, minCos = 0.4)
+      .select("id_a", "id_b").cache()
+    // precision 1.0: every LSH pair is a true pair (exact cosine verify)
+    assert(lsh.join(exact, Seq("id_a", "id_b"), "left_anti").count() === 0)
+    val recall = lsh.count().toDouble / exact.count()
+    // deterministic; threshold-angle band-collision probability ~0.5 for
+    // cos in [0.4, 0.51] — floor asserts the bucketing does real work
+    assert(recall >= 0.3, s"recall $recall below floor")
+  }
 }

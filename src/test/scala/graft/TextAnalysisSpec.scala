@@ -43,6 +43,30 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out.filter(col("alnum_ratio") < 0 || col("alnum_ratio") > 1).count() === 0)
   }
 
+  test("tfIdf: rare terms outscore ubiquitous ones, tf weighted") {
+    val out = TextAnalysis.tfIdf(docs).cache()
+    assert(out.count() > 0)
+    // a term in every document gets ln((N+1)/(N+1)) = 0 weight;
+    // weights are monotonically decreasing in df for equal tf
+    val byDf = out.filter(col("tf") === 1).select("df", "tfidf").distinct()
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    assert(byDf.sliding(2).forall { case Array((_, a), (_, b)) => a >= b; case _ => true })
+    val n = docs.count()
+    assert(out.filter(col("df") === n && col("tf") === 1)
+      .collect().forall(_.getDouble(4) === 0.0))
+  }
+
+  test("approxDistinctWords: HLL estimate within 5% of exact") {
+    val out = TextAnalysis.approxDistinctWords(docs).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val exact = r.getLong(1).toDouble
+      val approx = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05,
+        s"source ${r.getString(0)}: approx $approx vs exact $exact")
+    }
+  }
+
   test("fingerprint: fp_norm is whitespace-invariant, fp_raw is not") {
     val fps = TextAnalysis.fingerprint(tinyDocs).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
