@@ -13,10 +13,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up the JVM/codegen/parquet-footer paths once so the first timed
-    // query doesn't absorb session start-up cost.
+    // query doesn't absorb session start-up cost (measured ~6 s of one-time
+    // Jackson/from_json + legacy-nanos-read initialization otherwise).
     try {
       spark.range(1000000L).selectExpr("sum(id)").collect()
       spark.read.parquet(s"$sfDir/region.parquet").count()
+      // .collect(), not .count() — count() would let Catalyst prune the
+      // from_json away and skip the Jackson init this exists to absorb
+      graft.sources.Tables.events(spark, sfDir)
+        .limit(16).selectExpr("from_json(props, 'k INT') AS j").collect()
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

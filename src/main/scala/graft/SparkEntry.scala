@@ -66,6 +66,8 @@ object SparkEntry {
     "window_top3_orders" -> Relational.top3OrdersPerCustomer,
     "window_running_qty" -> Relational.runningQtyPerSupplier,
     "window_moving_avg" -> Relational.movingAvgEventValue,
+    "window_navigation" -> Relational.windowNavigation,
+    "percentiles_qty" -> Relational.percentilesQty,
     // multi-dimensional aggregation
     "rollup_flag_status" -> Relational.rollupFlagStatus,
     "cube_status_priority" -> Relational.cubeStatusPriority,
@@ -113,6 +115,8 @@ object SparkEntry {
     "stream_windowed_counts" -> ((s, d) =>
       graft.streaming.StreamOps.windowedEventCounts(Tables.events(s, d))
         .orderBy("win_start", "event_type")),
+    "stream_sessions_batch" -> ((s, d) =>
+      graft.streaming.StreamOps.sessionizeBatch(Tables.events(s, d))),
   )
 
   // ---- DuckDB oracle builders for the hash-based north-star operators ----
@@ -475,5 +479,32 @@ object SparkEntry {
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "stream_sessions_batch" ->
+      """WITH base AS (SELECT user_id, event_id, ts, value, epoch_ms(ts) AS ts_ms FROM events),
+        |l AS (SELECT *, lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms FROM base),
+        |f AS (SELECT *, CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS new_session FROM l),
+        |s AS (SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx FROM f)
+        |SELECT user_id, session_idx, min(ts) AS start_ts, max(ts) AS end_ts,
+        |  count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "percentiles_qty" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS p25,
+        |  quantile_cont(l_quantity, 0.5) AS median,
+        |  quantile_cont(l_quantity, 0.75) AS p75,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "window_navigation" ->
+      """SELECT user_id, event_id,
+        |  lag(value, 1) OVER w AS prev_value,
+        |  lead(value, 1) OVER w AS next_value,
+        |  CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS BIGINT) AS value_rank,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  first_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
   )
 }

@@ -239,6 +239,39 @@ object Relational {
       .agg(count(lit(1)).as("n"), sum(col("k_val")).as("sum_k"))
       .orderBy(col("event_type"), col("k_mod"))
 
+  /** Exact interpolated percentiles of an integral-valued measure per
+    * group. Quartile interpolation between integers is exact in binary
+    * floating point (0.25-grid fractions), so the results are
+    * bit-identical to DuckDB's quantile_cont. */
+  def percentilesQty(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.25D)").as("p25"),
+        expr("percentile(l_quantity, 0.5D)").as("median"),
+        expr("percentile(l_quantity, 0.75D)").as("p75"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  /** Navigation + ranking window sampler: lag/lead, dense_rank, ntile,
+    * first value over an explicit ROWS frame — the window-function surface
+    * beyond the aggregating windows already covered. */
+  def windowNavigation(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val full = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byValue = Window.partitionBy(col("user_id"))
+      .orderBy(col("value").desc, col("event_id"))
+    Tables.events(s, dir)
+      .select(
+        col("user_id"), col("event_id"),
+        lag(col("value"), 1).over(byUser).as("prev_value"),
+        lead(col("value"), 1).over(byUser).as("next_value"),
+        dense_rank().over(byValue).cast("long").as("value_rank"),
+        ntile(4).over(byUser).cast("long").as("quartile"),
+        first(col("value")).over(full).as("first_value"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** Temporal aggregation: orders per month. */
   def ordersPerMonth(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)

@@ -100,13 +100,16 @@ object StreamOps {
   def sessionizeBatch(events: DataFrame, gapMs: Long = 30 * 60 * 1000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    // explicit ROWS frame: the default RANGE frame treats order-key ties as
+    // peers, which would be partitioning-sensitive if event ids ever repeat
+    val runningByUser = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tsMs = expr("unix_micros(ts) div 1000").as("ts_ms")
     events
       .select(col("user_id"), col("event_id"), col("ts"), col("value"), tsMs)
       .withColumn("prev_ms", lag(col("ts_ms"), 1).over(byUser))
       .withColumn("new_session",
         when(col("prev_ms").isNull || col("ts_ms") - col("prev_ms") > gapMs, 1L).otherwise(0L))
-      .withColumn("session_idx", sum(col("new_session")).over(byUser))
+      .withColumn("session_idx", sum(col("new_session")).over(runningByUser))
       .groupBy(col("user_id"), col("session_idx"))
       .agg(
         min(col("ts")).as("start_ts"),
