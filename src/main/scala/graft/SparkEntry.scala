@@ -62,6 +62,8 @@ object SparkEntry {
     "join_anti_customers" -> Relational.customersWithoutOrders,
     "join_asof_last_order" -> Relational.lastOrderAsOfEvent,
     "join_range_event_pairs" -> Relational.eventPairsWithinHour,
+    "q3_shipping_priority" -> Relational.q3ShippingPriority,
+    "q5_local_supplier" -> Relational.q5LocalSupplierVolume,
     // window functions
     "window_top3_orders" -> Relational.top3OrdersPerCustomer,
     "window_running_qty" -> Relational.runningQtyPerSupplier,
@@ -284,6 +286,30 @@ object SparkEntry {
         |  ON e1.user_id = e2.user_id AND e1.event_id < e2.event_id
         |  AND abs(date_diff('second', e1.ts, e2.ts)) <= 3600
         |GROUP BY e1.user_id ORDER BY e1.user_id""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, revenue FROM (
+        |  SELECT l.l_orderkey, o.o_orderdate,
+        |    CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |      * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  WHERE c.c_mktsegment = 'BUILDING'
+        |    AND o.o_orderdate < TIMESTAMP '1995-03-15'
+        |    AND l.l_shipdate > TIMESTAMP '1995-03-15'
+        |  GROUP BY 1, 2)
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM orders o
+        |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "window_top3_orders" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

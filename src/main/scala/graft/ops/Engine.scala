@@ -27,6 +27,33 @@ object Engine {
       reducerCount: Int = 3,
       shardSize: Long = 50000L)
 
+  /** Terminal record of a queued job — the engine-side equivalent of the
+    * reference's `/jobs/job_<seq>` znode lifecycle (`status=CREATED` →
+    * `COMPLETED`, `src/master/master.cpp:300-336,374-381`). */
+  final case class JobResult(
+      jobId: Int,
+      spec: JobSpec,
+      status: String, // COMPLETED | FAILED
+      distinctKeys: Long,
+      outDir: String,
+      error: Option[String] = None)
+
+  /** Sequential job queue: run each submitted word-count job in order,
+    * recording per-job status — the reference's master poll loop collapsed
+    * to a driver loop (its 5 s ZooKeeper poll and leader election are
+    * control-plane concerns Spark's driver already owns). A failed job
+    * does not block the queue, matching the reference's per-job isolation. */
+  def runQueue(spark: SparkSession, jobs: Seq[(JobSpec, String)]): Seq[JobResult] =
+    jobs.zipWithIndex.map { case ((spec, outDir), id) =>
+      try {
+        val counts = submitWordCount(spark, spec, outDir)
+        JobResult(id, spec, "COMPLETED", counts.count(), outDir)
+      } catch {
+        case e: Exception =>
+          JobResult(id, spec, "FAILED", -1L, outDir, Some(e.getMessage))
+      }
+    }
+
   /** Run `body` with the job's shard size as Spark's input-split target.
     * Spark reads `spark.sql.files.maxPartitionBytes` when the scan is
     * *planned* (at action time), not when `spark.read` is called — so the

@@ -239,6 +239,47 @@ object Relational {
       .agg(count(lit(1)).as("n"), sum(col("k_val")).as("sum_k"))
       .orderBy(col("event_type"), col("k_mod"))
 
+  /** TPC-H Q3-shaped shipping-priority query: 3-way join with selective
+    * filters on both join inputs, revenue aggregation, top-10. The filters
+    * reach the parquet scans (PushedFilters), customer broadcasts, and the
+    * lineitem-orders join shuffles only filtered rows — the canonical
+    * "join order + pushdown matter" plan at 100 TB. */
+  def q3ShippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = "1995-03-15"
+    val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, dir).filter(col("o_orderdate") < lit(cutoff))
+    val l = Tables.lineitem(s, dir).filter(col("l_shipdate") > lit(cutoff))
+    val revenue = col("l_extendedprice").cast(money) * (lit(1) - col("l_discount").cast(rate))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(revenue).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+      .select("l_orderkey", "o_orderdate", "revenue")
+  }
+
+  /** TPC-H Q5-shaped local-supplier-volume query: five-table join through
+    * the dimension chain with both nation keys constrained equal (customer
+    * and supplier in the same nation). All dimensions broadcast; only the
+    * two fact tables shuffle. */
+  def q5LocalSupplierVolume(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    val l = Tables.lineitem(s, dir)
+    val sup = Tables.supplier(s, dir)
+    val n = Tables.nation(s, dir)
+    val revenue = col("l_extendedprice").cast(money) * (lit(1) - col("l_discount").cast(rate))
+    o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(sup),
+        l("l_suppkey") === sup("s_suppkey") && c("c_nationkey") === sup("s_nationkey"))
+      .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(revenue).cast("double").as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"))
+  }
+
   /** Exact interpolated percentiles of an integral-valued measure per
     * group. Quartile interpolation between integers is exact in binary
     * floating point (0.25-grid fractions), so the results are

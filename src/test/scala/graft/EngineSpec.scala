@@ -43,4 +43,19 @@ class EngineSpec extends SparkTestBase {
       assert(df.count() == 100)
     }
   }
+
+  test("runQueue processes jobs in order, isolates failures (C1/C2 lifecycle)") {
+    val in = Files.createTempDirectory("graft_queue")
+    Files.writeString(in.resolve("a.txt"), "alpha beta alpha\n")
+    val okOut = Files.createTempDirectory("graft_qout").resolve("ok").toString
+    val badOut = Files.createTempDirectory("graft_qout").resolve("bad").toString
+    val results = Engine.runQueue(spark, Seq(
+      JobSpec(Seq(in.resolve("a.txt").toString)) -> okOut,
+      JobSpec(Seq(in.resolve("missing.txt").toString)) -> badOut,
+      JobSpec(Seq(in.resolve("a.txt").toString), reducerCount = 2) -> (okOut + "2")))
+    assert(results.map(_.status) === Seq("COMPLETED", "FAILED", "COMPLETED"))
+    assert(results(0).distinctKeys === 2) // alpha, beta
+    assert(results(1).error.nonEmpty)
+    assert(results(2).jobId === 2, "queue preserves submission order")
+  }
 }
