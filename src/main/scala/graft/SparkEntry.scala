@@ -87,6 +87,7 @@ object SparkEntry {
     "ta_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
     "ta_tfidf" -> ((s, d) => TextAnalysis.tfIdf(Tables.documents(s, d))),
     "ta_approx_distinct" -> ((s, d) => TextAnalysis.approxDistinctWords(Tables.documents(s, d))),
+    "ta_curation_pipeline" -> ((s, d) => TextAnalysis.curationPipeline(Tables.documents(s, d))),
     // north-star: deduplication
     "dedup_exact" -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
     "dedup_minhash_pairs" -> ((s, d) => Dedup.minHashPairs(Tables.documents(s, d))),
@@ -482,6 +483,29 @@ object SparkEntry {
          |ORDER BY doc_id, word""".stripMargin,
     // ta_approx_distinct: HLL sketch internals differ per engine; rows-only check
     //   (TextAnalysisSpec bounds the approx error against the exact count).
+    "ta_curation_pipeline" ->
+      s"""WITH c AS (SELECT doc_id,
+         |  CAST(len(regexp_split_to_array(lower(text), '$WS')) AS BIGINT) AS nt,
+         |  CAST(len(list_filter(regexp_split_to_array(lower(text), '$WS'),
+         |    t -> regexp_matches(t, '^[a-z0-9]+$$'))) AS BIGINT) AS alnum,
+         |  ${markerSql("en")} AS en, ${markerSql("de")} AS de,
+         |  ${markerSql("fr")} AS fr, ${markerSql("es")} AS es,
+         |  ${h60Sql(s"trim(regexp_replace(lower(text), '$WS', ' ', 'g'))")} AS fp_norm
+         |FROM documents),
+         |scored AS (SELECT doc_id, nt AS n_tokens,
+         |  least(CAST(nt AS DOUBLE) / 100.0, 1.0) * 0.2 + CAST(alnum AS DOUBLE) / nt * 0.5
+         |    + least(CAST(en AS DOUBLE) / nt * 4.0, 1.0) * 0.3 AS quality,
+         |  CASE WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+         |       WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+         |       WHEN fr >= es AND fr > 0 THEN 'fr'
+         |       WHEN es > 0 THEN 'es'
+         |       ELSE 'und' END AS pred_lang,
+         |  fp_norm FROM c),
+         |kept AS (SELECT * FROM scored WHERE quality >= 0.6 AND pred_lang = 'en')
+         |SELECT doc_id, n_tokens, quality FROM (
+         |  SELECT doc_id, n_tokens, quality,
+         |    row_number() OVER (PARTITION BY fp_norm ORDER BY doc_id) AS rn FROM kept)
+         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     // ---- north-star: multimodal (ASCII corpus: char substring == byte substring) ----
     "mm_metadata" ->
       """SELECT doc_id,

@@ -44,6 +44,42 @@ object TextAnalysis {
     hits.cast("long")
   }
 
+  // ---- single-pass column builders (all over a `text` column) ----
+  // Exposed so composite pipelines ([[curationPipeline]]) can compute
+  // every signal in ONE scan instead of joining per-signal DataFrames.
+
+  /** Whitespace token count. */
+  def nTokensCol: Column = size(toks(col("text"))).cast("long")
+
+  /** Alnum-token count (lowercased). */
+  def nAlnumCol: Column =
+    expr("size(filter(split(lower(text), '\\\\s+'), t -> t rlike '^[a-z0-9]+$'))").cast("long")
+
+  /** The quality score of [[qualityScore]] as a bare column. */
+  def qualityCol: Column = {
+    val nTok = nTokensCol
+    val alnum = nAlnumCol
+    val stop = markerHits("en")
+    least(nTok.cast("double") / 100.0, lit(1.0)) * 0.2 +
+      (alnum.cast("double") / nTok) * 0.5 +
+      least(stop.cast("double") / nTok * 4.0, lit(1.0)) * 0.3
+  }
+
+  /** The predicted language of [[langId]] as a bare column. */
+  def predLangCol: Column = {
+    val (en, de, fr, es) =
+      (markerHits("en"), markerHits("de"), markerHits("fr"), markerHits("es"))
+    when(en >= de && en >= fr && en >= es && en > 0, "en")
+      .when(de >= fr && de >= es && de > 0, "de")
+      .when(fr >= es && fr > 0, "fr")
+      .when(es > 0, "es")
+      .otherwise("und")
+  }
+
+  /** Whitespace-normalized 60-bit fingerprint of [[fingerprint]]. */
+  def fpNormCol: Column =
+    CrossHash.h60(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+
   /** Token-count statistics per document: whitespace tokens, BPE-ish
     * subword tokens, alnum tokens, and mean token length. One projection —
     * scales as a pure map over the corpus. */
@@ -63,44 +99,26 @@ object TextAnalysis {
     * `und` when nothing matches. A real lang-ID model swaps in as a richer
     * marker table — the plan shape (single scan, no shuffle until the
     * optional aggregate) is the production shape. */
-  def langId(docs: DataFrame): DataFrame = {
-    val scored = docs.select(
+  def langId(docs: DataFrame): DataFrame =
+    docs.select(
       col("doc_id"),
-      markerHits("en").as("en_hits"),
-      markerHits("de").as("de_hits"),
-      markerHits("fr").as("fr_hits"),
-      markerHits("es").as("es_hits"))
-    scored.select(
-      col("doc_id"),
-      when(col("en_hits") >= col("de_hits") && col("en_hits") >= col("fr_hits") &&
-           col("en_hits") >= col("es_hits") && col("en_hits") > 0, "en")
-        .when(col("de_hits") >= col("fr_hits") && col("de_hits") >= col("es_hits") &&
-              col("de_hits") > 0, "de")
-        .when(col("fr_hits") >= col("es_hits") && col("fr_hits") > 0, "fr")
-        .when(col("es_hits") > 0, "es")
-        .otherwise("und").as("pred_lang"),
-      greatest(col("en_hits"), col("de_hits"), col("fr_hits"), col("es_hits")).as("n_hits"))
+      predLangCol.as("pred_lang"),
+      greatest(markerHits("en"), markerHits("de"),
+        markerHits("fr"), markerHits("es")).as("n_hits"))
       .orderBy("doc_id")
-  }
 
   /** Quality scoring: length score, alnum ratio, stopword-density penalty —
     * the standard cheap pre-filter before expensive LLM-data curation.
     * All arithmetic is int-ratio → double in a fixed operation order, so
     * the score is bit-reproducible across engines and partitionings. */
-  def qualityScore(docs: DataFrame): DataFrame = {
-    val nTok = size(toks(col("text"))).cast("long")
-    val alnum = expr("size(filter(split(lower(text), '\\\\s+'), t -> t rlike '^[a-z0-9]+$'))").cast("long")
-    val stop = markerHits("en")
+  def qualityScore(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
-      nTok.as("n_tokens"),
-      (alnum.cast("double") / nTok).as("alnum_ratio"),
-      (stop.cast("double") / nTok).as("stop_ratio"),
-      (least(nTok.cast("double") / 100.0, lit(1.0)) * 0.2 +
-        (alnum.cast("double") / nTok) * 0.5 +
-        least(stop.cast("double") / nTok * 4.0, lit(1.0)) * 0.3).as("quality"))
+      nTokensCol.as("n_tokens"),
+      (nAlnumCol.cast("double") / nTokensCol).as("alnum_ratio"),
+      (markerHits("en").cast("double") / nTokensCol).as("stop_ratio"),
+      qualityCol.as("quality"))
       .orderBy("doc_id")
-  }
 
   /** TF-IDF per (document, term): tf from one token-explode aggregation,
     * df from a second aggregation over the distinct (doc, term) pairs, the
@@ -154,6 +172,30 @@ object TextAnalysis {
     docs.select(
       col("doc_id"),
       CrossHash.h60(col("text")).as("fp_raw"),
-      CrossHash.h60(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp_norm"))
+      fpNormCol.as("fp_norm"))
       .orderBy("doc_id")
+
+  /** End-to-end curation pipeline — the composite a training-data run
+    * actually executes: score quality + language + fingerprint in ONE scan
+    * of the corpus, keep documents clearing the quality bar in the target
+    * language, then drop near-identical texts (normalized-fingerprint
+    * dedup, lowest doc_id survives). Plan shape: one projection, one
+    * window over the fingerprint — two shuffle-free stages plus one
+    * hash-shuffle on the 60-bit key, unchanged at 100 TB. */
+  def curationPipeline(docs: DataFrame, minQuality: Double = 0.6,
+      lang: String = "en"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = docs.select(
+      col("doc_id"),
+      nTokensCol.as("n_tokens"),
+      qualityCol.as("quality"),
+      predLangCol.as("pred_lang"),
+      fpNormCol.as("fp_norm"))
+    val kept = scored.filter(col("quality") >= minQuality && col("pred_lang") === lang)
+    val w = Window.partitionBy(col("fp_norm")).orderBy(col("doc_id"))
+    kept.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("doc_id", "n_tokens", "quality")
+      .orderBy("doc_id")
+  }
 }
