@@ -61,6 +61,7 @@ object SparkEntry {
     "join_semi_customers" -> Relational.customersWithOrders,
     "join_anti_customers" -> Relational.customersWithoutOrders,
     "join_asof_last_order" -> Relational.lastOrderAsOfEvent,
+    "join_asof_union" -> Relational.lastOrderAsOfEventUnion,
     "join_range_event_pairs" -> Relational.eventPairsWithinHour,
     "q3_shipping_priority" -> Relational.q3ShippingPriority,
     "q5_local_supplier" -> Relational.q5LocalSupplierVolume,
@@ -277,6 +278,12 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
         |ORDER BY c_custkey""".stripMargin,
     "join_asof_last_order" ->
+      """SELECT event_id, max(o.o_orderdate) AS last_order_date
+        |FROM events e JOIN orders o
+        |  ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        |GROUP BY event_id ORDER BY event_id""".stripMargin,
+    // same semantics, scalable union-sort-window plan — same oracle
+    "join_asof_union" ->
       """SELECT event_id, max(o.o_orderdate) AS last_order_date
         |FROM events e JOIN orders o
         |  ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts

@@ -107,6 +107,32 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** The same as-of semantics as [[lastOrderAsOfEvent]] via the
+    * union-sort-window algorithm: tag both sides, union, and carry the
+    * last non-null right value forward within each key's timeline. One
+    * shuffle on the key, NO pairwise join — the equi-join+max formulation
+    * materializes every (event, earlier-order) pair before aggregating,
+    * which explodes on hot keys; this stays linear in input size, the
+    * shape an as-of join needs at 100 TB. Same oracle as the join+max
+    * variant (identical output contract). */
+  def lastOrderAsOfEventUnion(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(
+      col("event_id"), col("user_id").as("key"), col("ts"),
+      lit(null).cast("timestamp").as("o_orderdate"), lit(1).as("src"))
+    val o = Tables.orders(s, dir).select(
+      lit(null).cast("long").as("event_id"), col("o_custkey").as("key"),
+      col("o_orderdate").as("ts"), col("o_orderdate"), lit(0).as("src"))
+    // right rows sort before left rows at equal ts (src 0 < 1) → the
+    // reference predicate o_orderdate <= ts stays inclusive
+    val w = Window.partitionBy(col("key")).orderBy(col("ts"), col("src"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.unionByName(o)
+      .withColumn("last_order_date", last(col("o_orderdate"), ignoreNulls = true).over(w))
+      .filter(col("src") === 1 && col("last_order_date").isNotNull)
+      .select(col("event_id"), col("last_order_date"))
+      .orderBy(col("event_id"))
+  }
+
   /** Range (band) self-join: pairs of events by the same user within one
     * hour of each other. Equi key = user, band predicate post-join. */
   def eventPairsWithinHour(s: SparkSession, dir: String): DataFrame = {

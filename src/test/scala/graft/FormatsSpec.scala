@@ -30,6 +30,15 @@ class FormatsSpec extends SparkTestBase {
       src.orderBy("r_regionkey").collect().toSeq)
   }
 
+  test("orc round-trip preserves rows") {
+    val src = Tables.nation(spark, sfDir)
+    val path = tmp("orc")
+    src.write.mode("overwrite").orc(path)
+    val back = spark.read.schema(src.schema).orc(path)
+    assert(back.orderBy("n_nationkey").collect().toSeq ===
+      src.orderBy("n_nationkey").collect().toSeq)
+  }
+
   test("partitioned write enables partition pruning (PartitionFilters in scan)") {
     val src = Tables.documents(spark, sfDir).select("doc_id", "text", "lang")
     val path = tmp("part")
