@@ -95,6 +95,8 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => Dedup.simHash(Tables.documents(s, d))),
     "dedup_simhash_pairs" -> ((s, d) => Dedup.simHashPairs(Tables.documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d))),
+    // iterative component resolution — not single-statement SQL; rows-only check
+    "dedup_neardup_survivors" -> ((s, d) => Dedup.nearDupSurvivors(Tables.documents(s, d))),
     // north-star: similarity search
     "sim_topk_cosine" -> ((s, d) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, d), col("vec_id") < 10)),

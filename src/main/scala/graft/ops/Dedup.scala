@@ -187,6 +187,40 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Resolve near-duplicate PAIRS into a deduplicated corpus: treat pairs
+    * as undirected edges, find connected components by min-label
+    * propagation, keep each component's lowest doc_id. Convergence takes
+    * O(component diameter) joins — near-dup clusters are shallow (pairs /
+    * small stars), so the loop exits in 2–3 rounds; each round is one
+    * hash-shuffle join, so the approach scales with the edge list, never
+    * the corpus square. The driver-side loop condition is a count on the
+    * (tiny) changed-label set. */
+  def nearDupSurvivors(docs: DataFrame, minSigFrac: Double = 0.5): DataFrame = {
+    val pairs = minHashPairs(docs, minSigFrac).select("doc_a", "doc_b")
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("label")).persist()
+    var iterations = 0
+    var converged = false
+    while (!converged && iterations < 20) {
+      val viaNeighbor = edges.join(labels, edges("dst") === labels("doc_id"))
+        .select(col("src").as("doc_id"), col("label"))
+      val next = labels.select("doc_id", "label").union(viaNeighbor)
+        .groupBy("doc_id").agg(min("label").as("label")).persist()
+      val changed = next.as("n").join(labels.as("o"), "doc_id")
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iterations += 1
+    }
+    val out = labels.filter(col("doc_id") === col("label"))
+      .select(col("doc_id")).orderBy("doc_id")
+    edges.unpersist()
+    out
+  }
+
   /** n-gram Jaccard near-duplicate pairs via an inverted-index join:
     * |A∩B| from the shingle-share join, |A∪B| from per-doc cardinalities.
     * With `maxDf` set, ubiquitous shingles (document frequency above the

@@ -48,6 +48,23 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.count() > 0)
   }
 
+  test("nearDupSurvivors: components collapse to their minimum id, nothing else dropped") {
+    val pairs = Dedup.minHashPairs(docs).select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val survivors = Dedup.nearDupSurvivors(docs).collect().map(_.getLong(0)).toSet
+    val all = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    // union-find ground truth on the driver
+    val parent = scala.collection.mutable.Map(all.toSeq.map(x => x -> x): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = all.filter(x => find(x) == x)
+    assert(survivors === expected)
+    assert(survivors.size < all.size, "planted near-dups must collapse")
+  }
+
   test("ngramJaccardPairs: jaccard in (0,1], capped variant is consistent") {
     val exact = Dedup.ngramJaccardPairs(docs, minJaccard = 0.2).cache()
     assert(exact.filter(col("jaccard") <= 0 || col("jaccard") > 1).count() === 0)
