@@ -196,7 +196,9 @@ object Dedup {
     * the corpus square. The driver-side loop condition is a count on the
     * (tiny) changed-label set. */
   def nearDupSurvivors(docs: DataFrame, minSigFrac: Double = 0.5): DataFrame = {
-    val pairs = minHashPairs(docs, minSigFrac).select("doc_a", "doc_b")
+    // persist the pair list itself — the symmetric-edge union references it
+    // twice, and without the cache each branch re-runs the whole LSH join
+    val pairs = minHashPairs(docs, minSigFrac).select("doc_a", "doc_b").persist()
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
@@ -206,7 +208,13 @@ object Dedup {
     while (!converged && iterations < 20) {
       val viaNeighbor = edges.join(labels, edges("dst") === labels("doc_id"))
         .select(col("src").as("doc_id"), col("label"))
-      val next = labels.select("doc_id", "label").union(viaNeighbor)
+      // pointer jumping: also adopt the label OF my current label — halves
+      // the effective component diameter every round, so convergence takes
+      // O(log diameter) joins instead of O(diameter)
+      val viaPointer = labels.as("l1")
+        .join(labels.as("l2"), col("l1.label") === col("l2.doc_id"))
+        .select(col("l1.doc_id").as("doc_id"), col("l2.label").as("label"))
+      val next = labels.select("doc_id", "label").union(viaNeighbor).union(viaPointer)
         .groupBy("doc_id").agg(min("label").as("label")).persist()
       val changed = next.as("n").join(labels.as("o"), "doc_id")
         .filter(col("n.label") =!= col("o.label")).count()

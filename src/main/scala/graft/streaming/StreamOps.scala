@@ -51,7 +51,10 @@ object StreamOps {
   final case class Session(user_id: Long, start_ts: Timestamp, end_ts: Timestamp,
       n_events: Long, sum_value: Double)
 
-  private final case class SessionBuf(start: Long, last: Long, n: Long, sum: Double)
+  /** Session state buffer — public because the streaming state-store
+    * encoder generates Java that must call its accessors (Janino cannot
+    * see private classes); not part of the API surface. */
+  final case class SessionBuf(start: Long, last: Long, n: Long, total: Double)
 
   /** Gap-based sessionizer: a user's session closes after `gapMs` of
     * event-time inactivity (or on state timeout in streaming mode).
@@ -71,14 +74,14 @@ object StreamOps {
         val t = e.ts.getTime
         if (buf == null) buf = SessionBuf(t, t, 1L, e.value)
         else if (t - buf.last > gapMs) {
-          closed += Session(userId, new Timestamp(buf.start), new Timestamp(buf.last), buf.n, buf.sum)
+          closed += Session(userId, new Timestamp(buf.start), new Timestamp(buf.last), buf.n, buf.total)
           buf = SessionBuf(t, t, 1L, e.value)
-        } else buf = buf.copy(last = math.max(buf.last, t), n = buf.n + 1, sum = buf.sum + e.value)
+        } else buf = buf.copy(last = math.max(buf.last, t), n = buf.n + 1, total = buf.total + e.value)
       }
       if (state.hasTimedOut) {
         // streaming: event-time timeout fired — flush the open session
         if (buf != null)
-          closed += Session(userId, new Timestamp(buf.start), new Timestamp(buf.last), buf.n, buf.sum)
+          closed += Session(userId, new Timestamp(buf.start), new Timestamp(buf.last), buf.n, buf.total)
         state.remove()
       } else if (buf != null) {
         state.update(buf)

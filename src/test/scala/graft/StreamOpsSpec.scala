@@ -61,6 +61,33 @@ class StreamOpsSpec extends SparkTestBase {
     assert(s.start_ts === ts(0) && s.end_ts === ts(10))
   }
 
+  test("streaming sessionize emits a session when the event-time timeout fires") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[Event]
+    val q = StreamOps.sessionize(stream.toDS(), gapMs = 30 * 60000L)
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 has two events within the gap — session stays open
+      stream.addData(Event(1, ts(0), 1, "a", 1.0), Event(2, ts(10), 1, "a", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("sessions_out").count() === 0, "session still open")
+      // batch 2: a much later event advances the watermark (1h delay) far
+      // past user 1's last event + gap -> the event-time timeout fires
+      stream.addData(Event(3, ts(300), 2, "b", 4.0))
+      q.processAllAvailable()
+      // one more micro-batch so timeouts scheduled against the new
+      // watermark actually execute
+      stream.addData(Event(4, ts(301), 2, "b", 8.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sessions_out").collect()
+      assert(sessions.length === 1)
+      val s = sessions(0)
+      assert(s.getLong(0) === 1L && s.getLong(3) === 2L && s.getDouble(4) === 3.0)
+    } finally q.stop()
+  }
+
   test("sessionizeBatch matches hand-computed sessions and counts all events") {
     import spark.implicits._
     val df = Seq(
