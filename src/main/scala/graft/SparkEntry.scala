@@ -71,6 +71,11 @@ object SparkEntry {
     "window_moving_avg" -> Relational.movingAvgEventValue,
     "window_navigation" -> Relational.windowNavigation,
     "percentiles_qty" -> Relational.percentilesQty,
+    "pivot_status" -> Relational.pivotStatusByPriority,
+    "unpivot_measures" -> Relational.unpivotOrderMeasures,
+    "setops_all_variants" -> Relational.setOpsAllVariants,
+    "array_agg_statuses" -> Relational.arrayAggStatuses,
+    "string_funcs_sampler" -> Relational.stringFuncsSampler,
     // multi-dimensional aggregation
     "rollup_flag_status" -> Relational.rollupFlagStatus,
     "cube_status_priority" -> Relational.cubeStatusPriority,
@@ -547,6 +552,43 @@ object SparkEntry {
         |SELECT user_id, session_idx, min(ts) AS start_ts, max(ts) AS end_ts,
         |  count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "pivot_status" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "unpivot_measures" ->
+      """SELECT o_orderkey, measure, value FROM (
+        |  SELECT o_orderkey, 'o_totalprice' AS measure, o_totalprice AS value FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 'o_year', CAST(year(o_orderdate) AS DOUBLE) FROM orders)
+        |ORDER BY o_orderkey, measure""".stripMargin,
+    "setops_all_variants" ->
+      """SELECT k, count(*) AS multiplicity FROM (
+        |  SELECT k FROM (
+        |    SELECT o_custkey AS k FROM orders WHERE o_totalprice > 300000
+        |    EXCEPT ALL
+        |    SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING')
+        |  INTERSECT ALL
+        |  SELECT o_custkey AS k FROM orders)
+        |GROUP BY k ORDER BY k""".stripMargin,
+    "array_agg_statuses" ->
+      """SELECT o_orderpriority,
+        |  array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
+        |  count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "string_funcs_sampler" ->
+      """SELECT c_custkey,
+        |  translate(c_name, '#', '-') AS name_tr,
+        |  lpad(c_mktsegment, 12, '.') AS seg_lpad,
+        |  rpad(c_mktsegment, 12, '.') AS seg_rpad,
+        |  repeat(substring(c_mktsegment, 1, 2), 3) AS seg_rep,
+        |  reverse(c_mktsegment) AS seg_rev,
+        |  regexp_replace(c_name, '[0-9]+', 'N', 'g') AS name_norm,
+        |  CAST(strpos(c_name, '1') AS BIGINT) AS pos_one,
+        |  CAST(ascii(c_mktsegment) AS BIGINT) AS seg_ascii
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "percentiles_qty" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.25) AS p25,

@@ -237,6 +237,68 @@ object Relational {
       .orderBy(col("k"))
   }
 
+  /** Pivot: order counts per priority, one column per order status. The
+    * pivot values are enumerated explicitly — at scale an implicit pivot
+    * means an extra distinct-scan to discover them. */
+  def pivotStatusByPriority(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("o_orderpriority"), col("F").as("n_f"), col("O").as("n_o"), col("P").as("n_p"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Unpivot (melt): wide per-order measures back to long (measure, value)
+    * rows — the inverse reshaping primitive. */
+  def unpivotOrderMeasures(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        year(col("o_orderdate")).cast("double").as("o_year"))
+      .unpivot(Array(col("o_orderkey")),
+        Array(col("o_totalprice"), col("o_year")), "measure", "value")
+      .orderBy(col("o_orderkey"), col("measure"))
+
+  /** Bag-semantics set ops (EXCEPT ALL / INTERSECT ALL) — multiplicity
+    * preserved, unlike the distinct set ops in [[setOpsCustkeys]]. */
+  def setOpsAllVariants(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val highs = o.filter(col("o_totalprice") > 300000).select(col("o_custkey").as("k"))
+    val building = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("k"))
+    highs.exceptAll(building)
+      .intersectAll(o.select(col("o_custkey").as("k")))
+      .groupBy(col("k")).agg(count(lit(1)).as("multiplicity"))
+      .orderBy(col("k"))
+  }
+
+  /** Ordered array aggregation: sorted collect_set per group (collect_list
+    * order is partitioning-dependent — always sort before comparing or
+    * persisting aggregated arrays). Joined to a string for the oracle
+    * compare (array-typed result cells compare unreliably through pandas). */
+  def arrayAggStatuses(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        array_join(sort_array(collect_set(col("o_orderstatus"))), ",").as("statuses"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Second string-function sampler: translate/pad/repeat/reverse/
+    * replace/position/ascii — all with exact DuckDB equivalents. */
+  def stringFuncsSampler(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(
+      col("c_custkey"),
+      translate(col("c_name"), "#", "-").as("name_tr"),
+      lpad(col("c_mktsegment"), 12, ".").as("seg_lpad"),
+      rpad(col("c_mktsegment"), 12, ".").as("seg_rpad"),
+      repeat(substring(col("c_mktsegment"), 1, 2), 3).as("seg_rep"),
+      reverse(col("c_mktsegment")).as("seg_rev"),
+      regexp_replace(col("c_name"), "[0-9]+", "N").as("name_norm"),
+      instr(col("c_name"), "1").cast("long").as("pos_one"),
+      ascii(col("c_mktsegment")).cast("long").as("seg_ascii"))
+      .orderBy(col("c_custkey"))
+
   /** Scalar function sampler: string/date/math built-ins chosen to be
     * bit-deterministic across engines (no double rounding ties). */
   def scalarSampler(s: SparkSession, dir: String): DataFrame =
