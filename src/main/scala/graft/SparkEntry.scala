@@ -137,10 +137,10 @@ object SparkEntry {
 
   private val WS = "\\s+"
 
-  private def h32Sql(e: String): String =
-    s"CAST(('0x' || substring(md5($e), 1, 8)) AS BIGINT)"
-  private def h60Sql(e: String): String =
-    s"CAST(('0x' || substring(md5($e), 1, 15)) AS BIGINT)"
+  // DuckDB mirrors of the Spark-side hashes come from CrossHash itself so
+  // the two sides cannot drift.
+  private def h32Sql(e: String): String = graft.functions.CrossHash.h32Sql(e)
+  private def h60Sql(e: String): String = graft.functions.CrossHash.h60Sql(e)
 
   private def markerSql(lang: String): String = {
     val set = TextAnalysis.LangMarkers.toMap.apply(lang)

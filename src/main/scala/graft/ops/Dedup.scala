@@ -32,6 +32,14 @@ import graft.functions.CrossHash
   * All hashes are [[CrossHash]] md5-derived so the whole pipeline —
   * signatures, bands, candidate pairs — is bit-reproducible in DuckDB for
   * the oracle gate.
+  *
+  * Cache lifecycle: the pair-mining operators persist small intermediate
+  * tables (signatures, shingles) that feed multiple branches of the plan
+  * they return. Those blocks stay cached until evicted (LRU) because the
+  * caller owns the terminal action; a memory-constrained caller running
+  * many jobs in one session should `spark.catalog.clearCache()` between
+  * them. [[nearDupSurvivors]] frees its own intermediates — its loop
+  * materializes internally.
   */
 object Dedup {
 
@@ -225,6 +233,7 @@ object Dedup {
     }
     val out = labels.filter(col("doc_id") === col("label"))
       .select(col("doc_id")).orderBy("doc_id")
+    pairs.unpersist()
     edges.unpersist()
     out
   }

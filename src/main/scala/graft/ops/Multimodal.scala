@@ -83,7 +83,6 @@ object Multimodal {
     * without media libraries. Swapping in a real codec changes ONLY the
     * marked line. */
   def decodeStub(blobs: DataFrame): DataFrame = {
-    val spark = blobs.sparkSession
     val input = blobs.select("doc_id", "bytes")
     val enc = RowEncoder.encoderFor(decodedSchema)
     input.mapPartitions { rows =>

@@ -56,29 +56,67 @@ object PipedMapReduce {
       |    sys.stdout.write(k + " " + str(counts[k]) + "\n")
       |""".stripMargin
 
-  private def materialize(name: String, body: String): Path = {
-    val dir = Files.createTempDirectory("graft-pipe")
-    val p = dir.resolve(name)
-    Files.write(p, body.getBytes(StandardCharsets.UTF_8))
-    p
-  }
+  /** Write a script locally and register it with `SparkContext.addFile`,
+    * so EXECUTORS fetch their own copy — resolved at task time via
+    * `SparkFiles.get`. A bare driver-local temp path would break on any
+    * non-local cluster (executors have their own filesystems). Memoized:
+    * `addFile` rejects re-registering the same filename from a new path. */
+  private val distributed = scala.collection.mutable.Set[String]()
+  private def distribute(spark: SparkSession, name: String, body: String): String =
+    distributed.synchronized {
+      if (!distributed.contains(name)) {
+        val p = Files.createTempDirectory("graft-pipe").resolve(name)
+        Files.write(p, body.getBytes(StandardCharsets.UTF_8))
+        p.toFile.deleteOnExit()
+        spark.sparkContext.addFile(p.toString)
+        distributed += name
+      }
+      name
+    }
+
+  /** Pipe a partition through `python3 <script>` — the script NAME is
+    * resolved with `SparkFiles.get` INSIDE the task (each executor fetches
+    * its own copy; a driver-resolved absolute path would only work in
+    * local mode). A writer thread feeds stdin while the task thread
+    * consumes stdout — the same full-duplex protocol `RDD.pipe` uses. */
+  private def pipeThrough(rdd: org.apache.spark.rdd.RDD[String], scriptName: String)
+      : org.apache.spark.rdd.RDD[String] =
+    rdd.mapPartitions { it =>
+      val script = org.apache.spark.SparkFiles.get(scriptName)
+      val proc = new ProcessBuilder("python3", script)
+        .redirectErrorStream(false).start()
+      val writer = new Thread(() => {
+        val out = new java.io.PrintWriter(proc.getOutputStream)
+        try it.foreach(out.println) finally out.close()
+      })
+      writer.setDaemon(true)
+      writer.start()
+      val reader = scala.io.Source.fromInputStream(proc.getInputStream)
+      new Iterator[String] {
+        private val inner = reader.getLines()
+        def hasNext: Boolean = {
+          val h = inner.hasNext
+          if (!h) { reader.close(); proc.waitFor() }
+          h
+        }
+        def next(): String = inner.next()
+      }
+    }
 
   /** Run a full piped map/shuffle/reduce word-count job over text lines.
     * Returns `(word, cnt)` rows parsed back from the reducer's output.
     * `numReducers` = number of reduce-side partitions (and subprocesses). */
   def pipedWordCount(spark: SparkSession, lines: DataFrame, numReducers: Int = 3): DataFrame = {
     import spark.implicits._
-    val mapper = materialize("mapper.py", MapperPy).toString
-    val reducer = materialize("reducer.py", ReducerPy).toString
+    val mapperName = distribute(spark, "graft_pipe_mapper.py", MapperPy)
+    val reducerName = distribute(spark, "graft_pipe_reducer.py", ReducerPy)
 
-    val mapped = lines.select("value").as[String].rdd
-      .pipe(Seq("python3", mapper))                      // M1: user map subprocess
+    val mapped = pipeThrough(lines.select("value").as[String].rdd, mapperName) // M1: user map subprocess
     val shuffled = mapped
       .map { l => val i = l.lastIndexOf(' '); (l.substring(0, i), l.substring(i + 1)) }
       .partitionBy(new HashPartitioner(numReducers))     // P1: hash shuffle on key
       .map { case (k, v) => s"$k $v" }
-    val reduced = shuffled
-      .pipe(Seq("python3", reducer))                     // R1–R3: user reduce subprocess
+    val reduced = pipeThrough(shuffled, reducerName)     // R1–R3: user reduce subprocess
       .map { l =>
         val i = l.lastIndexOf(' ')
         (l.substring(0, i), l.substring(i + 1).toLong)

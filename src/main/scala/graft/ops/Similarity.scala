@@ -142,7 +142,7 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     candidates
-      .withColumn("cos", dot("qv", "nv") / (sqrt(dot("qv", "qv")) * sqrt(dot("nv", "nv"))))
+      .withColumn("cos", cosine("qv", "nv"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
       .select("query_id", "neighbor_id", "rn", "cos")
@@ -166,7 +166,7 @@ object Similarity {
         col("band_val") === col("b_band_val") && col("id_a") < col("id_b"))
       .select("id_a", "va", "id_b", "vb")
       .distinct()
-      .withColumn("cos", dot("va", "vb") / (sqrt(dot("va", "va")) * sqrt(dot("vb", "vb"))))
+      .withColumn("cos", cosine("va", "vb"))
       .filter(col("cos") >= minCos)
       .select("id_a", "id_b", "cos")
       .orderBy("id_a", "id_b")

@@ -23,20 +23,24 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /** Equi-join `big ⋈ small` on `bigKey == smallKey`, salted `salt` ways.
-    * The big side's salt is derived from a row hash (deterministic for a
-    * given row content, uniform across a hot key's rows); the small side
-    * is exploded once per salt value. Semantics: inner join, same result
-    * multiset as `big.join(small, bigKey === smallKey)`. */
+    * The big side's salt must be uniform PER ROW — a content hash would
+    * send byte-identical duplicate rows of a hot key (the classic
+    * duplicated-log-line skew) all to one bucket, fixing nothing. A
+    * per-row id modulo `salt` spreads them evenly; any salt assignment is
+    * join-correct because the small side is exploded once per salt value.
+    * Semantics: inner join, same result multiset as
+    * `big.join(small, bigKey === smallKey)`. */
   def saltedJoin(big: DataFrame, small: DataFrame,
       bigKey: String, smallKey: String, salt: Int = 8): DataFrame = {
-    val saltedBig = big.withColumn("_salt",
-      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(salt)))
+    val saltCol = "__graft_salt"
+    val saltedBig = big.withColumn(saltCol,
+      pmod(monotonically_increasing_id(), lit(salt.toLong)))
     val saltedSmall = small
-      .withColumn("_salt", explode(sequence(lit(0), lit(salt - 1))))
-      .withColumn("_salt", col("_salt").cast("long"))
+      .withColumn(saltCol, explode(sequence(lit(0), lit(salt - 1))))
+      .withColumn(saltCol, col(saltCol).cast("long"))
     saltedBig.join(saltedSmall,
         saltedBig(bigKey) === saltedSmall(smallKey) &&
-          saltedBig("_salt") === saltedSmall("_salt"))
-      .drop("_salt")
+          saltedBig(saltCol) === saltedSmall(saltCol))
+      .drop(saltCol)
   }
 }

@@ -53,11 +53,19 @@ object StreamOps {
 
   /** Session state buffer — public because the streaming state-store
     * encoder generates Java that must call its accessors (Janino cannot
-    * see private classes); not part of the API surface. */
-  final case class SessionBuf(start: Long, last: Long, n: Long, total: Double)
+    * see private classes); not part of the API surface. Bounds are kept as
+    * Timestamps: a millisecond-long round trip would silently truncate the
+    * corpus's microsecond precision. */
+  final case class SessionBuf(start: Timestamp, last: Timestamp, n: Long, total: Double)
 
   /** Gap-based sessionizer: a user's session closes after `gapMs` of
-    * event-time inactivity (or on state timeout in streaming mode).
+    * event-time inactivity — on event-time timeout in streaming mode, or
+    * at end-of-group in batch mode (batch sees complete data, so the open
+    * session is final; this makes `sessionize(batchDs)` agree with
+    * [[sessionizeBatch]]). A late-but-within-watermark event that precedes
+    * the buffered session extends it backwards (min start); one that is
+    * older than start-by-more-than-gap is emitted as its own closed
+    * single-event session rather than silently absorbed.
     * Custom state machine via flatMapGroupsWithState — the Spark-native
     * replacement for the reference's "arbitrary user reduce code" surface
     * when the reduce needs ordering + state rather than a commutative
@@ -70,22 +78,34 @@ object StreamOps {
       val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
       var buf = state.getOption.orNull
       val closed = Seq.newBuilder[Session]
+      def flush(): Unit = if (buf != null) {
+        closed += Session(userId, buf.start, buf.last, buf.n, buf.total)
+        buf = null
+      }
+      def min(a: Timestamp, b: Timestamp) = if (a.before(b)) a else b
+      def max(a: Timestamp, b: Timestamp) = if (a.after(b)) a else b
       for (e <- sorted) {
-        val t = e.ts.getTime
-        if (buf == null) buf = SessionBuf(t, t, 1L, e.value)
-        else if (t - buf.last > gapMs) {
-          closed += Session(userId, new Timestamp(buf.start), new Timestamp(buf.last), buf.n, buf.total)
-          buf = SessionBuf(t, t, 1L, e.value)
-        } else buf = buf.copy(last = math.max(buf.last, t), n = buf.n + 1, total = buf.total + e.value)
+        if (buf == null) buf = SessionBuf(e.ts, e.ts, 1L, e.value)
+        else if (e.ts.getTime - buf.last.getTime > gapMs) { // next session begins
+          flush()
+          buf = SessionBuf(e.ts, e.ts, 1L, e.value)
+        } else if (buf.start.getTime - e.ts.getTime > gapMs) {
+          // cross-batch late arrival predating the session by more than the
+          // gap: its own (already closed) session
+          closed += Session(userId, e.ts, e.ts, 1L, e.value)
+        } else buf = SessionBuf(min(buf.start, e.ts), max(buf.last, e.ts),
+          buf.n + 1, buf.total + e.value)
       }
       if (state.hasTimedOut) {
-        // streaming: event-time timeout fired — flush the open session
-        if (buf != null)
-          closed += Session(userId, new Timestamp(buf.start), new Timestamp(buf.last), buf.n, buf.total)
+        flush() // streaming: event-time timeout fired
         state.remove()
       } else if (buf != null) {
-        state.update(buf)
-        if (streaming) state.setTimeoutTimestamp(buf.last + gapMs)
+        if (streaming) {
+          state.update(buf)
+          state.setTimeoutTimestamp(buf.last.getTime + gapMs)
+        } else {
+          flush() // batch: end of complete data closes the session
+        }
       }
       closed.result().iterator
     }

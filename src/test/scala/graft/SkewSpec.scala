@@ -26,10 +26,11 @@ class SkewSpec extends SparkTestBase {
     val small = Seq((42L, "hot")).toDF("k2", "tag")
     val out = Skew.saltedJoin(big, small, "k", "k2", salt = 8)
     assert(out.count() === 10000)
-    // the salt column really fans the hot key out before the join:
-    val saltCards = big.withColumn("_salt",
-      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(8)))
-      .groupBy("_salt").count().collect()
+    // the salt really fans identical hot-key rows out before the join
+    // (a content hash would put all 10k identical rows in ONE bucket):
+    val saltCards = big.withColumn("_s",
+      pmod(monotonically_increasing_id(), lit(8L)))
+      .groupBy("_s").count().collect()
     assert(saltCards.length === 8, "hot key rows spread over all 8 salt buckets")
   }
 }

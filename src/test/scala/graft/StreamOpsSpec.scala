@@ -45,20 +45,34 @@ class StreamOpsSpec extends SparkTestBase {
     assert(total === Tables.events(spark, sfDir).count())
   }
 
-  test("sessionize closes sessions at event-time gaps") {
+  test("sessionize on batch input closes gap sessions AND flushes final sessions") {
     import spark.implicits._
-    // user 1: events at t0, t10, then t60 (gap 50 min > 30 min) -> one closed session
-    // user 2: single event (never closes in batch mode)
+    // user 1: events at t0, t10, then t60 (gap > 30 min) -> two sessions
+    // user 2: single event -> one session (batch sees complete data)
     val events = Seq(
       Event(1, ts(0), 1, "a", 1.0),
       Event(2, ts(10), 1, "a", 2.0),
       Event(3, ts(60), 1, "a", 4.0),
       Event(4, ts(0), 2, "b", 8.0)).toDS()
-    val sessions = StreamOps.sessionize(events).collect()
-    assert(sessions.length === 1)
-    val s = sessions(0)
-    assert(s.user_id === 1 && s.n_events === 2 && s.sum_value === 3.0)
-    assert(s.start_ts === ts(0) && s.end_ts === ts(10))
+    val sessions = StreamOps.sessionize(events).collect().sortBy(s => (s.user_id, s.start_ts.getTime))
+    assert(sessions.length === 3)
+    assert(sessions(0).user_id === 1 && sessions(0).n_events === 2 && sessions(0).sum_value === 3.0)
+    assert(sessions(0).start_ts === ts(0) && sessions(0).end_ts === ts(10))
+    assert(sessions(1).user_id === 1 && sessions(1).n_events === 1 && sessions(1).sum_value === 4.0)
+    assert(sessions(2).user_id === 2 && sessions(2).n_events === 1)
+  }
+
+  test("sessionize(batch) agrees with sessionizeBatch on the events table") {
+    import spark.implicits._
+    val raw = Tables.events(spark, sfDir)
+    val typed = raw.select("event_id", "ts", "user_id", "event_type", "value").as[Event]
+    val viaState = StreamOps.sessionize(typed)
+      .select("user_id", "start_ts", "end_ts", "n_events")
+      .orderBy("user_id", "start_ts").collect()
+    val viaWindows = StreamOps.sessionizeBatch(raw)
+      .select("user_id", "start_ts", "end_ts", "n_events")
+      .orderBy("user_id", "start_ts").collect()
+    assert(viaState.toSeq === viaWindows.toSeq)
   }
 
   test("streaming sessionize emits a session when the event-time timeout fires") {
