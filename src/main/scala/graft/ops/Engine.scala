@@ -75,7 +75,10 @@ object Engine {
     * counted DataFrame for further composition; it is persisted and
     * materialized inside the shard-size scope, so later caller actions reuse
     * the cached result instead of re-planning the scan with the restored
-    * default split size (ADVICE r1). */
+    * default split size (ADVICE r1). The cached counts stay resident until
+    * LRU eviction; callers running many jobs in one session can
+    * `spark.catalog.clearCache()` between them (same lifecycle contract as
+    * the Dedup pair miners). */
   def submitWordCount(spark: SparkSession, spec: JobSpec, outDir: String): DataFrame =
     withShardSize(spark, spec.shardSize) {
       val counts = TextOps.wordCount(readText(spark, spec).withColumnRenamed("value", "text"))
