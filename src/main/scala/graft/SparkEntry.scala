@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, MapReduce, Multimodal, Relational, Similarity, TextAnalysis, TextOps}
+import graft.ops.{Dedup, MapReduce, Multimodal, Relational, Sampling, Similarity, TextAnalysis, TextOps}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -94,6 +94,18 @@ object SparkEntry {
     "ta_tfidf" -> ((s, d) => TextAnalysis.tfIdf(Tables.documents(s, d))),
     "ta_approx_distinct" -> ((s, d) => TextAnalysis.approxDistinctWords(Tables.documents(s, d))),
     "ta_curation_pipeline" -> ((s, d) => TextAnalysis.curationPipeline(Tables.documents(s, d))),
+    "ta_top_bigrams" -> ((s, d) => TextAnalysis.topBigrams(Tables.documents(s, d))),
+    // deterministic hash-based sampling (training-pipeline reproducibility)
+    "sample_hash10" -> ((s, d) =>
+      Sampling.hashSample(Tables.documents(s, d), "doc_id", 10)
+        .select("doc_id", "lang").orderBy("doc_id")),
+    "sample_stratified" -> ((s, d) =>
+      Sampling.stratifiedHashSample(Tables.documents(s, d), "doc_id", "lang", Map("en" -> 25))
+        .select("doc_id", "lang").orderBy("doc_id")),
+    "sample_per_stratum" -> ((s, d) =>
+      Sampling.perStratumSample(Tables.documents(s, d), "doc_id", "lang", 5)
+        .select("doc_id", "lang").orderBy("doc_id")),
+    "sql_correlated" -> Relational.sqlCorrelatedSubquery,
     // north-star: deduplication
     "dedup_exact" -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
     "dedup_minhash_pairs" -> ((s, d) => Dedup.minHashPairs(Tables.documents(s, d))),
@@ -538,6 +550,37 @@ object SparkEntry {
         |FROM documents, unnest(generate_series(0, 3)) AS t(k)
         |ORDER BY doc_id, frame_idx""".stripMargin,
     // mm_decode_features: mapPartitions decode stub — not SQL-expressible; rows-only check.
+    "ta_top_bigrams" ->
+      s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '$WS') AS ws FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+1], ' ') AS shingle
+         |       FROM toks, unnest(generate_series(1, greatest(len(ws) - 1, 1))) AS t(i))
+         |SELECT shingle, count(*) AS n_docs FROM sh
+         |GROUP BY 1 ORDER BY n_docs DESC, shingle LIMIT 20""".stripMargin,
+    "sample_hash10" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${Sampling.bucket100Sql("doc_id")} < 10 ORDER BY doc_id""".stripMargin,
+    "sample_stratified" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${Sampling.bucket100Sql("doc_id")} <
+         |  (CASE WHEN lang = 'en' THEN 25 ELSE 100 END)
+         |ORDER BY doc_id""".stripMargin,
+    "sample_per_stratum" ->
+      s"""SELECT doc_id, lang FROM (
+         |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+         |    ORDER BY ${h32Sql("CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
+         |  FROM documents)
+         |WHERE rn <= 5 ORDER BY doc_id""".stripMargin,
+    "sql_correlated" ->
+      """WITH per_cust AS (
+        |  SELECT c.c_custkey, c.c_nationkey, count(o.o_orderkey) AS n_orders
+        |  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        |  GROUP BY c.c_custkey, c.c_nationkey)
+        |SELECT p.c_custkey, p.n_orders
+        |FROM per_cust p
+        |WHERE p.n_orders > (
+        |  SELECT avg(p2.n_orders) FROM per_cust p2
+        |  WHERE p2.c_nationkey = p.c_nationkey)
+        |ORDER BY p.c_custkey""".stripMargin,
     "stream_windowed_counts" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
         |  count(*) AS n,

@@ -401,6 +401,26 @@ object Relational {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** The SQL text entry surface: temp views + `spark.sql` with a
+    * correlated scalar subquery — customers placing more orders than
+    * their nation's per-customer average (integer counts, so the average
+    * is an exact sum/count division, order-independent). */
+  def sqlCorrelatedSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+    Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+    s.sql(
+      """WITH per_cust AS (
+        |  SELECT c.c_custkey, c.c_nationkey, count(o.o_orderkey) AS n_orders
+        |  FROM customer_v c LEFT JOIN orders_v o ON o.o_custkey = c.c_custkey
+        |  GROUP BY c.c_custkey, c.c_nationkey)
+        |SELECT p.c_custkey, p.n_orders
+        |FROM per_cust p
+        |WHERE p.n_orders > (
+        |  SELECT avg(p2.n_orders) FROM per_cust p2
+        |  WHERE p2.c_nationkey = p.c_nationkey)
+        |ORDER BY p.c_custkey""".stripMargin)
+  }
+
   /** Temporal aggregation: orders per month. */
   def ordersPerMonth(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)

@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.CrossHash
+
+/** Deterministic sampling for training-data pipelines — hash-based, not
+  * `rand()`-based: a hash of a stable key gives the same sample on every
+  * run, every retry, every engine (reproducibility is a correctness
+  * requirement for dataset curation, and `rand()` breaks it under task
+  * retry and partition reordering). All three operators are pure
+  * projections/filters over the key hash — no shuffle except the explicit
+  * per-stratum top-k — and all are oracle-checkable because [[CrossHash]]
+  * has an exact DuckDB mirror.
+  */
+object Sampling {
+
+  /** Uniform `pct`% sample: keep rows whose key-hash bucket (0..99) falls
+    * below `pct`. Deterministic, stable under repartitioning, and
+    * composable (different `salt` values give independent samples). */
+  def hashSample(df: DataFrame, keyCol: String, pct: Int, salt: String = ""): DataFrame =
+    df.filter(bucket100(keyCol, salt) < pct)
+
+  private def bucket100(keyCol: String, salt: String): Column =
+    pmod(CrossHash.h32(concat(lit(salt), col(keyCol).cast("string"))), lit(100L))
+
+  /** DuckDB mirror of the sampling predicate (oracle authoring). */
+  def bucket100Sql(keyExpr: String, salt: String = ""): String =
+    s"${CrossHash.h32Sql(s"'$salt' || CAST($keyExpr AS VARCHAR)")} % 100"
+
+  /** Stratified sample: per-stratum percentage rates (e.g. downsample the
+    * dominant language, keep the rest) — the class-rebalancing primitive.
+    * Unlisted strata default to `defaultPct`. */
+  def stratifiedHashSample(df: DataFrame, keyCol: String, strataCol: String,
+      rates: Map[String, Int], defaultPct: Int = 100): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultPct).cast("long")) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, v.toLong).otherwise(acc)
+    }
+    df.filter(bucket100(keyCol, "") < rate)
+  }
+
+  /** Exactly `n` pseudo-random rows per stratum: rank by key hash within
+    * each stratum, keep the first n. Deterministic "reservoir" — one
+    * shuffle on the stratum key. */
+  def perStratumSample(df: DataFrame, keyCol: String, strataCol: String, n: Int): DataFrame = {
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(CrossHash.h32(col(keyCol).cast("string")), col(keyCol))
+    df.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= n)
+      .drop("rn")
+  }
+}

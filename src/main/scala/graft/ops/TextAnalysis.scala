@@ -120,6 +120,16 @@ object TextAnalysis {
       qualityCol.as("quality"))
       .orderBy("doc_id")
 
+  /** Top bigrams across the corpus by frequency (deterministic tiebreak on
+    * the bigram text) — the n-gram frequency table feeding vocabulary and
+    * collocation analysis. */
+  def topBigrams(docs: DataFrame, k: Int = 20): DataFrame =
+    Dedup.shingles(docs, n = 2)
+      .groupBy("shingle")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("shingle"))
+      .limit(k)
+
   /** TF-IDF per (document, term): tf from one token-explode aggregation,
     * df from a second aggregation over the distinct (doc, term) pairs, the
     * corpus size joined in as a broadcast scalar. Two shuffles total, both

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Sampling
+import graft.sources.Tables
+
+class SamplingSpec extends SparkTestBase {
+
+  private def docs = Tables.documents(spark, sfDir)
+
+  test("hashSample is deterministic, approximately sized, and repartition-stable") {
+    val a = Sampling.hashSample(docs, "doc_id", 10).select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(docs.repartition(7), "doc_id", 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a === b, "sample must not depend on partitioning")
+    val frac = a.size.toDouble / docs.count()
+    assert(frac > 0.04 && frac < 0.2, s"10% sample landed at $frac")
+    // independent samples under different salts
+    val salted = Sampling.hashSample(docs, "doc_id", 10, salt = "x")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(salted !== a)
+  }
+
+  test("stratifiedHashSample downsamples only the targeted stratum") {
+    val out = Sampling.stratifiedHashSample(docs, "doc_id", "lang", Map("en" -> 25)).cache()
+    val enFrac = out.filter(col("lang") === "en").count().toDouble /
+      docs.filter(col("lang") === "en").count()
+    assert(enFrac > 0.1 && enFrac < 0.45, s"en fraction $enFrac")
+    // untargeted strata kept whole
+    assert(out.filter(col("lang") =!= "en").count() ===
+      docs.filter(col("lang") =!= "en").count())
+  }
+
+  test("perStratumSample returns exactly n per stratum, deterministically") {
+    val out = Sampling.perStratumSample(docs, "doc_id", "lang", 3)
+    val counts = out.groupBy("lang").count().collect().map(_.getLong(1))
+    assert(counts.forall(_ === 3L))
+    val again = Sampling.perStratumSample(docs, "doc_id", "lang", 3)
+    assert(out.select("doc_id").collect().toSeq === again.select("doc_id").collect().toSeq)
+  }
+}
