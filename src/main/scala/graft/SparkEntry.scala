@@ -106,6 +106,8 @@ object SparkEntry {
       Sampling.perStratumSample(Tables.documents(s, d), "doc_id", "lang", 5)
         .select("doc_id", "lang").orderBy("doc_id")),
     "sql_correlated" -> Relational.sqlCorrelatedSubquery,
+    "hof_sampler" -> Relational.hofSampler,
+    "date_arith_sampler" -> Relational.dateArithSampler,
     // north-star: deduplication
     "dedup_exact" -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
     "dedup_minhash_pairs" -> ((s, d) => Dedup.minHashPairs(Tables.documents(s, d))),
@@ -581,6 +583,22 @@ object SparkEntry {
         |  SELECT avg(p2.n_orders) FROM per_cust p2
         |  WHERE p2.c_nationkey = p.c_nationkey)
         |ORDER BY p.c_custkey""".stripMargin,
+    "hof_sampler" ->
+      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '$WS') AS ws FROM documents)
+         |SELECT doc_id,
+         |  list_contains(ws, 'spark') AS has_spark,
+         |  CAST(len(list_filter(ws, t -> length(t) > 4)) AS BIGINT) AS n_long_tokens,
+         |  CAST(list_sum(list_transform(ws, t -> length(t))) AS BIGINT) AS total_len,
+         |  ws[1] AS first_tok,
+         |  len(list_filter(ws, t -> regexp_matches(t, '^[0-9]+$$'))) > 0 AS has_number
+         |FROM t ORDER BY doc_id""".stripMargin,
+    "date_arith_sampler" ->
+      """SELECT o_orderkey,
+        |  o_orderdate + INTERVAL 30 DAY AS due_date,
+        |  CAST(date_diff('day', o_orderdate, TIMESTAMP '1998-12-31') AS BIGINT) AS days_to_eoy,
+        |  CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end,
+        |  CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "stream_windowed_counts" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
         |  count(*) AS n,

@@ -421,6 +421,33 @@ object Relational {
         |ORDER BY p.c_custkey""".stripMargin)
   }
 
+  /** Higher-order array-function sampler over tokenized text: lambda
+    * filter/transform/aggregate, membership, indexing — the codegen'd
+    * array surface (each has an exact DuckDB list-function mirror). */
+  def hofSampler(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("ws", split(lower(col("text")), "\\s+"))
+      .select(
+        col("doc_id"),
+        array_contains(col("ws"), "spark").as("has_spark"),
+        expr("size(filter(ws, t -> length(t) > 4))").cast("long").as("n_long_tokens"),
+        expr("aggregate(ws, 0L, (a, t) -> a + length(t))").as("total_len"),
+        element_at(col("ws"), 1).as("first_tok"),
+        expr("exists(ws, t -> t rlike '^[0-9]+$')").as("has_number"))
+      .orderBy("doc_id")
+
+  /** Date arithmetic sampler: interval add, day difference, month end,
+    * weekday — chosen for exact cross-engine semantics (Spark dayofweek is
+    * 1-based Sunday; the oracle compensates). */
+  def dateArithSampler(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("due_date"),
+      datediff(lit("1998-12-31"), col("o_orderdate")).cast("long").as("days_to_eoy"),
+      last_day(col("o_orderdate")).cast("timestamp").as("month_end"),
+      dayofweek(col("o_orderdate")).cast("long").as("dow"))
+      .orderBy("o_orderkey")
+
   /** Temporal aggregation: orders per month. */
   def ordersPerMonth(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
