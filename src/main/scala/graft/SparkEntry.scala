@@ -65,6 +65,7 @@ object SparkEntry {
     "join_range_event_pairs" -> Relational.eventPairsWithinHour,
     "q3_shipping_priority" -> Relational.q3ShippingPriority,
     "q5_local_supplier" -> Relational.q5LocalSupplierVolume,
+    "q6_forecast_revenue" -> Relational.q6ForecastRevenue,
     // window functions
     "window_top3_orders" -> Relational.top3OrdersPerCustomer,
     "window_running_qty" -> Relational.runningQtyPerSupplier,
@@ -339,6 +340,13 @@ object SparkEntry {
         |JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
         |JOIN nation n ON s.s_nationkey = n.n_nationkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
     "window_top3_orders" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

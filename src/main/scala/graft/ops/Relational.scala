@@ -347,6 +347,18 @@ object Relational {
       .select("l_orderkey", "o_orderdate", "revenue")
   }
 
+  /** TPC-H Q6-shaped forecast-revenue query: pure scan + pushed predicates
+    * + single aggregate — the canonical "did the filters reach the reader"
+    * benchmark shape (all three predicates land in PushedFilters). */
+  def q6ForecastRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1994-01-01") && col("l_shipdate") < lit("1995-01-01") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(
+        sum(col("l_extendedprice").cast(money) * col("l_discount").cast(rate))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n"))
+
   /** TPC-H Q5-shaped local-supplier-volume query: five-table join through
     * the dimension chain with both nation keys constrained equal (customer
     * and supplier in the same nation). All dimensions broadcast; only the
