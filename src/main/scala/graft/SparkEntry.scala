@@ -136,6 +136,11 @@ object SparkEntry {
         .orderBy("doc_id", "frame_idx")),
     "mm_decode_features" -> ((s, d) =>
       Multimodal.decodeStub(Multimodal.asBlobTable(Tables.documents(s, d))).orderBy("doc_id")),
+    // byte_stride output is binary DuckDB cannot reproduce in SQL; rows-only
+    "mm_downsample" -> ((s, d) =>
+      Multimodal.downsampleBytes(Multimodal.asBlobTable(Tables.documents(s, d)), 4)
+        .select(col("doc_id"), col("byte_len"), col("ds_len"), hex(col("ds_bytes")).as("ds_hex"))
+        .orderBy("doc_id")),
     // streaming-unified transform run over batch input (same code drives
     // readStream in StreamOpsSpec's MemoryStream test)
     "stream_windowed_counts" -> ((s, d) =>

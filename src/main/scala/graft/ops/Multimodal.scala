@@ -68,6 +68,19 @@ object Multimodal {
           s"k -> substring(bytes, CAST(k * greatest(length(bytes) div $n, 1) + 1 AS INT), $frameSize))"))
         .as(Seq("frame_idx", "frame_bytes")))
 
+  /** Fixed-stride byte downsample ("resize"): every `stride`-th byte of
+    * the payload via the native codegen'd
+    * [[graft.functions.ByteStride]] expression (no built-in subsamples
+    * binary; an exploded byte array would allocate a row per byte). */
+  def downsampleBytes(blobs: DataFrame, stride: Int): DataFrame = {
+    graft.functions.ByteStride.register(blobs.sparkSession)
+    blobs.select(
+      col("doc_id"),
+      length(col("bytes")).cast("long").as("byte_len"),
+      expr(s"byte_stride(bytes, $stride)").as("ds_bytes"))
+      .withColumn("ds_len", length(col("ds_bytes")).cast("long"))
+  }
+
   /** Output schema of [[decodeStub]]. */
   val decodedSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),

@@ -43,6 +43,15 @@ object StreamOps {
         col("window.start").as("win_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Exactly-once event dedup for streaming ingestion: drop repeated
+    * event_ids within the watermark horizon. State is one key per event id
+    * seen in the last `delay` of event time — bounded by the watermark,
+    * which is what makes streaming dedup feasible at all (unbounded-key
+    * dedup would grow state forever). Works on batch input too (plain
+    * dropDuplicates). */
+  def dedupEvents(events: DataFrame, delay: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", delay).dropDuplicates("event_id")
+
   /** Input record for sessionization. */
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)

@@ -35,6 +35,17 @@ class MultimodalSpec extends SparkTestBase {
     assert(frames.filter(length(col("frame_bytes")) === 0).count() === 0)
   }
 
+  test("downsampleBytes: every stride-th byte, exact output length") {
+    val out = Multimodal.downsampleBytes(blobs, stride = 4).cache()
+    assert(out.filter(col("ds_len") =!= ceil(col("byte_len") / lit(4.0)).cast("long")).count() === 0)
+    // spot-check content against a driver-side reference
+    val row = out.join(Tables.documents(spark, sfDir).select("doc_id", "text"), "doc_id")
+      .orderBy("doc_id").limit(1).collect()(0)
+    val text = row.getAs[String]("text").getBytes("UTF-8")
+    val expected = text.indices.collect { case i if i % 4 == 0 => text(i) }.toArray
+    assert(row.getAs[Array[Byte]]("ds_bytes").toSeq === expected.toSeq)
+  }
+
   test("decodeStub: schema contract and deterministic byte statistics") {
     val out = Multimodal.decodeStub(blobs).cache()
     assert(out.schema === Multimodal.decodedSchema)

@@ -102,6 +102,25 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming dedupEvents drops duplicate event ids across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[Event]
+    val q = StreamOps.dedupEvents(stream.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(Event(1, ts(0), 1, "a", 1.0), Event(1, ts(0), 1, "a", 1.0))
+      q.processAllAvailable()
+      // same id arriving again in a LATER micro-batch is also dropped
+      stream.addData(Event(1, ts(1), 1, "a", 1.0), Event(2, ts(1), 1, "a", 2.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq === Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("sessionizeBatch matches hand-computed sessions and counts all events") {
     import spark.implicits._
     val df = Seq(
