@@ -4,8 +4,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
 import graft.ops.{Dedup, MapReduce, Multimodal, Relational, Sampling, Similarity, TextAnalysis, TextOps}
-import graft.sources.Tables
+import graft.sources.{Formats, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -66,6 +68,7 @@ object SparkEntry {
     "q3_shipping_priority" -> Relational.q3ShippingPriority,
     "q5_local_supplier" -> Relational.q5LocalSupplierVolume,
     "q6_forecast_revenue" -> Relational.q6ForecastRevenue,
+    "q9_product_profit" -> Relational.q9ProductProfit,
     // window functions
     "window_top3_orders" -> Relational.top3OrdersPerCustomer,
     "window_running_qty" -> Relational.runningQtyPerSupplier,
@@ -117,11 +120,15 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d))),
     // iterative component resolution — not single-statement SQL; rows-only check
     "dedup_neardup_survivors" -> ((s, d) => Dedup.nearDupSurvivors(Tables.documents(s, d))),
-    // north-star: similarity search
+    // north-star: similarity search. The exact all-pairs miner
+    // (Similarity.embeddingNearDupPairs) is deliberately NOT gated: its n²
+    // cross product is a verification utility (SimilaritySpec uses it as
+    // LSH ground truth), and the benched plan for near-dup mining must be
+    // the banded LSH one — the 100 TB shape. bruteForceTopK stays gated:
+    // broadcast-queries × one corpus scan IS its scale plan for small
+    // query sets.
     "sim_topk_cosine" -> ((s, d) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, d), col("vec_id") < 10)),
-    "sim_neardup_embedding" -> ((s, d) =>
-      Similarity.embeddingNearDupPairs(Tables.embeddings(s, d))),
     "sim_neardup_lsh" -> ((s, d) =>
       Similarity.embeddingNearDupPairsLSH(Tables.embeddings(s, d))),
     "ann_lsh_topk" -> ((s, d) =>
@@ -134,9 +141,16 @@ object SparkEntry {
         .select(col("doc_id"), col("byte_len"), col("frame_idx").cast("long").as("frame_idx"),
           hex(col("frame_bytes")).as("frame_hex"))
         .orderBy("doc_id", "frame_idx")),
+    // feature vector projected to scalar columns: array-typed result cells
+    // compare unreliably through pandas (same rule as arrayAggStatuses)
     "mm_decode_features" -> ((s, d) =>
-      Multimodal.decodeStub(Multimodal.asBlobTable(Tables.documents(s, d))).orderBy("doc_id")),
-    // byte_stride output is binary DuckDB cannot reproduce in SQL; rows-only
+      Multimodal.decodeStub(Multimodal.asBlobTable(Tables.documents(s, d)))
+        .select(col("doc_id"), col("n_bytes"), col("mean_byte"),
+          element_at(col("feature"), 1).as("f_min"),
+          element_at(col("feature"), 2).as("f_max"),
+          element_at(col("feature"), 3).as("f_mean"),
+          element_at(col("feature"), 4).as("f_n"))
+        .orderBy("doc_id")),
     "mm_downsample" -> ((s, d) =>
       Multimodal.downsampleBytes(Multimodal.asBlobTable(Tables.documents(s, d)), 4)
         .select(col("doc_id"), col("byte_len"), col("ds_len"), hex(col("ds_bytes")).as("ds_hex"))
@@ -148,6 +162,46 @@ object SparkEntry {
         .orderBy("win_start", "event_type")),
     "stream_sessions_batch" -> ((s, d) =>
       graft.streaming.StreamOps.sessionizeBatch(Tables.events(s, d))),
+    // exactly-once dedup, same code path the MemoryStream spec drives; the
+    // input injects real duplicates (identical full rows, so the arbitrary
+    // keep-one pick is value-deterministic)
+    "stream_dedup_events" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select("event_id", "user_id", "event_type", "value", "ts")
+      val dupes = ev.filter(col("event_id") % 10 === 0)
+      graft.streaming.StreamOps.dedupEvents(ev.unionAll(dupes))
+        .orderBy("event_id")
+    }),
+    // format surface (SURVEY §2b scans/sources): csv sink→scan roundtrip,
+    // then an aggregate over the re-read data — proves schema'd csv IO
+    // end to end, not just that a file appeared
+    "fmt_csv_roundtrip" -> ((s, d) => {
+      val out = "/tmp/graft_fmt/nation_csv"
+      val nation = Tables.nation(s, d)
+      Formats.writeCsv(nation, out)
+      Formats.readCsv(s, nation.schema, out)
+        .groupBy("n_regionkey")
+        .agg(count(lit(1)).as("n_nations"),
+          array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"))
+        .orderBy("n_regionkey")
+    }),
+    // permissive-parse surface: the reference reducer silently drops
+    // malformed / non-int lines (src/app/reducer.py:11,21-24); here the
+    // same corpus-with-garbage shape goes through DROPMALFORMED and the
+    // aggregate sees only the well-formed rows
+    "fmt_permissive_kv" -> ((s, d) => {
+      val out = "/tmp/graft_fmt/kv_text"
+      Tables.orders(s, d)
+        .select(concat_ws(" ", col("o_orderkey"),
+          when(col("o_orderkey") % 13 === 0, lit("oops"))
+            .otherwise((col("o_orderkey") % 5).cast("string"))).as("value"))
+        .write.mode("overwrite").text(out)
+      val schema = StructType(Seq(StructField("k", LongType), StructField("v", LongType)))
+      Formats.readCsvDropMalformed(s, schema, " ", out)
+        .groupBy("v")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
+        .orderBy("v")
+    }),
   )
 
   // ---- DuckDB oracle builders for the hash-based north-star operators ----
@@ -352,6 +406,18 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+        |    - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_profit,
+        |  count(*) AS n
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2 ORDER BY 1, 2 DESC""".stripMargin,
     "window_top3_orders" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
@@ -504,12 +570,6 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn, cos
         |  FROM p)
         |SELECT query_id, neighbor_id, rn, cos FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
-    "sim_neardup_embedding" ->
-      """SELECT id_a, id_b, cos FROM (
-        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS cos
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
-        |WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin,
     "ann_lsh_topk" -> annOracleSql,
     "sim_neardup_lsh" -> lshNearDupOracleSql,
     "ta_tfidf" ->
@@ -564,7 +624,28 @@ object SparkEntry {
         |  hex(encode(substring(text, CAST(k * greatest(length(text) // 4, 1) + 1 AS INT), 16))) AS frame_hex
         |FROM documents, unnest(generate_series(0, 3)) AS t(k)
         |ORDER BY doc_id, frame_idx""".stripMargin,
-    // mm_decode_features: mapPartitions decode stub — not SQL-expressible; rows-only check.
+    // decode stub mirrored per-byte: the corpus is pure ASCII, so DuckDB's
+    // char-level ascii() over every position reproduces the byte stats
+    "mm_decode_features" ->
+      """WITH c AS (SELECT doc_id, octet_length(encode(text)) AS nb,
+        |  list_transform(generate_series(1, length(text)),
+        |    i -> ascii(substring(text, CAST(i AS INT), 1))) AS codes
+        |  FROM documents)
+        |SELECT doc_id, CAST(nb AS BIGINT) AS n_bytes,
+        |  CAST(list_sum(codes) AS DOUBLE) / nb AS mean_byte,
+        |  CAST(list_min(codes) AS DOUBLE) AS f_min,
+        |  CAST(list_max(codes) AS DOUBLE) AS f_max,
+        |  CAST(list_sum(codes) AS DOUBLE) / nb AS f_mean,
+        |  CAST(nb AS DOUBLE) AS f_n
+        |FROM c ORDER BY doc_id""".stripMargin,
+    // byte_stride mirrored as a char-stride over the ASCII payload
+    "mm_downsample" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS ds_len,
+        |  hex(encode(array_to_string(list_transform(generate_series(1, length(text), 4),
+        |    i -> substring(text, CAST(i AS INT), 1)), ''))) AS ds_hex
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "ta_top_bigrams" ->
       s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '$WS') AS ws FROM documents),
          |sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+1], ' ') AS shingle
@@ -626,6 +707,27 @@ object SparkEntry {
         |SELECT user_id, session_idx, min(ts) AS start_ts, max(ts) AS end_ts,
         |  count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // duplicates injected as identical full rows, so keep-any == keep-first
+    "stream_dedup_events" ->
+      """SELECT event_id, user_id, event_type, value, ts FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY event_id) AS rn FROM (
+        |    SELECT event_id, user_id, event_type, value, ts FROM events
+        |    UNION ALL
+        |    SELECT event_id, user_id, event_type, value, ts FROM events WHERE event_id % 10 = 0))
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    // oracle reads the PARQUET nation — equality proves the csv sink→scan
+    // roundtrip in the Spark query was lossless
+    "fmt_csv_roundtrip" ->
+      """SELECT n_regionkey, count(*) AS n_nations,
+        |  array_to_string(list_sort(list(n_name)), ',') AS nations
+        |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin,
+    // mirrors the Spark side's injected-garbage drop: rows where the value
+    // token fails to parse as an int simply vanish (reducer.py semantics)
+    "fmt_permissive_kv" ->
+      """SELECT o_orderkey % 5 AS v, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_k
+        |FROM orders WHERE o_orderkey % 13 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "pivot_status" ->
       """SELECT o_orderpriority,
         |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,

@@ -25,9 +25,9 @@ import graft.functions.CrossHash
   *    mining joins on band prefixes of the fingerprint (see
   *    [[simHashPairs]]).
   *  - n-gram Jaccard: inverted-index join on shingles — worst case is a
-  *    hot shingle shared by everything; production would drop shingles
-  *    with document-frequency above a cap (same trick as stop-word
-  *    removal), which [[ngramJaccardPairs]] exposes via `maxDf`.
+  *    hot shingle shared by everything, so [[ngramJaccardPairs]] drops
+  *    shingles with document-frequency above `maxDf` BY DEFAULT (same
+  *    trick as stop-word removal); `None` opts into the exact mode.
   *
   * All hashes are [[CrossHash]] md5-derived so the whole pipeline —
   * signatures, bands, candidate pairs — is bit-reproducible in DuckDB for
@@ -39,7 +39,9 @@ import graft.functions.CrossHash
   * caller owns the terminal action; a memory-constrained caller running
   * many jobs in one session should `spark.catalog.clearCache()` between
   * them. [[nearDupSurvivors]] frees its own intermediates — its loop
-  * materializes internally.
+  * materializes internally and unpersists every working table before
+  * returning; only its (small, already-materialized) survivor result stays
+  * cached for the caller.
   */
 object Dedup {
 
@@ -231,8 +233,14 @@ object Dedup {
       converged = changed == 0
       iterations += 1
     }
+    // materialize the survivor set BEFORE dropping the caches it is computed
+    // from — otherwise the final labels stay resident for the whole session
+    // (the converse leak) or an eviction would recompute through the full
+    // uncached LSH join. The small persisted result is handed to the caller.
     val out = labels.filter(col("doc_id") === col("label"))
-      .select(col("doc_id")).orderBy("doc_id")
+      .select(col("doc_id")).orderBy("doc_id").persist()
+    out.count()
+    labels.unpersist()
     pairs.unpersist()
     edges.unpersist()
     out
@@ -240,14 +248,19 @@ object Dedup {
 
   /** n-gram Jaccard near-duplicate pairs via an inverted-index join:
     * |A∩B| from the shingle-share join, |A∪B| from per-doc cardinalities.
-    * With `maxDf` set, ubiquitous shingles (document frequency above the
-    * cap) are dropped from the whole computation — the scale guard, since
-    * a shingle in k docs contributes k² candidate pairs — and the Jaccard
-    * is exact over the capped shingle space (cardinalities and
-    * intersections both capped, so the ratio stays self-consistent).
-    * With `maxDf = None` the Jaccard is exact over full shingle sets. */
+    * Shingles with document frequency above `maxDf` are dropped from the
+    * whole computation — ON BY DEFAULT, because it is the scale guard: one
+    * corpus-wide hot shingle contributes k² candidate pairs, exactly the
+    * skew blow-up that kills the inverted-index join at 100 TB (the same
+    * trick as stop-word removal). The Jaccard stays exact over the capped
+    * shingle space (cardinalities and intersections both capped, so the
+    * ratio is self-consistent); DedupSpec proves a ubiquitous shingle
+    * generates zero candidates under the cap. Pass `maxDf = None` for the
+    * exact-over-full-shingle-sets mode on bounded corpora. */
+  val DefaultMaxDf = 1000
+
   def ngramJaccardPairs(docs: DataFrame, minJaccard: Double = 0.2,
-      n: Int = 3, maxDf: Option[Int] = None): DataFrame = {
+      n: Int = 3, maxDf: Option[Int] = Some(DefaultMaxDf)): DataFrame = {
     val sh = shingles(docs, n).persist() // feeds both join sides + cardinalities
     val candGen = maxDf match {
       case Some(cap) =>

@@ -38,6 +38,69 @@ object Engine {
       outDir: String,
       error: Option[String] = None)
 
+  /** Async handle to a submitted job — the engine-side equivalent of the
+    * reference's poll-while-running status surface (a client polls
+    * `/jobs/job_<seq>/status` mid-run, `src/master/master.cpp:300-336`,
+    * `src/webclient/webclient.cpp:42-51`). [[status]] transitions
+    * CREATED → RUNNING → COMPLETED|FAILED and can be polled from any
+    * thread; [[await]] blocks for the terminal [[JobResult]]; [[cancel]]
+    * aborts the job's in-flight Spark stages via its job group (the job
+    * then terminates FAILED, like the reference's abandoned tasks). */
+  final class JobHandle private[Engine] (
+      val jobId: Int,
+      val spec: JobSpec,
+      spark: SparkSession) {
+    private val state = new java.util.concurrent.atomic.AtomicReference[String]("CREATED")
+    private val transitionLog = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    transitionLog.add("CREATED")
+    private val done = new java.util.concurrent.CountDownLatch(1)
+    @volatile private var terminal: JobResult = _
+
+    private[Engine] val group = s"graft-job-$jobId"
+    private[Engine] def transition(s: String): Unit = { state.set(s); transitionLog.add(s) }
+    private[Engine] def complete(r: JobResult): Unit = {
+      terminal = r; transition(r.status); done.countDown()
+    }
+
+    /** Current lifecycle state (poll-safe, like the reference's status znode). */
+    def status: String = state.get
+    /** Every state this job has passed through, in order. */
+    def transitions: Seq[String] = { import scala.jdk.CollectionConverters._; transitionLog.asScala.toSeq }
+    /** Block until the job reaches a terminal state. */
+    def await(): JobResult = { done.await(); terminal }
+    /** Best-effort cancel: aborts the job group's running Spark stages. */
+    def cancel(): Unit = spark.sparkContext.cancelJobGroup(group)
+  }
+
+  /** Submit a word-count job without blocking: returns immediately with a
+    * pollable [[JobHandle]] (reference C2's async contract — submit returns
+    * a job id, status is observed by polling). The job runs on a daemon
+    * thread under its own Spark job group, so [[JobHandle.cancel]] maps to
+    * `cancelJobGroup` — Spark's native stage abort. */
+  def submitAsync(spark: SparkSession, spec: JobSpec, outDir: String, jobId: Int = 0): JobHandle = {
+    val handle = new JobHandle(jobId, spec, spark)
+    val runner = new Thread(() => {
+      handle.transition("RUNNING")
+      // setJobGroup is thread-local: it must run on the thread that fires
+      // the Spark actions, making every stage of this job cancellable as a
+      // group (interruptOnCancel stops straggling tasks too)
+      spark.sparkContext.setJobGroup(handle.group, s"graft job $jobId", interruptOnCancel = true)
+      try {
+        // own SQL-conf scope: concurrent jobs must not race on the session's
+        // maxPartitionBytes (withShardSize mutates it for the job's duration)
+        val jobSession = spark.newSession()
+        val counts = submitWordCount(jobSession, spec, outDir)
+        handle.complete(JobResult(jobId, spec, "COMPLETED", counts.count(), outDir))
+      } catch {
+        case e: Throwable =>
+          handle.complete(JobResult(jobId, spec, "FAILED", -1L, outDir, Some(String.valueOf(e.getMessage))))
+      } finally spark.sparkContext.clearJobGroup()
+    }, s"graft-job-runner-$jobId")
+    runner.setDaemon(true)
+    runner.start()
+    handle
+  }
+
   /** Sequential job queue: run each submitted word-count job in order,
     * recording per-job status — the reference's master poll loop collapsed
     * to a driver loop (its 5 s ZooKeeper poll and leader election are

@@ -59,10 +59,17 @@ object PipedMapReduce {
   /** Write a script locally and register it with `SparkContext.addFile`,
     * so EXECUTORS fetch their own copy — resolved at task time via
     * `SparkFiles.get`. A bare driver-local temp path would break on any
-    * non-local cluster (executors have their own filesystems). Memoized:
-    * `addFile` rejects re-registering the same filename from a new path. */
+    * non-local cluster (executors have their own filesystems). The
+    * distributed filename is content-addressed (md5 of the body), so any
+    * number of distinct user scripts coexist and re-submitting the same
+    * body is a no-op (`addFile` rejects re-registering a filename from a
+    * new path). */
   private val distributed = scala.collection.mutable.Set[String]()
-  private def distribute(spark: SparkSession, name: String, body: String): String =
+  private def distribute(spark: SparkSession, body: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(body.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(12)
+    val name = s"graft_pipe_$digest.py"
     distributed.synchronized {
       if (!distributed.contains(name)) {
         val p = Files.createTempDirectory("graft-pipe").resolve(name)
@@ -73,12 +80,18 @@ object PipedMapReduce {
       }
       name
     }
+  }
 
   /** Pipe a partition through `python3 <script>` — the script NAME is
     * resolved with `SparkFiles.get` INSIDE the task (each executor fetches
     * its own copy; a driver-resolved absolute path would only work in
     * local mode). A writer thread feeds stdin while the task thread
-    * consumes stdout — the same full-duplex protocol `RDD.pipe` uses. */
+    * consumes stdout, and a third thread drains stderr — a script logging
+    * heavily to stderr would otherwise fill the OS pipe buffer and
+    * deadlock the subprocess. A non-zero exit FAILS the task (with the
+    * stderr tail in the message) instead of silently yielding truncated
+    * output; Spark's retry then re-runs the partition — the same contract
+    * as `RDD.pipe`. */
   private def pipeThrough(rdd: org.apache.spark.rdd.RDD[String], scriptName: String)
       : org.apache.spark.rdd.RDD[String] =
     rdd.mapPartitions { it =>
@@ -91,36 +104,73 @@ object PipedMapReduce {
       })
       writer.setDaemon(true)
       writer.start()
+      // bounded stderr tail: drained continuously (no pipe-buffer deadlock),
+      // last lines kept for the failure message
+      val errTail = new java.util.ArrayDeque[String]()
+      val errDrain = new Thread(() => {
+        val src = scala.io.Source.fromInputStream(proc.getErrorStream)
+        try src.getLines().foreach { l =>
+          errTail.synchronized {
+            errTail.addLast(l)
+            if (errTail.size > 20) errTail.removeFirst()
+          }
+        } finally src.close()
+      })
+      errDrain.setDaemon(true)
+      errDrain.start()
       val reader = scala.io.Source.fromInputStream(proc.getInputStream)
       new Iterator[String] {
         private val inner = reader.getLines()
         def hasNext: Boolean = {
           val h = inner.hasNext
-          if (!h) { reader.close(); proc.waitFor() }
+          if (!h) {
+            reader.close()
+            val exit = proc.waitFor()
+            errDrain.join(2000)
+            if (exit != 0) {
+              val tail = errTail.synchronized {
+                import scala.jdk.CollectionConverters._
+                errTail.iterator.asScala.mkString("\n")
+              }
+              throw new RuntimeException(
+                s"piped subprocess '$scriptName' exited with code $exit; stderr tail:\n$tail")
+            }
+          }
           h
         }
         def next(): String = inner.next()
       }
     }
 
-  /** Run a full piped map/shuffle/reduce word-count job over text lines.
-    * Returns `(word, cnt)` rows parsed back from the reducer's output.
+  /** Run a full piped map/shuffle/reduce job with ARBITRARY user scripts —
+    * the reference's defining surface (any executable reading `k v` lines
+    * on stdin, writing `k v` lines on stdout). Returns the reducer's raw
+    * output lines as a single `value` column; callers parse their own
+    * schema (the reference's output contract is untyped text too).
     * `numReducers` = number of reduce-side partitions (and subprocesses). */
-  def pipedWordCount(spark: SparkSession, lines: DataFrame, numReducers: Int = 3): DataFrame = {
+  def pipedJob(spark: SparkSession, lines: DataFrame,
+      mapperBody: String, reducerBody: String, numReducers: Int = 3): DataFrame = {
     import spark.implicits._
-    val mapperName = distribute(spark, "graft_pipe_mapper.py", MapperPy)
-    val reducerName = distribute(spark, "graft_pipe_reducer.py", ReducerPy)
-
+    val mapperName = distribute(spark, mapperBody)
+    val reducerName = distribute(spark, reducerBody)
     val mapped = pipeThrough(lines.select("value").as[String].rdd, mapperName) // M1: user map subprocess
     val shuffled = mapped
       .map { l => val i = l.lastIndexOf(' '); (l.substring(0, i), l.substring(i + 1)) }
       .partitionBy(new HashPartitioner(numReducers))     // P1: hash shuffle on key
       .map { case (k, v) => s"$k $v" }
-    val reduced = pipeThrough(shuffled, reducerName)     // R1–R3: user reduce subprocess
+    pipeThrough(shuffled, reducerName).toDF("value")     // R1–R3: user reduce subprocess
+  }
+
+  /** The canonical piped job: word count with the graft-authored mapper and
+    * reducer. Returns `(word, cnt)` rows parsed back from the reducer. */
+  def pipedWordCount(spark: SparkSession, lines: DataFrame, numReducers: Int = 3): DataFrame = {
+    import spark.implicits._
+    pipedJob(spark, lines, MapperPy, ReducerPy, numReducers)
+      .select("value").as[String]
       .map { l =>
         val i = l.lastIndexOf(' ')
         (l.substring(0, i), l.substring(i + 1).toLong)
       }
-    reduced.toDF("word", "cnt")
+      .toDF("word", "cnt")
   }
 }

@@ -380,6 +380,31 @@ object Relational {
       .orderBy(col("n_name"))
   }
 
+  /** TPC-H Q9-shaped product-profit query: the part-keyed join topology
+    * (part ⋈ lineitem ⋈ supplier ⋈ orders ⋈ nation — no partsupp table in
+    * the corpus, so unit cost comes from part.p_retailprice). The selective
+    * part filter broadcasts, as do supplier and nation; only the two fact
+    * tables shuffle, and profit math stays in exact DECIMAL until the final
+    * double cast. */
+  def q9ProductProfit(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir).filter(col("p_name").contains("red"))
+    val l = Tables.lineitem(s, dir)
+    val sup = Tables.supplier(s, dir)
+    val o = Tables.orders(s, dir)
+    val n = Tables.nation(s, dir)
+    val amount = col("l_extendedprice").cast(money) * (lit(1) - col("l_discount").cast(rate)) -
+      col("p_retailprice").cast(money) * col("l_quantity").cast(money)
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+      .join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+      .select(n("n_name").as("nation"),
+        year(o("o_orderdate")).cast("long").as("o_year"), amount.as("amount"))
+      .groupBy("nation", "o_year")
+      .agg(sum(col("amount")).cast("double").as("sum_profit"), count(lit(1)).as("n"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
   /** Exact interpolated percentiles of an integral-valued measure per
     * group. Quartile interpolation between integers is exact in binary
     * floating point (0.25-grid fractions), so the results are

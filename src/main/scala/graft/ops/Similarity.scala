@@ -66,9 +66,13 @@ object Similarity {
       .orderBy("query_id", "rn")
   }
 
-  /** All near-duplicate pairs with cosine ≥ `minCos`. Exact (symmetric
-    * cross join, a < b); at scale, swap the cross join for the
-    * [[lshTopK]]-style band join — same verification expression. */
+  /** All near-duplicate pairs with cosine ≥ `minCos` — EXACT tier
+    * (symmetric cross join, a < b), which is O(n²) by construction. This
+    * is a verification utility for bounded corpora: SimilaritySpec uses it
+    * as the ground truth that measures [[embeddingNearDupPairsLSH]]'s
+    * recall. The gated/benched near-dup miner is the LSH twin — at scale
+    * the band join is the only viable plan, and keeping the cross product
+    * out of the production path is the point. */
   def embeddingNearDupPairs(emb: DataFrame, minCos: Double = 0.4): DataFrame = {
     graft.functions.FloatDot.register(emb.sparkSession)
     val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"),

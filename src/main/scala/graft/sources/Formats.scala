@@ -24,6 +24,20 @@ object Formats {
   def readCsv(spark: SparkSession, schema: StructType, paths: String*): DataFrame =
     spark.read.schema(schema).option("header", "true").csv(paths: _*)
 
+  /** Permissive-parse scan: rows that fail the schema are DROPPED, not
+    * errors — the reference reducer's contract (it skips lines that don't
+    * split into exactly two tokens and values that fail `int()`,
+    * `src/app/reducer.py:11,21-24`). `DROPMALFORMED` is that semantics at
+    * the source level: at 100 TB, dirty records are a certainty and a
+    * fail-the-job parser is not an option. Headerless, caller-set
+    * separator (the reference's `k v` lines are `sep = " "`). */
+  def readCsvDropMalformed(spark: SparkSession, schema: StructType, sep: String,
+      paths: String*): DataFrame =
+    spark.read.schema(schema)
+      .option("sep", sep)
+      .option("mode", "DROPMALFORMED")
+      .csv(paths: _*)
+
   def readJson(spark: SparkSession, schema: StructType, paths: String*): DataFrame =
     spark.read.schema(schema).json(paths: _*)
 

@@ -65,6 +65,16 @@ class DedupSpec extends SparkTestBase {
     assert(survivors.size < all.size, "planted near-dups must collapse")
   }
 
+  test("maxDf cap removes ubiquitous-shingle candidates (the k-squared skew guard)") {
+    import spark.implicits._
+    // 6 docs all sharing one hot token; pairs exist ONLY through it
+    val tiny = (1L to 6L).map(i => (i, s"common unique$i")).toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccardPairs(tiny, minJaccard = 0.01, n = 1, maxDf = None)
+    assert(uncapped.count() === 15, "uncapped: the hot shingle yields all C(6,2) pairs")
+    val capped = Dedup.ngramJaccardPairs(tiny, minJaccard = 0.01, n = 1, maxDf = Some(3))
+    assert(capped.count() === 0, "capped: df=6 > 3 shingle generates zero candidates")
+  }
+
   test("ngramJaccardPairs: jaccard in (0,1], capped variant is consistent") {
     val exact = Dedup.ngramJaccardPairs(docs, minJaccard = 0.2).cache()
     assert(exact.filter(col("jaccard") <= 0 || col("jaccard") > 1).count() === 0)

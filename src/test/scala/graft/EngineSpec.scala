@@ -58,4 +58,23 @@ class EngineSpec extends SparkTestBase {
     assert(results(1).error.nonEmpty)
     assert(results(2).jobId === 2, "queue preserves submission order")
   }
+
+  test("submitAsync: pollable CREATED->RUNNING->COMPLETED lifecycle (C2 poll-while-running)") {
+    val in = Files.createTempDirectory("graft_async")
+    Files.writeString(in.resolve("a.txt"), "alpha beta alpha\n")
+    val out = Files.createTempDirectory("graft_async_out")
+    val h = Engine.submitAsync(spark,
+      JobSpec(Seq(in.resolve("a.txt").toString)), out.resolve("ok").toString, jobId = 7)
+    val res = h.await()
+    assert(res.status === "COMPLETED")
+    assert(res.distinctKeys === 2) // alpha, beta
+    assert(h.status === "COMPLETED")
+    assert(h.transitions === Seq("CREATED", "RUNNING", "COMPLETED"),
+      "every lifecycle state observable in order, like the reference's status znode")
+
+    val hBad = Engine.submitAsync(spark,
+      JobSpec(Seq(in.resolve("missing.txt").toString)), out.resolve("bad").toString, jobId = 8)
+    assert(hBad.await().status === "FAILED")
+    assert(hBad.transitions === Seq("CREATED", "RUNNING", "FAILED"))
+  }
 }

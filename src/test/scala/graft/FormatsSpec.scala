@@ -21,6 +21,20 @@ class FormatsSpec extends SparkTestBase {
       src.orderBy("n_nationkey").collect().toSeq)
   }
 
+  test("DROPMALFORMED drops exactly the malformed lines (reference reducer parity)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val path = tmp("kv")
+    val lines = (1L to 100L).map(k => if (k % 13 == 0) s"$k oops" else s"$k ${k % 5}")
+    lines.toDF("value").write.mode("overwrite").text(path)
+    val schema = StructType(Seq(StructField("k", LongType), StructField("v", LongType)))
+    val parsed = Formats.readCsvDropMalformed(spark, schema, " ", path).cache()
+    val expectedDropped = (1 to 100).count(_ % 13 == 0)
+    assert(parsed.count() === 100 - expectedDropped, "non-int values drop their whole row")
+    assert(parsed.filter(col("v").isNull || col("k").isNull).count() === 0,
+      "surviving rows are fully parsed")
+  }
+
   test("json round-trip preserves rows") {
     val src = Tables.region(spark, sfDir)
     val path = tmp("json")

@@ -29,4 +29,21 @@ class PipedMapReduceSpec extends SparkTestBase {
       .forall(ws => ws == ws.sorted)
     assert(perPartitionSorted)
   }
+
+  test("a crashing user script fails the job loudly, surfacing exit code + stderr") {
+    val docs = Tables.documents(spark, sfDir).select(col("text").as("value")).limit(5)
+    val badMapper =
+      """import sys
+        |sys.stderr.write("boom: cannot parse config\n")
+        |sys.exit(3)
+        |""".stripMargin
+    val ex = intercept[Throwable] {
+      PipedMapReduce.pipedJob(spark, docs, badMapper, PipedMapReduce.ReducerPy).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    val all = messages(ex).mkString("\n")
+    assert(all.contains("exited with code 3"), s"exit status must be surfaced, got: $all")
+    assert(all.contains("boom: cannot parse config"), "stderr tail must be in the failure")
+  }
 }
