@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
-import graft.ops.{Dedup, MapReduce, Multimodal, Relational, Sampling, Similarity, TextAnalysis, TextOps}
+import graft.ops.{Dedup, MapReduce, Multimodal, PipedMapReduce, Relational, Sampling, Similarity, TextAnalysis, TextOps}
 import graft.sources.{Formats, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -69,11 +69,15 @@ object SparkEntry {
     "q5_local_supplier" -> Relational.q5LocalSupplierVolume,
     "q6_forecast_revenue" -> Relational.q6ForecastRevenue,
     "q9_product_profit" -> Relational.q9ProductProfit,
+    "q14_promo_revenue" -> Relational.q14PromoRevenue,
     // window functions
     "window_top3_orders" -> Relational.top3OrdersPerCustomer,
     "window_running_qty" -> Relational.runningQtyPerSupplier,
     "window_moving_avg" -> Relational.movingAvgEventValue,
     "window_navigation" -> Relational.windowNavigation,
+    "window_range_frame" -> Relational.trailingHourStats,
+    // salted-join twin of join_broadcast_segment — same oracle, skew-safe plan
+    "skew_salted_revenue" -> Relational.saltedRevenueBySegment,
     "percentiles_qty" -> Relational.percentilesQty,
     "pivot_status" -> Relational.pivotStatusByPriority,
     "unpivot_measures" -> Relational.unpivotOrderMeasures,
@@ -133,6 +137,8 @@ object SparkEntry {
       Similarity.embeddingNearDupPairsLSH(Tables.embeddings(s, d))),
     "ann_lsh_topk" -> ((s, d) =>
       Similarity.lshTopK(Tables.embeddings(s, d), col("vec_id") < 10)),
+    "ann_ivf_topk" -> ((s, d) =>
+      Similarity.ivfTopK(Tables.embeddings(s, d), col("vec_id") < 10)),
     // north-star: multimodal binary columns
     "mm_metadata" -> ((s, d) =>
       Multimodal.blobMetadata(Multimodal.asBlobTable(Tables.documents(s, d)))),
@@ -162,6 +168,11 @@ object SparkEntry {
         .orderBy("win_start", "event_type")),
     "stream_sessions_batch" -> ((s, d) =>
       graft.streaming.StreamOps.sessionizeBatch(Tables.events(s, d))),
+    // stream-stream interval join run on batch input (StreamOpsSpec drives
+    // the same transform through two MemoryStream sides)
+    "stream_interval_join" -> ((s, d) =>
+      graft.streaming.StreamOps.intervalJoin(Tables.events(s, d))
+        .orderBy("l_id", "r_id")),
     // exactly-once dedup, same code path the MemoryStream spec drives; the
     // input injects real duplicates (identical full rows, so the arbitrary
     // keep-one pick is value-deterministic)
@@ -185,6 +196,35 @@ object SparkEntry {
           array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"))
         .orderBy("n_regionkey")
     }),
+    // json sink→scan roundtrip with explicit schema on the way back in,
+    // proving doubles survive the text round trip bit-exactly
+    "fmt_json_roundtrip" -> ((s, d) => {
+      val out = "/tmp/graft_fmt/supplier_json"
+      val sup = Tables.supplier(s, d)
+      Formats.writeJson(sup, out)
+      Formats.readJson(s, sup.schema, out)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(col("s_acctbal").cast("decimal(18,2)")).cast("double").as("sum_acctbal"))
+        .orderBy("s_nationkey")
+    }),
+    // hive-partitioned sink→scan: the lang predicate prunes directories
+    // (PartitionFilters, asserted in FormatsSpec) — only the en/ files are read
+    "fmt_partitioned_pruning" -> ((s, d) => {
+      val out = "/tmp/graft_fmt/docs_by_lang"
+      Formats.writePartitioned(
+        Tables.documents(s, d).select("doc_id", "source", "n_chars", "lang"), out, "lang")
+      s.read.parquet(out)
+        .filter(col("lang") === "en")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .orderBy("source")
+    }),
+    // the literal subprocess-pipe surface under the oracle: same answer as
+    // the declarative wordcount, via python mapper/reducer processes
+    "piped_wordcount" -> ((s, d) =>
+      PipedMapReduce.pipedWordCount(s, Tables.documents(s, d).select(col("text").as("value")))
+        .orderBy("word")),
     // permissive-parse surface: the reference reducer silently drops
     // malformed / non-int lines (src/app/reducer.py:11,21-24); here the
     // same corpus-with-garbage shape goes through DROPMALFORMED and the
@@ -294,6 +334,33 @@ object SparkEntry {
        |  SELECT id_a, id_b,
        |    list_cosine_similarity(CAST(va AS DOUBLE[]), CAST(vb AS DOUBLE[])) AS cos FROM cand)
        |WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin
+
+  /** DuckDB mirror of [[Similarity.ivfTopK]]: pivots are `vec_id <
+    * NumPivots`, each vector lives in its nearest pivot's cell (ties to
+    * the smaller pid), queries probe their 2 nearest cells, exact cosine
+    * re-ranks. `ranked` is shared between cells and probes — the probe
+    * filter is on the vector id itself, so ranking before or after the
+    * filter is identical (mirrors the Spark side's shared `scored`). */
+  private val ivfOracleSql: String =
+    s"""WITH piv AS (SELECT vec_id AS pid, embedding AS pv FROM embeddings
+       |  WHERE vec_id < ${Similarity.NumPivots}),
+       |sc AS (SELECT e.vec_id, e.embedding, p.pid,
+       |  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(p.pv AS DOUBLE[])) AS pcos
+       |  FROM embeddings e CROSS JOIN piv p),
+       |ranked AS (SELECT vec_id, embedding, pid,
+       |  row_number() OVER (PARTITION BY vec_id ORDER BY pcos DESC, pid) AS prn FROM sc),
+       |cells AS (SELECT vec_id AS neighbor_id, embedding AS nv, pid AS cell
+       |  FROM ranked WHERE prn = 1),
+       |probes AS (SELECT vec_id AS query_id, embedding AS qv, pid AS cell
+       |  FROM ranked WHERE vec_id < 10 AND prn <= 2),
+       |cand AS (SELECT DISTINCT query_id, qv, neighbor_id, nv
+       |  FROM probes JOIN cells USING (cell) WHERE neighbor_id <> query_id),
+       |scored AS (SELECT query_id, neighbor_id,
+       |  list_cosine_similarity(CAST(qv AS DOUBLE[]), CAST(nv AS DOUBLE[])) AS cos FROM cand),
+       |r AS (SELECT query_id, neighbor_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn, cos
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rn, cos FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -418,6 +485,47 @@ object SparkEntry {
         |JOIN nation ON s_nationkey = n_nationkey
         |WHERE p_name LIKE '%red%'
         |GROUP BY 1, 2 ORDER BY 1, 2 DESC""".stripMargin,
+    "q14_promo_revenue" ->
+      """SELECT 100.0 * promo_revenue / total_revenue AS promo_pct,
+        |  promo_revenue, total_revenue, n FROM (
+        |  SELECT
+        |    CAST(sum(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS total_revenue,
+        |    count(*) AS n
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01')""".stripMargin,
+    "window_range_frame" ->
+      """SELECT user_id, event_id,
+        |  count(*) OVER w AS n_trailing_1h,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_trailing_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+    // unsalted SQL — proves the salted plan is result-identical
+    "skew_salted_revenue" ->
+      """SELECT c_mktsegment,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "ann_ivf_topk" -> ivfOracleSql,
+    "fmt_json_roundtrip" ->
+      """SELECT s_nationkey, count(*) AS n_suppliers,
+        |  CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+        |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin,
+    "fmt_partitioned_pruning" ->
+      """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE lang = 'en' GROUP BY 1 ORDER BY 1""".stripMargin,
+    "piped_wordcount" ->
+      """SELECT w AS word, count(*) AS cnt
+        |FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS w FROM documents)
+        |WHERE regexp_matches(w, '^[A-Za-z0-9]+$')
+        |GROUP BY w ORDER BY w""".stripMargin,
     "window_top3_orders" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
@@ -707,6 +815,15 @@ object SparkEntry {
         |SELECT user_id, session_idx, min(ts) AS start_ts, max(ts) AS end_ts,
         |  count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "stream_interval_join" ->
+      """SELECT l.user_id, l.event_id AS l_id, r.event_id AS r_id,
+        |  CAST(CAST(l.value AS DECIMAL(18,2)) AS DOUBLE) AS l_value,
+        |  CAST(CAST(r.value AS DECIMAL(18,2)) AS DOUBLE) AS r_value
+        |FROM events l JOIN events r
+        |  ON r.user_id = l.user_id
+        |  AND l.event_type = 'click' AND r.event_type = 'purchase'
+        |  AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
+        |ORDER BY l_id, r_id""".stripMargin,
     // duplicates injected as identical full rows, so keep-any == keep-first
     "stream_dedup_events" ->
       """SELECT event_id, user_id, event_type, value, ts FROM (

@@ -405,6 +405,70 @@ object Relational {
       .orderBy(col("nation"), col("o_year").desc)
   }
 
+  /** TPC-H Q14-shaped promo-revenue ratio: one selective scan of the fact
+    * table joined to `part` for the numerator's CASE, a single aggregate
+    * producing both the conditional and unconditional sums, ratio at the
+    * end. The date filter is pushed to the parquet scan; part broadcasts.
+    * Money math in exact DECIMAL until the final ratio (the division is
+    * done in DOUBLE after both sums are exact — same association as the
+    * oracle's). */
+  def q14PromoRevenue(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+    val p = Tables.part(s, dir)
+    val disc = col("l_extendedprice").cast(money) * (lit(1) - col("l_discount").cast(rate))
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .select(disc.as("rev"), (p("p_type") === "PROMO").as("is_promo"))
+      .agg(
+        sum(when(col("is_promo"), col("rev")).otherwise(lit(0).cast(money))).as("promo_rev_d"),
+        sum(col("rev")).as("total_rev_d"),
+        count(lit(1)).as("n"))
+      .select(
+        (lit(100.0) * col("promo_rev_d").cast("double") / col("total_rev_d").cast("double"))
+          .as("promo_pct"),
+        col("promo_rev_d").cast("double").as("promo_revenue"),
+        col("total_rev_d").cast("double").as("total_revenue"),
+        col("n"))
+  }
+
+  /** Event-time RANGE window frame: per event, count and exact-decimal sum
+    * of the same user's values in the trailing hour INCLUDING the current
+    * row — a value-based frame (`RANGE BETWEEN INTERVAL`), not a row-count
+    * frame. The frame is computed on microsecond epochs so sub-second
+    * event spacing resolves identically to timestamp-interval arithmetic.
+    * Value-based frames are deterministic under ties by construction (all
+    * peers are in-frame), so no tiebreak column is needed. */
+  def trailingHourStats(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"))
+      .rangeBetween(-3600L * 1000000L, 0L)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+        expr("unix_micros(ts)").as("ts_us"))
+      .select(
+        col("user_id"), col("event_id"),
+        count(lit(1)).over(w).as("n_trailing_1h"),
+        sum(col("value").cast(money)).over(w).cast("double").as("sum_trailing_1h"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** [[revenueBySegment]] semantics through [[Skew.saltedJoin]]: the gate
+    * proving the salted plan is result-identical to the plain join (the
+    * oracle is the unsalted SQL). At 100 TB this is the shape for a hot
+    * customer key — the fact side fans out over 8 salt buckets, the
+    * dimension replicates 8×, and the aggregate is unchanged. */
+  def saltedRevenueBySegment(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select("o_custkey", "o_totalprice")
+    val c = Tables.customer(s, dir).select("c_custkey", "c_mktsegment")
+    Skew.saltedJoin(o, c, "o_custkey", "c_custkey")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        sum(col("o_totalprice").cast(money)).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** Exact interpolated percentiles of an integral-valued measure per
     * group. Quartile interpolation between integers is exact in binary
     * floating point (0.25-grid fractions), so the results are

@@ -153,6 +153,57 @@ object Similarity {
       .orderBy("query_id", "rn")
   }
 
+  val NumPivots = 16
+
+  /** IVF-style ANN: the corpus is coarsely partitioned into [[NumPivots]]
+    * cells (each vector lives in the cell of its nearest pivot), and a
+    * query searches only its `nprobe` nearest cells — the classic
+    * inverted-file index, with cells as the unit of pruning. Pivots here
+    * are the deterministic `vec_id < NumPivots` sample (in production they
+    * would come from k-means, which only changes WHERE the pivots sit, not
+    * the plan); they are tiny and broadcast, so cell assignment is one
+    * narrow map-side pass over the corpus — the 16× pivot fan-out
+    * collapses in the map-side partial aggregate before any shuffle, and
+    * the only shuffles are one per-vector argmax (combine-heavy) and the
+    * probe⋈cell candidate join on cell ids. Unlike the LSH tier, recall
+    * loss is geometric (a true neighbor in an unprobed cell), measured in
+    * SimilaritySpec against [[bruteForceTopK]]. */
+  def ivfTopK(emb: DataFrame, queryPred: Column, k: Int = 5, nprobe: Int = 2): DataFrame = {
+    graft.functions.FloatDot.register(emb.sparkSession)
+    val piv = emb.filter(col("vec_id") < NumPivots)
+      .select(col("vec_id").as("pid"), col("embedding").as("pv"))
+    val scored = emb.crossJoin(broadcast(piv))
+      .withColumn("pcos", cosine("embedding", "pv"))
+    // nearest pivot per vector: max of (pcos, -pid) orders ties to the
+    // smaller pid; first(embedding) is value-deterministic (identical
+    // across a vector's 16 pivot rows). groupBy, not a window — partial
+    // aggregation collapses the fan-out map-side.
+    val cells = scored.groupBy(col("vec_id"))
+      .agg(first(col("embedding")).as("nv"),
+        max(struct(col("pcos"), (-col("pid")).as("npid"))).as("best"))
+      .select(col("vec_id").as("neighbor_id"), col("nv"),
+        (-col("best.npid")).cast("long").as("cell"))
+    // nprobe nearest cells per query: the query set is tiny, so the
+    // row_number window is over |queries| × NumPivots rows only
+    val wProbe = Window.partitionBy(col("vec_id")).orderBy(col("pcos").desc, col("pid"))
+    val probes = scored.filter(queryPred)
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("pid").cast("long").as("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(probes).join(cells, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "qv", "neighbor_id", "nv")
+      .distinct()
+      .withColumn("cos", cosine("qv", "nv"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select("query_id", "neighbor_id", "rn", "cos")
+      .orderBy("query_id", "rn")
+  }
+
   /** Scale path for [[embeddingNearDupPairs]]: LSH band join generates
     * candidates (hash-shuffle on uniformly distributed band keys instead
     * of the n² cross product), exact cosine verifies. Every returned pair

@@ -52,6 +52,39 @@ object StreamOps {
   def dedupEvents(events: DataFrame, delay: String = "1 hour"): DataFrame =
     events.withWatermark("ts", delay).dropDuplicates("event_id")
 
+  /** Stream-stream interval join: attribute each `rightType` event to the
+    * same user's `leftType` events in the preceding `maxGap` — the classic
+    * click→purchase attribution shape. Both sides carry watermarks and the
+    * join condition is time-bounded on event time, which is exactly what
+    * lets Structured Streaming expire join state (without the bound, both
+    * sides' state would grow forever). On batch input the watermarks are
+    * no-ops and this is a plain band join — the same unified-transform
+    * contract as the rest of this module, which the oracle gate exploits.
+    * At scale the join shuffles both sides on `user_id` only; the time
+    * predicate is evaluated within each key group. */
+  def intervalJoin(
+      events: DataFrame,
+      leftType: String = "click",
+      rightType: String = "purchase",
+      maxGap: String = "1 hour",
+      delay: String = "30 minutes"): DataFrame = {
+    val l = events.filter(col("event_type") === leftType)
+      .select(col("event_id").as("l_id"), col("user_id"),
+        col("ts").as("l_ts"), col("value").as("l_value"))
+      .withWatermark("l_ts", delay)
+    val r = events.filter(col("event_type") === rightType)
+      .select(col("event_id").as("r_id"), col("user_id").as("r_user_id"),
+        col("ts").as("r_ts"), col("value").as("r_value"))
+      .withWatermark("r_ts", delay)
+    l.join(r,
+        col("user_id") === col("r_user_id") &&
+          col("r_ts") >= col("l_ts") &&
+          col("r_ts") <= col("l_ts") + expr(s"INTERVAL $maxGap"))
+      .select(col("user_id"), col("l_id"), col("r_id"),
+        col("l_value").cast(money).cast("double").as("l_value"),
+        col("r_value").cast(money).cast("double").as("r_value"))
+  }
+
   /** Input record for sessionization. */
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)

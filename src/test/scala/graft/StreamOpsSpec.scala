@@ -121,6 +121,32 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join equals the batch result (unified transform)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val events = Seq(
+      Event(1, ts(0), 1, "click", 1.0),     // joined by purchase at t30
+      Event(2, ts(30), 1, "purchase", 5.0),
+      Event(3, ts(10), 2, "click", 2.0),    // purchase 100 min later: out of window
+      Event(4, ts(110), 2, "purchase", 6.0),
+      Event(5, ts(90), 1, "click", 3.0),    // no purchase after it
+      Event(6, ts(40), 3, "purchase", 7.0)) // purchase with no click
+    val stream = MemoryStream[Event]
+    val q = StreamOps.intervalJoin(stream.toDF())
+      .writeStream.format("memory").queryName("ij_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(events: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ij_out").orderBy("l_id", "r_id").collect()
+      val batch = StreamOps.intervalJoin(events.toDF())
+        .orderBy("l_id", "r_id").collect()
+      assert(streamed.toSeq === batch.toSeq)
+      // only user 1's click(t0)->purchase(t30) pair is within the hour
+      assert(batch.map(r => (r.getLong(1), r.getLong(2))).toSeq === Seq((1L, 2L)))
+    } finally q.stop()
+  }
+
   test("sessionizeBatch matches hand-computed sessions and counts all events") {
     import spark.implicits._
     val df = Seq(
