@@ -213,6 +213,15 @@ object Dedup {
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
     var labels = docs.select(col("doc_id"), col("doc_id").as("label")).persist()
+    // Convergence check: labels only ever DECREASE under min-propagation,
+    // so the label-sum is strictly monotone and "sum unchanged" ⟺ "no
+    // label changed" — one aggregate per round instead of a full
+    // old-vs-new join (the aggregate also materializes `next`, which the
+    // unpersist of the previous round requires anyway).
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("label").cast("decimal(38,0)")), // empty corpus: sum is null
+        lit(0).cast("decimal(38,0)"))).collect()(0).getDecimal(0)
+    var prevSum = labelSum(labels)
     var iterations = 0
     var converged = false
     while (!converged && iterations < 20) {
@@ -226,11 +235,11 @@ object Dedup {
         .select(col("l1.doc_id").as("doc_id"), col("l2.label").as("label"))
       val next = labels.select("doc_id", "label").union(viaNeighbor).union(viaPointer)
         .groupBy("doc_id").agg(min("label").as("label")).persist()
-      val changed = next.as("n").join(labels.as("o"), "doc_id")
-        .filter(col("n.label") =!= col("o.label")).count()
+      val nextSum = labelSum(next)
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       iterations += 1
     }
     // materialize the survivor set BEFORE dropping the caches it is computed

@@ -41,6 +41,22 @@ object Formats {
   def readJson(spark: SparkSession, schema: StructType, paths: String*): DataFrame =
     spark.read.schema(schema).json(paths: _*)
 
+  /** Permissive-parse scan that KEEPS the bad rows: well-formed rows parse
+    * into `schema`'s columns, malformed lines land whole in
+    * `_corrupt_record` with the data columns null. [[readCsvDropMalformed]]
+    * is the reference reducer's silent-drop contract; this is the other
+    * thing a 100 TB ingest actually wants — route the rejects to a
+    * quarantine sink (filter on `_corrupt_record IS NOT NULL`) so data
+    * loss is observable and debuggable instead of silent. */
+  def readCsvQuarantine(spark: SparkSession, schema: StructType, sep: String,
+      paths: String*): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt_record", org.apache.spark.sql.types.StringType))
+      .option("sep", sep)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(paths: _*)
+
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
 
@@ -52,6 +68,25 @@ object Formats {
     * is a directory of files. */
   def writePartitioned(df: DataFrame, path: String, partitionCols: String*): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
+
+  /** Compact a parquet dataset's small files: rewrite `inPath` to
+    * `outPath` with files sized near `targetFileBytes`. The small-files
+    * problem is a first-order cost at 100 TB (every file is a task, a
+    * footer read, an object-store request); streaming sinks and
+    * fine-grained partitioned writes both produce it, and periodic
+    * compaction is the standard maintenance job. File count comes from the
+    * dataset's actual on-disk size, and `coalesce` (not `repartition`)
+    * merges without a shuffle. Returns the output file count. */
+  def compactParquet(spark: SparkSession, inPath: String, outPath: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(inPath), spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(inPath)).getLength
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    spark.read.parquet(inPath).coalesce(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
+    nFiles
+  }
 
   /** Bucketed + sorted managed table (bucketing requires the table
     * catalog). Joins/aggregations keyed on `bucketCol` against another

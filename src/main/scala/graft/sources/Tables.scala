@@ -41,4 +41,16 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Every table of the corpus, by name. */
+  val All: Seq[String] = Seq("region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register the whole corpus as temp views so `spark.sql` works over it
+    * directly — the engine's SQL text surface is then complete (any query a
+    * DataFrame caller can run is also runnable as SQL against these names,
+    * including the corrected `events.ts` timestamps). */
+  def registerAll(s: SparkSession, d: String): Unit =
+    All.foreach(n => (if (n == "events") events(s, d) else table(s, d, n))
+      .createOrReplaceTempView(n))
 }

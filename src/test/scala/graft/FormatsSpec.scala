@@ -35,6 +35,46 @@ class FormatsSpec extends SparkTestBase {
       "surviving rows are fully parsed")
   }
 
+  test("compactParquet merges small files without losing rows") {
+    val small = tmp("small")
+    val compacted = tmp("compacted")
+    val src = Tables.orders(spark, sfDir)
+    src.repartition(32).write.mode("overwrite").parquet(small) // the small-files problem
+    def parquetFiles(p: String) =
+      new java.io.File(p).listFiles().count(f => f.getName.endsWith(".parquet"))
+    assert(parquetFiles(small) === 32)
+    // a large target → everything folds into one file
+    val n = Formats.compactParquet(spark, small, compacted, targetFileBytes = 1L << 30)
+    assert(n === 1 && parquetFiles(compacted) === 1)
+    assert(spark.read.parquet(compacted).count() === src.count())
+  }
+
+  test("registerAll exposes the whole corpus to spark.sql") {
+    Tables.registerAll(spark, sfDir)
+    val n = spark.sql(
+      "SELECT count(*) AS n FROM orders JOIN customer ON o_custkey = c_custkey")
+      .collect()(0).getLong(0)
+    assert(n === Tables.orders(spark, sfDir).count())
+    // events view carries the corrected timestamp type
+    assert(spark.sql("SELECT ts FROM events").schema("ts").dataType.typeName === "timestamp")
+  }
+
+  test("quarantine parse keeps malformed lines in _corrupt_record") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val path = tmp("quarantine")
+    val lines = (1L to 100L).map(k => if (k % 13 == 0) s"$k oops" else s"$k ${k % 5}")
+    lines.toDF("value").write.mode("overwrite").text(path)
+    val schema = StructType(Seq(StructField("k", LongType), StructField("v", LongType)))
+    val parsed = Formats.readCsvQuarantine(spark, schema, " ", path).cache()
+    val nBad = (1 to 100).count(_ % 13 == 0)
+    assert(parsed.count() === 100, "no row is lost")
+    assert(parsed.filter(col("_corrupt_record").isNotNull).count() === nBad)
+    // quarantined rows carry the original line for debugging
+    assert(parsed.filter(col("_corrupt_record") === "13 oops").count() === 1)
+    assert(parsed.filter(col("_corrupt_record").isNull && col("v").isNull).count() === 0)
+  }
+
   test("json round-trip preserves rows") {
     val src = Tables.region(spark, sfDir)
     val path = tmp("json")
