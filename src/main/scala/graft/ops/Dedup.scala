@@ -198,17 +198,55 @@ object Dedup {
   }
 
   /** Resolve near-duplicate PAIRS into a deduplicated corpus: treat pairs
-    * as undirected edges, find connected components by min-label
-    * propagation, keep each component's lowest doc_id. Convergence takes
-    * O(component diameter) joins — near-dup clusters are shallow (pairs /
-    * small stars), so the loop exits in 2–3 rounds; each round is one
-    * hash-shuffle join, so the approach scales with the edge list, never
-    * the corpus square. The driver-side loop condition is a count on the
-    * (tiny) changed-label set. */
-  def nearDupSurvivors(docs: DataFrame, minSigFrac: Double = 0.5): DataFrame = {
-    // persist the pair list itself — the symmetric-edge union references it
-    // twice, and without the cache each branch re-runs the whole LSH join
+    * as undirected edges, find connected components, keep each component's
+    * lowest doc_id.
+    *
+    * Hybrid by edge-list size — the pair list is orders of magnitude
+    * smaller than the corpus (it is the LSH collisions, not the documents):
+    *  - at or below `maxDriverEdges`, union-find on the driver and a
+    *    broadcast anti-join filter. One pass over the edges, no iteration;
+    *    the collected state is bounded by the threshold (~16 B/edge), the
+    *    same small-side-to-driver contract as a broadcast join.
+    *  - above it, distributed min-label propagation with pointer jumping
+    *    (O(log diameter) rounds, each one hash-shuffle join) — scales with
+    *    the edge list, never the corpus square.
+    * Both paths produce the identical survivor set (component minimum);
+    * DedupSpec runs the distributed path against union-find ground truth. */
+  def nearDupSurvivors(docs: DataFrame, minSigFrac: Double = 0.5,
+      maxDriverEdges: Long = 4_000_000L): DataFrame = {
+    // persist the pair list itself — every consumer below references it
+    // more than once, and without the cache each branch re-runs the whole
+    // LSH join
     val pairs = minHashPairs(docs, minSigFrac).select("doc_a", "doc_b").persist()
+    if (pairs.count() <= maxDriverEdges) {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      // union-find with path halving over the collected edge list
+      val parent = scala.collection.mutable.HashMap[Long, Long]()
+      def find(x0: Long): Long = {
+        var x = x0
+        while (parent.getOrElse(x, x) != x) {
+          val p = parent(x)
+          parent(x) = parent.getOrElse(p, p) // path halving
+          x = parent(x)
+        }
+        x
+      }
+      pairs.collect().foreach { r =>
+        val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
+        if (ra != rb) { // smaller root wins, so the root IS the component min
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      // snapshot keys first: find() path-halves (mutates values) mid-scan
+      val nonSurvivors = parent.keys.toArray.filter(d => find(d) != d).toSeq
+      val out = docs.select(col("doc_id"))
+        .join(broadcast(nonSurvivors.toDF("doc_id")), Seq("doc_id"), "left_anti")
+        .orderBy("doc_id").persist()
+      out.count()
+      pairs.unpersist()
+      return out
+    }
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()

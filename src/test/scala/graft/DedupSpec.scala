@@ -52,6 +52,11 @@ class DedupSpec extends SparkTestBase {
     val pairs = Dedup.minHashPairs(docs).select("doc_a", "doc_b").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     val survivors = Dedup.nearDupSurvivors(docs).collect().map(_.getLong(0)).toSet
+    // both tiers must produce the identical set: maxDriverEdges = -1 forces
+    // the distributed label-propagation path
+    val distributed = Dedup.nearDupSurvivors(docs, maxDriverEdges = -1L)
+      .collect().map(_.getLong(0)).toSet
+    assert(distributed === survivors)
     val all = docs.select("doc_id").collect().map(_.getLong(0)).toSet
     // union-find ground truth on the driver
     val parent = scala.collection.mutable.Map(all.toSeq.map(x => x -> x): _*)
