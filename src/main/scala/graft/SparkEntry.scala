@@ -79,6 +79,9 @@ object SparkEntry {
     // salted-join twin of join_broadcast_segment — same oracle, skew-safe plan
     "skew_salted_revenue" -> Relational.saltedRevenueBySegment,
     "percentiles_qty" -> Relational.percentilesQty,
+    // sketch quantiles: rows-only by contract (engine-specific sketch, like
+    // ta_approx_distinct); SketchSpec bounds it against the exact version
+    "agg_approx_quantiles" -> Relational.approxQuantilesQty,
     "pivot_status" -> Relational.pivotStatusByPriority,
     "unpivot_measures" -> Relational.unpivotOrderMeasures,
     "setops_all_variants" -> Relational.setOpsAllVariants,

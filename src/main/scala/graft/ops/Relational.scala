@@ -483,6 +483,25 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
 
+  /** Sketch-based per-group quantiles (`percentile_approx`):
+    * bounded-memory, single-pass, mergeable across partitions — the scale
+    * path when the exact interpolated percentile's per-group sort is too
+    * expensive. Not oracle-able (sketch internals are engine-specific —
+    * the same contract as HLL approx-distinct); SketchSpec bounds it
+    * against the exact [[percentilesQty]]. */
+  def approxQuantilesQty(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile_approx(l_quantity, array(0.25D, 0.5D, 0.75D), 10000)").as("q"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        element_at(col("q"), 1).as("ap25"),
+        element_at(col("q"), 2).as("ap50"),
+        element_at(col("q"), 3).as("ap75"),
+        col("n"))
+      .orderBy("l_returnflag")
+
   /** Navigation + ranking window sampler: lag/lead, dense_rank, ntile,
     * first value over an explicit ROWS frame — the window-function surface
     * beyond the aggregating windows already covered. */

@@ -163,6 +163,18 @@ object TextAnalysis {
     * the exact column exists here to expose the error empirically
     * (TextAnalysisSpec bounds it). Sketch internals differ per engine, so
     * this query is rows-only in the driver gate. */
+  /** Count-min frequency sketch over all alnum tokens — the mergeable
+    * point-frequency twin of [[approxDistinctWords]]'s HLL sketch: one
+    * pass, `eps * N` additive error, never underestimates, and sketches
+    * merge across partitions (which is how Spark computes it). At 100 TB
+    * this answers "how often does token X occur" without a word-keyed
+    * shuffle — the sketch is the only thing that crosses the wire. */
+  def tokenCountSketch(docs: DataFrame, eps: Double = 1e-4,
+      confidence: Double = 0.99): org.apache.spark.util.sketch.CountMinSketch =
+    docs.select(explode(split(lower(col("text")), "\\s+")).as("word"))
+      .filter(col("word").rlike("^[a-z0-9]+$"))
+      .stat.countMinSketch(col("word"), eps, confidence, 42)
+
   def approxDistinctWords(docs: DataFrame): DataFrame = {
     val toks = docs.select(
       col("source"),
