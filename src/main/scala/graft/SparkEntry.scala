@@ -223,6 +223,25 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
         .orderBy("source")
     }),
+    // bucketed-table layout under the oracle: both sides pre-shuffled on
+    // the join key, so the join itself plans with ZERO exchanges (the
+    // co-located-join story; FormatsSpec asserts the no-Exchange plan).
+    // Same unsalted SQL oracle as the broadcast/salted twins — three plans,
+    // one result.
+    "fmt_bucketed_join" -> ((s, d) => {
+      Formats.writeBucketed(
+        Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice"),
+        "graft_orders_bkt", "o_custkey", 8)
+      Formats.writeBucketed(
+        Tables.customer(s, d).select("c_custkey", "c_mktsegment"),
+        "graft_customer_bkt", "c_custkey", 8)
+      s.table("graft_orders_bkt")
+        .join(s.table("graft_customer_bkt"), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("c_mktsegment")
+    }),
     // the literal subprocess-pipe surface under the oracle: same answer as
     // the declarative wordcount, via python mapper/reducer processes
     "piped_wordcount" -> ((s, d) =>
@@ -540,6 +559,12 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "ann_ivf_topk" -> ivfOracleSql,
+    "fmt_bucketed_join" ->
+      """SELECT c_mktsegment,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "fmt_json_roundtrip" ->
       """SELECT s_nationkey, count(*) AS n_suppliers,
         |  CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal

@@ -51,6 +51,22 @@ class RobustnessSpec extends SparkTestBase {
     assert(Similarity.bruteForceTopK(emptyEmb, col("vec_id") < 10).count() === 0)
     assert(Similarity.embeddingNearDupPairs(emptyEmb).count() === 0)
     assert(Similarity.lshTopK(emptyEmb, col("vec_id") < 10).count() === 0)
+    assert(Similarity.ivfTopK(emptyEmb, col("vec_id") < 10).count() === 0)
+    assert(Similarity.embeddingNearDupPairsLSH(emptyEmb).count() === 0)
+  }
+
+  test("streaming transforms on empty batch input") {
+    import graft.streaming.StreamOps
+    val emptyEvents = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq.empty[Row], 2),
+      StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", TimestampType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType))))
+    assert(StreamOps.windowedEventCounts(emptyEvents).count() === 0)
+    assert(StreamOps.sessionizeBatch(emptyEvents).count() === 0)
+    assert(StreamOps.dedupEvents(emptyEvents).count() === 0)
+    assert(StreamOps.intervalJoin(emptyEvents).count() === 0)
   }
 
   test("multimodal on empty corpus") {
