@@ -91,10 +91,21 @@ object Formats {
   /** Bucketed + sorted managed table (bucketing requires the table
     * catalog). Joins/aggregations keyed on `bucketCol` against another
     * table bucketed the same way run shuffle-free. */
-  def writeBucketed(df: DataFrame, table: String, bucketCol: String, numBuckets: Int): Unit =
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String, numBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    // Overwrite only replaces a table THIS session's catalog knows about; a
+    // managed location left by a previous session still blocks the create
+    // (LOCATION_ALREADY_EXISTS). Drop both the catalog entry and any stale
+    // directory so the write is idempotent across sessions.
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(numBuckets, bucketCol)
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table)
+  }
 }
