@@ -76,6 +76,10 @@ object SparkEntry {
     "window_moving_avg" -> Relational.movingAvgEventValue,
     "window_navigation" -> Relational.windowNavigation,
     "window_range_frame" -> Relational.trailingHourStats,
+    "window_rank_stats" -> Relational.windowRankStats,
+    // SQL three-valued logic surface
+    "null_handling_sampler" -> Relational.nullHandlingSampler,
+    "null_agg_counts" -> Relational.nullAggCounts,
     // salted-join twin of join_broadcast_segment — same oracle, skew-safe plan
     "skew_salted_revenue" -> Relational.saltedRevenueBySegment,
     "percentiles_qty" -> Relational.percentilesQty,
@@ -558,6 +562,25 @@ object SparkEntry {
         |  count(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "null_handling_sampler" ->
+      """SELECT o_orderkey,
+        |  nullif(o_orderstatus, 'O') AS status_nulled,
+        |  coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_filled,
+        |  o_orderstatus IS NOT DISTINCT FROM nullif(o_orderstatus, 'O') AS eq_nullsafe,
+        |  nullif(o_orderpriority, '1-URGENT') IS NULL AS is_urgent
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "null_agg_counts" ->
+      """SELECT o_orderstatus, count(*) AS n_rows,
+        |  count(nullif(o_orderpriority, '1-URGENT')) AS n_nonnull,
+        |  count(DISTINCT nullif(o_orderpriority, '1-URGENT')) AS n_distinct_nonnull
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "window_rank_stats" ->
+      """SELECT user_id, event_id,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cdist
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
     "ann_ivf_topk" -> ivfOracleSql,
     "fmt_bucketed_join" ->
       """SELECT c_mktsegment,

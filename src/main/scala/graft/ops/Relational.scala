@@ -483,6 +483,47 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
 
+  /** Null-semantics sampler: NULLIF/COALESCE/null-safe equality over
+    * injected nulls (the corpus itself is null-free) — SQL three-valued
+    * logic is a classic cross-engine parity trap, so it is made explicit
+    * and oracle-checked here. `<=>` mirrors DuckDB's
+    * `IS NOT DISTINCT FROM`. */
+  def nullHandlingSampler(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(
+        col("o_orderkey"),
+        expr("nullif(o_orderstatus, 'O')").as("status_nulled"),
+        coalesce(expr("nullif(o_orderstatus, 'O')"), lit("OPEN")).as("status_filled"),
+        (col("o_orderstatus") <=> expr("nullif(o_orderstatus, 'O')")).as("eq_nullsafe"),
+        expr("nullif(o_orderpriority, '1-URGENT')").isNull.as("is_urgent"))
+      .orderBy("o_orderkey")
+
+  /** Null-aware aggregation: `count(*)` vs `count(col)` vs
+    * `count(DISTINCT col)` over a column with injected nulls — the three
+    * counts differ exactly by SQL's null rules. */
+  def nullAggCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderstatus"),
+        expr("nullif(o_orderpriority, '1-URGENT')").as("prio_n"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("prio_n")).as("n_nonnull"),
+        countDistinct(col("prio_n")).as("n_distinct_nonnull"))
+      .orderBy("o_orderstatus")
+
+  /** Relative-rank window functions (percent_rank, cume_dist) — the
+    * ranking family beyond rank/dense_rank/ntile. Deterministic: the
+    * order key (value, event_id) is unique within each partition, and
+    * both functions are exact rational arithmetic on identical ranks. */
+  def windowRankStats(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("value"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cdist"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** Sketch-based per-group quantiles (`percentile_approx`):
     * bounded-memory, single-pass, mergeable across partitions — the scale
     * path when the exact interpolated percentile's per-group sort is too
