@@ -117,6 +117,22 @@ object Engine {
       }
     }
 
+  /** Bounded-parallel job queue: up to `maxParallel` jobs run
+    * concurrently (each via [[submitAsync]], so each has its own SQL-conf
+    * scope and cancellable job group), results return in submission order
+    * with the same per-job failure isolation as [[runQueue]]. This is the
+    * reference's multi-worker job throughput story on one Spark cluster —
+    * the scheduler interleaves the jobs' stages across executors. */
+  def runQueueConcurrent(spark: SparkSession, jobs: Seq[(JobSpec, String)],
+      maxParallel: Int = 4): Seq[JobResult] =
+    jobs.zipWithIndex
+      .grouped(maxParallel)
+      .flatMap { wave =>
+        wave.map { case ((spec, outDir), id) => submitAsync(spark, spec, outDir, id) }
+          .map(_.await())
+      }
+      .toSeq
+
   /** Run `body` with the job's shard size as Spark's input-split target.
     * Spark reads `spark.sql.files.maxPartitionBytes` when the scan is
     * *planned* (at action time), not when `spark.read` is called — so the

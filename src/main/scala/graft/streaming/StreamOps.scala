@@ -85,6 +85,30 @@ object StreamOps {
         col("r_value").cast(money).cast("double").as("r_value"))
   }
 
+  /** Idempotent per-batch file write: the batch lands in its own
+    * `batch_id=<n>` directory with overwrite, so a REPLAYED batch (Spark's
+    * foreachBatch is at-least-once after a failure) rewrites the same
+    * directory instead of appending duplicates. Readers get hive-style
+    * partition discovery over `batch_id` for free. */
+  def writeBatchIdempotent(batch: Dataset[org.apache.spark.sql.Row],
+      outDir: String, batchId: Long): Unit =
+    batch.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$outDir/batch_id=$batchId")
+
+  /** Exactly-once parquet sink for a stream: foreachBatch + the idempotent
+    * per-batch write above + the checkpoint's batch tracking together
+    * upgrade the at-least-once replay contract to exactly-once file
+    * output — the standard pattern for file/table sinks that need replay
+    * safety. */
+  def startExactlyOnceFileSink(stream: DataFrame, outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        writeBatchIdempotent(b, outDir, id))
+      .start()
+
   /** Input record for sessionization. */
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)

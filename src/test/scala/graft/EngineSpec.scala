@@ -59,6 +59,24 @@ class EngineSpec extends SparkTestBase {
     assert(results(2).jobId === 2, "queue preserves submission order")
   }
 
+  test("runQueueConcurrent: parallel jobs, ordered results, isolated failures") {
+    val in = Files.createTempDirectory("graft_cq")
+    Files.writeString(in.resolve("a.txt"), "alpha beta alpha\n")
+    Files.writeString(in.resolve("b.txt"), "gamma gamma\n")
+    val outRoot = Files.createTempDirectory("graft_cqout")
+    val results = Engine.runQueueConcurrent(spark, Seq(
+      JobSpec(Seq(in.resolve("a.txt").toString)) -> outRoot.resolve("j0").toString,
+      JobSpec(Seq(in.resolve("missing.txt").toString)) -> outRoot.resolve("j1").toString,
+      JobSpec(Seq(in.resolve("b.txt").toString)) -> outRoot.resolve("j2").toString,
+      JobSpec(Seq(in.resolve("a.txt").toString, in.resolve("b.txt").toString))
+        -> outRoot.resolve("j3").toString), maxParallel = 3)
+    assert(results.map(_.status) === Seq("COMPLETED", "FAILED", "COMPLETED", "COMPLETED"))
+    assert(results.map(_.jobId) === Seq(0, 1, 2, 3), "results in submission order")
+    assert(results(0).distinctKeys === 2) // alpha beta
+    assert(results(2).distinctKeys === 1) // gamma
+    assert(results(3).distinctKeys === 3) // alpha beta gamma
+  }
+
   test("submitAsync: pollable CREATED->RUNNING->COMPLETED lifecycle (C2 poll-while-running)") {
     val in = Files.createTempDirectory("graft_async")
     Files.writeString(in.resolve("a.txt"), "alpha beta alpha\n")
