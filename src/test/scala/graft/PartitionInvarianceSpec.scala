@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.ops.{Dedup, Sampling, TextAnalysis}
+import graft.sources.Tables
+
+/** Partition-count invariance: operator results must not depend on how the
+  * input happens to be laid out across partitions — on a real cluster the
+  * partitioning changes with file sizes, AQE decisions, retries, and
+  * speculative execution, so any layout-sensitive result is a latent
+  * nondeterminism bug at 100 TB. Each case runs the same operator over
+  * 1-partition and many-partition copies of the same input and demands
+  * identical results. */
+class PartitionInvarianceSpec extends SparkTestBase {
+
+  private def docs = Tables.documents(spark, sfDir)
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  private def invariant(name: String)(op: DataFrame => DataFrame): Unit = {
+    val narrow = op(docs.repartition(1))
+    val wide = op(docs.repartition(13))
+    assert(sortedRows(narrow) === sortedRows(wide), s"$name is layout-sensitive")
+  }
+
+  test("exact dedup is partition-count invariant") {
+    invariant("exactDedup")(Dedup.exactDedup)
+  }
+
+  test("minhash pairs are partition-count invariant") {
+    invariant("minHashPairs")(Dedup.minHashPairs(_))
+  }
+
+  test("simhash fingerprints are partition-count invariant") {
+    invariant("simHash")(Dedup.simHash)
+  }
+
+  test("hash sampling is partition-count invariant (retry-stable)") {
+    invariant("hashSample")(Sampling.hashSample(_, "doc_id", 10))
+  }
+
+  test("tf-idf is partition-count invariant (quantized log + exact counts)") {
+    invariant("tfIdf")(TextAnalysis.tfIdf)
+  }
+}
