@@ -25,6 +25,16 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
+  /** Per-process warehouse location (see the warehouse.dir note below).
+    * Stable within a JVM so getOrCreate-reused sessions agree; removed on
+    * clean JVM exit. */
+  val warehouseDir: String = {
+    val dir = s"/tmp/graft_warehouse_${ProcessHandle.current().pid()}"
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))))
+    dir
+  }
+
   /** Local session with the engine's standard configuration. */
   def local(cores: Int, appName: String = "graft"): SparkSession =
     SparkSession.builder()
@@ -35,8 +45,11 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", classOf[GraftExtensions].getName)
       // bucketed tables need the catalog's warehouse; keep it out of the
-      // source tree (and of any default cwd a caller launches from)
-      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+      // source tree (and of any default cwd a caller launches from), and
+      // scope it PER PROCESS: a fixed shared path would let two concurrent
+      // sessions (e.g. bench + verify on one machine) drop/delete each
+      // other's managed-table data mid-query (ADVICE r3)
+      .config("spark.sql.warehouse.dir", warehouseDir)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
 }

@@ -18,6 +18,16 @@ import graft.sources.{Formats, Tables}
   */
 object SparkEntry {
 
+  /** Per-process scratch root for the fmt_* sink→scan queries: a fixed
+    * shared path would let concurrent gate/bench runs on one machine read a
+    * directory the other is mid-overwrite (ADVICE r3). Cleaned on JVM exit. */
+  private lazy val scratchDir: String = {
+    val dir = s"/tmp/graft_fmt_${ProcessHandle.current().pid()}"
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))))
+    dir
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's one real analytics workload: word count (SURVEY §7.1). */
   def entry(spark: SparkSession): DataFrame =
@@ -194,7 +204,7 @@ object SparkEntry {
     // then an aggregate over the re-read data — proves schema'd csv IO
     // end to end, not just that a file appeared
     "fmt_csv_roundtrip" -> ((s, d) => {
-      val out = "/tmp/graft_fmt/nation_csv"
+      val out = s"$scratchDir/nation_csv"
       val nation = Tables.nation(s, d)
       Formats.writeCsv(nation, out)
       Formats.readCsv(s, nation.schema, out)
@@ -206,7 +216,7 @@ object SparkEntry {
     // json sink→scan roundtrip with explicit schema on the way back in,
     // proving doubles survive the text round trip bit-exactly
     "fmt_json_roundtrip" -> ((s, d) => {
-      val out = "/tmp/graft_fmt/supplier_json"
+      val out = s"$scratchDir/supplier_json"
       val sup = Tables.supplier(s, d)
       Formats.writeJson(sup, out)
       Formats.readJson(s, sup.schema, out)
@@ -218,7 +228,7 @@ object SparkEntry {
     // hive-partitioned sink→scan: the lang predicate prunes directories
     // (PartitionFilters, asserted in FormatsSpec) — only the en/ files are read
     "fmt_partitioned_pruning" -> ((s, d) => {
-      val out = "/tmp/graft_fmt/docs_by_lang"
+      val out = s"$scratchDir/docs_by_lang"
       Formats.writePartitioned(
         Tables.documents(s, d).select("doc_id", "source", "n_chars", "lang"), out, "lang")
       s.read.parquet(out)
@@ -256,7 +266,7 @@ object SparkEntry {
     // same corpus-with-garbage shape goes through DROPMALFORMED and the
     // aggregate sees only the well-formed rows
     "fmt_permissive_kv" -> ((s, d) => {
-      val out = "/tmp/graft_fmt/kv_text"
+      val out = s"$scratchDir/kv_text"
       Tables.orders(s, d)
         .select(concat_ws(" ", col("o_orderkey"),
           when(col("o_orderkey") % 13 === 0, lit("oops"))

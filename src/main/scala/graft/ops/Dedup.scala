@@ -205,8 +205,11 @@ object Dedup {
     * smaller than the corpus (it is the LSH collisions, not the documents):
     *  - at or below `maxDriverEdges`, union-find on the driver and a
     *    broadcast anti-join filter. One pass over the edges, no iteration;
-    *    the collected state is bounded by the threshold (~16 B/edge), the
-    *    same small-side-to-driver contract as a broadcast join.
+    *    edges stream to the driver one partition at a time (never the whole
+    *    list at once), so resident driver state is the union-find map — one
+    *    boxed Long→Long entry per distinct endpoint, ~100 B each with
+    *    HashMap overhead, i.e. ≲800 MB at the 4M-edge default worst case —
+    *    the same small-side-to-driver contract as a broadcast join.
     *  - above it, distributed min-label propagation with pointer jumping
     *    (O(log diameter) rounds, each one hash-shuffle join) — scales with
     *    the edge list, never the corpus square.
@@ -232,8 +235,13 @@ object Dedup {
         }
         x
       }
-      pairs.collect().foreach { r =>
-        val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
+      // toLocalIterator over a typed Dataset: one partition of primitive
+      // pairs resident at a time (the pair list is already persisted, so no
+      // recompute per partition), instead of collect()'s full boxed-Row
+      // array (ADVICE r3)
+      import scala.jdk.CollectionConverters._
+      pairs.as[(Long, Long)].toLocalIterator().asScala.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
         if (ra != rb) { // smaller root wins, so the root IS the component min
           if (ra < rb) parent(rb) = ra else parent(ra) = rb
         }
@@ -311,16 +319,29 @@ object Dedup {
     val (inter, card) = maxDf match {
       case Some(cap) =>
         // Capped (scale) path: materialize the inverted index as POSTING
-        // LISTS — one shuffle on shingle, list size bounded by the cap —
-        // then emit candidate pairs by exploding each list map-side. No
-        // string-keyed self-join at all: the pair work is co-located with
+        // LISTS, then emit candidate pairs by exploding each list map-side.
+        // No string-keyed self-join at all: the pair work is co-located with
         // its shingle, per-task work is bounded by cap², and the persisted
         // index (one row per distinct shingle) feeds both the pair explode
         // and the per-doc cardinalities. Replacing the df-filter self-join
         // with this cut the sf0.1 bench time 3x.
-        val lists = shingles(docs, n)
+        //
+        // Hot shingles are dropped BEFORE any posting list exists: a
+        // count-based document-frequency pass (partially aggregated
+        // map-side, so a corpus-wide shingle costs one long per task, not
+        // its member list) feeds a semi-join filter, and only surviving
+        // shingles reach collect_list. Filtering on size(ds) after the
+        // collect would build the hot shingle's full multi-million-entry
+        // list in a single aggregation buffer first — an OOM/straggler at
+        // scale (ADVICE r3). The collect_list aggregation reuses the
+        // semi-join's hash partitioning on shingle, so the safety pass
+        // costs one extra exchange of the shingle table.
+        val sh = shingles(docs, n).persist()
+        val keep = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap)
+          .select("shingle")
+        val lists = sh.join(keep, Seq("shingle"), "left_semi")
           .groupBy("shingle").agg(collect_list(col("doc_id")).as("ds"))
-          .filter(size(col("ds")) <= cap)
           .persist()
         val i = lists
           .select(explode(col("ds")).as("doc_a"), col("ds"))

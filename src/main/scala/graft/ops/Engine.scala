@@ -77,7 +77,8 @@ object Engine {
     * a job id, status is observed by polling). The job runs on a daemon
     * thread under its own Spark job group, so [[JobHandle.cancel]] maps to
     * `cancelJobGroup` — Spark's native stage abort. */
-  def submitAsync(spark: SparkSession, spec: JobSpec, outDir: String, jobId: Int = 0): JobHandle = {
+  def submitAsync(spark: SparkSession, spec: JobSpec, outDir: String, jobId: Int = 0,
+      onTerminal: JobResult => Unit = _ => ()): JobHandle = {
     val handle = new JobHandle(jobId, spec, spark)
     val runner = new Thread(() => {
       handle.transition("RUNNING")
@@ -94,7 +95,10 @@ object Engine {
       } catch {
         case e: Throwable =>
           handle.complete(JobResult(jobId, spec, "FAILED", -1L, outDir, Some(String.valueOf(e.getMessage))))
-      } finally spark.sparkContext.clearJobGroup()
+      } finally {
+        spark.sparkContext.clearJobGroup()
+        try onTerminal(handle.await()) catch { case _: Throwable => () }
+      }
     }, s"graft-job-runner-$jobId")
     runner.setDaemon(true)
     runner.start()
@@ -122,16 +126,20 @@ object Engine {
     * scope and cancellable job group), results return in submission order
     * with the same per-job failure isolation as [[runQueue]]. This is the
     * reference's multi-worker job throughput story on one Spark cluster —
-    * the scheduler interleaves the jobs' stages across executors. */
+    * the scheduler interleaves the jobs' stages across executors.
+    *
+    * Admission is a sliding window (semaphore released as each job reaches
+    * a terminal state), not waves: a straggler holds one slot, and the
+    * queue keeps `maxParallel` jobs in flight behind it (ADVICE r3 — a
+    * `grouped` barrier would idle all slots on the slowest job per wave). */
   def runQueueConcurrent(spark: SparkSession, jobs: Seq[(JobSpec, String)],
-      maxParallel: Int = 4): Seq[JobResult] =
-    jobs.zipWithIndex
-      .grouped(maxParallel)
-      .flatMap { wave =>
-        wave.map { case ((spec, outDir), id) => submitAsync(spark, spec, outDir, id) }
-          .map(_.await())
-      }
-      .toSeq
+      maxParallel: Int = 4): Seq[JobResult] = {
+    val slots = new java.util.concurrent.Semaphore(maxParallel)
+    jobs.zipWithIndex.map { case ((spec, outDir), id) =>
+      slots.acquire()
+      submitAsync(spark, spec, outDir, id, _ => slots.release())
+    }.map(_.await())
+  }
 
   /** Run `body` with the job's shard size as Spark's input-split target.
     * Spark reads `spark.sql.files.maxPartitionBytes` when the scan is

@@ -96,7 +96,10 @@ object Formats {
     // Overwrite only replaces a table THIS session's catalog knows about; a
     // managed location left by a previous session still blocks the create
     // (LOCATION_ALREADY_EXISTS). Drop both the catalog entry and any stale
-    // directory so the write is idempotent across sessions.
+    // directory so the write is idempotent across sessions. The recursive
+    // delete is safe only because GraftSession scopes the warehouse dir per
+    // process (no other live process can have data there); callers with a
+    // shared warehouse should not point external tables under it.
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val loc = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
