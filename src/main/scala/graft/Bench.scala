@@ -32,6 +32,12 @@ object Bench {
         ((System.nanoTime() - t0) / 1e9, ok)
       }
       val ok = times.forall(_._2)
+      // drop this query's persisted intermediates before the next query:
+      // without this, ~30 queries of cached dedup/similarity tables pile up
+      // and later queries' timings become order- and memory-pressure-
+      // sensitive (run N's steady time still reuses run N-1's caches, same
+      // as before — the clear happens only between queries)
+      spark.catalog.clearCache()
       (name, times.map(_._1).min, times.head._1, ok)
     }
     // failed queries are reported as -1 (a failure's elapsed time is not a
