@@ -30,8 +30,16 @@ object GraftSession {
     * clean JVM exit. */
   val warehouseDir: String = {
     val dir = s"/tmp/graft_warehouse_${ProcessHandle.current().pid()}"
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))))
+    // registered with Hadoop's ShutdownHookManager at the lowest priority
+    // (higher priorities run first), so the delete is sequenced AFTER
+    // Spark's and Hadoop FileSystem's own shutdown hooks instead of racing
+    // them (ADVICE r4: a plain JVM hook runs unordered relative to Spark's
+    // shutdown machinery, which may still touch the warehouse)
+    org.apache.hadoop.util.ShutdownHookManager.get().addShutdownHook(
+      new Runnable {
+        override def run(): Unit =
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      }, 1)
     dir
   }
 

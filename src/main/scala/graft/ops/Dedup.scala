@@ -343,6 +343,12 @@ object Dedup {
         val lists = sh.join(keep, Seq("shingle"), "left_semi")
           .groupBy("shingle").agg(collect_list(col("doc_id")).as("ds"))
           .persist()
+        // lists is the only consumer of sh: materialize it, then drop the
+        // corpus-scale shingle cache so callers don't carry TWO resident
+        // corpus-size tables until clearCache (ADVICE r4). The count() also
+        // pins lists before its source cache disappears.
+        lists.count()
+        sh.unpersist()
         val i = lists
           .select(explode(col("ds")).as("doc_a"), col("ds"))
           .select(col("doc_a"), explode(col("ds")).as("doc_b"))

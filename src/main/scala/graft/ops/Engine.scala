@@ -81,12 +81,16 @@ object Engine {
       onTerminal: JobResult => Unit = _ => ()): JobHandle = {
     val handle = new JobHandle(jobId, spec, spark)
     val runner = new Thread(() => {
-      handle.transition("RUNNING")
-      // setJobGroup is thread-local: it must run on the thread that fires
-      // the Spark actions, making every stage of this job cancellable as a
-      // group (interruptOnCancel stops straggling tasks too)
-      spark.sparkContext.setJobGroup(handle.group, s"graft job $jobId", interruptOnCancel = true)
+      // the ENTIRE runner body sits inside try/catch: if transition or
+      // setJobGroup ever threw outside it, the handle would never reach a
+      // terminal state and runQueueConcurrent would deadlock on both the
+      // semaphore slot and await() (ADVICE r4)
       try {
+        handle.transition("RUNNING")
+        // setJobGroup is thread-local: it must run on the thread that fires
+        // the Spark actions, making every stage of this job cancellable as a
+        // group (interruptOnCancel stops straggling tasks too)
+        spark.sparkContext.setJobGroup(handle.group, s"graft job $jobId", interruptOnCancel = true)
         // own SQL-conf scope: concurrent jobs must not race on the session's
         // maxPartitionBytes (withShardSize mutates it for the job's duration)
         val jobSession = spark.newSession()
