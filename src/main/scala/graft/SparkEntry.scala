@@ -156,6 +156,10 @@ object SparkEntry {
       Similarity.lshTopK(Tables.embeddings(s, d), col("vec_id") < 10)),
     "ann_ivf_topk" -> ((s, d) =>
       Similarity.ivfTopK(Tables.embeddings(s, d), col("vec_id") < 10)),
+    // same probe plan over k-means-trained pivots; the oracle replays the
+    // full (deterministic, fixed-point) Lloyd's training loop in DuckDB
+    "ann_ivf_kmeans" -> ((s, d) =>
+      Similarity.ivfTopKKmeans(Tables.embeddings(s, d), col("vec_id") < 10)),
     // north-star: multimodal binary columns
     "mm_metadata" -> ((s, d) =>
       Multimodal.blobMetadata(Multimodal.asBlobTable(Tables.documents(s, d)))),
@@ -394,16 +398,15 @@ object SparkEntry {
        |    list_cosine_similarity(CAST(va AS DOUBLE[]), CAST(vb AS DOUBLE[])) AS cos FROM cand)
        |WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin
 
-  /** DuckDB mirror of [[Similarity.ivfTopK]]: pivots are `vec_id <
-    * NumPivots`, each vector lives in its nearest pivot's cell (ties to
-    * the smaller pid), queries probe their 2 nearest cells, exact cosine
-    * re-ranks. `ranked` is shared between cells and probes — the probe
-    * filter is on the vector id itself, so ranking before or after the
-    * filter is identical (mirrors the Spark side's shared `scored`). */
-  private val ivfOracleSql: String =
-    s"""WITH piv AS (SELECT vec_id AS pid, embedding AS pv FROM embeddings
-       |  WHERE vec_id < ${Similarity.NumPivots}),
-       |sc AS (SELECT e.vec_id, e.embedding, p.pid,
+  /** The IVF probe body (DuckDB mirror of [[Similarity.ivfTopKWith]]) over
+    * a pivot CTE named `piv`: each vector lives in its nearest pivot's
+    * cell (ties to the smaller pid), queries probe their 2 nearest cells,
+    * exact cosine re-ranks. `ranked` is shared between cells and probes —
+    * the probe filter is on the vector id itself, so ranking before or
+    * after the filter is identical (mirrors the Spark side's shared
+    * `scored`). */
+  private val ivfBodySql: String =
+    s"""sc AS (SELECT e.vec_id, e.embedding, p.pid,
        |  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(p.pv AS DOUBLE[])) AS pcos
        |  FROM embeddings e CROSS JOIN piv p),
        |ranked AS (SELECT vec_id, embedding, pid,
@@ -420,6 +423,51 @@ object SparkEntry {
        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn, cos
        |  FROM scored)
        |SELECT query_id, neighbor_id, rn, cos FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
+
+  /** DuckDB mirror of [[Similarity.ivfTopK]]: `vec_id < NumPivots` pivots. */
+  private val ivfOracleSql: String =
+    s"""WITH piv AS (SELECT vec_id AS pid, embedding AS pv FROM embeddings
+       |  WHERE vec_id < ${Similarity.NumPivots}),
+       |$ivfBodySql""".stripMargin
+
+  /** DuckDB replay of [[Similarity.trainPivots]]: hash-seeded init, then
+    * [[Similarity.KmeansIters]] Lloyd's rounds. Exactness hinges on the
+    * fixed-point centroid sums — `floor(x * 2^24)` BIGINTs add exactly in
+    * any order, so the Spark-side shuffle layout cannot leak into the
+    * trained centroids and the two engines agree bit-for-bit (see
+    * [[Similarity.QuantScale]]). */
+  private val kmeansPivotCtes: String = {
+    val k = Similarity.NumPivots
+    val q = s"${Similarity.QuantScale}.0"
+    val rounds = (1 to Similarity.KmeansIters).map { i =>
+      val prev = s"c${i - 1}"
+      s"""s$i AS (SELECT e.vec_id, e.embedding, c.pid,
+         |  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.pv AS DOUBLE[])) AS pcos
+         |  FROM embeddings e CROSS JOIN $prev c),
+         |a$i AS (SELECT vec_id, embedding, pid AS cell FROM (
+         |  SELECT vec_id, embedding, pid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY pcos DESC, pid) AS r
+         |  FROM s$i) WHERE r = 1),
+         |m$i AS (SELECT cell, d AS pos,
+         |  sum(CAST(floor(CAST(embedding[d] AS DOUBLE) * $q) AS BIGINT)) AS s, count(*) AS n
+         |  FROM a$i, unnest(generate_series(1, ${Similarity.Dim})) AS t(d) GROUP BY cell, d),
+         |g$i AS (SELECT cell AS pid,
+         |  list(CAST(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * $q) AS FLOAT) ORDER BY pos) AS pv
+         |  FROM m$i GROUP BY cell),
+         |c$i AS (SELECT c.pid, coalesce(g.pv, c.pv) AS pv
+         |  FROM $prev c LEFT JOIN g$i g ON c.pid = g.pid)""".stripMargin
+    }.mkString(",\n")
+    s"""kinit AS (SELECT embedding,
+       |  row_number() OVER (ORDER BY ${h32Sql("CAST(vec_id AS VARCHAR)")}, vec_id) AS krn
+       |  FROM embeddings),
+       |c0 AS (SELECT CAST(krn - 1 AS BIGINT) AS pid, embedding AS pv FROM kinit WHERE krn <= $k),
+       |$rounds,
+       |piv AS (SELECT pid, pv FROM c${Similarity.KmeansIters})""".stripMargin
+  }
+
+  private val ivfKmeansOracleSql: String =
+    s"""WITH $kmeansPivotCtes,
+       |$ivfBodySql""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -592,6 +640,7 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
         |ORDER BY user_id, event_id""".stripMargin,
     "ann_ivf_topk" -> ivfOracleSql,
+    "ann_ivf_kmeans" -> ivfKmeansOracleSql,
     "fmt_bucketed_join" ->
       """SELECT c_mktsegment,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,

@@ -159,19 +159,36 @@ object Similarity {
     * cells (each vector lives in the cell of its nearest pivot), and a
     * query searches only its `nprobe` nearest cells — the classic
     * inverted-file index, with cells as the unit of pruning. Pivots here
-    * are the deterministic `vec_id < NumPivots` sample (in production they
-    * would come from k-means, which only changes WHERE the pivots sit, not
-    * the plan); they are tiny and broadcast, so cell assignment is one
-    * narrow map-side pass over the corpus — the 16× pivot fan-out
-    * collapses in the map-side partial aggregate before any shuffle, and
-    * the only shuffles are one per-vector argmax (combine-heavy) and the
-    * probe⋈cell candidate join on cell ids. Unlike the LSH tier, recall
-    * loss is geometric (a true neighbor in an unprobed cell), measured in
-    * SimilaritySpec against [[bruteForceTopK]]. */
-  def ivfTopK(emb: DataFrame, queryPred: Column, k: Int = 5, nprobe: Int = 2): DataFrame = {
+    * are the deterministic `vec_id < NumPivots` sample — the zero-training
+    * baseline; [[ivfTopKKmeans]] feeds the same plan k-means-trained
+    * pivots, which only changes WHERE the pivots sit, not the plan. */
+  def ivfTopK(emb: DataFrame, queryPred: Column, k: Int = 5, nprobe: Int = 2): DataFrame =
+    ivfTopKWith(emb,
+      emb.filter(col("vec_id") < NumPivots)
+        .select(col("vec_id").as("pid"), col("embedding").as("pv")),
+      queryPred, k, nprobe)
+
+  /** IVF ANN over k-means-trained pivots: [[trainPivots]] then the same
+    * probe plan as [[ivfTopK]]. Trained cells track the corpus's actual
+    * density (a Lloyd's centroid is its cell's mean), so for a fixed
+    * nprobe the probed region holds more of each query's true neighbors —
+    * SimilaritySpec measures the recall lift over the id-pivot baseline. */
+  def ivfTopKKmeans(emb: DataFrame, queryPred: Column, k: Int = 5, nprobe: Int = 2,
+      kClusters: Int = NumPivots, iters: Int = KmeansIters): DataFrame =
+    ivfTopKWith(emb, trainPivots(emb, kClusters, iters), queryPred, k, nprobe)
+
+  /** The IVF probe plan over a caller-supplied pivot table `piv`
+    * (`pid: LONG`, `pv: ARRAY<FLOAT>`). Pivots are tiny and broadcast, so
+    * cell assignment is one narrow map-side pass over the corpus — the
+    * pivot fan-out collapses in the map-side partial aggregate before any
+    * shuffle, and the only shuffles are one per-vector argmax
+    * (combine-heavy) and the probe⋈cell candidate join on cell ids. Unlike
+    * the LSH tier, recall loss is geometric (a true neighbor in an
+    * unprobed cell), measured in SimilaritySpec against
+    * [[bruteForceTopK]]. */
+  def ivfTopKWith(emb: DataFrame, piv: DataFrame, queryPred: Column,
+      k: Int = 5, nprobe: Int = 2): DataFrame = {
     graft.functions.FloatDot.register(emb.sparkSession)
-    val piv = emb.filter(col("vec_id") < NumPivots)
-      .select(col("vec_id").as("pid"), col("embedding").as("pv"))
     val scored = emb.crossJoin(broadcast(piv))
       .withColumn("pcos", cosine("embedding", "pv"))
     // nearest pivot per vector: max of (pcos, -pid) orders ties to the
@@ -203,6 +220,76 @@ object Similarity {
       .select("query_id", "neighbor_id", "rn", "cos")
       .orderBy("query_id", "rn")
   }
+
+  val KmeansIters = 2
+
+  /** Fixed-point grid for centroid accumulation: component sums are taken
+    * over `floor(x * 2^24)` LONGs, not doubles. Long addition is exact and
+    * associative, so the trained centroids are bit-identical across
+    * partition layouts, retries, AND engines — a double sum would depend
+    * on Spark's partition order and could never be oracle-replayed. 2^24
+    * is a pure exponent shift of the FLOAT mantissa (the multiply and
+    * floor are exact in double for any |x| < 2^39), so quantization costs
+    * at most one float ulp of centroid precision. */
+  val QuantScale: Long = 1L << 24
+
+  /** Lloyd's k-means over the embedding corpus, returning a trained pivot
+    * table (`pid: LONG`, `pv: ARRAY<FLOAT>`) for [[ivfTopKWith]].
+    *
+    * Deterministic by construction, so the full training loop replays
+    * bit-for-bit in the DuckDB oracle:
+    *  - init: the k vectors with the smallest `(CrossHash.h32(vec_id),
+    *    vec_id)` — a seeded uniform sample, engine-independent;
+    *  - assign: broadcast-argmax of exact cosine (ties to the smaller
+    *    pid), the same one-pass plan [[ivfTopKWith]] uses for cells;
+    *  - update: per-dimension [[QuantScale]] fixed-point LONG sums →
+    *    `sum / (n * 2^24)` in double → FLOAT centroid component; an empty
+    *    cell keeps its previous centroid.
+    *
+    * Each round is ONE distributed job (assignment argmax feeding a
+    * (cell, dim) partial-aggregated sum) whose k×dim result — not the
+    * corpus — is collected; at 100 TB that is the textbook scalable
+    * k-means shape (broadcast centroids down, k×dim grams up). */
+  def trainPivots(emb: DataFrame, k: Int = NumPivots, iters: Int = KmeansIters): DataFrame = {
+    graft.functions.FloatDot.register(emb.sparkSession)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val init: Array[Seq[Float]] = emb
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("hk", graft.functions.CrossHash.h32(col("vec_id").cast("string")))
+      .orderBy(col("hk"), col("vec_id"))
+      .limit(k)
+      .select(col("embedding")).as[Seq[Float]]
+      .collect()
+    var centroids: Array[Seq[Float]] = init
+    for (_ <- 1 to iters) {
+      val scored = emb.crossJoin(broadcast(pivotTable(spark, centroids)))
+        .withColumn("pcos", cosine("embedding", "pv"))
+      val assigned = scored.groupBy(col("vec_id"))
+        .agg(first(col("embedding")).as("v"),
+          max(struct(col("pcos"), (-col("pid")).as("npid"))).as("best"))
+        .select((-col("best.npid")).cast("int").as("cell"), col("v"))
+      val sums = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .select(col("cell"), col("pos"),
+          floor(col("x").cast("double") * QuantScale).as("q"))
+        .groupBy("cell", "pos")
+        .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+        .as[(Int, Int, Long, Long)]
+        .collect()
+      val next = centroids.map(_.toArray)
+      sums.foreach { case (cell, pos, s, n) =>
+        next(cell)(pos) = (s.toDouble / (n.toDouble * QuantScale)).toFloat
+      }
+      centroids = next.map(_.toSeq)
+    }
+    pivotTable(spark, centroids)
+  }
+
+  private def pivotTable(spark: org.apache.spark.sql.SparkSession,
+      centroids: Array[Seq[Float]]): DataFrame =
+    spark.createDataFrame(centroids.toSeq.zipWithIndex.map { case (c, i) => (i.toLong, c) })
+      .toDF("pid", "pv")
 
   /** Scale path for [[embeddingNearDupPairs]]: LSH band join generates
     * candidates (hash-shuffle on uniformly distributed band keys instead

@@ -86,6 +86,65 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.2, s"recall $recall below floor")
   }
 
+  private def recallVs(exact: org.apache.spark.sql.DataFrame)(
+      df: org.apache.spark.sql.DataFrame): Double =
+    exact.join(df.select("query_id", "neighbor_id"),
+      Seq("query_id", "neighbor_id"), "left_semi").count().toDouble / exact.count()
+
+  test("k-means-trained pivots beat id pivots on a clustered corpus") {
+    // IVF training pays exactly when the corpus HAS cell structure: build a
+    // deterministic 8-cluster corpus (fixed-seed jitter around 8 centers,
+    // ids shuffled so id-pivots don't accidentally align with clusters).
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(8)(Array.fill(16)(rnd.nextGaussian().toFloat * 3f))
+    val vecs = for (c <- centers; _ <- 0 until 25) yield
+      c.map(x => x + rnd.nextGaussian().toFloat * 0.5f).toSeq
+    val ids = rnd.shuffle((0 until vecs.length).toList)
+    val df = mkVecs(ids.zip(vecs).map { case (id, v) => (id.toLong, v) })
+    val queries = col("vec_id").between(50, 79)
+    val exact = Similarity.bruteForceTopK(df, queries, k = 5)
+      .select("query_id", "neighbor_id").cache()
+    val recall = recallVs(exact) _
+    val idPiv = df.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("pid"), col("embedding").as("pv"))
+    val base = recall(Similarity.ivfTopKWith(df, idPiv, queries, k = 5, nprobe = 1))
+    val trained = recall(Similarity.ivfTopKWith(df,
+      Similarity.trainPivots(df, k = 8), queries, k = 5, nprobe = 1))
+    assert(trained >= base,
+      s"trained recall $trained below id-pivot baseline $base")
+    assert(trained >= 0.9, s"trained recall $trained should recover clusters")
+  }
+
+  test("k-means pivots hold the id-pivot baseline on the isotropic corpus") {
+    // The driver corpus is isotropic random (measured mean best-neighbor
+    // cos ≈ 0.37, no cluster structure), so NO pivot choice can beat any
+    // other by much — this asserts training costs nothing there. Queries
+    // are 100–119: disjoint from the id pivots (0–15), because a query
+    // that IS a pivot gets a cell centered on itself, which inflates the
+    // baseline in a way no trained centroid could (or should) reproduce.
+    val queries = col("vec_id").between(100, 119)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select("query_id", "neighbor_id").cache()
+    val recall = recallVs(exact) _
+    val base = recall(Similarity.ivfTopK(emb, queries, k = 5))
+    val trained = recall(Similarity.ivfTopKKmeans(emb, queries, k = 5))
+    assert(trained >= base - 0.05,
+      s"trained recall $trained fell below isotropic parity band of baseline $base")
+  }
+
+  test("trainPivots is deterministic and returns k full-width centroids") {
+    val p1 = Similarity.trainPivots(emb).collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    val p2 = Similarity.trainPivots(emb.repartition(13)).collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    assert(p1.length === Similarity.NumPivots)
+    assert(p1.forall(_._2.length == Similarity.Dim))
+    // bit-identical across input layouts: the fixed-point LONG sums make
+    // centroid training independent of partitioning (the property the
+    // DuckDB oracle replay depends on)
+    assert(p1 === p2)
+  }
+
   test("ivfTopK ranks candidates by exact cosine") {
     val out = Similarity.ivfTopK(emb, col("vec_id") < 5, k = 5).cache()
     val viol = out.as("x").join(out.as("y"),
