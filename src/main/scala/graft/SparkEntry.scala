@@ -141,6 +141,10 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d))),
     // iterative component resolution; oracle = recursive-CTE transitive closure
     "dedup_neardup_survivors" -> ((s, d) => Dedup.nearDupSurvivors(Tables.documents(s, d))),
+    // quality-aware survivor policy: same components, keep the argmax-
+    // quality member per component (tie → lower doc_id)
+    "dedup_quality_survivors" -> ((s, d) =>
+      Dedup.nearDupSurvivorsBy(Tables.documents(s, d), TextAnalysis.qualityCol)),
     // north-star: similarity search. The exact all-pairs miner
     // (Similarity.embeddingNearDupPairs) is deliberately NOT gated: its n²
     // cross product is a verification utility (SimilaritySpec uses it as
@@ -154,6 +158,13 @@ object SparkEntry {
       Similarity.embeddingNearDupPairsLSH(Tables.embeddings(s, d))),
     "ann_lsh_topk" -> ((s, d) =>
       Similarity.lshTopK(Tables.embeddings(s, d), col("vec_id") < 10)),
+    // build/query split: banded signatures persisted ONCE as a bucketed
+    // table, probe reads the stored index (same oracle as ann_lsh_topk —
+    // the index changes where signatures come from, not the answer)
+    "ann_lsh_indexed" -> ((s, d) => {
+      Similarity.buildLshIndex(Tables.embeddings(s, d), "graft_lsh_idx")
+      Similarity.lshTopKIndexed(s, "graft_lsh_idx", col("vec_id") < 10)
+    }),
     "ann_ivf_topk" -> ((s, d) =>
       Similarity.ivfTopK(Tables.embeddings(s, d), col("vec_id") < 10)),
     // same probe plan over k-means-trained pivots; the oracle replays the
@@ -350,6 +361,39 @@ object SparkEntry {
        |SELECT doc_id FROM documents dd
        |WHERE NOT EXISTS (SELECT 1 FROM reach r WHERE r.d = dd.doc_id AND r.s < dd.doc_id)
        |ORDER BY doc_id""".stripMargin
+
+  /** DuckDB mirror of [[Dedup.nearDupSurvivorsBy]] with the ta_quality
+    * score: same reachability as the survivor oracle, component label =
+    * min reachable id, survivor = the component's max-quality member (tie
+    * → lower doc_id). The quality expression is the ta_quality oracle's,
+    * verbatim, so the two gates cannot drift. */
+  private val qualitySurvivorsOracleSql: String =
+    s"""WITH RECURSIVE $minhashCtes,
+       |pairs AS (SELECT doc_a, doc_b FROM scored WHERE sig_sim >= 0.5),
+       |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+       |  UNION SELECT doc_b AS s, doc_a AS d FROM pairs),
+       |reach(s, d) AS (
+       |  SELECT s, d FROM edges
+       |  UNION
+       |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+       |lab AS (SELECT dd.doc_id,
+       |  least(dd.doc_id, coalesce(
+       |    (SELECT min(r.s) FROM reach r WHERE r.d = dd.doc_id), dd.doc_id)) AS label
+       |  FROM documents dd),
+       |qual AS (SELECT doc_id,
+       |  least(CAST(nt AS DOUBLE) / 100.0, 1.0) * 0.2 + CAST(alnum AS DOUBLE) / nt * 0.5
+       |    + least(CAST(stop AS DOUBLE) / nt * 4.0, 1.0) * 0.3 AS score
+       |  FROM (SELECT doc_id,
+       |    CAST(len(regexp_split_to_array(lower(text), '$WS')) AS BIGINT) AS nt,
+       |    CAST(len(list_filter(regexp_split_to_array(lower(text), '$WS'),
+       |      t -> regexp_matches(t, '^[a-z0-9]+$$'))) AS BIGINT) AS alnum,
+       |    ${markerSql("en")} AS stop
+       |  FROM documents))
+       |SELECT doc_id, score FROM (
+       |  SELECT l.doc_id, q.score,
+       |    row_number() OVER (PARTITION BY l.label ORDER BY q.score DESC, l.doc_id) AS rn
+       |  FROM lab l JOIN qual q ON q.doc_id = l.doc_id)
+       |WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
   private val simhashCteSql: String = {
     val votes = (0 until 32)
@@ -782,6 +826,7 @@ object SparkEntry {
          |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "dedup_minhash_pairs" -> minhashOracleSql,
     "dedup_neardup_survivors" -> survivorsOracleSql,
+    "dedup_quality_survivors" -> qualitySurvivorsOracleSql,
     "dedup_simhash" ->
       s"WITH $simhashCteSql SELECT doc_id, simhash FROM shash ORDER BY doc_id",
     "dedup_simhash_pairs" ->
@@ -813,6 +858,7 @@ object SparkEntry {
         |  FROM p)
         |SELECT query_id, neighbor_id, rn, cos FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
     "ann_lsh_topk" -> annOracleSql,
+    "ann_lsh_indexed" -> annOracleSql,
     "sim_neardup_lsh" -> lshNearDupOracleSql,
     "ta_tfidf" ->
       s"""WITH tk AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '$WS')) AS word FROM documents),

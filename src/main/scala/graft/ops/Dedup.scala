@@ -197,14 +197,16 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Resolve near-duplicate PAIRS into a deduplicated corpus: treat pairs
-    * as undirected edges, find connected components, keep each component's
-    * lowest doc_id.
+  /** Connected components of the near-duplicate pair graph: one row per
+    * document, `label` = the component's lowest doc_id (singletons label
+    * themselves). This is the shared resolution step under every survivor
+    * policy — [[nearDupSurvivors]] keeps the label itself,
+    * [[nearDupSurvivorsBy]] keeps the best-scored member.
     *
     * Hybrid by edge-list size — the pair list is orders of magnitude
     * smaller than the corpus (it is the LSH collisions, not the documents):
     *  - at or below `maxDriverEdges`, union-find on the driver and a
-    *    broadcast anti-join filter. One pass over the edges, no iteration;
+    *    broadcast label join. One pass over the edges, no iteration;
     *    edges stream to the driver one partition at a time (never the whole
     *    list at once), so resident driver state is the union-find map — one
     *    boxed Long→Long entry per distinct endpoint, ~100 B each with
@@ -213,9 +215,13 @@ object Dedup {
     *  - above it, distributed min-label propagation with pointer jumping
     *    (O(log diameter) rounds, each one hash-shuffle join) — scales with
     *    the edge list, never the corpus square.
-    * Both paths produce the identical survivor set (component minimum);
-    * DedupSpec runs the distributed path against union-find ground truth. */
-  def nearDupSurvivors(docs: DataFrame, minSigFrac: Double = 0.5,
+    * Both paths produce identical labels (component minimum); DedupSpec
+    * runs the distributed path against union-find ground truth.
+    *
+    * The returned labels are persisted and materialized, with every
+    * internal working table already dropped; the CALLER unpersists the
+    * result when done (both survivor policies do). */
+  def nearDupComponents(docs: DataFrame, minSigFrac: Double = 0.5,
       maxDriverEdges: Long = 4_000_000L): DataFrame = {
     // persist the pair list itself — every consumer below references it
     // more than once, and without the cache each branch re-runs the whole
@@ -246,11 +252,13 @@ object Dedup {
           if (ra < rb) parent(rb) = ra else parent(ra) = rb
         }
       }
-      // snapshot keys first: find() path-halves (mutates values) mid-scan
-      val nonSurvivors = parent.keys.toArray.filter(d => find(d) != d).toSeq
+      // snapshot keys first: find() path-halves (mutates values) mid-scan;
+      // only edge endpoints are in the map — everything else labels itself
+      val endpointLabels = parent.keys.toArray.map(d => (d, find(d))).toSeq
       val out = docs.select(col("doc_id"))
-        .join(broadcast(nonSurvivors.toDF("doc_id")), Seq("doc_id"), "left_anti")
-        .orderBy("doc_id").persist()
+        .join(broadcast(endpointLabels.toDF("doc_id", "lbl")), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("label"))
+        .persist()
       out.count()
       pairs.unpersist()
       return out
@@ -288,16 +296,51 @@ object Dedup {
       prevSum = nextSum
       iterations += 1
     }
-    // materialize the survivor set BEFORE dropping the caches it is computed
-    // from — otherwise the final labels stay resident for the whole session
-    // (the converse leak) or an eviction would recompute through the full
-    // uncached LSH join. The small persisted result is handed to the caller.
+    // the converged labels are already fully materialized (the convergence
+    // aggregate scanned every partition into the persist); drop the
+    // working tables and hand the labels to the caller
+    pairs.unpersist()
+    edges.unpersist()
+    labels
+  }
+
+  /** Resolve near-duplicate pairs into a deduplicated corpus: connected
+    * components, keep each component's LOWEST doc_id (the id-stable
+    * policy). One [[nearDupComponents]] pass plus a free filter — the
+    * survivor of a min-labeled component is the label itself. */
+  def nearDupSurvivors(docs: DataFrame, minSigFrac: Double = 0.5,
+      maxDriverEdges: Long = 4_000_000L): DataFrame = {
+    val labels = nearDupComponents(docs, minSigFrac, maxDriverEdges)
+    // materialize the survivor set BEFORE dropping the labels it is
+    // computed from — otherwise an eviction would recompute through the
+    // full uncached LSH join. The small persisted result goes to the caller.
     val out = labels.filter(col("doc_id") === col("label"))
       .select(col("doc_id")).orderBy("doc_id").persist()
     out.count()
     labels.unpersist()
-    pairs.unpersist()
-    edges.unpersist()
+    out
+  }
+
+  /** Quality-aware survivor policy: keep each component's BEST-scored
+    * member (ties to the lower doc_id), not its lowest id — what a real
+    * curation pipeline wants (drop the near-dups, keep the cleanest copy;
+    * compose with [[graft.ops.TextAnalysis.qualityCol]]). Costs one extra
+    * score projection and one argmax aggregation over the labels — the
+    * max(struct) form partial-aggregates map-side, so the added shuffle
+    * carries one row per document, pre-combined per partition. Returns
+    * `(doc_id, score)` of the survivors. */
+  def nearDupSurvivorsBy(docs: DataFrame, score: Column, minSigFrac: Double = 0.5,
+      maxDriverEdges: Long = 4_000_000L): DataFrame = {
+    val labels = nearDupComponents(docs, minSigFrac, maxDriverEdges)
+    val out = docs.select(col("doc_id"), score.cast("double").as("score"))
+      .join(labels, Seq("doc_id"))
+      .groupBy(col("label"))
+      .agg(max(struct(col("score"), (-col("doc_id")).as("nid"))).as("best"))
+      .select((-col("best.nid")).cast("long").as("doc_id"),
+        col("best.score").as("score"))
+      .orderBy("doc_id").persist()
+    out.count()
+    labels.unpersist()
     out
   }
 

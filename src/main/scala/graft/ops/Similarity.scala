@@ -125,32 +125,79 @@ object Similarity {
         .as(Seq("band_idx", "band_val")))
   }
 
+  /** Broadcast the (tiny) query band rows against a neighbor band table:
+    * candidates share at least one signature band. Pre-distinct — the
+    * band-collision dedup belongs to [[rankCandidates]]. */
+  private def probeJoin(q: DataFrame, n: DataFrame): DataFrame =
+    broadcast(q)
+      .join(n, col("band_idx") === col("n_band_idx") &&
+        col("band_val") === col("n_band_val") &&
+        col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "qv", "neighbor_id", "nv")
+
+  /** Dedup band collisions, exact-cosine re-rank, top-k per query. */
+  private def rankCandidates(candidates: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    candidates
+      .distinct()
+      .withColumn("cos", cosine("qv", "nv"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select("query_id", "neighbor_id", "rn", "cos")
+      .orderBy("query_id", "rn")
+  }
+
+  private def queryBands(banded: DataFrame, queryPred: Column): DataFrame =
+    banded.filter(queryPred).select(
+      col("vec_id").as("query_id"), col("embedding").as("qv"),
+      col("band_idx"), col("band_val"))
+
+  private def neighborBands(banded: DataFrame): DataFrame =
+    banded.select(
+      col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
+      col("band_idx").as("n_band_idx"), col("band_val").as("n_band_val"))
+
   /** ANN top-k via random-hyperplane LSH: candidates share at least one
     * 4-bit band of the 16-bit signature, exact cosine re-ranks, top-k per
     * query. Recall vs [[bruteForceTopK]] is checked in SimilaritySpec. */
   def lshTopK(emb: DataFrame, queryPred: Column, k: Int = 5): DataFrame = {
     graft.functions.FloatDot.register(emb.sparkSession)
     val banded = bandedSignatures(emb)
-    val q = banded.filter(queryPred).select(
-      col("vec_id").as("query_id"), col("embedding").as("qv"),
-      col("band_idx"), col("band_val"))
-    val n = banded.select(
-      col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
-      col("band_idx").as("n_band_idx"), col("band_val").as("n_band_val"))
-    val candidates = broadcast(q)
-      .join(n, col("band_idx") === col("n_band_idx") &&
-        col("band_val") === col("n_band_val") &&
-        col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "qv", "neighbor_id", "nv")
-      .distinct()
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    candidates
-      .withColumn("cos", cosine("qv", "nv"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
-      .select("query_id", "neighbor_id", "rn", "cos")
-      .orderBy("query_id", "rn")
+    rankCandidates(probeJoin(queryBands(banded, queryPred), neighborBands(banded)), k)
+  }
+
+  /** Build-once half of the build/query split: materialize the banded
+    * signature table as a parquet table bucketed (and sorted) on
+    * `(band_idx, band_val)`. At 100 TB the signature computation — 16
+    * hyperplane dots per vector — is a corpus-scale job you run once, not
+    * per query; the stored layout is pre-hashed on the probe key, so
+    * non-broadcast probes (or index⋈index self-mining) can shuffle ONLY
+    * the query side, and broadcast probes read the index with no exchange
+    * at all (asserted in SimilaritySpec). */
+  def buildLshIndex(emb: DataFrame, table: String, numBuckets: Int = 8): Unit = {
+    graft.functions.FloatDot.register(emb.sparkSession)
+    graft.sources.Formats.writeBucketed(
+      bandedSignatures(emb), table, Seq("band_idx", "band_val"), numBuckets)
+  }
+
+  /** The probe join of [[lshTopKIndexed]], exposed pre-rank so the spec
+    * can assert its plan: both sides read the STORED index (no signature
+    * recompute), and the index side plans with zero shuffle. */
+  private[graft] def indexedProbeJoin(spark: org.apache.spark.sql.SparkSession,
+      table: String, queryPred: Column): DataFrame = {
+    val idx = spark.table(table)
+    probeJoin(queryBands(idx, queryPred), neighborBands(idx))
+  }
+
+  /** Query-many half of the build/query split: [[lshTopK]] semantics (and
+    * the same oracle) against a stored [[buildLshIndex]] table. Signatures
+    * are read, not recomputed — the query-path cost is one index scan +
+    * the broadcast probe join + the top-k shuffle. */
+  def lshTopKIndexed(spark: org.apache.spark.sql.SparkSession, table: String,
+      queryPred: Column, k: Int = 5): DataFrame = {
+    graft.functions.FloatDot.register(spark)
+    rankCandidates(indexedProbeJoin(spark, table, queryPred), k)
   }
 
   val NumPivots = 16

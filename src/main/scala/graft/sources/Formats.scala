@@ -91,7 +91,13 @@ object Formats {
   /** Bucketed + sorted managed table (bucketing requires the table
     * catalog). Joins/aggregations keyed on `bucketCol` against another
     * table bucketed the same way run shuffle-free. */
-  def writeBucketed(df: DataFrame, table: String, bucketCol: String, numBuckets: Int): Unit = {
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String, numBuckets: Int): Unit =
+    writeBucketed(df, table, Seq(bucketCol), numBuckets)
+
+  /** Multi-column variant: the bucket key is the column tuple (hash of all
+    * of them), for tables probed on composite keys — e.g. an LSH signature
+    * index bucketed on (band_idx, band_val). */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String], numBuckets: Int): Unit = {
     val spark = df.sparkSession
     // Overwrite only replaces a table THIS session's catalog knows about; a
     // managed location left by a previous session still blocks the create
@@ -106,8 +112,8 @@ object Formats {
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode(SaveMode.Overwrite)
-      .bucketBy(numBuckets, bucketCol)
-      .sortBy(bucketCol)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
       .saveAsTable(table)
   }

@@ -70,6 +70,34 @@ class DedupSpec extends SparkTestBase {
     assert(survivors.size < all.size, "planted near-dups must collapse")
   }
 
+  test("nearDupSurvivorsBy keeps the argmax-quality member per component, both tiers") {
+    import graft.ops.TextAnalysis
+    val byQuality = Dedup.nearDupSurvivorsBy(docs, TextAnalysis.qualityCol)
+      .collect().map(_.getLong(0)).toSet
+    // same component structure as the id policy: survivor COUNT matches,
+    // and each component contributes exactly one member
+    val byId = Dedup.nearDupSurvivors(docs).collect().map(_.getLong(0)).toSet
+    assert(byQuality.size === byId.size, "one survivor per component under any policy")
+    // expected set from labels + a window argmax computed independently
+    val labels = Dedup.nearDupComponents(docs)
+    val scored = docs.select(col("doc_id"), TextAnalysis.qualityCol.as("q"))
+      .join(labels, Seq("doc_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("label")).orderBy(col("q").desc, col("doc_id"))
+    val expected = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).collect().map(_.getLong(0)).toSet
+    labels.unpersist()
+    assert(byQuality === expected)
+    // the two policies genuinely differ on this corpus (some component's
+    // best-quality member is not its lowest id) — otherwise the gate
+    // would be vacuous
+    assert(byQuality !== byId, "quality policy must pick differently somewhere")
+    // distributed tier agrees
+    val distributed = Dedup.nearDupSurvivorsBy(docs, TextAnalysis.qualityCol,
+      maxDriverEdges = -1L).collect().map(_.getLong(0)).toSet
+    assert(distributed === byQuality)
+  }
+
   test("maxDf cap removes ubiquitous-shingle candidates (the k-squared skew guard)") {
     import spark.implicits._
     // 6 docs all sharing one hot token; pairs exist ONLY through it

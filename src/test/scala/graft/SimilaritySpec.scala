@@ -145,6 +145,44 @@ class SimilaritySpec extends SparkTestBase {
     assert(p1 === p2)
   }
 
+  test("stored LSH index: probe matches fresh path, zero shuffle on index side") {
+    try {
+      Similarity.buildLshIndex(emb, "graft_lsh_idx_spec")
+      // result parity: the index changes where signatures come from, not
+      // the answer
+      val indexed = Similarity.lshTopKIndexed(spark, "graft_lsh_idx_spec", col("vec_id") < 5)
+      val fresh = Similarity.lshTopK(emb, col("vec_id") < 5)
+      assert(indexed.collect().toSeq === fresh.collect().toSeq)
+      // plan: the probe join reads the STORED bucketed table on both sides
+      // and needs no shuffle anywhere — the only exchange is the broadcast
+      // of the filtered query rows (the top-k stage after this subplan is
+      // where the one legitimate shuffle lives)
+      val probe = Similarity.indexedProbeJoin(spark, "graft_lsh_idx_spec", col("vec_id") < 5)
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange"),
+        s"index probe must not shuffle the index side:\n$plan")
+      assert(plan.contains("float_dot") === false,
+        s"probe must read stored signatures, not recompute them:\n$plan")
+      // the bucketed layout's distribution pays off where it is REQUIRED:
+      // an index⋈index self-mining join on the band key (the all-pairs
+      // shape) plans with zero exchanges of any kind — both sides are
+      // pre-hashed and pre-sorted on (band_idx, band_val) on disk
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val a = spark.table("graft_lsh_idx_spec")
+          .select(col("vec_id").as("id_a"), col("band_idx"), col("band_val"))
+        val b = spark.table("graft_lsh_idx_spec")
+          .select(col("vec_id").as("id_b"), col("band_idx"), col("band_val"))
+        val self = a.join(b, Seq("band_idx", "band_val"))
+        val selfPlan = self.queryExecution.executedPlan.toString
+        assert(!selfPlan.contains("Exchange"),
+          s"bucketed self-mining join must not shuffle:\n$selfPlan")
+        assert(selfPlan.contains("Bucketed: true"),
+          s"self-mining join must use the bucketed layout:\n$selfPlan")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_lsh_idx_spec")
+  }
+
   test("ivfTopK ranks candidates by exact cosine") {
     val out = Similarity.ivfTopK(emb, col("vec_id") < 5, k = 5).cache()
     val viol = out.as("x").join(out.as("y"),
