@@ -56,14 +56,38 @@ object Engine {
     private val done = new java.util.concurrent.CountDownLatch(1)
     @volatile private var terminal: JobResult = _
 
+    private val prog = new java.util.concurrent.atomic.AtomicLong(
+      java.lang.Double.doubleToLongBits(0.0))
+
     private[Engine] val group = s"graft-job-$jobId"
     private[Engine] def transition(s: String): Unit = { state.set(s); transitionLog.add(s) }
     private[Engine] def complete(r: JobResult): Unit = {
-      terminal = r; transition(r.status); done.countDown()
+      terminal = r; transition(r.status)
+      if (r.status == "COMPLETED") advanceProgress(1.0)
+      done.countDown()
+    }
+    /** Monotone CAS update: listener events race (and can trail the
+      * terminal transition), but observed progress must never decrease. */
+    private[Engine] def advanceProgress(p: Double): Unit = {
+      val clamped = math.min(p, 1.0)
+      var cur = prog.get
+      while (java.lang.Double.longBitsToDouble(cur) < clamped &&
+        !prog.compareAndSet(cur, java.lang.Double.doubleToLongBits(clamped))) {
+        cur = prog.get
+      }
     }
 
     /** Current lifecycle state (poll-safe, like the reference's status znode). */
     def status: String = state.get
+    /** Stage-level progress fraction in [0, 1] — the engine-side
+      * equivalent of the reference's per-task state map that a polling
+      * client reduced to "how far along is my job"
+      * (`src/master/master.cpp:300-336`). Stages completed / stages
+      * submitted under this job's group (capped below 1 until terminal:
+      * the denominator grows as the job's later Spark actions submit their
+      * stages, and a capped monotone fraction can't overpromise); pinned
+      * to exactly 1.0 when the job COMPLETEs. */
+    def progress: Double = java.lang.Double.longBitsToDouble(prog.get)
     /** Every state this job has passed through, in order. */
     def transitions: Seq[String] = { import scala.jdk.CollectionConverters._; transitionLog.asScala.toSeq }
     /** Block until the job reaches a terminal state. */
@@ -80,6 +104,26 @@ object Engine {
   def submitAsync(spark: SparkSession, spec: JobSpec, outDir: String, jobId: Int = 0,
       onTerminal: JobResult => Unit = _ => ()): JobHandle = {
     val handle = new JobHandle(jobId, spec, spark)
+    // Stage-level progress: a SparkListener keyed on this job's group
+    // counts stages submitted vs completed. The 0.95 cap leaves terminal
+    // 1.0 to complete() — the denominator only grows as later actions of
+    // the same job submit more stages, so an uncapped ratio would read
+    // 1.0 mid-job between actions.
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      private val stages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+      private val completed = new java.util.concurrent.atomic.AtomicInteger(0)
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val grp = Option(js.properties).map(_.getProperty("spark.jobGroup.id")).orNull
+        if (handle.group == grp) js.stageIds.foreach(id => stages.add(id))
+      }
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        if (stages.contains(sc.stageInfo.stageId)) {
+          handle.advanceProgress(
+            0.95 * completed.incrementAndGet() / math.max(stages.size, 1))
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
     val runner = new Thread(() => {
       // the ENTIRE runner body sits inside try/catch: if transition or
       // setJobGroup ever threw outside it, the handle would never reach a
@@ -101,6 +145,9 @@ object Engine {
           handle.complete(JobResult(jobId, spec, "FAILED", -1L, outDir, Some(String.valueOf(e.getMessage))))
       } finally {
         spark.sparkContext.clearJobGroup()
+        // safe while events are still in flight: advanceProgress is
+        // monotone and the terminal 1.0 is already pinned
+        spark.sparkContext.removeSparkListener(listener)
         try onTerminal(handle.await()) catch { case _: Throwable => () }
       }
     }, s"graft-job-runner-$jobId")

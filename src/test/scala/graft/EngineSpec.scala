@@ -95,4 +95,33 @@ class EngineSpec extends SparkTestBase {
     assert(hBad.await().status === "FAILED")
     assert(hBad.transitions === Seq("CREATED", "RUNNING", "FAILED"))
   }
+
+  test("progress is strictly increasing (deduped) and ends at exactly 1.0") {
+    val in = Files.createTempDirectory("graft_prog")
+    Files.writeString(in.resolve("a.txt"),
+      (1 to 200).map(i => s"alpha beta gamma delta w$i").mkString("\n"))
+    val out = Files.createTempDirectory("graft_prog_out")
+    val h = Engine.submitAsync(spark,
+      JobSpec(Seq(in.resolve("a.txt").toString), shardSize = 512L),
+      out.resolve("p").toString, jobId = 9)
+    val seen = scala.collection.mutable.ArrayBuffer[Double]()
+    while (h.status == "CREATED" || h.status == "RUNNING") {
+      seen += h.progress
+      Thread.sleep(2)
+    }
+    assert(h.await().status === "COMPLETED")
+    seen += h.progress
+    // raw samples never decrease (the CAS max in advanceProgress)...
+    assert(seen.sliding(2).forall(p => p.size < 2 || p(0) <= p(1)),
+      s"progress must be monotone: $seen")
+    // ...so the change points form a strictly increasing sequence ending
+    // at the terminal 1.0 pin
+    val changes = seen.foldLeft(List.empty[Double]) { (acc, v) =>
+      if (acc.headOption.contains(v)) acc else v :: acc
+    }.reverse
+    assert(changes.last === 1.0)
+    assert(changes === changes.sorted && changes.distinct === changes)
+    assert(changes.count(p => p > 0.0 && p < 1.0) >= 1,
+      s"poll loop must observe intermediate stage-level progress: $changes")
+  }
 }

@@ -1,8 +1,9 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
-import graft.ops.{Dedup, Sampling, TextAnalysis}
+import graft.ops.{Dedup, Sampling, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Partition-count invariance: operator results must not depend on how the
@@ -43,5 +44,34 @@ class PartitionInvarianceSpec extends SparkTestBase {
 
   test("tf-idf is partition-count invariant (quantized log + exact counts)") {
     invariant("tfIdf")(TextAnalysis.tfIdf)
+  }
+
+  test("capped n-gram jaccard pairs are partition-count invariant") {
+    // the df-prefilter + posting-list explode path: the cap decision and
+    // the pair multiset must not depend on how shingles land in partitions
+    invariant("ngramJaccardPairs")(Dedup.ngramJaccardPairs(_))
+  }
+
+  test("near-dup survivors are partition-count invariant (driver union-find tier)") {
+    invariant("nearDupSurvivors/driver")(Dedup.nearDupSurvivors(_))
+  }
+
+  test("near-dup survivors are partition-count invariant (distributed label tier)") {
+    // maxDriverEdges = -1 forces pointer-jumping label propagation — the
+    // tier whose convergence loop actually runs on a cluster
+    invariant("nearDupSurvivors/distributed")(Dedup.nearDupSurvivors(_, maxDriverEdges = -1L))
+  }
+
+  test("quality-aware survivors are partition-count invariant") {
+    invariant("nearDupSurvivorsBy")(
+      Dedup.nearDupSurvivorsBy(_, TextAnalysis.qualityCol))
+  }
+
+  test("k-means IVF top-k is partition-count invariant (fixed-point centroids)") {
+    def embs = Tables.embeddings(spark, sfDir)
+    val narrow = Similarity.ivfTopKKmeans(embs.repartition(1), col("vec_id") < 10)
+    val wide = Similarity.ivfTopKKmeans(embs.repartition(13), col("vec_id") < 10)
+    assert(sortedRows(narrow) === sortedRows(wide),
+      "ivfTopKKmeans is layout-sensitive")
   }
 }
