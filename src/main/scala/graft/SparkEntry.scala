@@ -145,6 +145,10 @@ object SparkEntry {
     // quality member per component (tie → lower doc_id)
     "dedup_quality_survivors" -> ((s, d) =>
       Dedup.nearDupSurvivorsBy(Tables.documents(s, d), TextAnalysis.qualityCol)),
+    // greedy one-pass admission — the batch twin of the streaming
+    // band-taint dedup (StreamOps.streamNearDupAdmitted runs the same rule
+    // with watermark-TTL band state; StreamOpsSpec proves parity)
+    "stream_neardup_admit" -> ((s, d) => Dedup.nearDupAdmit(Tables.documents(s, d))),
     // north-star: similarity search. The exact all-pairs miner
     // (Similarity.embeddingNearDupPairs) is deliberately NOT gated: its n²
     // cross product is a verification utility (SimilaritySpec uses it as
@@ -394,6 +398,19 @@ object SparkEntry {
        |    row_number() OVER (PARTITION BY l.label ORDER BY q.score DESC, l.doc_id) AS rn
        |  FROM lab l JOIN qual q ON q.doc_id = l.doc_id)
        |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  /** DuckDB mirror of [[Dedup.nearDupAdmit]]: admit d ⟺ d is the minimum
+    * owner of every LSH band it carries (reuses the MinHash banding CTEs;
+    * the pair/score CTEs in the chain go unreferenced and unevaluated). */
+  private val admitOracleSql: String =
+    s"""WITH $minhashCtes,
+       |own AS (SELECT band_idx, band_hash, min(doc_id) AS owner
+       |  FROM banded GROUP BY 1, 2)
+       |SELECT b.doc_id FROM banded b
+       |JOIN own o ON b.band_idx = o.band_idx AND b.band_hash = o.band_hash
+       |GROUP BY b.doc_id
+       |HAVING max(CASE WHEN o.owner < b.doc_id THEN 1 ELSE 0 END) = 0
+       |ORDER BY doc_id""".stripMargin
 
   private val simhashCteSql: String = {
     val votes = (0 until 32)
@@ -827,6 +844,7 @@ object SparkEntry {
     "dedup_minhash_pairs" -> minhashOracleSql,
     "dedup_neardup_survivors" -> survivorsOracleSql,
     "dedup_quality_survivors" -> qualitySurvivorsOracleSql,
+    "stream_neardup_admit" -> admitOracleSql,
     "dedup_simhash" ->
       s"WITH $simhashCteSql SELECT doc_id, simhash FROM shash ORDER BY doc_id",
     "dedup_simhash_pairs" ->

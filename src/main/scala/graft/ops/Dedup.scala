@@ -115,6 +115,24 @@ object Dedup {
     * (band index, band hash), verify candidates by signature agreement.
     * `minSigFrac` ≈ estimated Jaccard threshold (E[matching components] =
     * J * NumHashes). Only hash-colliding pairs are ever materialized. */
+  /** One row per (doc, band): md5 hash of each [[BandRows]]-component
+    * signature band — the LSH bucketing key. Shared by the pair miner and
+    * the streaming admission twin ([[nearDupAdmit]]). */
+  def bandedMinHash(docs: DataFrame): DataFrame =
+    bandedFromSignatures(minHashSignatures(docs))
+
+  private def bandedFromSignatures(sigs: DataFrame): DataFrame = {
+    val bandCols = (0 until NumBands).map { b =>
+      val parts = (0 until BandRows).map(r => col(s"h${b * BandRows + r}").cast("string"))
+      md5(concat_ws(",", parts: _*)).as(s"band$b")
+    }
+    sigs.select(col("doc_id") +: bandCols: _*)
+      .select(
+        col("doc_id"),
+        posexplode(array((0 until NumBands).map(b => col(s"band$b")): _*))
+          .as(Seq("band_idx", "band_hash")))
+  }
+
   def minHashPairs(docs: DataFrame, minSigFrac: Double = 0.5): DataFrame = {
     // The signature table is tiny (one 16-long row per doc) but feeds three
     // plan branches (banding + both verification sides); without an explicit
@@ -122,14 +140,7 @@ object Dedup {
     // branch. At production scale this is the "checkpoint signatures before
     // pair mining" step.
     val sigs = minHashSignatures(docs).persist()
-    val bandCols = (0 until NumBands).map { b =>
-      val parts = (0 until BandRows).map(r => col(s"h${b * BandRows + r}").cast("string"))
-      md5(concat_ws(",", parts: _*)).as(s"band$b")
-    }
-    val banded = sigs.select(col("doc_id") +: (0 until NumHashes).map(i => col(s"h$i")) ++: bandCols: _*)
-    val bandedLong = banded.select(
-      col("doc_id"),
-      posexplode(array((0 until NumBands).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "band_hash")))
+    val bandedLong = bandedFromSignatures(sigs)
     val candidates = bandedLong.as("a")
       .join(bandedLong.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -342,6 +353,29 @@ object Dedup {
     out.count()
     labels.unpersist()
     out
+  }
+
+  /** Streaming-compatible near-dup admission — the GREEDY one-pass twin of
+    * [[nearDupSurvivors]]: a document is admitted iff no smaller-id
+    * document shares ANY of its LSH bands. Band-taint, first-wins
+    * semantics: a dropped document's bands still taint later arrivals,
+    * which is exactly what makes the rule one-pass (no component
+    * iteration, no retroactive revival) and therefore streamable with one
+    * min-owner state row per band
+    * ([[graft.streaming.StreamOps.streamNearDupAdmitted]] is that twin,
+    * with watermark-TTL state; StreamOpsSpec proves parity). In batch the
+    * rule is two band-keyed shuffles, both partial-aggregated map-side:
+    * admit d ⟺ d is the minimum owner of every band it carries. */
+  def nearDupAdmit(docs: DataFrame): DataFrame = {
+    val banded = bandedMinHash(docs)
+    val owners = banded.groupBy("band_idx", "band_hash")
+      .agg(min(col("doc_id")).as("owner"))
+    banded.join(owners, Seq("band_idx", "band_hash"))
+      .groupBy("doc_id")
+      .agg(max(when(col("owner") < col("doc_id"), 1L).otherwise(0L)).as("tainted"))
+      .filter(col("tainted") === 0L)
+      .select("doc_id")
+      .orderBy("doc_id")
   }
 
   /** n-gram Jaccard near-duplicate pairs via an inverted-index join:

@@ -182,6 +182,91 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fold)
   }
 
+  /** One LSH band of one document on the wire — the input record of
+    * [[streamNearDupAdmitted]] (produce it with
+    * [[graft.ops.Dedup.bandedMinHash]] plus an arrival timestamp). */
+  final case class DocBand(doc_id: Long, ts: Timestamp, band_idx: Int, band_hash: String)
+
+  /** Per-band admission verdict — public for the state-store encoder
+    * (same constraint as [[SessionBuf]]). */
+  final case class BandVerdict(doc_id: Long, ts: Timestamp, clean: Boolean)
+
+  /** Streaming near-duplicate admission: a document is admitted iff none
+    * of its LSH bands is claimed by an earlier (smaller-id) document —
+    * the same greedy band-taint rule as [[graft.ops.Dedup.nearDupAdmit]],
+    * whose batch formula ("d is the minimum owner of every band it
+    * carries") this evaluates incrementally.
+    *
+    * Two stateful stages, both watermark-bounded:
+    *  1. per-band claims (`flatMapGroupsWithState` keyed on the band):
+    *     state is ONE long — the minimum doc_id that has claimed the band
+    *     — TTL-evicted `ttlMs` of event time after its last arrival, so
+    *     band state never outgrows the dedup horizon (the same bounded-
+    *     state argument as [[dedupEvents]]);
+    *  2. verdict combine (windowless keyed aggregation on (ts, doc_id)):
+    *     a document is emitted once the watermark passes its timestamp,
+    *     admitted iff ALL its band verdicts were clean.
+    * Batch input runs the identical code (groups fold with empty state,
+    * the combine is a plain aggregation) and equals [[graft.ops.Dedup
+    * .nearDupAdmit]] exactly; on a stream, parity additionally needs
+    * arrival order consistent with doc_id order within the horizon —
+    * the semantics any first-wins streaming dedup has.
+    *
+    * NOTE: chaining flatMapGroupsWithState into an aggregation trips
+    * Spark's STATIC multi-stateful-operator correctness check, which
+    * assumes stage 1 may emit rows arbitrarily older than the watermark.
+    * This operator cannot: every verdict carries its input row's own
+    * timestamp, so a row accepted by stage 1 (within the allowed lateness)
+    * is by construction equally within it for stage 2. The check is
+    * therefore disabled — SESSION-WIDE, Spark offers no narrower scope —
+    * when this runs on a stream; each query's late-row drop metrics still
+    * apply at runtime. */
+  def streamNearDupAdmitted(bands: Dataset[DocBand], delay: String = "1 hour",
+      ttlMs: Long = 3600000L): DataFrame = {
+    import bands.sparkSession.implicits._
+    val streaming = bands.isStreaming
+    if (streaming) {
+      bands.sparkSession.conf
+        .set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    }
+
+    def fold(key: (Int, String), it: Iterator[DocBand],
+        state: GroupState[Long]): Iterator[BandVerdict] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        // within-batch determinism: claims settle in (ts, doc_id) order
+        val sorted = it.toSeq.sortBy(b => (b.ts.getTime, b.doc_id))
+        var owner = state.getOption.getOrElse(Long.MaxValue) // sentinel: unclaimed
+        var lastTs = Long.MinValue
+        val out = sorted.map { b =>
+          val clean = owner > b.doc_id
+          if (b.doc_id < owner) owner = b.doc_id
+          lastTs = math.max(lastTs, b.ts.getTime)
+          BandVerdict(b.doc_id, b.ts, clean)
+        }
+        if (streaming) {
+          state.update(owner)
+          state.setTimeoutTimestamp(lastTs + ttlMs)
+        }
+        out.iterator
+      }
+    }
+
+    val verdicts = bands
+      .withWatermark("ts", delay)
+      .groupByKey(b => (b.band_idx, b.band_hash))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fold)
+      .toDF()
+    // the combine is itself a stateful append-mode aggregation, so the
+    // event-time column is re-watermarked on the stage boundary
+    val combined = if (streaming) verdicts.withWatermark("ts", delay) else verdicts
+    combined
+      .groupBy(col("ts"), col("doc_id"))
+      .agg(min(when(col("clean"), 1L).otherwise(0L)).as("all_clean"))
+      .filter(col("all_clean") === 1L)
+      .select("doc_id", "ts")
+  }
+
   /** Batch-mode sessionization of the same semantics, for parity checks and
     * for running the sessionizer over historical data: gap-based windows by
     * cumulative sum of gap-break flags — pure declarative window functions,

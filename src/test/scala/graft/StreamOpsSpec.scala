@@ -172,6 +172,61 @@ class StreamOpsSpec extends SparkTestBase {
     assert(spark.read.parquet(outDir).count() === 3, "replay does not duplicate")
   }
 
+  test("streaming near-dup admission: batch parity and TTL state eviction") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamOps.DocBand
+    val docs = Tables.documents(spark, sfDir)
+    // batch path of the unified transform == the declarative batch twin
+    val bands = graft.ops.Dedup.bandedMinHash(docs)
+      .withColumn("ts", expr("timestamp_seconds(1700000000 + doc_id)"))
+      .select("doc_id", "ts", "band_idx", "band_hash").as[DocBand]
+    val expected = graft.ops.Dedup.nearDupAdmit(docs)
+      .collect().map(_.getLong(0)).toSet
+    val viaState = graft.streaming.StreamOps.streamNearDupAdmitted(bands)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaState === expected)
+    assert(viaState.size < docs.count(), "planted near-dups must be rejected")
+
+    // streaming path: one ordered batch of the full corpus, then a flush
+    // record far in the future to push the watermark past every document
+    val inputs = bands.orderBy("doc_id").collect().toSeq
+    val stream = MemoryStream[DocBand]
+    val q = graft.streaming.StreamOps
+      .streamNearDupAdmitted(stream.toDS(), delay = "1 second", ttlMs = 3600000L)
+      .writeStream.format("memory").queryName("admit_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(inputs: _*)
+      q.processAllAvailable()
+      val farTs = 1700000000000L + 100L * 24 * 3600 * 1000
+      def at(offsetMs: Long) = new Timestamp(farTs + offsetMs)
+      // two far-future batches: the first advances the watermark past every
+      // band's TTL, the second actually fires the pending timeouts (a
+      // group's timeout only executes in a batch where it receives NO data,
+      // so the eviction needs its own quiet batch)
+      stream.addData(DocBand(900101L, at(0), 0, "flush-a"))
+      q.processAllAvailable()
+      stream.addData(DocBand(900102L, at(10000), 0, "flush-b"))
+      q.processAllAvailable()
+      // reuses doc 0's band_hash: doc 0's claim sat longer than the TTL in
+      // event time, so its band state was evicted and the late doc with a
+      // previously-claimed band is admitted fresh — watermark-bounded
+      // state, observed from the outside
+      stream.addData(DocBand(900001L, at(20000), inputs.head.band_idx, inputs.head.band_hash))
+      q.processAllAvailable()
+      stream.addData(DocBand(900103L, at(40000), 0, "flush-c"))
+      q.processAllAvailable()
+      val extras = Set(900001L, 900101L, 900102L, 900103L)
+      val streamed = spark.table("admit_out")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert((streamed -- extras) === expected,
+        "single ordered batch must reproduce the batch admission set")
+      assert(streamed.contains(900001L),
+        "band state must be TTL-evicted after the watermark passes")
+    } finally q.stop()
+  }
+
   test("sessionizeBatch matches hand-computed sessions and counts all events") {
     import spark.implicits._
     val df = Seq(
