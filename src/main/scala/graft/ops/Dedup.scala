@@ -367,7 +367,12 @@ object Dedup {
     * rule is two band-keyed shuffles, both partial-aggregated map-side:
     * admit d ⟺ d is the minimum owner of every band it carries. */
   def nearDupAdmit(docs: DataFrame): DataFrame = {
-    val banded = bandedMinHash(docs)
+    // the banding (shingle explode + 4 md5 digests per shingle + 16-way
+    // min-agg) feeds BOTH the owner aggregation and the join probe side;
+    // persist so it computes once (same caller-clears cache contract as
+    // the pair miners — at production scale this is the shared
+    // "checkpoint the signatures" step)
+    val banded = bandedMinHash(docs).persist()
     val owners = banded.groupBy("band_idx", "band_hash")
       .agg(min(col("doc_id")).as("owner"))
     banded.join(owners, Seq("band_idx", "band_hash"))
