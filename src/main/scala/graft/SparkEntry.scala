@@ -175,6 +175,14 @@ object SparkEntry {
     // full (deterministic, fixed-point) Lloyd's training loop in DuckDB
     "ann_ivf_kmeans" -> ((s, d) =>
       Similarity.ivfTopKKmeans(Tables.embeddings(s, d), col("vec_id") < 10)),
+    // build/query split for the IVF tier: trained pivots + cell assignment
+    // stored once (bucketed on cell), probe reads the index — same oracle
+    // as ann_ivf_kmeans (the index changes where cells come from, not the
+    // answer)
+    "ann_ivf_indexed" -> ((s, d) => {
+      Similarity.buildIvfIndex(Tables.embeddings(s, d), "graft_ivf_idx")
+      Similarity.ivfTopKIndexed(s, "graft_ivf_idx", col("vec_id") < 10)
+    }),
     // north-star: multimodal binary columns
     "mm_metadata" -> ((s, d) =>
       Multimodal.blobMetadata(Multimodal.asBlobTable(Tables.documents(s, d)))),
@@ -255,6 +263,21 @@ object SparkEntry {
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
         .orderBy("source")
+    }),
+    // orc sink→scan roundtrip (explicit schema back in, filter pushed to
+    // the ORC scan): the oracle reads the PARQUET part table — equality
+    // proves the columnar roundtrip through the second format is lossless
+    "fmt_orc_roundtrip" -> ((s, d) => {
+      val out = s"$scratchDir/part_orc"
+      val part = Tables.part(s, d)
+      Formats.writeOrc(part, out)
+      Formats.readOrc(s, part.schema, out)
+        .filter(col("p_size") >= 25)
+        .groupBy("p_type")
+        .agg(count(lit(1)).as("n_parts"),
+          sum(col("p_retailprice").cast("decimal(18,2)")).cast("double").as("sum_retail"),
+          max("p_size").as("max_size"))
+        .orderBy("p_type")
     }),
     // bucketed-table layout under the oracle: both sides pre-shuffled on
     // the join key, so the join itself plans with ZERO exchanges (the
@@ -702,6 +725,7 @@ object SparkEntry {
         |ORDER BY user_id, event_id""".stripMargin,
     "ann_ivf_topk" -> ivfOracleSql,
     "ann_ivf_kmeans" -> ivfKmeansOracleSql,
+    "ann_ivf_indexed" -> ivfKmeansOracleSql,
     "fmt_bucketed_join" ->
       """SELECT c_mktsegment,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
@@ -715,6 +739,13 @@ object SparkEntry {
     "fmt_partitioned_pruning" ->
       """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE lang = 'en' GROUP BY 1 ORDER BY 1""".stripMargin,
+    // oracle reads the PARQUET part table — equality proves the ORC
+    // sink→scan roundtrip in the Spark query was lossless
+    "fmt_orc_roundtrip" ->
+      """SELECT p_type, count(*) AS n_parts,
+        |  CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_retail,
+        |  max(p_size) AS max_size
+        |FROM part WHERE p_size >= 25 GROUP BY 1 ORDER BY 1""".stripMargin,
     "piped_wordcount" ->
       """SELECT w AS word, count(*) AS cnt
         |FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS w FROM documents)

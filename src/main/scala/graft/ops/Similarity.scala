@@ -268,6 +268,69 @@ object Similarity {
       .orderBy("query_id", "rn")
   }
 
+  /** Every vector's nearest-pivot cell as a storable table
+    * (`vec_id, embedding, cell`) — the corpus-scale half of an IVF index.
+    * Same broadcast-argmax plan as [[ivfTopKWith]]'s cell stage. */
+  def assignCells(emb: DataFrame, piv: DataFrame): DataFrame = {
+    graft.functions.FloatDot.register(emb.sparkSession)
+    emb.crossJoin(broadcast(piv))
+      .withColumn("pcos", cosine("embedding", "pv"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("embedding")).as("embedding"),
+        max(struct(col("pcos"), (-col("pid")).as("npid"))).as("best"))
+      .select(col("vec_id"), col("embedding"),
+        (-col("best.npid")).cast("long").as("cell"))
+  }
+
+  /** Build-once half of the IVF build/query split: train pivots, assign
+    * every vector to its cell, and store BOTH halves — `<table>` =
+    * (vec_id, embedding, cell) bucketed on `cell` (so probe joins and
+    * cell-local scans are pre-hashed on disk) and `<table>_pivots` =
+    * (pid, pv) (tiny, read whole at query time). At 100 TB the training
+    * sweep and the corpus-wide argmax assignment run once here; a query
+    * then touches only its nprobe cells. */
+  def buildIvfIndex(emb: DataFrame, table: String, kClusters: Int = NumPivots,
+      iters: Int = KmeansIters, numBuckets: Int = 8): Unit = {
+    val piv = trainPivots(emb, kClusters, iters)
+    graft.sources.Formats.writeBucketed(
+      assignCells(emb, piv), table, Seq("cell"), numBuckets)
+    graft.sources.Formats.writeBucketed(piv, s"${table}_pivots", Seq("pid"), 1)
+  }
+
+  /** Query-many half: [[ivfTopKKmeans]] semantics (same oracle) against a
+    * stored [[buildIvfIndex]] table pair. Only the query rows' pivot
+    * scores are recomputed (|queries| × k dots); the corpus-wide argmax
+    * is read, not recomputed, and the candidate join streams the bucketed
+    * index side with no shuffle. */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, table: String,
+      queryPred: Column, k: Int = 5, nprobe: Int = 2): DataFrame = {
+    graft.functions.FloatDot.register(spark)
+    val piv = spark.table(s"${table}_pivots")
+    val idx = spark.table(table)
+    val wProbe = Window.partitionBy(col("vec_id")).orderBy(col("pcos").desc, col("pid"))
+    val probes = idx.filter(queryPred)
+      .select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(piv))
+      .withColumn("pcos", cosine("embedding", "pv"))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("pid").cast("long").as("cell"))
+    val cells = idx.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("nv"), col("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(probes).join(cells, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "qv", "neighbor_id", "nv")
+      .distinct()
+      .withColumn("cos", cosine("qv", "nv"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select("query_id", "neighbor_id", "rn", "cos")
+      .orderBy("query_id", "rn")
+  }
+
   val KmeansIters = 2
 
   /** Fixed-point grid for centroid accumulation: component sums are taken

@@ -57,6 +57,17 @@ object Formats {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .csv(paths: _*)
 
+  /** ORC scan with explicit schema — same no-inference contract as the
+    * other readers. ORC is the other columnar interchange format a 100 TB
+    * warehouse encounters (Hive-lineage pipelines); Spark's native
+    * vectorized ORC reader gives it the same pushdown/pruning treatment
+    * as parquet (FormatsSpec asserts PushedFilters reach the ORC scan). */
+  def readOrc(spark: SparkSession, schema: StructType, paths: String*): DataFrame =
+    spark.read.schema(schema).orc(paths: _*)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
 

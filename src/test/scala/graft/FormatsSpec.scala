@@ -84,13 +84,19 @@ class FormatsSpec extends SparkTestBase {
       src.orderBy("r_regionkey").collect().toSeq)
   }
 
-  test("orc round-trip preserves rows") {
+  test("orc round-trip preserves rows and pushes filters to the ORC scan") {
     val src = Tables.nation(spark, sfDir)
     val path = tmp("orc")
-    src.write.mode("overwrite").orc(path)
-    val back = spark.read.schema(src.schema).orc(path)
+    Formats.writeOrc(src, path)
+    val back = Formats.readOrc(spark, src.schema, path)
     assert(back.orderBy("n_nationkey").collect().toSeq ===
       src.orderBy("n_nationkey").collect().toSeq)
+    // predicate pushdown parity with parquet: the filter must reach the
+    // vectorized ORC reader, not run post-scan
+    val plan = back.filter(col("n_regionkey") === 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("n_regionkey"),
+      s"ORC scan must carry pushed filters:\n$plan")
   }
 
   test("partitioned write enables partition pruning (PartitionFilters in scan)") {

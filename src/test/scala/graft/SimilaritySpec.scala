@@ -183,6 +183,35 @@ class SimilaritySpec extends SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS graft_lsh_idx_spec")
   }
 
+  test("stored IVF index: probe matches the fresh trained path, streams the index") {
+    try {
+      Similarity.buildIvfIndex(emb, "graft_ivf_idx_spec")
+      val indexed = Similarity.ivfTopKIndexed(spark, "graft_ivf_idx_spec", col("vec_id") < 5)
+      val fresh = Similarity.ivfTopKKmeans(emb, col("vec_id") < 5)
+      assert(indexed.collect().toSeq === fresh.collect().toSeq)
+      // the candidate join must be a broadcast HASH join on the cell key
+      // (probes broadcast, bucketed cells table streamed with no shuffle —
+      // inherent to the broadcast-join shape) reading the STORED index, not
+      // recomputing the corpus-wide argmax. Plan inspected as a string:
+      // AQE query stages are leaf nodes to tree traversal.
+      val probe = Similarity.ivfTopKIndexed(spark, "graft_ivf_idx_spec", col("vec_id") < 5)
+      probe.collect()
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin [cell"),
+        s"candidate join must be a broadcast hash join on cell:\n$plan")
+      assert(plan.contains("graft_ivf_idx_spec["),
+        s"probe must scan the stored index table:\n$plan")
+      // the corpus-wide cell assignment (a groupBy over vec_id of the
+      // emb×pivots product) must NOT appear — only the |queries|×k probe
+      // ranking recomputes pivot cosines
+      assert(!plan.contains("partial_min") || !plan.contains("npid"),
+        s"probe must read stored cells, not recompute the argmax:\n$plan")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_ivf_idx_spec")
+      spark.sql("DROP TABLE IF EXISTS graft_ivf_idx_spec_pivots")
+    }
+  }
+
   test("ivfTopK ranks candidates by exact cosine") {
     val out = Similarity.ivfTopK(emb, col("vec_id") < 5, k = 5).cache()
     val viol = out.as("x").join(out.as("y"),
