@@ -264,6 +264,32 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
         .orderBy("source")
     }),
+    // small-file compaction under the oracle: fragment the events table
+    // into many tiny files, compact (coalesce — no shuffle), and prove the
+    // compacted dataset still aggregates identically to the source table
+    "fmt_compacted_scan" -> ((s, d) => {
+      val in = s"$scratchDir/events_fragmented"
+      val out = s"$scratchDir/events_compacted"
+      Tables.events(s, d).repartition(16).write.mode("overwrite").parquet(in)
+      Formats.compactParquet(s, in, out)
+      s.read.parquet(out)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("event_type")
+    }),
+    // error-safe SQL surface: try_* functions return NULL instead of
+    // failing the job — the ANSI-mode-compatible behavior a 100 TB batch
+    // job wants for dirty arithmetic (mirrors the permissive-parse story
+    // at the expression level)
+    "scalar_try_funcs" -> ((s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        expr("try_divide(o_totalprice, o_orderkey % 3)").as("div_mod3"),
+        expr("try_cast(o_orderpriority AS INT)").as("prio_int"),
+        expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").as("prio_code_int"))
+        .orderBy("o_orderkey")),
     // orc sink→scan roundtrip (explicit schema back in, filter pushed to
     // the ORC scan): the oracle reads the PARQUET part table — equality
     // proves the columnar roundtrip through the second format is lossless
@@ -739,6 +765,22 @@ object SparkEntry {
     "fmt_partitioned_pruning" ->
       """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE lang = 'en' GROUP BY 1 ORDER BY 1""".stripMargin,
+    // oracle reads the source events table — equality proves the
+    // fragment→compact→scan cycle was lossless
+    "fmt_compacted_scan" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // try_divide mirrored as an explicit zero guard; TRY_CAST exists in
+    // both engines with identical NULL-on-failure semantics
+    "scalar_try_funcs" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN NULL
+        |       ELSE o_totalprice / (o_orderkey % 3) END AS div_mod3,
+        |  TRY_CAST(o_orderpriority AS INT) AS prio_int,
+        |  TRY_CAST(substring(o_orderpriority, 1, 1) AS INT) AS prio_code_int
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     // oracle reads the PARQUET part table — equality proves the ORC
     // sink→scan roundtrip in the Spark query was lossless
     "fmt_orc_roundtrip" ->

@@ -132,6 +132,19 @@ class SimilaritySpec extends SparkTestBase {
       s"trained recall $trained fell below isotropic parity band of baseline $base")
   }
 
+  test("trainPivots and IVF survive corpora smaller than k") {
+    val tiny = mkVecs(Seq(
+      1L -> Seq(1f, 0f, 0f),
+      2L -> Seq(0f, 1f, 0f),
+      3L -> Seq(0.9f, 0.1f, 0f)))
+    val piv = Similarity.trainPivots(tiny, k = 8)
+    assert(piv.count() === 3, "init truncates to the corpus size")
+    val out = Similarity.ivfTopKWith(tiny, piv, col("vec_id") === 1, k = 2, nprobe = 3)
+    // with every cell probed this degenerates to exact search: both other
+    // vectors rank, the near-parallel one first
+    assert(out.collect().map(_.getLong(1)).toSeq === Seq(3L, 2L))
+  }
+
   test("trainPivots is deterministic and returns k full-width centroids") {
     val p1 = Similarity.trainPivots(emb).collect().map(r =>
       (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
