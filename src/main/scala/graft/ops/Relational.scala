@@ -163,8 +163,15 @@ object Relational {
   /** Window: running quantity per supplier over a fully deterministic order
     * (integral doubles sum exactly in any order). */
   def runningQtyPerSupplier(s: SparkSession, dir: String): DataFrame = {
+    // l_quantity as the FINAL tiebreak: (orderkey, linenumber) is not
+    // unique in this corpus (118k duplicate pairs at sf0.1), so without it
+    // the frame order has genuine ties and the intermediate running sums
+    // are engine- and schedule-dependent — caught when a same-everything-
+    // but-quantity collision finally appeared inside one supplier
+    // partition at sf0.1. Rows that tie on quantity too sum identically
+    // under any order, so this key is value-total.
     val w = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.lineitem(s, dir)
       .withColumn("running_qty", sum(col("l_quantity")).over(w))
