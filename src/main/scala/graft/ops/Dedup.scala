@@ -111,10 +111,6 @@ object Dedup {
   def minHashChunkSql(i: Int): String =
     s"CAST(('0x' || substring(md5('g${i / 4}:' || shingle), ${(i % 4) * 8 + 1}, 8)) AS BIGINT)"
 
-  /** MinHash/LSH near-duplicate pairs: band the signatures, bucket-join on
-    * (band index, band hash), verify candidates by signature agreement.
-    * `minSigFrac` ≈ estimated Jaccard threshold (E[matching components] =
-    * J * NumHashes). Only hash-colliding pairs are ever materialized. */
   /** One row per (doc, band): md5 hash of each [[BandRows]]-component
     * signature band — the LSH bucketing key. Shared by the pair miner and
     * the streaming admission twin ([[nearDupAdmit]]). */
@@ -133,6 +129,10 @@ object Dedup {
           .as(Seq("band_idx", "band_hash")))
   }
 
+  /** MinHash/LSH near-duplicate pairs: band the signatures, bucket-join on
+    * (band index, band hash), verify candidates by signature agreement.
+    * `minSigFrac` ≈ estimated Jaccard threshold (E[matching components] =
+    * J * NumHashes). Only hash-colliding pairs are ever materialized. */
   def minHashPairs(docs: DataFrame, minSigFrac: Double = 0.5): DataFrame = {
     // The signature table is tiny (one 16-long row per doc) but feeds three
     // plan branches (banding + both verification sides); without an explicit

@@ -111,7 +111,7 @@ object Engine {
     // 1.0 mid-job between actions.
     val listener = new org.apache.spark.scheduler.SparkListener {
       private val stages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
-      private val completed = new java.util.concurrent.atomic.AtomicInteger(0)
+      private val completed = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
       override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
         val grp = Option(js.properties).map(_.getProperty("spark.jobGroup.id")).orNull
         if (handle.group == grp) js.stageIds.foreach(id => stages.add(id))
@@ -119,8 +119,12 @@ object Engine {
       override def onStageCompleted(
           sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
         if (stages.contains(sc.stageInfo.stageId)) {
+          // a completed-ID SET, not a counter: SparkListenerStageCompleted
+          // fires once per stage ATTEMPT, so a fetch-failure retry would
+          // double-count and let the ratio clamp to 1.0 mid-run
+          completed.add(sc.stageInfo.stageId)
           handle.advanceProgress(
-            0.95 * completed.incrementAndGet() / math.max(stages.size, 1))
+            0.95 * completed.size / math.max(stages.size, 1))
         }
     }
     spark.sparkContext.addSparkListener(listener)

@@ -288,7 +288,12 @@ object Similarity {
     * cell-local scans are pre-hashed on disk) and `<table>_pivots` =
     * (pid, pv) (tiny, read whole at query time). At 100 TB the training
     * sweep and the corpus-wide argmax assignment run once here; a query
-    * then touches only its nprobe cells. */
+    * then touches only its nprobe cells. The assignment pass after
+    * training is NOT redundant with the last Lloyd's iteration: that
+    * iteration's assignment predates the final centroid update, and the
+    * stored cells must be argmax against the FINAL centroids (the
+    * contract the oracle replays) — one extra corpus pass per index
+    * build, the standard IVF build cost. */
   def buildIvfIndex(emb: DataFrame, table: String, kClusters: Int = NumPivots,
       iters: Int = KmeansIters, numBuckets: Int = 8): Unit = {
     val piv = trainPivots(emb, kClusters, iters)

@@ -206,11 +206,12 @@ object StreamOps {
     *  2. verdict combine (windowless keyed aggregation on (ts, doc_id)):
     *     a document is emitted once the watermark passes its timestamp,
     *     admitted iff ALL its band verdicts were clean.
-    * Batch input runs the identical code (groups fold with empty state,
-    * the combine is a plain aggregation) and equals [[graft.ops.Dedup
-    * .nearDupAdmit]] exactly; on a stream, parity additionally needs
-    * arrival order consistent with doc_id order within the horizon —
-    * the semantics any first-wins streaming dedup has.
+    * Batch input runs the identical code (groups fold with empty state in
+    * canonical doc_id order, the combine is a plain aggregation) and
+    * equals [[graft.ops.Dedup.nearDupAdmit]] exactly, for any input; on a
+    * stream, claims settle in ARRIVAL order, so stream/batch parity
+    * additionally needs arrival order consistent with doc_id order within
+    * the horizon — the semantics any first-wins streaming dedup has.
     *
     * NOTE: chaining flatMapGroupsWithState into an aggregation trips
     * Spark's STATIC multi-stateful-operator correctness check, which
@@ -218,9 +219,13 @@ object StreamOps {
     * This operator cannot: every verdict carries its input row's own
     * timestamp, so a row accepted by stage 1 (within the allowed lateness)
     * is by construction equally within it for stage 2. The check is
-    * therefore disabled — SESSION-WIDE, Spark offers no narrower scope —
-    * when this runs on a stream; each query's late-row drop metrics still
-    * apply at runtime. */
+    * therefore disabled when this builds a streaming plan — SESSION-WIDE,
+    * Spark offers no narrower scope, so a caller that also runs OTHER
+    * multi-stateful streaming queries in the same session and wants the
+    * static guard back must re-enable
+    * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled`
+    * after starting this query; every query's late-row drop metrics still
+    * apply at runtime regardless. */
   def streamNearDupAdmitted(bands: Dataset[DocBand], delay: String = "1 hour",
       ttlMs: Long = 3600000L): DataFrame = {
     import bands.sparkSession.implicits._
@@ -234,8 +239,13 @@ object StreamOps {
         state: GroupState[Long]): Iterator[BandVerdict] = {
       if (state.hasTimedOut) { state.remove(); Iterator.empty }
       else {
-        // within-batch determinism: claims settle in (ts, doc_id) order
-        val sorted = it.toSeq.sortBy(b => (b.ts.getTime, b.doc_id))
+        // within-batch settle order: arrival (ts) order on a stream; pure
+        // doc_id order in batch mode, where "arrival" is meaningless and
+        // the canonical order is what makes parity with nearDupAdmit
+        // unconditional (ts-inconsistent ids would otherwise flip verdicts)
+        val sorted =
+          if (streaming) it.toSeq.sortBy(b => (b.ts.getTime, b.doc_id))
+          else it.toSeq.sortBy(_.doc_id)
         var owner = state.getOption.getOrElse(Long.MaxValue) // sentinel: unclaimed
         var lastTs = Long.MinValue
         val out = sorted.map { b =>

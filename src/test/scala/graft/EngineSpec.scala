@@ -98,8 +98,11 @@ class EngineSpec extends SparkTestBase {
 
   test("progress is strictly increasing (deduped) and ends at exactly 1.0") {
     val in = Files.createTempDirectory("graft_prog")
+    // enough input shards (2000 lines / 512-byte shards) that the job runs
+    // many stages over several seconds — the listener bus delivers stage
+    // completions with plenty of poll iterations left to observe them
     Files.writeString(in.resolve("a.txt"),
-      (1 to 200).map(i => s"alpha beta gamma delta w$i").mkString("\n"))
+      (1 to 2000).map(i => s"alpha beta gamma delta w$i").mkString("\n"))
     val out = Files.createTempDirectory("graft_prog_out")
     val h = Engine.submitAsync(spark,
       JobSpec(Seq(in.resolve("a.txt").toString), shardSize = 512L),

@@ -187,6 +187,15 @@ class StreamOpsSpec extends SparkTestBase {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(viaState === expected)
     assert(viaState.size < docs.count(), "planted near-dups must be rejected")
+    // batch parity must hold even when timestamps are INCONSISTENT with
+    // doc_id order — batch mode settles claims in canonical doc_id order,
+    // not pseudo-arrival order
+    val tsReversed = graft.ops.Dedup.bandedMinHash(docs)
+      .withColumn("ts", expr("timestamp_seconds(1700000000 - doc_id)"))
+      .select("doc_id", "ts", "band_idx", "band_hash").as[DocBand]
+    val viaStateRev = graft.streaming.StreamOps.streamNearDupAdmitted(tsReversed)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaStateRev === expected)
 
     // streaming path: one ordered batch of the full corpus, then a flush
     // record far in the future to push the watermark past every document
