@@ -67,6 +67,10 @@ class PartitionInvarianceSpec extends SparkTestBase {
       Dedup.nearDupSurvivorsBy(_, TextAnalysis.qualityCol))
   }
 
+  test("greedy near-dup admission is partition-count invariant") {
+    invariant("nearDupAdmit")(Dedup.nearDupAdmit)
+  }
+
   test("k-means IVF top-k is partition-count invariant (fixed-point centroids)") {
     def embs = Tables.embeddings(spark, sfDir)
     val narrow = Similarity.ivfTopKKmeans(embs.repartition(1), col("vec_id") < 10)
