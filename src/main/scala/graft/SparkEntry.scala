@@ -149,6 +149,10 @@ object SparkEntry {
     // band-taint dedup (StreamOps.streamNearDupAdmitted runs the same rule
     // with watermark-TTL band state; StreamOpsSpec proves parity)
     "stream_neardup_admit" -> ((s, d) => Dedup.nearDupAdmit(Tables.documents(s, d))),
+    // exact repeated-span stats (the "exact substring dedup" curation
+    // signal): per-doc count and ratio of positional 8-token spans that
+    // also occur in another document
+    "dedup_span_stats" -> ((s, d) => Dedup.duplicateSpans(Tables.documents(s, d))),
     // north-star: similarity search. The exact all-pairs miner
     // (Similarity.embeddingNearDupPairs) is deliberately NOT gated: its n²
     // cross product is a verification utility (SimilaritySpec uses it as
@@ -926,6 +930,22 @@ object SparkEntry {
     "dedup_neardup_survivors" -> survivorsOracleSql,
     "dedup_quality_survivors" -> qualitySurvivorsOracleSql,
     "stream_neardup_admit" -> admitOracleSql,
+    // DuckDB mirror of Dedup.duplicateSpans: positional (non-distinct)
+    // 8-token span hashes, duplicated = hash seen in >= 2 distinct docs
+    "dedup_span_stats" ->
+      s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '$WS') AS ws FROM documents),
+         |sp AS (SELECT doc_id,
+         |  ${h60Sql("array_to_string(ws[i:i+7], ' ')")} AS sh
+         |  FROM toks, unnest(generate_series(1, greatest(len(ws) - 7, 1))) AS t(i)),
+         |dh AS (SELECT sh FROM (SELECT sh, count(DISTINCT doc_id) AS nd FROM sp GROUP BY 1)
+         |  WHERE nd >= 2),
+         |tot AS (SELECT doc_id, count(*) AS n_spans FROM sp GROUP BY 1),
+         |fl AS (SELECT doc_id, count(*) AS dup FROM sp WHERE sh IN (SELECT sh FROM dh) GROUP BY 1)
+         |SELECT t.doc_id, t.n_spans,
+         |  coalesce(f.dup, 0) AS n_dup_spans,
+         |  CAST(coalesce(f.dup, 0) AS DOUBLE) / t.n_spans AS dup_ratio
+         |FROM tot t LEFT JOIN fl f ON f.doc_id = t.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
     "dedup_simhash" ->
       s"WITH $simhashCteSql SELECT doc_id, simhash FROM shash ORDER BY doc_id",
     "dedup_simhash_pairs" ->

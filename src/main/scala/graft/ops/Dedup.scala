@@ -383,6 +383,40 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Exact repeated-span detection — the "exact substring dedup" signal
+    * for training-data curation (boilerplate, licenses, templated text):
+    * for each document, how many of its positional n-token spans also
+    * occur in at least one OTHER document. Unlike [[shingles]] this keeps
+    * every occurrence (no distinct): a span repeated 50 times inside one
+    * doc counts 50 spans, but only cross-document repetition marks them
+    * duplicated.
+    *
+    * Scale shape: one explode to 60-bit span hashes, one count-distinct
+    * per hash (partial-aggregated map-side, so a corpus-wide hot span
+    * costs one row per task), a semi-join back, two per-doc counts. The
+    * positional span table feeds three branches and is persisted (same
+    * caller-clears contract as the pair miners). */
+  def duplicateSpans(docs: DataFrame, n: Int = 8): DataFrame = {
+    val sp = docs.select(col("doc_id"), split(lower(col("text")), "\\s+").as("ws"))
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(1), greatest(size(col("ws")) - (n - 1), lit(1)))).as("i"))
+      .select(col("doc_id"),
+        CrossHash.h60(array_join(slice(col("ws"), col("i"), lit(n)), " ")).as("sh"))
+      .persist()
+    val dupHashes = sp.groupBy("sh")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("sh")
+    val flagged = sp.join(dupHashes, Seq("sh"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("dup"))
+    sp.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+      .join(flagged, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("dup"), lit(0L)).as("n_dup_spans"),
+        (coalesce(col("dup"), lit(0L)).cast("double") / col("n_spans")).as("dup_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** n-gram Jaccard near-duplicate pairs via an inverted-index join:
     * |A∩B| from the shingle-share join, |A∪B| from per-doc cardinalities.
     * Shingles with document frequency above `maxDf` are dropped from the

@@ -98,6 +98,22 @@ class DedupSpec extends SparkTestBase {
     assert(distributed === byQuality)
   }
 
+  test("duplicateSpans: every doc scored, planted near-dups carry duplicated spans") {
+    val out = Dedup.duplicateSpans(docs).cache()
+    assert(out.count() === docs.count(), "one row per document")
+    assert(out.filter(col("dup_ratio") < 0 || col("dup_ratio") > 1).count() === 0)
+    // the corpus plants near-duplicate documents (high-Jaccard pairs), so
+    // cross-document 8-token spans must exist and be flagged
+    val dupDocs = out.filter(col("n_dup_spans") > 0)
+    assert(dupDocs.count() > 0, "planted near-dups must share exact spans")
+    // spot-consistency: a known high-Jaccard pair's members both carry dups
+    val pair = Dedup.ngramJaccardPairs(docs, minJaccard = 0.8).select("doc_a", "doc_b").head()
+    val ids = Set(pair.getLong(0), pair.getLong(1))
+    assert(out.filter(col("doc_id").isin(ids.toSeq: _*))
+      .filter(col("n_dup_spans") === 0).count() === 0,
+      "both members of a high-Jaccard pair must show duplicated spans")
+  }
+
   test("maxDf cap removes ubiquitous-shingle candidates (the k-squared skew guard)") {
     import spark.implicits._
     // 6 docs all sharing one hot token; pairs exist ONLY through it
