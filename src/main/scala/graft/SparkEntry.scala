@@ -268,6 +268,29 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
         .orderBy("source")
     }),
+    // the KEEP-the-rejects half of permissive parsing: same
+    // corpus-with-garbage input as fmt_permissive_kv, but malformed lines
+    // land whole in _corrupt_record instead of vanishing — the gate proves
+    // the quarantine split is exact (good rows aggregate like the clean
+    // subset; reject count equals the injected-garbage count)
+    "fmt_quarantine_kv" -> ((s, d) => {
+      val out = s"$scratchDir/kv_text_q"
+      Tables.orders(s, d)
+        .select(concat_ws(" ", col("o_orderkey"),
+          when(col("o_orderkey") % 13 === 0, lit("oops"))
+            .otherwise((col("o_orderkey") % 5).cast("string"))).as("value"))
+        .write.mode("overwrite").text(out)
+      val schema = StructType(Seq(StructField("k", LongType), StructField("v", LongType)))
+      // sum(v) keeps v REFERENCED in the aggregate: Catalyst would
+      // otherwise prune it from the CSV scan, the failing conversion
+      // would never run, and no row would be quarantined — corrupt-record
+      // detection only sees the columns the query actually reads
+      Formats.readCsvQuarantine(s, schema, " ", out)
+        .select(col("k"), col("v"), col("_corrupt_record").isNotNull.as("rejected"))
+        .groupBy("rejected")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), sum("v").as("sum_v"))
+        .orderBy("rejected")
+    }),
     // small-file compaction under the oracle: fragment the events table
     // into many tiny files, compact (coalesce — no shuffle), and prove the
     // compacted dataset still aggregates identically to the source table
@@ -1137,6 +1160,16 @@ object SparkEntry {
       """SELECT n_regionkey, count(*) AS n_nations,
         |  array_to_string(list_sort(list(n_name)), ',') AS nations
         |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the quarantine split: rejected = the injected %13 garbage rows.
+    // PERMISSIVE parsing keeps the columns that DID parse (k is the intact
+    // order key even on a rejected row; only the bad v is null), so sum_k
+    // covers both groups — the quarantine loses nothing
+    "fmt_quarantine_kv" ->
+      """SELECT o_orderkey % 13 = 0 AS rejected, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_k,
+        |  CAST(sum(CASE WHEN o_orderkey % 13 = 0 THEN NULL
+        |           ELSE o_orderkey % 5 END) AS BIGINT) AS sum_v
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // mirrors the Spark side's injected-garbage drop: rows where the value
     // token fails to parse as an int simply vanish (reducer.py semantics)
     "fmt_permissive_kv" ->
