@@ -153,6 +153,10 @@ object SparkEntry {
     // signal): per-doc count and ratio of positional 8-token spans that
     // also occur in another document
     "dedup_span_stats" -> ((s, d) => Dedup.duplicateSpans(Tables.documents(s, d))),
+    // the actionable half of the span signal: the CLEANED corpus with
+    // cross-document repeated spans dropped (first occurrence kept); the
+    // oracle replays span ownership and reconstructs the kept text
+    "dedup_span_rewrite" -> ((s, d) => Dedup.removeDuplicateSpans(Tables.documents(s, d))),
     // north-star: similarity search. The exact all-pairs miner
     // (Similarity.embeddingNearDupPairs) is deliberately NOT gated: its n²
     // cross product is a verification utility (SimilaritySpec uses it as
@@ -969,6 +973,35 @@ object SparkEntry {
          |  CAST(coalesce(f.dup, 0) AS DOUBLE) / t.n_spans AS dup_ratio
          |FROM tot t LEFT JOIN fl f ON f.doc_id = t.doc_id
          |ORDER BY t.doc_id""".stripMargin,
+    // DuckDB mirror of Dedup.removeDuplicateSpans: same span hashes as
+    // dedup_span_stats, ownership = min (doc_id, position) per duplicated
+    // hash, drop every token covered by a non-owner occurrence, rebuild
+    // the kept token stream in order
+    "dedup_span_rewrite" ->
+      s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '$WS') AS ws FROM documents),
+         |sp AS (SELECT doc_id, i, len(ws) AS nt,
+         |  ${h60Sql("array_to_string(ws[i:i+7], ' ')")} AS sh
+         |  FROM toks, unnest(generate_series(1, greatest(len(ws) - 7, 1))) AS t(i)),
+         |dh AS (SELECT sh FROM (SELECT sh, count(DISTINCT doc_id) AS nd FROM sp GROUP BY 1)
+         |  WHERE nd >= 2),
+         |own AS (SELECT sh, doc_id AS odoc, i AS opos FROM (
+         |  SELECT sh, doc_id, i, row_number() OVER (PARTITION BY sh ORDER BY doc_id, i) AS rn
+         |  FROM sp WHERE sh IN (SELECT sh FROM dh)) WHERE rn = 1),
+         |occ AS (SELECT s.doc_id, s.i, s.nt FROM sp s JOIN own o ON s.sh = o.sh
+         |  WHERE NOT (s.doc_id = o.odoc AND s.i = o.opos)),
+         |cov AS (SELECT DISTINCT doc_id, p FROM occ,
+         |  unnest(generate_series(i, least(i + 7, nt))) AS u(p)),
+         |drops AS (SELECT doc_id, list(p) AS dp FROM cov GROUP BY 1),
+         |reb AS (SELECT t.doc_id, len(t.ws) AS n_tokens,
+         |  list_transform(
+         |    list_filter(generate_series(1, len(t.ws)),
+         |      j -> NOT list_contains(coalesce(d.dp, []), j)),
+         |    j -> t.ws[j]) AS kept
+         |  FROM toks t LEFT JOIN drops d ON d.doc_id = t.doc_id)
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(len(kept) AS BIGINT) AS n_kept,
+         |  coalesce(array_to_string(kept, ' '), '') AS clean_text
+         |FROM reb ORDER BY doc_id""".stripMargin,
     "dedup_simhash" ->
       s"WITH $simhashCteSql SELECT doc_id, simhash FROM shash ORDER BY doc_id",
     "dedup_simhash_pairs" ->

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.CrossHash
@@ -67,15 +66,16 @@ object Dedup {
     * fingerprint. The corpus has no byte-identical texts, so the key is the
     * sorted distinct-token set — "same vocabulary" duplicates — which
     * exercises real collision groups (ADVICE r1: no vacuous operators).
-    * At scale this is one shuffle on a 60-bit key; the window degenerates
-    * to a per-key min. */
+    * At scale this is one shuffle on a 60-bit key as a plain hash
+    * aggregation: `min(doc_id)` partial-aggregates map-side, so each
+    * partition sends one row per local key and nothing is ever sorted
+    * (the window-row_number form this replaced forced a per-key sort). */
   def exactDedup(docs: DataFrame): DataFrame = {
     val key = CrossHash.h60(
       array_join(array_sort(array_distinct(split(lower(col("text")), "\\s+"))), " "))
-    val w = Window.partitionBy(col("dup_key")).orderBy(col("doc_id"))
     docs.select(col("doc_id"), key.as("dup_key"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .groupBy(col("dup_key"))
+      .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"), col("dup_key"))
       .orderBy("doc_id")
   }
@@ -414,6 +414,68 @@ object Dedup {
       .select(col("doc_id"), col("n_spans"),
         coalesce(col("dup"), lit(0L)).as("n_dup_spans"),
         (coalesce(col("dup"), lit(0L)).cast("double") / col("n_spans")).as("dup_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** Span-level dedup REWRITE — the actionable half of the
+    * [[duplicateSpans]] curation signal: produce the *cleaned corpus* with
+    * cross-document repeated spans dropped, first occurrence kept. This is
+    * the analysis-feeds-a-new-corpus pattern of the reference (mapper →
+    * reducer → new output corpus, srics96/SDC_Mapreduce
+    * `src/worker/worker.cpp:290-303`) applied to substring dedup.
+    *
+    * Semantics (declarative, engine-order-independent):
+    *  - the text is normalized to its lowercased whitespace token stream
+    *    (the same stream every span hash in this file is built from);
+    *  - a span (positional n-token window) is *duplicated* iff its hash
+    *    occurs in >= 2 distinct documents — same rule as
+    *    [[duplicateSpans]];
+    *  - the globally first occurrence of each duplicated span hash (minimum
+    *    `(doc_id, position)`) is the KEPT occurrence;
+    *  - every token covered by at least one non-kept occurrence of a
+    *    duplicated span is dropped; the cleaned text is the remaining
+    *    tokens in original order. Overlap wart, by design: when a kept
+    *    occurrence overlaps a dropped one (self-repeating text such as
+    *    "a a a a …"), the shared tokens are dropped — coverage-based
+    *    removal trades that edge for a fully declarative, one-pass plan
+    *    (greedy left-to-right span selection is inherently sequential and
+    *    would force per-document iteration).
+    *
+    * Scale shape: the span-hash explode is the [[duplicateSpans]] scan; the
+    * ownership argmin and the drop-position explode touch only the
+    * DUPLICATED subset (bounded by n rows per duplicate occurrence, never
+    * the corpus); the rewrite itself is a per-document projection — the
+    * drop-position set rides a doc_id-keyed join whose right side is one
+    * row per affected document. The span table feeds three branches and is
+    * persisted (caller-clears contract, as for the pair miners). */
+  def removeDuplicateSpans(docs: DataFrame, n: Int = 8): DataFrame = {
+    val base = docs.select(col("doc_id"), split(lower(col("text")), "\\s+").as("ws"))
+    val sp = base.select(col("doc_id"), col("ws"),
+        explode(sequence(lit(1), greatest(size(col("ws")) - (n - 1), lit(1)))).as("i"))
+      .select(col("doc_id"), col("i"), size(col("ws")).as("nt"),
+        CrossHash.h60(array_join(slice(col("ws"), col("i"), lit(n)), " ")).as("sh"))
+      .persist()
+    val dupHashes = sp.groupBy("sh")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("sh")
+    // min(struct) argmin — partial-aggregated map-side, one row per
+    // duplicated hash crosses the wire
+    val owner = sp.join(dupHashes, Seq("sh"), "left_semi")
+      .groupBy("sh").agg(min(struct(col("doc_id"), col("i"))).as("o"))
+    val dropPos = sp.join(owner, Seq("sh"))
+      .filter(col("doc_id") =!= col("o.doc_id") || col("i") =!= col("o.i"))
+      .select(col("doc_id"),
+        explode(sequence(col("i"), least(col("i") + lit(n - 1), col("nt")))).as("pos"))
+      .groupBy("doc_id").agg(collect_set(col("pos")).as("drop_pos"))
+    base.join(dropPos, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"),
+        filter(col("ws"), (_, i) =>
+          not(array_contains(coalesce(col("drop_pos"), typedLit(Seq.empty[Int])), i + 1)))
+          .as("kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("kept")).cast("long").as("n_kept"),
+        array_join(col("kept"), " ").as("clean_text"))
       .orderBy("doc_id")
   }
 

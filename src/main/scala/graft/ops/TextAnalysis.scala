@@ -201,12 +201,13 @@ object TextAnalysis {
     * actually executes: score quality + language + fingerprint in ONE scan
     * of the corpus, keep documents clearing the quality bar in the target
     * language, then drop near-identical texts (normalized-fingerprint
-    * dedup, lowest doc_id survives). Plan shape: one projection, one
-    * window over the fingerprint — two shuffle-free stages plus one
-    * hash-shuffle on the 60-bit key, unchanged at 100 TB. */
+    * dedup, lowest doc_id survives). Plan shape: one projection plus one
+    * hash-shuffle on the 60-bit key — the keep-one is a `min(struct)`
+    * argmin (the [[graft.ops.Dedup.nearDupSurvivorsBy]] pattern), so it
+    * partial-aggregates map-side and never sorts within a key; unchanged
+    * at 100 TB. */
   def curationPipeline(docs: DataFrame, minQuality: Double = 0.6,
       lang: String = "en"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val scored = docs.select(
       col("doc_id"),
       nTokensCol.as("n_tokens"),
@@ -214,10 +215,10 @@ object TextAnalysis {
       predLangCol.as("pred_lang"),
       fpNormCol.as("fp_norm"))
     val kept = scored.filter(col("quality") >= minQuality && col("pred_lang") === lang)
-    val w = Window.partitionBy(col("fp_norm")).orderBy(col("doc_id"))
-    kept.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("doc_id", "n_tokens", "quality")
+    kept.groupBy(col("fp_norm"))
+      .agg(min(struct(col("doc_id"), col("n_tokens"), col("quality"))).as("k"))
+      .select(col("k.doc_id").as("doc_id"), col("k.n_tokens").as("n_tokens"),
+        col("k.quality").as("quality"))
       .orderBy("doc_id")
   }
 }

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.DecimalType
@@ -218,22 +218,18 @@ object StreamOps {
     * assumes stage 1 may emit rows arbitrarily older than the watermark.
     * This operator cannot: every verdict carries its input row's own
     * timestamp, so a row accepted by stage 1 (within the allowed lateness)
-    * is by construction equally within it for stage 2. The check is
-    * therefore disabled when this builds a streaming plan — SESSION-WIDE,
-    * Spark offers no narrower scope, so a caller that also runs OTHER
-    * multi-stateful streaming queries in the same session and wants the
-    * static guard back must re-enable
-    * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled`
-    * after starting this query; every query's late-row drop metrics still
-    * apply at runtime regardless. */
+    * is by construction equally within it for stage 2. The check fires
+    * once, when the streaming query STARTS — so callers bypass it by
+    * wrapping only the `start()` call in
+    * [[withChainedStateGuardBypassed]], which restores the session's
+    * prior setting before returning. Nothing is mutated at
+    * DataFrame-construction time, and every other streaming query in the
+    * session keeps the static guard (plus the runtime late-row drop
+    * metrics, which always apply). */
   def streamNearDupAdmitted(bands: Dataset[DocBand], delay: String = "1 hour",
       ttlMs: Long = 3600000L): DataFrame = {
     import bands.sparkSession.implicits._
     val streaming = bands.isStreaming
-    if (streaming) {
-      bands.sparkSession.conf
-        .set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
-    }
 
     def fold(key: (Int, String), it: Iterator[DocBand],
         state: GroupState[Long]): Iterator[BandVerdict] = {
@@ -275,6 +271,26 @@ object StreamOps {
       .agg(min(when(col("clean"), 1L).otherwise(0L)).as("all_clean"))
       .filter(col("all_clean") === 1L)
       .select("doc_id", "ts")
+  }
+
+  /** Start a streaming query whose plan legitimately chains stateful
+    * operators (e.g. [[streamNearDupAdmitted]]'s
+    * flatMapGroupsWithState → aggregation) past Spark's static
+    * multi-stateful-operator guard, WITHOUT leaving the session guard
+    * disabled: the check runs once at query start, so the disable is
+    * scoped to the `start` thunk and the prior session value is restored
+    * before this returns — even if `start` throws. Every other streaming
+    * query in the session (including ones started after this returns)
+    * keeps the default static check. */
+  def withChainedStateGuardBypassed[T](spark: SparkSession)(start: => T): T = {
+    val key = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try start
+    finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
   }
 
   /** Batch-mode sessionization of the same semantics, for parity checks and

@@ -10,6 +10,10 @@ class DedupSpec extends SparkTestBase {
   private def docs = Tables.documents(spark, sfDir)
 
   test("exactDedup keeps exactly one (minimal) doc_id per duplicate key") {
+    // keep-min is a hash aggregate (map-side partial min), never a
+    // window's per-key sort
+    val plan = Dedup.exactDedup(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"expected pure aggregation plan, got:\n$plan")
     val out = Dedup.exactDedup(docs).cache()
     val nKeys = out.select("dup_key").distinct().count()
     assert(out.count() === nKeys, "one survivor per key")
@@ -112,6 +116,48 @@ class DedupSpec extends SparkTestBase {
     assert(out.filter(col("doc_id").isin(ids.toSeq: _*))
       .filter(col("n_dup_spans") === 0).count() === 0,
       "both members of a high-Jaccard pair must show duplicated spans")
+  }
+
+  test("removeDuplicateSpans drops the repeated span, keeps first occurrence") {
+    import spark.implicits._
+    val boiler = (1 to 8).map(i => s"b$i").mkString(" ")
+    val tiny = Seq(
+      (1L, s"alpha beta $boiler gamma delta"),
+      (2L, s"uno dos tres $boiler quattro"),
+      (3L, "nothing shared here at all")).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(tiny, n = 8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // doc 1 owns the span (global first occurrence) — untouched
+    assert(out(1L) === ((12L, 12L, s"alpha beta $boiler gamma delta")))
+    // doc 2's occurrence is dropped: its 8 boilerplate tokens vanish
+    assert(out(2L) === ((12L, 4L, "uno dos tres quattro")))
+    // doc 3 has no duplicated spans — untouched
+    assert(out(3L) === ((5L, 5L, "nothing shared here at all")))
+    // rerunning the span detector on the cleaned corpus finds nothing:
+    // the rewrite removed every cross-document repeated span
+    val cleaned = Dedup.removeDuplicateSpans(tiny, n = 8)
+      .select(col("doc_id"), col("clean_text").as("text"))
+    assert(Dedup.duplicateSpans(cleaned, n = 8)
+      .filter(col("n_dup_spans") > 0).count() === 0)
+  }
+
+  test("removeDuplicateSpans on the corpus: conservation + composition with curation") {
+    val out = Dedup.removeDuplicateSpans(docs).cache()
+    assert(out.count() === docs.count(), "one row per document, none vanish")
+    assert(out.filter(col("n_kept") > col("n_tokens")).count() === 0)
+    // the per-doc drop count can only come from flagged spans: any doc with
+    // kept < total must have n_dup_spans > 0 in the stats twin, and the
+    // planted near-dups guarantee at least one such doc
+    val stats = Dedup.duplicateSpans(docs)
+    val inconsistent = out.filter(col("n_kept") < col("n_tokens"))
+      .join(stats.filter(col("n_dup_spans") === 0), Seq("doc_id"), "left_semi")
+    assert(inconsistent.count() === 0, "tokens dropped without a flagged span")
+    assert(out.filter(col("n_kept") < col("n_tokens")).count() > 0,
+      "planted near-dups must lose spans")
+    // composition: the cleaned corpus feeds the curation pipeline directly
+    val curated = graft.ops.TextAnalysis.curationPipeline(
+      out.select(col("doc_id"), col("clean_text").as("text")))
+    assert(curated.count() > 0, "cleaned corpus still curates")
   }
 
   test("maxDf cap removes ubiquitous-shingle candidates (the k-squared skew guard)") {

@@ -201,10 +201,17 @@ class StreamOpsSpec extends SparkTestBase {
     // record far in the future to push the watermark past every document
     val inputs = bands.orderBy("doc_id").collect().toSeq
     val stream = MemoryStream[DocBand]
-    val q = graft.streaming.StreamOps
-      .streamNearDupAdmitted(stream.toDS(), delay = "1 second", ttlMs = 3600000L)
-      .writeStream.format("memory").queryName("admit_out")
-      .outputMode("append").start()
+    val guardKey = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val q = StreamOps.withChainedStateGuardBypassed(spark) {
+      graft.streaming.StreamOps
+        .streamNearDupAdmitted(stream.toDS(), delay = "1 second", ttlMs = 3600000L)
+        .writeStream.format("memory").queryName("admit_out")
+        .outputMode("append").start()
+    }
+    // the bypass is scoped to start(): the session guard is back at its
+    // default while the admission query keeps running
+    assert(spark.conf.get(guardKey, "true") === "true",
+      "static stateful-operator guard must be restored after start()")
     try {
       stream.addData(inputs: _*)
       q.processAllAvailable()

@@ -67,6 +67,24 @@ class TextAnalysisSpec extends SparkTestBase {
     }
   }
 
+  test("curationPipeline: min(struct) keep-one matches the window form, no Window in plan") {
+    val out = TextAnalysis.curationPipeline(docs)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"expected pure aggregation plan, got:\n$plan")
+    // result-equivalence with the window-row_number formulation it replaced
+    import org.apache.spark.sql.expressions.Window
+    val scored = docs.select(col("doc_id"), TextAnalysis.nTokensCol.as("n_tokens"),
+      TextAnalysis.qualityCol.as("quality"), TextAnalysis.predLangCol.as("pred_lang"),
+      TextAnalysis.fpNormCol.as("fp_norm"))
+      .filter(col("quality") >= 0.6 && col("pred_lang") === "en")
+    val w = Window.partitionBy(col("fp_norm")).orderBy(col("doc_id"))
+    val expected = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select("doc_id", "n_tokens", "quality")
+    assert(out.exceptAll(expected).count() === 0)
+    assert(expected.exceptAll(out).count() === 0)
+    assert(out.count() > 0)
+  }
+
   test("fingerprint: fp_norm is whitespace-invariant, fp_raw is not") {
     val fps = TextAnalysis.fingerprint(tinyDocs).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
