@@ -31,8 +31,16 @@ object Bench {
     // phantom 11x regressions that a single min could not self-diagnose).
     // min = steady-state throughput; first run preserved under "cold".
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
+    // true median: average of the two middle elements for even run counts
+    // (the upper-middle pick would report the MAX of 2 runs as "median",
+    // inflating total_median and the noisy spread — ADVICE r5)
+    def medianOf(sorted: Seq[Double]): Double =
+      if (sorted.size % 2 == 1) sorted(sorted.size / 2)
+      else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2.0
+    def isNoisy(mn: Double, md: Double): Boolean = md > 2.0 * mn + 0.25
+    def timeRuns(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+        n: Int): Seq[(Double, Boolean)] = {
+      val ts = (1 to n).map { _ =>
         val t0 = System.nanoTime()
         // toRdd.count() executes the FULL physical plan (final projections,
         // sorts, formatting included); a DataFrame count() would let
@@ -41,7 +49,6 @@ object Bench {
         catch { case _: Throwable => false }
         ((System.nanoTime() - t0) / 1e9, ok)
       }
-      val ok = times.forall(_._2)
       // drop this query's persisted intermediates before the next query:
       // without this, ~30 queries of cached dedup/similarity tables pile up
       // and later queries' timings become order- and memory-pressure-
@@ -50,9 +57,30 @@ object Bench {
       // run), then clearCache() to drop the now-empty plan-cache entries.
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       spark.catalog.clearCache()
-      val sorted = times.map(_._1).sorted
-      val median = sorted(sorted.size / 2)
-      (name, sorted.head, median, times.head._1, ok)
+      ts
+    }
+    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      (name, fn, timeRuns(fn, runs))
+    }
+    // Adaptive re-run (VERDICT r5): a min ≪ median spread means some runs
+    // were inflated by ambient machine load. The harness can't avoid shared
+    // load, but it can re-measure: flagged queries get `runs` more attempts
+    // at the END of the sweep (a different moment in time), and the merged
+    // stats keep the flag only if the spread REPRODUCES — transient load
+    // self-clears from the artifact instead of demanding a manual re-run.
+    val rerun = firstPass.collect {
+      case (name, fn, ts) if ts.forall(_._2) && {
+          val s = ts.map(_._1).sorted
+          isNoisy(s.head, medianOf(s))
+        } =>
+        name -> timeRuns(fn, runs)
+    }.toMap
+    val results = firstPass.map { case (name, _, ts) =>
+      val all = ts ++ rerun.getOrElse(name, Nil)
+      val ok = all.forall(_._2)
+      val sorted = all.map(_._1).sorted
+      // cold stays the very first run of the sweep (build/JIT costs land there)
+      (name, sorted.head, medianOf(sorted), ts.head._1, ok)
     }
     // failed queries are reported as -1 (a failure's elapsed time is not a
     // timing — recording it would masquerade as a speedup) and listed in
@@ -62,13 +90,13 @@ object Bench {
         .mkString("{", ",", "}")
     val errors = results.collect { case (k, _, _, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    // a min ≪ median spread means some runs of that query were inflated by
-    // ambient load — its min is still the best steady estimate, but the
-    // run as a whole should be read with suspicion (r4 verdict: the
-    // artifact's phantom regressions needed a manual re-run to diagnose)
+    // still-noisy AFTER the adaptive re-run: the spread reproduced across
+    // two separated measurement windows — read those numbers with suspicion
     val noisy = results.collect {
-      case (k, mn, md, _, true) if md > 2.0 * mn + 0.25 => s"\"" + k + "\""
+      case (k, mn, md, _, true) if isNoisy(mn, md) => s"\"" + k + "\""
     }.mkString("[", ",", "]")
+    val rerunList = rerun.keys.toSeq.sorted.map(k => s"\"" + k + "\"")
+      .mkString("[", ",", "]")
     val total = r3(results.collect { case (_, v, _, _, true) => v }.sum)
     val totalMedian = r3(results.collect { case (_, _, m, _, true) => m }.sum)
     // "value" is the steady-state total (min of N runs per query); the
@@ -77,7 +105,7 @@ object Bench {
     val totalCold = r3(results.collect { case (_, _, _, c, true) => c }.sum)
     // totals FIRST within the line, so even a head-truncated capture of the
     // full artifact still reads the headline numbers
-    val totals = s""""metric":"total","value":$total,"unit":"sec","total_median":$totalMedian,"total_cold":$totalCold,"runs":$runs,"noisy":$noisy,"errors":$errors,"sf":"$sfDir""""
+    val totals = s""""metric":"total","value":$total,"unit":"sec","total_median":$totalMedian,"total_cold":$totalCold,"runs":$runs,"noisy":$noisy,"rerun":$rerunList,"errors":$errors,"sf":"$sfDir""""
     val full = s"""{$totals,"queries":${jmap(_._2)},"median":${jmap(_._3)},"cold":${jmap(_._4)}}"""
     // the full artifact also goes to a FILE — the r4 artifact survived only
     // as a 2 KB stdout tail with the per-query map lost; a file cannot be

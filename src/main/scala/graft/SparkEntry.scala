@@ -33,6 +33,19 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     TextOps.wordCount(Tables.documents(spark, "/root/testdata/sf0.001"))
 
+  /** Index builds memoized per (process, sf dir): the indexed-ANN gates'
+    * build/query split exists so probes are cheap — so repeat invocations
+    * (the bench's steady-state runs) must time the PROBE alone, with the
+    * build paid once on the first (cold) run (VERDICT r5). A failed build
+    * un-marks itself so a retry rebuilds instead of probing a half-built
+    * table. */
+  private val builtIndexes = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def buildOnce(key: String)(build: => Unit): Unit =
+    if (builtIndexes.add(key)) {
+      try build
+      catch { case t: Throwable => builtIndexes.remove(key); throw t }
+    }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "wordcount" -> ((s, d) => TextOps.wordCount(Tables.documents(s, d))),
@@ -172,10 +185,23 @@ object SparkEntry {
       Similarity.lshTopK(Tables.embeddings(s, d), col("vec_id") < 10)),
     // build/query split: banded signatures persisted ONCE as a bucketed
     // table, probe reads the stored index (same oracle as ann_lsh_topk —
-    // the index changes where signatures come from, not the answer)
+    // the index changes where signatures come from, not the answer).
+    // buildOnce: the gate times the probe after the first run.
     "ann_lsh_indexed" -> ((s, d) => {
-      Similarity.buildLshIndex(Tables.embeddings(s, d), "graft_lsh_idx")
+      buildOnce(s"lsh:$d") { Similarity.buildLshIndex(Tables.embeddings(s, d), "graft_lsh_idx") }
       Similarity.lshTopKIndexed(s, "graft_lsh_idx", col("vec_id") < 10)
+    }),
+    // incremental-ingest variant: half the corpus bulk-built, the other
+    // half APPENDED into the stored layout — signatures are per-vector,
+    // so the two-batch index is bit-identical to the one-shot build and
+    // shares its oracle
+    "ann_lsh_indexed_incr" -> ((s, d) => {
+      buildOnce(s"lsh_incr:$d") {
+        val emb = Tables.embeddings(s, d)
+        Similarity.buildLshIndex(emb.filter(col("vec_id") % 2 === 0), "graft_lsh_incr")
+        Similarity.appendToLshIndex(emb.filter(col("vec_id") % 2 =!= 0), "graft_lsh_incr")
+      }
+      Similarity.lshTopKIndexed(s, "graft_lsh_incr", col("vec_id") < 10)
     }),
     "ann_ivf_topk" -> ((s, d) =>
       Similarity.ivfTopK(Tables.embeddings(s, d), col("vec_id") < 10)),
@@ -188,8 +214,22 @@ object SparkEntry {
     // as ann_ivf_kmeans (the index changes where cells come from, not the
     // answer)
     "ann_ivf_indexed" -> ((s, d) => {
-      Similarity.buildIvfIndex(Tables.embeddings(s, d), "graft_ivf_idx")
+      buildOnce(s"ivf:$d") { Similarity.buildIvfIndex(Tables.embeddings(s, d), "graft_ivf_idx") }
       Similarity.ivfTopKIndexed(s, "graft_ivf_idx", col("vec_id") < 10)
+    }),
+    // incremental-ingest variant of the IVF split: pivots trained once
+    // over the corpus, then assignments arrive in two batches, each
+    // argmax'd against the STORED pivots and appended — per-vector given
+    // fixed pivots, so the union equals the one-shot assignment and the
+    // gate shares ann_ivf_kmeans's oracle
+    "ann_ivf_indexed_incr" -> ((s, d) => {
+      buildOnce(s"ivf_incr:$d") {
+        val emb = Tables.embeddings(s, d)
+        Similarity.buildIvfPivots(emb, "graft_ivf_incr")
+        Similarity.appendToIvfIndex(s, emb.filter(col("vec_id") % 2 === 0), "graft_ivf_incr")
+        Similarity.appendToIvfIndex(s, emb.filter(col("vec_id") % 2 =!= 0), "graft_ivf_incr")
+      }
+      Similarity.ivfTopKIndexed(s, "graft_ivf_incr", col("vec_id") < 10)
     }),
     // north-star: multimodal binary columns
     "mm_metadata" -> ((s, d) =>
@@ -788,6 +828,7 @@ object SparkEntry {
     "ann_ivf_topk" -> ivfOracleSql,
     "ann_ivf_kmeans" -> ivfKmeansOracleSql,
     "ann_ivf_indexed" -> ivfKmeansOracleSql,
+    "ann_ivf_indexed_incr" -> ivfKmeansOracleSql,
     "fmt_bucketed_join" ->
       """SELECT c_mktsegment,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
@@ -1034,6 +1075,7 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, rn, cos FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
     "ann_lsh_topk" -> annOracleSql,
     "ann_lsh_indexed" -> annOracleSql,
+    "ann_lsh_indexed_incr" -> annOracleSql,
     "sim_neardup_lsh" -> lshNearDupOracleSql,
     "ta_tfidf" ->
       s"""WITH tk AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '$WS')) AS word FROM documents),

@@ -86,7 +86,15 @@ object Engine {
       * submitted under this job's group (capped below 1 until terminal:
       * the denominator grows as the job's later Spark actions submit their
       * stages, and a capped monotone fraction can't overpromise); pinned
-      * to exactly 1.0 when the job COMPLETEs. */
+      * to exactly 1.0 when the job COMPLETEs.
+      *
+      * The fraction is per-stages-SUBMITTED, not per-job-work: between two
+      * actions of a multi-action job (all submitted stages done, the next
+      * action not yet planned) it reads the 0.95 cap even though later
+      * work remains — an inherent property of stage-count progress, since
+      * Spark only learns a job's total work as each action plans. Polling
+      * clients that need work-weighted progress should track action count
+      * in their JobSpec and scale externally. */
     def progress: Double = java.lang.Double.longBitsToDouble(prog.get)
     /** Every state this job has passed through, in order. */
     def transitions: Seq[String] = { import scala.jdk.CollectionConverters._; transitionLog.asScala.toSeq }

@@ -181,6 +181,19 @@ object Similarity {
       bandedSignatures(emb), table, Seq("band_idx", "band_val"), numBuckets)
   }
 
+  /** Incremental-ingest half of the LSH build/query split: band the NEW
+    * batch's signatures and append them into the stored index layout.
+    * Signatures are per-vector independent, so the existing corpus is
+    * neither read nor rewritten — the daily-ingest cost is one pass over
+    * the new batch (16 hyperplane dots per vector) plus one bucketed
+    * append; a two-batch build is bit-identical to a one-shot build of the
+    * union (gated under the same oracle as [[lshTopKIndexed]]). */
+  def appendToLshIndex(newEmb: DataFrame, table: String, numBuckets: Int = 8): Unit = {
+    graft.functions.FloatDot.register(newEmb.sparkSession)
+    graft.sources.Formats.writeBucketedAppend(
+      bandedSignatures(newEmb), table, Seq("band_idx", "band_val"), numBuckets)
+  }
+
   /** The probe join of [[lshTopKIndexed]], exposed pre-rank so the spec
     * can assert its plan: both sides read the STORED index (no signature
     * recompute), and the index side plans with zero shuffle. */
@@ -301,6 +314,36 @@ object Similarity {
       assignCells(emb, piv), table, Seq("cell"), numBuckets)
     graft.sources.Formats.writeBucketed(piv, s"${table}_pivots", Seq("pid"), 1)
   }
+
+  /** Train and store ONLY the pivot half of the IVF index — the starting
+    * point of the incremental-build path: pivots are trained once over the
+    * (historical) corpus, then batches are assigned against the STORED
+    * pivots as they arrive ([[appendToIvfIndex]]) without retraining.
+    * Pivot drift under sustained ingest is handled by periodic retrain +
+    * reassign (a fresh [[buildIvfIndex]]) — the standard IVF maintenance
+    * contract, out of scope for the per-batch path. */
+  def buildIvfPivots(emb: DataFrame, table: String, kClusters: Int = NumPivots,
+      iters: Int = KmeansIters): Unit =
+    graft.sources.Formats.writeBucketed(
+      trainPivots(emb, kClusters, iters), s"${table}_pivots", Seq("pid"), 1)
+
+  /** Assign a NEW batch against the STORED pivots: reads `<table>_pivots`
+    * (tiny, broadcast) and argmaxes only the batch — the existing
+    * assignment table is not touched, so the plan scales with the batch,
+    * never the corpus (asserted in SimilaritySpec). */
+  def assignCellsIndexed(spark: org.apache.spark.sql.SparkSession, newEmb: DataFrame,
+      table: String): DataFrame =
+    assignCells(newEmb, spark.table(s"${table}_pivots"))
+
+  /** Incremental-ingest half of the IVF build/query split: assign the new
+    * batch against the stored pivots and append into the bucketed cell
+    * layout. Cell assignment is per-vector independent given fixed pivots,
+    * so N appended batches equal one bulk [[assignCells]] of their union —
+    * which is why the two-batch gate shares [[ivfTopKIndexed]]'s oracle. */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession, newEmb: DataFrame,
+      table: String, numBuckets: Int = 8): Unit =
+    graft.sources.Formats.writeBucketedAppend(
+      assignCellsIndexed(spark, newEmb, table), table, Seq("cell"), numBuckets)
 
   /** Query-many half: [[ivfTopKKmeans]] semantics (same oracle) against a
     * stored [[buildIvfIndex]] table pair. Only the query rows' pivot

@@ -128,4 +128,21 @@ object Formats {
       .format("parquet")
       .saveAsTable(table)
   }
+
+  /** Append a batch into a bucketed table's layout (creating the table on
+    * first use) — the incremental-ingest half of the bucketed-table story.
+    * Spark bucketing is per-file: each appended batch writes its own
+    * bucket-hashed, per-bucket-sorted files, so readers keep the
+    * exchange-free join/aggregation plan over the union, and ONLY the new
+    * batch is scanned or written (the existing data is never touched).
+    * Each append adds up to one file per bucket; [[compactParquet]]-style
+    * maintenance applies when the file count grows. The bucket spec must
+    * match the existing table's (Spark enforces this). */
+  def writeBucketedAppend(df: DataFrame, table: String, bucketCols: Seq[String],
+      numBuckets: Int): Unit =
+    df.write.mode(SaveMode.Append)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
 }

@@ -97,34 +97,44 @@ class EngineSpec extends SparkTestBase {
   }
 
   test("progress is strictly increasing (deduped) and ends at exactly 1.0") {
-    val in = Files.createTempDirectory("graft_prog")
-    // enough input shards (2000 lines / 512-byte shards) that the job runs
-    // many stages over several seconds — the listener bus delivers stage
-    // completions with plenty of poll iterations left to observe them
-    Files.writeString(in.resolve("a.txt"),
-      (1 to 2000).map(i => s"alpha beta gamma delta w$i").mkString("\n"))
-    val out = Files.createTempDirectory("graft_prog_out")
-    val h = Engine.submitAsync(spark,
-      JobSpec(Seq(in.resolve("a.txt").toString), shardSize = 512L),
-      out.resolve("p").toString, jobId = 9)
-    val seen = scala.collection.mutable.ArrayBuffer[Double]()
-    while (h.status == "CREATED" || h.status == "RUNNING") {
+    // The hard invariants (monotone samples, strictly increasing change
+    // points, terminal 1.0 pin) hold on EVERY attempt. Observing an
+    // intermediate (0,1) sample additionally needs the async listener bus
+    // to deliver a stage completion while the poll loop is still running —
+    // true in practice, but a loaded machine can deliver every event after
+    // COMPLETED (ADVICE r5) — so that one assertion retries with a larger
+    // input instead of failing on scheduling luck.
+    def attempt(tag: Int, lines: Int): Boolean = {
+      val in = Files.createTempDirectory(s"graft_prog$tag")
+      // enough input shards (512-byte shards) that the job runs many stages
+      // over several seconds of poll iterations
+      Files.writeString(in.resolve("a.txt"),
+        (1 to lines).map(i => s"alpha beta gamma delta w$i").mkString("\n"))
+      val out = Files.createTempDirectory(s"graft_prog_out$tag")
+      val h = Engine.submitAsync(spark,
+        JobSpec(Seq(in.resolve("a.txt").toString), shardSize = 512L),
+        out.resolve("p").toString, jobId = 9)
+      val seen = scala.collection.mutable.ArrayBuffer[Double]()
+      while (h.status == "CREATED" || h.status == "RUNNING") {
+        seen += h.progress
+        Thread.sleep(2)
+      }
+      assert(h.await().status === "COMPLETED")
       seen += h.progress
-      Thread.sleep(2)
+      // raw samples never decrease (the CAS max in advanceProgress)...
+      assert(seen.sliding(2).forall(p => p.size < 2 || p(0) <= p(1)),
+        s"progress must be monotone: $seen")
+      // ...so the change points form a strictly increasing sequence ending
+      // at the terminal 1.0 pin
+      val changes = seen.foldLeft(List.empty[Double]) { (acc, v) =>
+        if (acc.headOption.contains(v)) acc else v :: acc
+      }.reverse
+      assert(changes.last === 1.0)
+      assert(changes === changes.sorted && changes.distinct === changes)
+      changes.exists(p => p > 0.0 && p < 1.0)
     }
-    assert(h.await().status === "COMPLETED")
-    seen += h.progress
-    // raw samples never decrease (the CAS max in advanceProgress)...
-    assert(seen.sliding(2).forall(p => p.size < 2 || p(0) <= p(1)),
-      s"progress must be monotone: $seen")
-    // ...so the change points form a strictly increasing sequence ending
-    // at the terminal 1.0 pin
-    val changes = seen.foldLeft(List.empty[Double]) { (acc, v) =>
-      if (acc.headOption.contains(v)) acc else v :: acc
-    }.reverse
-    assert(changes.last === 1.0)
-    assert(changes === changes.sorted && changes.distinct === changes)
-    assert(changes.count(p => p > 0.0 && p < 1.0) >= 1,
-      s"poll loop must observe intermediate stage-level progress: $changes")
+    val observed = (1 to 3).exists(i => attempt(i, 2000 * i))
+    assert(observed,
+      "no attempt observed intermediate stage-level progress from the poll loop")
   }
 }

@@ -180,6 +180,7 @@ class SimilaritySpec extends SparkTestBase {
       // an index⋈index self-mining join on the band key (the all-pairs
       // shape) plans with zero exchanges of any kind — both sides are
       // pre-hashed and pre-sorted on (band_idx, band_val) on disk
+      val priorThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       try {
         val a = spark.table("graft_lsh_idx_spec")
@@ -192,7 +193,7 @@ class SimilaritySpec extends SparkTestBase {
           s"bucketed self-mining join must not shuffle:\n$selfPlan")
         assert(selfPlan.contains("Bucketed: true"),
           s"self-mining join must use the bucketed layout:\n$selfPlan")
-      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", priorThreshold)
     } finally spark.sql("DROP TABLE IF EXISTS graft_lsh_idx_spec")
   }
 
@@ -222,6 +223,59 @@ class SimilaritySpec extends SparkTestBase {
     } finally {
       spark.sql("DROP TABLE IF EXISTS graft_ivf_idx_spec")
       spark.sql("DROP TABLE IF EXISTS graft_ivf_idx_spec_pivots")
+    }
+  }
+
+  test("incremental LSH index: append equals one-shot build, touches only the new batch") {
+    try {
+      val oldBatch = emb.filter(col("vec_id") % 2 === 0)
+      val newBatch = emb.filter(col("vec_id") % 2 =!= 0)
+      Similarity.buildLshIndex(oldBatch, "graft_lsh_incr_spec")
+      val rowsBefore = spark.table("graft_lsh_incr_spec").count()
+      Similarity.appendToLshIndex(newBatch, "graft_lsh_incr_spec")
+      // the append wrote EXACTLY the new batch's band rows (SigBands per
+      // vector) — nothing of the existing index was rewritten or duplicated
+      val rowsAfter = spark.table("graft_lsh_incr_spec").count()
+      assert(rowsBefore === oldBatch.count() * Similarity.SigBands)
+      assert(rowsAfter - rowsBefore === newBatch.count() * Similarity.SigBands)
+      // two-batch index answers identically to the fresh full-corpus path
+      val indexed = Similarity.lshTopKIndexed(spark, "graft_lsh_incr_spec", col("vec_id") < 5)
+      val fresh = Similarity.lshTopK(emb, col("vec_id") < 5)
+      assert(indexed.collect().toSeq === fresh.collect().toSeq)
+      // the appended layout still supports the exchange-free probe: the
+      // index side of the probe join plans with no shuffle
+      val probe = Similarity.indexedProbeJoin(spark, "graft_lsh_incr_spec", col("vec_id") < 5)
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange"),
+        s"index probe over appended layout must not shuffle:\n$plan")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_lsh_incr_spec")
+  }
+
+  test("incremental IVF index: stored-pivot assignment scales with the batch, not the corpus") {
+    try {
+      Similarity.buildIvfPivots(emb, "graft_ivf_incr_spec")
+      val batch1 = emb.filter(col("vec_id") % 2 === 0)
+      val batch2 = emb.filter(col("vec_id") % 2 =!= 0)
+      // the new-batch assignment reads ONLY the stored pivots + the batch:
+      // no scan of the assignment table, no retraining
+      val assignPlan = Similarity.assignCellsIndexed(spark, batch2, "graft_ivf_incr_spec")
+        .queryExecution.optimizedPlan.toString
+        .replace("graft_ivf_incr_spec_pivots", "PIVOTS")
+      assert(!assignPlan.contains("graft_ivf_incr_spec"),
+        s"batch assignment must not scan the assignment table:\n$assignPlan")
+      assert(assignPlan.contains("PIVOTS"), "assignment must read the stored pivots")
+      assert(Similarity.assignCellsIndexed(spark, batch2, "graft_ivf_incr_spec").count()
+        === batch2.count())
+      Similarity.appendToIvfIndex(spark, batch1, "graft_ivf_incr_spec")
+      Similarity.appendToIvfIndex(spark, batch2, "graft_ivf_incr_spec")
+      // per-vector assignment against fixed pivots: two appended batches ==
+      // the one-shot trained path
+      val indexed = Similarity.ivfTopKIndexed(spark, "graft_ivf_incr_spec", col("vec_id") < 5)
+      val fresh = Similarity.ivfTopKKmeans(emb, col("vec_id") < 5)
+      assert(indexed.collect().toSeq === fresh.collect().toSeq)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_ivf_incr_spec")
+      spark.sql("DROP TABLE IF EXISTS graft_ivf_incr_spec_pivots")
     }
   }
 
