@@ -249,6 +249,14 @@ object SparkEntry {
           element_at(col("feature"), 3).as("f_mean"),
           element_at(col("feature"), 4).as("f_n"))
         .orderBy("doc_id")),
+    // REAL codec path: synthesize deterministic grayscale PNGs, decode
+    // them with javax.imageio, emit pixel stats; the oracle replays the
+    // generating formula in SQL — hash equality proves the
+    // encode→PNG→decode round trip is exact (decodeStub stays as the
+    // dependency-free stand-in for non-JVM codecs)
+    "mm_decode_png" -> ((s, d) =>
+      Multimodal.decodePng(Multimodal.synthesizePng(Tables.documents(s, d)))
+        .orderBy("doc_id")),
     "mm_downsample" -> ((s, d) =>
       Multimodal.downsampleBytes(Multimodal.asBlobTable(Tables.documents(s, d)), 4)
         .select(col("doc_id"), col("byte_len"), col("ds_len"), hex(col("ds_bytes")).as("ds_hex"))
@@ -1143,6 +1151,23 @@ object SparkEntry {
         |  CAST(list_sum(codes) AS DOUBLE) / nb AS f_mean,
         |  CAST(nb AS DOUBLE) AS f_n
         |FROM c ORDER BY doc_id""".stripMargin,
+    // replays Multimodal.synthesizePng's generating formula: pixel
+    // (x, y) = (doc_id*31 + x*7 + y*13) mod 256 over the per-doc
+    // dimensions — no decoder needed oracle-side, which is exactly what
+    // makes the real ImageIO decode gate checkable
+    "mm_decode_png" ->
+      """WITH px AS (SELECT doc_id,
+        |  (doc_id * 31 + x * 7 + y * 13) % 256 AS v
+        |  FROM documents,
+        |    unnest(generate_series(0, CAST(doc_id % 16 + 7 AS INT))) AS tx(x),
+        |    unnest(generate_series(0, CAST(doc_id % 12 + 7 AS INT))) AS ty(y))
+        |SELECT doc_id,
+        |  CAST(doc_id % 16 + 8 AS BIGINT) AS width,
+        |  CAST(doc_id % 12 + 8 AS BIGINT) AS height,
+        |  CAST(sum(v) AS DOUBLE) / count(*) AS mean_px,
+        |  CAST(min(v) AS BIGINT) AS min_px,
+        |  CAST(max(v) AS BIGINT) AS max_px
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // byte_stride mirrored as a char-stride over the ASCII payload
     "mm_downsample" ->
       """SELECT doc_id,

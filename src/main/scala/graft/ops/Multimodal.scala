@@ -81,6 +81,93 @@ object Multimodal {
       .withColumn("ds_len", length(col("ds_bytes")).cast("long"))
   }
 
+  /** Output schema of [[synthesizePng]]. */
+  val pngBlobSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("bytes", BinaryType),
+    StructField("width", LongType),
+    StructField("height", LongType)))
+
+  /** Deterministic synthetic PNG corpus: one real 8-bit grayscale PNG per
+    * document, pixel `(x, y) = (doc_id*31 + x*7 + y*13) mod 256`, size
+    * `(doc_id mod 16 + 8) × (doc_id mod 12 + 8)`. The generating formula
+    * is pure integer arithmetic, so a SQL oracle can replay the expected
+    * pixel statistics WITHOUT a decoder — which is what lets the real
+    * codec path ([[decodePng]]) sit under the DuckDB gate: the gate
+    * round-trips encode→PNG→decode→stats against the formula. */
+  def synthesizePng(docs: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(pngBlobSchema)
+    docs.select("doc_id").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val w = (id % 16 + 8).toInt
+        val h = (id % 12 + 8).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            raster.setSample(x, y, 0, ((id * 31 + x * 7 + y * 13) % 256).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row(id, bos.toByteArray, w.toLong, h.toLong)
+      }
+    }(enc).toDF()
+  }
+
+  /** Output schema of [[decodePng]]. */
+  val decodedPngSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("width", LongType),
+    StructField("height", LongType),
+    StructField("mean_px", DoubleType),
+    StructField("min_px", LongType),
+    StructField("max_px", LongType)))
+
+  /** REAL decode path: `javax.imageio` PNG decode inside the same
+    * partition-batched plumbing as [[decodeStub]] — the pure-JVM codec
+    * that exists in any container (no native media libs needed). 8-bit
+    * grayscale PNG is lossless, so decoded pixel statistics are exact and
+    * oracle-checkable against the [[synthesizePng]] generating formula
+    * (gate `mm_decode_png`). [[decodeStub]] stays as the dependency-free
+    * stand-in for formats whose codecs are NOT in the JVM (video/audio);
+    * a real pipeline swaps its marked line exactly the way this method
+    * swaps in ImageIO. */
+  def decodePng(blobs: DataFrame): DataFrame = {
+    val input = blobs.select("doc_id", "bytes")
+    val enc = RowEncoder.encoderFor(decodedPngSchema)
+    input.mapPartitions { rows =>
+      // per-partition init point (a native codec/model handle would live
+      // here); ImageIO itself is stateless JVM machinery
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        require(img != null, s"undecodable PNG payload for doc $id")
+        val (w, h) = (img.getWidth, img.getHeight)
+        val raster = img.getRaster
+        var sum = 0L; var mn = 255; var mx = 0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = raster.getSample(x, y, 0)
+            sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+            x += 1
+          }
+          y += 1
+        }
+        Row(id, w.toLong, h.toLong, sum.toDouble / (w.toLong * h), mn.toLong, mx.toLong)
+      }
+    }(enc).toDF()
+  }
+
   /** Output schema of [[decodeStub]]. */
   val decodedSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),

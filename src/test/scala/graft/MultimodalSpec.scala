@@ -46,6 +46,28 @@ class MultimodalSpec extends SparkTestBase {
     assert(row.getAs[Array[Byte]]("ds_bytes").toSeq === expected.toSeq)
   }
 
+  test("synthesizePng emits real PNGs; decodePng round-trips the generating formula") {
+    val docs = Tables.documents(spark, sfDir).limit(50)
+    val png = Multimodal.synthesizePng(docs).cache()
+    // real PNG payloads: magic bytes \x89PNG
+    val magic = png.select(col("doc_id"), hex(substring(col("bytes"), 1, 4)).as("m"))
+    assert(magic.filter(col("m") =!= "89504E47").count() === 0)
+    val out = Multimodal.decodePng(png).cache()
+    assert(out.schema === Multimodal.decodedPngSchema)
+    assert(out.count() === docs.count())
+    // driver-side replay of the generating formula for a handful of docs
+    out.orderBy("doc_id").limit(5).collect().foreach { r =>
+      val id = r.getLong(0)
+      val (w, h) = ((id % 16 + 8).toInt, (id % 12 + 8).toInt)
+      val pix = for (y <- 0 until h; x <- 0 until w)
+        yield ((id * 31 + x * 7 + y * 13) % 256).toInt
+      assert(r.getLong(1) === w.toLong && r.getLong(2) === h.toLong)
+      assert(r.getDouble(3) === pix.map(_.toLong).sum.toDouble / pix.size,
+        s"mean pixel mismatch for doc $id — PNG round trip must be lossless")
+      assert(r.getLong(4) === pix.min.toLong && r.getLong(5) === pix.max.toLong)
+    }
+  }
+
   test("decodeStub: schema contract and deterministic byte statistics") {
     val out = Multimodal.decodeStub(blobs).cache()
     assert(out.schema === Multimodal.decodedSchema)
