@@ -170,6 +170,14 @@ object SparkEntry {
     // cross-document repeated spans dropped (first occurrence kept); the
     // oracle replays span ownership and reconstructs the kept text
     "dedup_span_rewrite" -> ((s, d) => Dedup.removeDuplicateSpans(Tables.documents(s, d))),
+    // cross-dataset eval-contamination scan: docs with doc_id % 7 == 0
+    // play the benchmark corpus, the rest are training docs scored by
+    // benchmark-overlapping span count
+    "dedup_contamination" -> ((s, d) => {
+      val all = Tables.documents(s, d)
+      Dedup.contaminationStats(
+        all.filter(col("doc_id") % 7 =!= 0), all.filter(col("doc_id") % 7 === 0))
+    }),
     // north-star: similarity search. The exact all-pairs miner
     // (Similarity.embeddingNearDupPairs) is deliberately NOT gated: its n²
     // cross product is a verification utility (SimilaritySpec uses it as
@@ -1021,6 +1029,23 @@ object SparkEntry {
          |  coalesce(f.dup, 0) AS n_dup_spans,
          |  CAST(coalesce(f.dup, 0) AS DOUBLE) / t.n_spans AS dup_ratio
          |FROM tot t LEFT JOIN fl f ON f.doc_id = t.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
+    // DuckDB mirror of Dedup.contaminationStats over the %7 split: the
+    // benchmark side reduces to its distinct span-hash set, training spans
+    // count hits against it
+    "dedup_contamination" ->
+      s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '$WS') AS ws FROM documents),
+         |sp AS (SELECT doc_id, ${h60Sql("array_to_string(ws[i:i+7], ' ')")} AS sh
+         |  FROM toks, unnest(generate_series(1, greatest(len(ws) - 7, 1))) AS t(i)),
+         |bench AS (SELECT DISTINCT sh FROM sp WHERE doc_id % 7 = 0),
+         |tr AS (SELECT doc_id, sh FROM sp WHERE doc_id % 7 <> 0),
+         |tot AS (SELECT doc_id, count(*) AS n_spans FROM tr GROUP BY 1),
+         |cm AS (SELECT doc_id, count(*) AS c FROM tr
+         |  WHERE sh IN (SELECT sh FROM bench) GROUP BY 1)
+         |SELECT t.doc_id, t.n_spans,
+         |  CAST(coalesce(c.c, 0) AS BIGINT) AS n_contam_spans,
+         |  CAST(coalesce(c.c, 0) AS DOUBLE) / t.n_spans AS contam_ratio
+         |FROM tot t LEFT JOIN cm c ON c.doc_id = t.doc_id
          |ORDER BY t.doc_id""".stripMargin,
     // DuckDB mirror of Dedup.removeDuplicateSpans: same span hashes as
     // dedup_span_stats, ownership = min (doc_id, position) per duplicated

@@ -396,13 +396,21 @@ object Dedup {
     * costs one row per task), a semi-join back, two per-doc counts. The
     * positional span table feeds three branches and is persisted (same
     * caller-clears contract as the pair miners). */
-  def duplicateSpans(docs: DataFrame, n: Int = 8): DataFrame = {
-    val sp = docs.select(col("doc_id"), split(lower(col("text")), "\\s+").as("ws"))
+  /** Positional n-token span hashes — the shared scan under every
+    * span-level operator ([[duplicateSpans]], [[removeDuplicateSpans]],
+    * [[contaminationStats]]): one row per (doc, position) with the span's
+    * 60-bit hash, the position, and the doc's token count. Spans keep
+    * every occurrence (no distinct); shorter-than-n documents contribute
+    * their single partial span. */
+  private def positionalSpans(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), split(lower(col("text")), "\\s+").as("ws"))
       .select(col("doc_id"), col("ws"),
         explode(sequence(lit(1), greatest(size(col("ws")) - (n - 1), lit(1)))).as("i"))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("i"), size(col("ws")).as("nt"),
         CrossHash.h60(array_join(slice(col("ws"), col("i"), lit(n)), " ")).as("sh"))
-      .persist()
+
+  def duplicateSpans(docs: DataFrame, n: Int = 8): DataFrame = {
+    val sp = positionalSpans(docs, n).select("doc_id", "sh").persist()
     val dupHashes = sp.groupBy("sh")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2)
@@ -416,6 +424,47 @@ object Dedup {
         (coalesce(col("dup"), lit(0L)).cast("double") / col("n_spans")).as("dup_ratio"))
       .orderBy("doc_id")
   }
+
+  /** Benchmark decontamination — cross-DATASET exact n-gram overlap, the
+    * eval-contamination scan every serious training-data pipeline runs
+    * (the GPT-3-style "remove training documents sharing a 13-gram with
+    * the benchmarks" rule, here at the span family's n): for each TRAINING
+    * document, how many of its positional n-token spans also occur
+    * anywhere in the BENCHMARK corpus. Unlike [[duplicateSpans]] the
+    * reference set is a second dataset, and one benchmark hit taints a
+    * span regardless of training-corpus frequency.
+    *
+    * Scale shape: the benchmark side reduces to its DISTINCT span-hash set
+    * (eval suites are tiny next to a 100 TB corpus — typically
+    * broadcastable); the training side is the one [[positionalSpans]]
+    * scan, a semi-join against the benchmark hashes, and two per-doc
+    * counts, all map-side partial-aggregated. */
+  def contaminationStats(train: DataFrame, benchmark: DataFrame, n: Int = 8): DataFrame = {
+    // feeds both the total count and the contaminated count
+    val sp = positionalSpans(train, n).select("doc_id", "sh").persist()
+    val benchHashes = positionalSpans(benchmark, n).select("sh").distinct()
+    val contam = sp.join(benchHashes, Seq("sh"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("c"))
+    sp.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+      .join(contam, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("c"), lit(0L)).as("n_contam_spans"),
+        (coalesce(col("c"), lit(0L)).cast("double") / col("n_spans")).as("contam_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** The actionable half of [[contaminationStats]]: the training corpus
+    * with contaminated documents dropped. `maxRatio = 0.0` (default) is
+    * the strict rule — any benchmark-overlapping span disqualifies the
+    * document; a small positive ratio tolerates incidental short-phrase
+    * collisions. Returns the surviving rows of `train` unchanged. */
+  def decontaminate(train: DataFrame, benchmark: DataFrame, n: Int = 8,
+      maxRatio: Double = 0.0): DataFrame =
+    train.join(
+      contaminationStats(train, benchmark, n)
+        .filter(col("contam_ratio") <= maxRatio)
+        .select("doc_id"),
+      Seq("doc_id"), "left_semi")
 
   /** Span-level dedup REWRITE — the actionable half of the
     * [[duplicateSpans]] curation signal: produce the *cleaned corpus* with
@@ -450,11 +499,7 @@ object Dedup {
     * persisted (caller-clears contract, as for the pair miners). */
   def removeDuplicateSpans(docs: DataFrame, n: Int = 8): DataFrame = {
     val base = docs.select(col("doc_id"), split(lower(col("text")), "\\s+").as("ws"))
-    val sp = base.select(col("doc_id"), col("ws"),
-        explode(sequence(lit(1), greatest(size(col("ws")) - (n - 1), lit(1)))).as("i"))
-      .select(col("doc_id"), col("i"), size(col("ws")).as("nt"),
-        CrossHash.h60(array_join(slice(col("ws"), col("i"), lit(n)), " ")).as("sh"))
-      .persist()
+    val sp = positionalSpans(docs, n).persist()
     val dupHashes = sp.groupBy("sh")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2)

@@ -160,6 +160,37 @@ class DedupSpec extends SparkTestBase {
     assert(curated.count() > 0, "cleaned corpus still curates")
   }
 
+  test("contaminationStats flags benchmark overlap; decontaminate drops exactly the tainted docs") {
+    import spark.implicits._
+    val boiler = (1 to 8).map(i => s"q$i").mkString(" ")
+    val train = Seq(
+      (1L, s"intro words $boiler closing words"), // contains the benchmark span
+      (2L, "completely unrelated training text here"),
+      (3L, s"$boiler")).toDF("doc_id", "text") // IS the benchmark span
+    val bench = Seq((100L, s"eval question $boiler answer")).toDF("doc_id", "text")
+    val stats = Dedup.contaminationStats(train, bench).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(stats(1L)._2 === 1L, "exactly the one overlapping span is flagged")
+    assert(stats(2L)._2 === 0L)
+    assert(stats(3L) === ((1L, 1L)), "a doc that IS the span is fully contaminated")
+    val kept = Dedup.decontaminate(train, bench).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L), "strict rule drops every doc with any benchmark span")
+    // tolerant threshold keeps the mostly-clean doc (1/5 spans contaminated)
+    val tolerant = Dedup.decontaminate(train, bench, maxRatio = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(tolerant === Set(1L, 2L))
+    // corpus-level: every training doc scored, ratios in [0,1], and the
+    // %7 split finds real contamination (planted near-dups straddle it)
+    val all = docs
+    val corpus = Dedup.contaminationStats(
+      all.filter(col("doc_id") % 7 =!= 0), all.filter(col("doc_id") % 7 === 0)).cache()
+    assert(corpus.count() === all.filter(col("doc_id") % 7 =!= 0).count())
+    assert(corpus.filter(col("contam_ratio") < 0 || col("contam_ratio") > 1).count() === 0)
+    assert(corpus.filter(col("n_contam_spans") > 0).count() > 0,
+      "planted near-dups across the split must register as contamination")
+  }
+
   test("maxDf cap removes ubiquitous-shingle candidates (the k-squared skew guard)") {
     import spark.implicits._
     // 6 docs all sharing one hot token; pairs exist ONLY through it
