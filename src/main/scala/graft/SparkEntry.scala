@@ -133,6 +133,22 @@ object SparkEntry {
     "ta_approx_distinct" -> ((s, d) => TextAnalysis.approxDistinctWords(Tables.documents(s, d))),
     "ta_curation_pipeline" -> ((s, d) => TextAnalysis.curationPipeline(Tables.documents(s, d))),
     "ta_top_bigrams" -> ((s, d) => TextAnalysis.topBigrams(Tables.documents(s, d))),
+    // PII scrubbing under the oracle: the corpus has no digits, so the
+    // gate INJECTS deterministic doc_id-derived emails/phones/IPs (same
+    // inject-then-prove pattern as the fmt_* garbage gates), then redacts;
+    // both engines replay injection AND redaction with their own regex
+    // engines, so the fingerprint equality proves the scrub is exact
+    "ta_pii_redact" -> ((s, d) => {
+      val injected = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"),
+          expr("repeat(concat(' user', CAST(doc_id AS STRING), '@example.org'), " +
+            "CAST(doc_id % 3 AS INT))"),
+          expr("repeat(concat(' 555-', lpad(CAST(doc_id % 1000 AS STRING), 3, '0'), " +
+            "'-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0')), CAST(doc_id % 2 AS INT))"),
+          expr("repeat(concat(' 10.0.', CAST(doc_id % 256 AS STRING), '.', " +
+            "CAST(doc_id * 7 % 256 AS STRING)), CAST((doc_id + 1) % 2 AS INT))")).as("text"))
+      TextAnalysis.redactPii(injected)
+    }),
     // deterministic hash-based sampling (training-pipeline reproducibility)
     "sample_hash10" -> ((s, d) =>
       Sampling.hashSample(Tables.documents(s, d), "doc_id", 10)
@@ -1201,6 +1217,30 @@ object SparkEntry {
         |  hex(encode(array_to_string(list_transform(generate_series(1, length(text), 4),
         |    i -> substring(text, CAST(i AS INT), 1)), ''))) AS ds_hex
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // replays the gate's injection with DuckDB string ops, then redacts
+    // with DuckDB's RE2 engine — fingerprint equality proves Spark's Java
+    // regex and RE2 agree on every replacement
+    "ta_pii_redact" ->
+      s"""WITH inj AS (SELECT doc_id,
+         |  text || repeat(' user' || CAST(doc_id AS VARCHAR) || '@example.org',
+         |    CAST(doc_id % 3 AS INT))
+         |  || repeat(' 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+         |    || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), CAST(doc_id % 2 AS INT))
+         |  || repeat(' 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+         |    || CAST(doc_id * 7 % 256 AS VARCHAR), CAST((doc_id + 1) % 2 AS INT)) AS text
+         |  FROM documents),
+         |red AS (SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.EmailRe}', 0)) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.PhoneRe}', 0)) AS BIGINT) AS n_phones,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.Ipv4Re}', 0)) AS BIGINT) AS n_ips,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+         |    '${TextAnalysis.PhoneRe}', '<PHONE>', 'g'),
+         |    '${TextAnalysis.Ipv4Re}', '<IP>', 'g') AS redacted
+         |  FROM inj)
+         |SELECT doc_id, n_emails, n_phones, n_ips, redacted,
+         |  ${h60Sql("redacted")} AS redacted_fp
+         |FROM red ORDER BY doc_id""".stripMargin,
     "ta_top_bigrams" ->
       s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '$WS') AS ws FROM documents),
          |sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+1], ' ') AS shingle

@@ -85,6 +85,27 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out.count() > 0)
   }
 
+  test("redactPii scrubs emails, phones, and IPs with exact counts") {
+    import spark.implicits._
+    val dirty = Seq(
+      (1L, "mail alice.smith+x@corp.example.com or bob@ex.io now"),
+      (2L, "call 555-123-4567 then 800-555-0199 from 192.168.1.254"),
+      (3L, "nothing sensitive here")).toDF("doc_id", "text")
+    val out = TextAnalysis.redactPii(dirty).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)), r.getString(4))).toMap
+    assert(out(1L)._1 === ((2L, 0L, 0L)))
+    assert(out(1L)._2 === "mail <EMAIL> or <EMAIL> now")
+    assert(out(2L)._1 === ((0L, 2L, 1L)))
+    assert(out(2L)._2 === "call <PHONE> then <PHONE> from <IP>")
+    assert(out(3L)._1 === ((0L, 0L, 0L)))
+    assert(out(3L)._2 === "nothing sensitive here")
+    // redaction is idempotent: placeholders contain nothing the patterns match
+    val again = TextAnalysis.redactPii(
+      TextAnalysis.redactPii(dirty).select(col("doc_id"), col("redacted").as("text")))
+    assert(again.collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+      === out.map { case (k, v) => k -> v._2 })
+  }
+
   test("fingerprint: fp_norm is whitespace-invariant, fp_raw is not") {
     val fps = TextAnalysis.fingerprint(tinyDocs).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
