@@ -71,6 +71,20 @@ class PartitionInvarianceSpec extends SparkTestBase {
     invariant("nearDupAdmit")(Dedup.nearDupAdmit)
   }
 
+  test("span rewrite is partition-count invariant (global ownership argmin)") {
+    invariant("removeDuplicateSpans")(Dedup.removeDuplicateSpans(_))
+  }
+
+  test("contamination stats are partition-count invariant") {
+    invariant("contaminationStats")(d =>
+      Dedup.contaminationStats(
+        d.filter(col("doc_id") % 7 =!= 0), d.filter(col("doc_id") % 7 === 0)))
+  }
+
+  test("pii redaction is partition-count invariant") {
+    invariant("redactPii")(TextAnalysis.redactPii)
+  }
+
   test("k-means IVF top-k is partition-count invariant (fixed-point centroids)") {
     def embs = Tables.embeddings(spark, sfDir)
     val narrow = Similarity.ivfTopKKmeans(embs.repartition(1), col("vec_id") < 10)
