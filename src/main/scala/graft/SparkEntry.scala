@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
-import graft.ops.{Dedup, MapReduce, Multimodal, PipedMapReduce, Relational, Sampling, Similarity, TextAnalysis, TextOps}
+import graft.ops.{Dedup, MapReduce, Multimodal, Packing, PipedMapReduce, Relational, Sampling, Similarity, Snapshot, TextAnalysis, TextOps}
 import graft.sources.{Formats, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -133,6 +133,21 @@ object SparkEntry {
     "ta_approx_distinct" -> ((s, d) => TextAnalysis.approxDistinctWords(Tables.documents(s, d))),
     "ta_curation_pipeline" -> ((s, d) => TextAnalysis.curationPipeline(Tables.documents(s, d))),
     "ta_top_bigrams" -> ((s, d) => TextAnalysis.topBigrams(Tables.documents(s, d))),
+    // CCNet-style bigram-LM quality scoring: add-one-smoothed corpus-trained
+    // model, per-doc mean log P(w_i | w_{i-1}); oracle replays the full
+    // train-then-score loop
+    "ta_lm_score" -> ((s, d) => TextAnalysis.lmScore(Tables.documents(s, d))),
+    // training-batch assembly: deterministic-shuffle concat-then-chunk
+    // packing into fixed-token sequences (per-bucket independence), and a
+    // per-source token-budget cut — both integer-exact cross-engine
+    "pack_sequences" -> ((s, d) => Packing.packSequences(Tables.documents(s, d))),
+    "pack_token_budget" -> ((s, d) => Packing.tokenBudgetSample(Tables.documents(s, d))),
+    // incremental corpus maintenance: snapshot + synthetic change batch
+    // (re-crawl upserts %10==3, tombstones %10==7) → latest-wins merge
+    "snapshot_merge" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Snapshot.mergeSnapshot(Snapshot.baseSnapshot(docs), Snapshot.changeBatch(docs))
+    }),
     // PII scrubbing under the oracle: the corpus has no digits, so the
     // gate INJECTS deterministic doc_id-derived emails/phones/IPs (same
     // inject-then-prove pattern as the fmt_* garbage gates), then redacts;
@@ -1136,6 +1151,59 @@ object SparkEntry {
          |  round(CAST(t.tf AS DOUBLE) * ln((n.n_docs + 1.0) / (d.df + 1.0)), 6) AS tfidf
          |FROM tf t JOIN dfq d USING (word) CROSS JOIN nq n
          |ORDER BY doc_id, word""".stripMargin,
+    // DuckDB replays the full bigram-LM train-then-score loop: counts, vocab,
+    // add-one smoothing, per-doc mean log-prob (round 6 like ta_tfidf)
+    "ta_lm_score" ->
+      s"""WITH f AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '$WS'),
+         |    t -> regexp_matches(t, '^[a-z0-9]+$$')) AS a FROM documents),
+         |bi AS (SELECT doc_id, a[i] AS w1, a[i + 1] AS w2
+         |  FROM f, unnest(generate_series(1, len(a) - 1)) AS t(i) WHERE len(a) >= 2),
+         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+         |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+         |v AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(a) AS w FROM f)),
+         |sc AS (SELECT b.doc_id, ln((c.c12 + 1.0) / (u.c1 + v.v)) AS logp
+         |  FROM bi b JOIN c12 c USING (w1, w2) JOIN c1 u USING (w1) CROSS JOIN v)
+         |SELECT doc_id, count(*) AS n_bigrams, round(avg(logp), 6) AS avg_logp
+         |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
+    // concat-then-chunk sequence packing: per-bucket running token sums in
+    // deterministic (salted-hash, doc_id) order — all-integer outputs
+    "pack_sequences" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    CAST(len(regexp_split_to_array(lower(text), '$WS')) AS BIGINT) AS n_tokens,
+         |    ${Packing.orderHashSql} AS h FROM documents),
+         |b AS (SELECT *, CAST(h % 16 AS INTEGER) AS bucket FROM d),
+         |c AS (SELECT doc_id, bucket, n_tokens,
+         |    coalesce(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |  FROM b)
+         |SELECT doc_id, bucket,
+         |  CAST(floor(cum_before / 256.0) AS BIGINT) AS seq_id,
+         |  CAST(cum_before % 256 AS BIGINT) AS seq_offset, n_tokens
+         |FROM c ORDER BY doc_id""".stripMargin,
+    // per-source token-budget cut: the unique hash-order prefix under budget
+    "pack_token_budget" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |    CAST(len(regexp_split_to_array(lower(text), '$WS')) AS BIGINT) AS n_tokens,
+         |    ${Packing.orderHashSql} AS h FROM documents),
+         |c AS (SELECT doc_id, source, n_tokens,
+         |    coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |  FROM d)
+         |SELECT doc_id, source, n_tokens, CAST(cum_before AS BIGINT) AS cum_before
+         |FROM c WHERE cum_before < 800 ORDER BY doc_id""".stripMargin,
+    // snapshot + change batch → latest-version-wins merge, tombstones dropped
+    "snapshot_merge" ->
+      s"""WITH base AS (SELECT doc_id, 0 AS version, 'upsert' AS op,
+         |    ${h60Sql("text")} AS fp FROM documents),
+         |chg AS (SELECT doc_id, 1 AS version,
+         |    CASE WHEN doc_id % 10 = 3 THEN 'upsert' ELSE 'delete' END AS op,
+         |    CASE WHEN doc_id % 10 = 3 THEN ${h60Sql("'v1:' || text")} END AS fp
+         |  FROM documents WHERE doc_id % 10 IN (3, 7)),
+         |u AS (SELECT * FROM base UNION ALL SELECT * FROM chg),
+         |latest AS (SELECT * FROM (SELECT *, row_number()
+         |    OVER (PARTITION BY doc_id ORDER BY version DESC) AS rn FROM u) WHERE rn = 1)
+         |SELECT doc_id, version, fp FROM latest WHERE op = 'upsert'
+         |ORDER BY doc_id""".stripMargin,
     // ta_approx_distinct: HLL sketch internals differ per engine; rows-only check
     //   (TextAnalysisSpec bounds the approx error against the exact count).
     "ta_curation_pipeline" ->

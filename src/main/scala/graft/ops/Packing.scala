@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.CrossHash
+
+/** Training-batch assembly operators: deterministic corpus shuffling,
+  * sequence packing into fixed token budgets, and token-budgeted corpus
+  * sampling (SURVEY §2c north-star extensions — the step between a curated
+  * corpus and a training dataloader).
+  *
+  * The reference stops at producing sorted reducer output
+  * (srics96/SDC_Mapreduce `src/worker/worker.cpp:290-303` writes the final
+  * corpus files); these operators cover what a 100 TB pretraining pipeline
+  * does next: fix a reproducible global order, concatenate documents into
+  * fixed-length training sequences, and cut per-domain token budgets.
+  *
+  * Scale design: all three are ONE hash shuffle + a per-partition sort —
+  * never a global sort. Packing is per-bucket (each bucket packs
+  * independently, so 1000 executors pack 1000 buckets with no coordination),
+  * which is exactly how production packers shard: a document's (bucket,
+  * seq_id, seq_offset) is a pure function of the corpus content, not of the
+  * cluster layout (proven in PartitionInvarianceSpec). All outputs are
+  * integers — no float drift across engines or partitionings.
+  */
+object Packing {
+
+  /** Tokens per training sequence. At 100 TB this would be the model's
+    * context length (2k–128k); 256 keeps the gate's sequence count
+    * meaningful at test scale. */
+  val DefaultBudget = 256L
+
+  /** Independent packing shards. Fixed here for oracle determinism; in
+    * production this scales with corpus size (e.g. corpus_tokens /
+    * (budget * sequences_per_shard)) so a shard stays executor-sized. */
+  val DefaultBuckets = 16
+
+  /** Deterministic shuffle key: a salted 60-bit content-independent hash of
+    * the document id. Ordering by it is the reproducible "global shuffle"
+    * every pretraining run needs (same corpus → same order, any cluster). */
+  def orderHash: Column =
+    CrossHash.h60(concat(lit("pack:"), col("doc_id").cast("string")))
+
+  /** DuckDB equivalent of [[orderHash]], for oracle authoring. */
+  def orderHashSql: String =
+    CrossHash.h60Sql("'pack:' || CAST(doc_id AS VARCHAR)")
+
+  /** Whitespace token count of `text` (the reference mapper's tokenizer). */
+  private def nTokens: Column =
+    size(split(lower(col("text")), "\\s+")).cast("long")
+
+  /** Pack documents into fixed-token-budget training sequences,
+    * GPT-style concat-then-chunk: documents are laid out end-to-end in
+    * deterministic shuffle order within each of `buckets` independent
+    * shards, and every `budgetTokens` tokens starts a new sequence (a
+    * document may straddle a boundary; `seq_offset` says where it starts
+    * inside its sequence).
+    *
+    * Output per document: `bucket` (packing shard), `seq_id` (training
+    * sequence within the shard), `seq_offset` (token offset inside that
+    * sequence), `n_tokens`.
+    *
+    * Plan: one projection (token count + hash — no shuffle), one hash
+    * partition on `bucket`, one per-bucket sort for the running sum. The
+    * running sum window is `ROWS UNBOUNDED PRECEDING TO 1 PRECEDING` over
+    * longs — exact integer arithmetic, no float accumulation. */
+  def packSequences(docs: DataFrame, budgetTokens: Long = DefaultBudget,
+      buckets: Int = DefaultBuckets): DataFrame = {
+    val w = Window.partitionBy("bucket").orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col("doc_id"), nTokens.as("n_tokens"), orderHash.as("h"))
+      .withColumn("bucket", (col("h") % buckets).cast("int"))
+      .withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .select(
+        col("doc_id"), col("bucket"),
+        floor(col("cum_before") / budgetTokens).cast("long").as("seq_id"),
+        (col("cum_before") % budgetTokens).as("seq_offset"),
+        col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** Cut a fixed token budget per stratum ("2 B tokens of each domain"):
+    * walk each `source`'s documents in deterministic shuffle order and keep
+    * documents until the budget fills — the kept set is the unique hash-order
+    * prefix whose token count stays under `budgetTokens`, so re-running on
+    * re-partitioned (or re-ingested) data keeps exactly the same documents.
+    *
+    * One hash shuffle on `source` + per-source sort. A pathological
+    * mega-source makes that sort wide; production splits a hot source into
+    * salted sub-strata with sub-budgets (same composition as
+    * [[packSequences]]'s buckets) — at gate scale the plain per-source form
+    * is the honest baseline. */
+  def tokenBudgetSample(docs: DataFrame, budgetTokens: Long = 800L): DataFrame = {
+    val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col("doc_id"), col("source"), nTokens.as("n_tokens"), orderHash.as("h"))
+      .withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .where(col("cum_before") < budgetTokens)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_before"))
+      .orderBy("doc_id")
+  }
+}

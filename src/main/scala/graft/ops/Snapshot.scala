@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.CrossHash
+
+/** Incremental corpus maintenance: merge a change batch (upserts +
+  * tombstone deletes) into a corpus snapshot, latest-version-wins
+  * (SURVEY §2c north-star extension — a daily-ingest pipeline's MERGE).
+  *
+  * The reference rewrites its whole output corpus on every job
+  * (srics96/SDC_Mapreduce `src/worker/worker.cpp:290-303` — full shard
+  * files each run); at 100 TB a daily crawl refresh cannot re-emit 100 TB
+  * to change 0.1%, so the production shape is snapshot + change-batch →
+  * next snapshot. This implements that merge declaratively.
+  *
+  * Scale design: ONE hash shuffle on `doc_id` with a map-side-combinable
+  * `max(struct(version, …))` argmax — the same aggregate-form keep-one the
+  * dedup survivors use (no per-key window sort). The change batch is
+  * typically ≪ the snapshot, so AQE broadcast-joins nothing here — the
+  * aggregate is the whole merge. With a bucketed snapshot layout
+  * (Formats.writeBucketed on doc_id) even that shuffle drops to a
+  * bucket-local merge of snapshot partitions with the (re-bucketed) batch.
+  */
+object Snapshot {
+
+  /** The current corpus as a version-0 snapshot: one row per document with
+    * a 60-bit content fingerprint (the payload stand-in — a real snapshot
+    * carries the full column set; the fingerprint keeps the gate's merge
+    * arithmetic content-addressed and cross-engine exact). */
+  def baseSnapshot(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      lit(0).as("version"),
+      lit("upsert").as("op"),
+      CrossHash.h60(col("text")).as("fp"))
+
+  /** A deterministic synthetic change batch derived from the corpus (no
+    * side files at the gate): documents with `doc_id % 10 == 3` arrive
+    * re-crawled (version-1 upsert with a rewritten payload fingerprint),
+    * `doc_id % 10 == 7` arrive as tombstones (takedowns/robots removals). */
+  def changeBatch(docs: DataFrame): DataFrame =
+    docs.where(col("doc_id") % 10 === 3 || col("doc_id") % 10 === 7)
+      .select(
+        col("doc_id"),
+        lit(1).as("version"),
+        when(col("doc_id") % 10 === 3, lit("upsert"))
+          .otherwise(lit("delete")).as("op"),
+        when(col("doc_id") % 10 === 3,
+          CrossHash.h60(concat(lit("v1:"), col("text"))))
+          .otherwise(lit(null).cast("long")).as("fp"))
+
+  /** Latest-version-wins merge: union snapshot + batch, keep each
+    * `doc_id`'s highest version via aggregate-form argmax, drop documents
+    * whose winning row is a tombstone. Emits the next snapshot
+    * `(doc_id, version, fp)`. */
+  def mergeSnapshot(base: DataFrame, changes: DataFrame): DataFrame =
+    base.unionByName(changes)
+      .groupBy("doc_id")
+      // struct comparison is field-order lexicographic, so `version` alone
+      // decides (one row per (doc_id, version) by construction)
+      .agg(max(struct(col("version"), col("op"), col("fp"))).as("w"))
+      .where(col("w.op") === "upsert")
+      .select(col("doc_id"), col("w.version").as("version"), col("w.fp").as("fp"))
+      .orderBy("doc_id")
+}

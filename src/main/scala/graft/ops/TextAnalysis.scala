@@ -157,6 +157,41 @@ object TextAnalysis {
       .orderBy("doc_id", "word")
   }
 
+  /** Bigram language-model scoring — the CCNet-style perplexity-proxy
+    * quality signal: train an add-one-smoothed bigram model on the corpus
+    * itself (counts + vocab size), then score every document by its mean
+    * log P(w_i | w_{i-1}). Low scores flag boilerplate/gibberish the way a
+    * real KenLM filter does; the model here is the corpus's own statistics
+    * so the gate needs no model file, but the plan shape is the production
+    * shape (swap the self-trained count tables for a reference corpus's).
+    *
+    * Scale: bigram extraction is a single projection (adjacent pairs of the
+    * alnum-filtered token array — no self-join); the count tables are
+    * map-side-combined hash aggregates on word keys; scoring is two shuffle
+    * joins of the token-scale table against the much smaller count tables
+    * (AQE broadcasts them when they fit) plus one broadcast scalar for the
+    * vocab size — the tfIdf plan family. Per-doc mean is the only float
+    * aggregate; rounded to 6 places like tfidf for cross-engine stability. */
+  def lmScore(docs: DataFrame): DataFrame = {
+    val arr = expr("filter(split(lower(text), '\\\\s+'), t -> t rlike '^[a-z0-9]+$')")
+    val f = docs.select(col("doc_id"), arr.as("a"))
+    val bi = f.where(size(col("a")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(a) - 2), i -> struct(a[i] AS w1, a[i + 1] AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
+    val vocab = f.select(explode(col("a")).as("w")).agg(count_distinct(col("w")).as("v"))
+    bi.join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(avg(log((col("c12") + lit(1.0)) / (col("c1") + col("v")))), 6).as("avg_logp"))
+      .orderBy("doc_id")
+  }
+
   /** Approximate distinct-term counts per source (HyperLogLog++) next to
     * the exact count. The approx path is the 100 TB answer — constant
     * memory per group, mergeable sketch, no second shuffle of raw terms;

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Packing
+import graft.sources.Tables
+
+/** Sequence packing + token-budget sampling: structural invariants a
+  * training dataloader depends on, checked against an independent
+  * driver-side reconstruction of the packing layout. */
+class PackingSpec extends SparkTestBase {
+
+  private def docs = Tables.documents(spark, sfDir)
+
+  test("packSequences lays documents end-to-end with no gaps or overlaps per bucket") {
+    val budget = 64L
+    val out = Packing.packSequences(docs, budgetTokens = budget, buckets = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+
+    // every document packed exactly once
+    val total = docs.count()
+    assert(out.length.toLong === total)
+    assert(out.map(_._1).distinct.length.toLong === total)
+
+    // offsets stay inside the sequence budget
+    assert(out.forall { case (_, _, _, off, _) => off >= 0 && off < budget })
+
+    // within a bucket, global positions (seq_id * budget + offset) are the
+    // exact running sum of token counts — end-to-end, gapless, overlap-free
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      val byPos = rows.sortBy(r => r._3 * budget + r._4)
+      var cum = 0L
+      byPos.foreach { case (id, _, seqId, off, n) =>
+        assert(seqId === cum / budget, s"doc $id seq_id")
+        assert(off === cum % budget, s"doc $id offset")
+        cum += n
+      }
+    }
+  }
+
+  test("packSequences layout is a pure function of content (reshard + rerun stable)") {
+    val a = Packing.packSequences(docs.repartition(1)).collect().map(_.toString).sorted
+    val b = Packing.packSequences(docs.repartition(13)).collect().map(_.toString).sorted
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("tokenBudgetSample keeps exactly the hash-order prefix under budget, per source") {
+    val budget = 300L
+    val kept = Packing.tokenBudgetSample(docs, budgetTokens = budget)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+
+    // reconstruct the full per-source hash-order walk independently
+    val walk = docs
+      .select(col("doc_id"), col("source"),
+        size(split(lower(col("text")), "\\s+")).cast("long").as("n"),
+        Packing.orderHash.as("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._2)
+
+    val expected = walk.toSeq.flatMap { case (src, rows) =>
+      var cum = 0L
+      rows.sortBy(r => (r._4, r._1)).flatMap { case (id, _, n, _) =>
+        val keep = cum < budget
+        cum += n
+        if (keep) Some((id, src)) else None
+      }
+    }.toSet
+    assert(kept.map(r => (r._1, r._2)).toSet === expected)
+
+    // the reported cumulative positions are under budget by construction
+    assert(kept.forall(_._4 < budget))
+    // and the cut binds: some source must have dropped documents
+    assert(kept.length < docs.count())
+  }
+}

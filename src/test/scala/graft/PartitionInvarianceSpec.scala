@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.col
 
-import graft.ops.{Dedup, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Packing, Sampling, Similarity, Snapshot, TextAnalysis}
 import graft.sources.Tables
 
 /** Partition-count invariance: operator results must not depend on how the
@@ -83,6 +83,23 @@ class PartitionInvarianceSpec extends SparkTestBase {
 
   test("pii redaction is partition-count invariant") {
     invariant("redactPii")(TextAnalysis.redactPii)
+  }
+
+  test("bigram-LM scoring is partition-count invariant (quantized float mean)") {
+    invariant("lmScore")(TextAnalysis.lmScore)
+  }
+
+  test("sequence packing is partition-count invariant (per-bucket running sums)") {
+    invariant("packSequences")(Packing.packSequences(_))
+  }
+
+  test("token-budget sampling is partition-count invariant (per-source prefix)") {
+    invariant("tokenBudgetSample")(Packing.tokenBudgetSample(_))
+  }
+
+  test("snapshot merge is partition-count invariant (argmax keep-one)") {
+    invariant("mergeSnapshot")(d =>
+      Snapshot.mergeSnapshot(Snapshot.baseSnapshot(d), Snapshot.changeBatch(d)))
   }
 
   test("k-means IVF top-k is partition-count invariant (fixed-point centroids)") {

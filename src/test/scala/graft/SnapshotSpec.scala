@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.CrossHash
+import graft.ops.Snapshot
+import graft.sources.Tables
+
+/** Latest-wins snapshot merge: upserts replace, tombstones delete,
+  * untouched documents ride through byte-identical. */
+class SnapshotSpec extends SparkTestBase {
+
+  private def docs = Tables.documents(spark, sfDir)
+
+  test("mergeSnapshot applies upserts, drops tombstones, passes the rest through") {
+    val merged = Snapshot.mergeSnapshot(
+      Snapshot.baseSnapshot(docs), Snapshot.changeBatch(docs))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val byId = merged.map(r => r._1 -> r).toMap
+
+    val expectedFps = docs.select(col("doc_id"),
+      CrossHash.h60(col("text")).as("fp0"),
+      CrossHash.h60(concat(lit("v1:"), col("text"))).as("fp1"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+    expectedFps.foreach { case (id, fp0, fp1) =>
+      id % 10 match {
+        case 7 => assert(!byId.contains(id), s"tombstoned doc $id survived")
+        case 3 => assert(byId(id) === ((id, 1, fp1)), s"doc $id not upserted")
+        case _ => assert(byId(id) === ((id, 0, fp0)), s"doc $id mutated")
+      }
+    }
+    val tombstones = expectedFps.count(_._1 % 10 == 7)
+    assert(merged.length === expectedFps.length - tombstones)
+  }
+
+  test("merge is idempotent: re-applying the same batch changes nothing") {
+    val once = Snapshot.mergeSnapshot(
+      Snapshot.baseSnapshot(docs), Snapshot.changeBatch(docs))
+    // feed the merged snapshot back as the base (its rows carry the winning
+    // versions) with the same change batch — latest-wins must be stable
+    val base2 = once.select(col("doc_id"), col("version"), lit("upsert").as("op"), col("fp"))
+    val twice = Snapshot.mergeSnapshot(base2, Snapshot.changeBatch(docs))
+    assert(twice.collect().map(_.toString).sorted.toSeq ===
+      once.collect().map(_.toString).sorted.toSeq)
+  }
+}

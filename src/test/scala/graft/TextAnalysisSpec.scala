@@ -106,6 +106,36 @@ class TextAnalysisSpec extends SparkTestBase {
       === out.map { case (k, v) => k -> v._2 })
   }
 
+  test("lmScore: add-one-smoothed bigram log-probs match a hand computation") {
+    import spark.implicits._
+    // filtered tokens: d1=[a,b,a,b]  d2=[a] ("B!" fails the alnum filter
+    // → one token, no bigrams)  d3=[z,z]
+    // bigram counts: (a,b)=2 (b,a)=1 (z,z)=1; c1: a=2 b=1 z=1; vocab V=3
+    val tiny = Seq(
+      (1L, "a b a b"), (2L, "a B!"), (3L, "z z"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.lmScore(tiny).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val pAB = math.log(3.0 / 5.0) // (2+1)/(2+3)
+    val pBA = math.log(2.0 / 4.0) // (1+1)/(1+3)
+    val pZZ = math.log(2.0 / 4.0)
+    assert(out.keySet === Set(1L, 3L), "docs without bigrams are absent")
+    assert(out(1L)._1 === 3L)
+    assert(math.abs(out(1L)._2 - BigDecimal((pAB + pBA + pAB) / 3.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(out(3L)._1 === 1L)
+    assert(math.abs(out(3L)._2 - BigDecimal(pZZ)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
+  test("lmScore: corpus scores are log-probabilities (negative, finite)") {
+    val scored = TextAnalysis.lmScore(docs).collect()
+    assert(scored.length > 0)
+    assert(scored.forall { r =>
+      val s = r.getDouble(2); s < 0.0 && !s.isNaN && !s.isInfinite
+    })
+  }
+
   test("fingerprint: fp_norm is whitespace-invariant, fp_raw is not") {
     val fps = TextAnalysis.fingerprint(tinyDocs).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
