@@ -133,6 +133,10 @@ object SparkEntry {
     "ta_approx_distinct" -> ((s, d) => TextAnalysis.approxDistinctWords(Tables.documents(s, d))),
     "ta_curation_pipeline" -> ((s, d) => TextAnalysis.curationPipeline(Tables.documents(s, d))),
     "ta_top_bigrams" -> ((s, d) => TextAnalysis.topBigrams(Tables.documents(s, d))),
+    // Gopher-style within-document repetition filters: duplicate-2/3-gram
+    // occurrence fractions + top-2-gram share (exact integer counts, IEEE
+    // division — no rounding)
+    "ta_repetition" -> ((s, d) => TextAnalysis.repetitionStats(Tables.documents(s, d))),
     // CCNet-style bigram-LM quality scoring: add-one-smoothed corpus-trained
     // model, per-doc mean log P(w_i | w_{i-1}); oracle replays the full
     // train-then-score loop
@@ -1151,6 +1155,24 @@ object SparkEntry {
          |  round(CAST(t.tf AS DOUBLE) * ln((n.n_docs + 1.0) / (d.df + 1.0)), 6) AS tfidf
          |FROM tf t JOIN dfq d USING (word) CROSS JOIN nq n
          |ORDER BY doc_id, word""".stripMargin,
+    // intra-doc repetition: n-gram multisets replayed per document; the
+    // fractions are single divisions of exact counts (bit-identical IEEE)
+    "ta_repetition" ->
+      s"""WITH f AS (SELECT doc_id, regexp_split_to_array(lower(text), '$WS') AS a FROM documents),
+         |g2 AS (SELECT doc_id, array_to_string(a[i:i+1], ' ') AS g
+         |  FROM f, unnest(generate_series(1, len(a) - 1)) AS t(i)),
+         |g3 AS (SELECT doc_id, array_to_string(a[i:i+2], ' ') AS g
+         |  FROM f, unnest(generate_series(1, len(a) - 2)) AS t(i)),
+         |s2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS t2, count(*) AS d2, max(c) AS m2
+         |  FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2) GROUP BY 1),
+         |s3 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS t3, count(*) AS d3
+         |  FROM (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2) GROUP BY 1)
+         |SELECT f.doc_id, CAST(len(a) AS BIGINT) AS n_tokens,
+         |  coalesce(CAST(t2 - d2 AS DOUBLE) / t2, 0.0) AS dup_2gram_frac,
+         |  coalesce(CAST(m2 AS DOUBLE) / t2, 0.0) AS top_2gram_frac,
+         |  coalesce(CAST(t3 - d3 AS DOUBLE) / t3, 0.0) AS dup_3gram_frac
+         |FROM f LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id)
+         |ORDER BY f.doc_id""".stripMargin,
     // DuckDB replays the full bigram-LM train-then-score loop: counts, vocab,
     // add-one smoothing, per-doc mean log-prob (round 6 like ta_tfidf)
     "ta_lm_score" ->

@@ -221,6 +221,47 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Within-document repetition statistics — the Gopher/MassiveText-family
+    * repetition filters: the fraction of a document's 2-gram/3-gram
+    * occurrences that are repeats, and the share claimed by its single most
+    * frequent 2-gram. High values flag the auto-generated boilerplate and
+    * keyword-stuffed spam that per-corpus dedup can't see (the repetition
+    * is *inside* one document).
+    *
+    * Scale: n-gram arrays are built per row (no self-join; the `when`
+    * guard keeps `sequence()` off negative ranges for short docs), then one
+    * explode + two hash aggregations keyed by (doc_id, gram) — map-side
+    * combined, no skew (keys are per-document). The emitted fractions are
+    * single IEEE divisions of exact integer counts — bit-identical across
+    * engines and layouts, no rounding needed. */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    def grams(n: Int) = when(size(col("a")) >= n, expr(
+      s"transform(sequence(0, size(a) - $n), i -> concat_ws(' ', slice(a, i + 1, $n)))"))
+      .otherwise(expr("array()"))
+    val base = docs
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("a"))
+      .select(col("doc_id"), size(col("a")).cast("long").as("n_tokens"),
+        grams(2).as("g2"), grams(3).as("g3"))
+    def stats(gcol: String, suffix: String) = base
+      .select(col("doc_id"), explode(col(gcol)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").as(s"t$suffix"),
+        count(lit(1)).as(s"d$suffix"),
+        max("c").as(s"m$suffix"))
+    def frac(num: Column, den: Column): Column =
+      coalesce(num.cast("double") / den, lit(0.0))
+    base.select("doc_id", "n_tokens")
+      .join(stats("g2", "2"), Seq("doc_id"), "left")
+      .join(stats("g3", "3"), Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_tokens"),
+        frac(col("t2") - col("d2"), col("t2")).as("dup_2gram_frac"),
+        frac(col("m2"), col("t2")).as("top_2gram_frac"),
+        frac(col("t3") - col("d3"), col("t3")).as("dup_3gram_frac"))
+      .orderBy("doc_id")
+  }
+
   /** PII patterns for [[redactPii]] — deliberately lookaround-free so the
     * same pattern text runs identically under Java regex (Spark) and RE2
     * (DuckDB), which is what lets the redaction gate hash-match across

@@ -273,6 +273,49 @@ object StreamOps {
       .select("doc_id", "ts")
   }
 
+  /** One CDC record on the wire — the input of [[streamSnapshotMerge]]
+    * (the streaming twin of [[graft.ops.Snapshot.mergeSnapshot]]'s change
+    * batch; `fp` is None for tombstones). Public for the state-store
+    * encoder. */
+  final case class DocChange(doc_id: Long, version: Int, op: String, fp: Option[Long])
+
+  /** A document's current winning row — [[streamSnapshotMerge]]'s state
+    * AND its output record. */
+  final case class SnapshotRow(doc_id: Long, version: Int, op: String, fp: Option[Long])
+
+  /** Streaming CDC apply: maintain the latest-version-wins snapshot
+    * incrementally as change batches arrive, emitting a document's new
+    * winning row whenever an arrival changes it (idempotent on replays —
+    * re-delivering a row that doesn't win emits nothing). Exactly
+    * [[graft.ops.Snapshot.mergeSnapshot]]'s rule evaluated one microbatch
+    * at a time; StreamOpsSpec proves batch/stream parity.
+    *
+    * State here IS the snapshot (one row per live document), which is the
+    * honest streaming shape of a MERGE: it grows with the corpus, not with
+    * time, so there is no watermark/TTL to bound it — production offloads
+    * exactly this state into a transactional table format (the
+    * Delta/Iceberg MERGE) and keeps the state store for the in-flight
+    * batch only. The mechanics — key-hash distribution, per-key argmax,
+    * changed-rows-only emission — are identical. */
+  def streamSnapshotMerge(changes: Dataset[DocChange]): Dataset[SnapshotRow] = {
+    import changes.sparkSession.implicits._
+    def fold(id: Long, it: Iterator[DocChange],
+        state: GroupState[SnapshotRow]): Iterator[SnapshotRow] = {
+      val prior = state.getOption.orNull
+      var best = prior
+      for (c <- it) {
+        if (best == null || c.version > best.version)
+          best = SnapshotRow(id, c.version, c.op, c.fp)
+      }
+      if (best != null && best != prior) {
+        state.update(best)
+        Iterator.single(best)
+      } else Iterator.empty
+    }
+    changes.groupByKey(_.doc_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fold)
+  }
+
   /** Start a streaming query whose plan legitimately chains stateful
     * operators (e.g. [[streamNearDupAdmitted]]'s
     * flatMapGroupsWithState → aggregation) past Spark's static

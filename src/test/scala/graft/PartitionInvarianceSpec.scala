@@ -89,6 +89,10 @@ class PartitionInvarianceSpec extends SparkTestBase {
     invariant("lmScore")(TextAnalysis.lmScore)
   }
 
+  test("repetition stats are partition-count invariant (exact count fractions)") {
+    invariant("repetitionStats")(TextAnalysis.repetitionStats)
+  }
+
   test("sequence packing is partition-count invariant (per-bucket running sums)") {
     invariant("packSequences")(Packing.packSequences(_))
   }

@@ -243,6 +243,48 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming snapshot merge: final state matches the batch merge, replays emit nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.ops.Snapshot
+    import graft.streaming.StreamOps.DocChange
+
+    val docs = Tables.documents(spark, sfDir)
+    val base = Snapshot.baseSnapshot(docs)
+    val batchMerged = Snapshot.mergeSnapshot(base, Snapshot.changeBatch(docs))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
+    def changesOf(df: org.apache.spark.sql.DataFrame): Seq[DocChange] =
+      df.collect().map(r => DocChange(r.getLong(0), r.getInt(1), r.getString(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSeq
+
+    val stream = MemoryStream[DocChange]
+    val q = StreamOps.streamSnapshotMerge(stream.toDS())
+      .writeStream.format("memory").queryName("snap_merge")
+      .outputMode("append").start()
+    try {
+      // microbatch 1: the base snapshot; 2: the CDC batch; 3: a full replay
+      // of the CDC batch (at-least-once delivery) — must emit zero new rows
+      stream.addData(changesOf(base): _*)
+      q.processAllAvailable()
+      stream.addData(changesOf(Snapshot.changeBatch(docs)): _*)
+      q.processAllAvailable()
+      val afterCdc = spark.table("snap_merge").count()
+      stream.addData(changesOf(Snapshot.changeBatch(docs)): _*)
+      q.processAllAvailable()
+      assert(spark.table("snap_merge").count() === afterCdc, "replay re-emitted rows")
+
+      // reconstruct the live snapshot: winning (max-version) row per doc,
+      // tombstones excluded — must equal the batch merge exactly
+      val emitted = spark.table("snap_merge")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      val live = emitted.groupBy(_._1).values.map(_.maxBy(_._2))
+        .filter(_._3 == "upsert").map(r => (r._1, r._2, r._4.get)).toSet
+      assert(live === batchMerged)
+    } finally q.stop()
+  }
+
   test("sessionizeBatch matches hand-computed sessions and counts all events") {
     import spark.implicits._
     val df = Seq(

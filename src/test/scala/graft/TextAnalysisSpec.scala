@@ -136,6 +136,24 @@ class TextAnalysisSpec extends SparkTestBase {
     })
   }
 
+  test("repetitionStats: n-gram repetition fractions match a hand computation") {
+    import spark.implicits._
+    val tiny = Seq(
+      // 2-grams: [a b, b a, a b, b c] → t=4 d=3 top=2; 3-grams all distinct
+      (1L, "a b a b c"),
+      // 2-grams: [x x]×3 → dup 2/3, top 1.0; 3-grams: [x x x]×2 → dup 1/2
+      (2L, "x x x x"),
+      // single token: no n-grams at all → all fractions 0
+      (3L, "hello"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(tiny).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out(1L) === ((5L, 0.25, 0.5, 0.0)))
+    assert(out(2L) === ((4L, 2.0 / 3.0, 1.0, 0.5)))
+    assert(out(3L) === ((1L, 0.0, 0.0, 0.0)))
+  }
+
   test("fingerprint: fp_norm is whitespace-invariant, fp_raw is not") {
     val fps = TextAnalysis.fingerprint(tinyDocs).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
