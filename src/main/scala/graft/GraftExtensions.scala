@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ByteStride, FloatDot}
+import graft.functions.{ByteStride, FloatDot, NfcNormalize}
 
 /** Session extension injecting graft's native Catalyst functions — the
   * idiomatic deployment path for a cluster
@@ -20,5 +20,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("byte_stride"),
       new ExpressionInfo(classOf[ByteStride].getName, "byte_stride"),
       (exprs: Seq[Expression]) => ByteStride(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (exprs: Seq[Expression]) => NfcNormalize(exprs(0))))
   }
 }

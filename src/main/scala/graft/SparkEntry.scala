@@ -146,6 +146,24 @@ object SparkEntry {
     // per-source token-budget cut — both integer-exact cross-engine
     "pack_sequences" -> ((s, d) => Packing.packSequences(Tables.documents(s, d))),
     "pack_token_budget" -> ((s, d) => Packing.tokenBudgetSample(Tables.documents(s, d))),
+    // RAG-style overlapping chunking (64-token windows, 48-token hop):
+    // chunk positions + content fingerprints, one map pass
+    "pack_chunks" -> ((s, d) => Packing.chunkDocuments(Tables.documents(s, d))),
+    // Unicode NFC canonicalization via the codegen'd NfcNormalize
+    // expression: the ASCII corpus is already canonical, so the gate
+    // INJECTS doc_id-derived decomposed sequences (combining acute/ring/
+    // diaeresis) and both engines must normalize AND fingerprint them
+    // identically (JDK Normalizer vs DuckDB utf8proc)
+    "ta_normalize" -> ((s, d) => {
+      // DECOMPOSED sequences (base letter + combining mark, spelled as
+      // escapes so the codepoints are visible): e+U+0301, A+U+030A,
+      // o+U+0308 — NFC must compose them; oracle injects via chr()
+      val injected = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"),
+          expr("repeat(' Cafe\\u0301', CAST(doc_id % 3 AS INT))"),
+          expr("repeat(' A\\u030Angstro\\u0308m', CAST(doc_id % 2 AS INT))")).as("text"))
+      TextAnalysis.normalizeText(injected)
+    }),
     // incremental corpus maintenance: snapshot + synthetic change batch
     // (re-crawl upserts %10==3, tombstones %10==7) → latest-wins merge
     "snapshot_merge" -> ((s, d) => {
@@ -1202,6 +1220,30 @@ object SparkEntry {
          |  CAST(floor(cum_before / 256.0) AS BIGINT) AS seq_id,
          |  CAST(cum_before % 256 AS BIGINT) AS seq_offset, n_tokens
          |FROM c ORDER BY doc_id""".stripMargin,
+    // overlapping 64/48 token windows: positions are integer arithmetic,
+    // content equality rides the md5 fingerprint
+    "pack_chunks" ->
+      s"""WITH f AS (SELECT doc_id, regexp_split_to_array(lower(text), '$WS') AS a FROM documents),
+         |c AS (SELECT doc_id, k AS chunk_id, k * 48 AS start_tok,
+         |    least(64, len(a) - k * 48) AS n_chunk_tokens,
+         |    array_to_string(a[k * 48 + 1 : k * 48 + 64], ' ') AS chunk
+         |  FROM f, unnest(generate_series(0, (len(a) - 1) // 48)) AS t(k))
+         |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         |  CAST(start_tok AS BIGINT) AS start_tok,
+         |  CAST(n_chunk_tokens AS BIGINT) AS n_chunk_tokens,
+         |  ${h60Sql("chunk")} AS chunk_fp
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    // injection replayed with chr() codepoints; normalization must agree
+    // codepoint-for-codepoint across engines for the fingerprints to match
+    "ta_normalize" ->
+      s"""WITH inj AS (SELECT doc_id, text
+         |    || repeat(' Cafe' || chr(769), CAST(doc_id % 3 AS INTEGER))
+         |    || repeat(' A' || chr(778) || 'ngstro' || chr(776) || 'm', CAST(doc_id % 2 AS INTEGER)) AS text
+         |  FROM documents)
+         |SELECT doc_id, CAST(length(text) AS BIGINT) AS len_raw,
+         |  CAST(length(nfc_normalize(text)) AS BIGINT) AS len_nfc,
+         |  ${h60Sql("nfc_normalize(text)")} AS nfc_fp
+         |FROM inj ORDER BY doc_id""".stripMargin,
     // per-source token-budget cut: the unique hash-order prefix under budget
     "pack_token_budget" ->
       s"""WITH d AS (SELECT doc_id, source,

@@ -81,6 +81,37 @@ object Packing {
       .orderBy("doc_id")
   }
 
+  /** Split every document into overlapping fixed-size token windows —
+    * RAG/retrieval-style chunking (chunk of `chunkTokens`, hop of
+    * `stride`, so consecutive chunks overlap by `chunkTokens - stride`).
+    * Emits one row per chunk with its position and a 60-bit content
+    * fingerprint (the join key an embedding/index stage would use).
+    *
+    * Pure per-document projection + explode — no shuffle at all until a
+    * consumer aggregates; at 100 TB this is a single map pass whose output
+    * is `len/stride` rows per doc. The chunk list is built with one
+    * `transform(sequence(...))` over the token array (never a self-join),
+    * and `sequence(0, (n-1) div stride)` is non-negative for every
+    * document because `split` yields at least one token. */
+  def chunkDocuments(docs: DataFrame, chunkTokens: Int = 64,
+      stride: Int = 48): DataFrame = {
+    require(stride > 0 && chunkTokens >= stride,
+      s"need 0 < stride <= chunkTokens, got stride=$stride chunk=$chunkTokens")
+    docs.select(col("doc_id"), split(lower(col("text")), "\\s+").as("a"))
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, CAST(floor((size(a) - 1) / $stride) AS INT)), " +
+          s"k -> struct(k AS chunk_id, " +
+          s"least($chunkTokens, size(a) - k * $stride) AS n_chunk_tokens, " +
+          s"concat_ws(' ', slice(a, k * $stride + 1, $chunkTokens)) AS chunk))")).as("c"))
+      .select(
+        col("doc_id"),
+        col("c.chunk_id").cast("long").as("chunk_id"),
+        (col("c.chunk_id") * stride).cast("long").as("start_tok"),
+        col("c.n_chunk_tokens").cast("long").as("n_chunk_tokens"),
+        CrossHash.h60(col("c.chunk")).as("chunk_fp"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** Cut a fixed token budget per stratum ("2 B tokens of each domain"):
     * walk each `source`'s documents in deterministic shuffle order and keep
     * documents until the budget fills — the kept set is the unique hash-order

@@ -221,6 +221,29 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Unicode NFC normalization audit — the canonicalization pass a
+    * multilingual corpus runs before fingerprinting/dedup, so visually
+    * identical strings with different codepoint sequences (`é` precomposed
+    * vs `e`+combining acute) collapse to one form. Emits per-document raw
+    * and normalized codepoint lengths plus the normalized fingerprint —
+    * the columns a curation pipeline joins back to decide "was this
+    * document non-canonical?" (len_raw != len_nfc) without shipping the
+    * text twice.
+    *
+    * Runs on [[graft.functions.NfcNormalize]], a codegen'd Catalyst
+    * expression (a Scala UDF would break whole-stage codegen on the
+    * corpus's hottest scan). Single projection, no shuffle. */
+  def normalizeText(docs: DataFrame): DataFrame = {
+    graft.functions.NfcNormalize.register(docs.sparkSession)
+    val norm = expr("nfc_normalize(text)")
+    docs.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("len_raw"),
+      length(norm).cast("long").as("len_nfc"),
+      CrossHash.h60(norm).as("nfc_fp"))
+      .orderBy("doc_id")
+  }
+
   /** Within-document repetition statistics — the Gopher/MassiveText-family
     * repetition filters: the fraction of a document's 2-gram/3-gram
     * occurrences that are repeats, and the share claimed by its single most

@@ -44,6 +44,29 @@ class PackingSpec extends SparkTestBase {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("chunkDocuments: overlapping windows tile each document exactly") {
+    import spark.implicits._
+    val tiny = Seq((1L, "a b c d e f g"), (2L, "x y"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val out = Packing.chunkDocuments(tiny, chunkTokens = 4, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+
+    // doc 1 (7 tokens): starts 0,2,4,6 → windows of 4,4,3,1 tokens
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.map(c => (c._2, c._3, c._4)).toSeq ===
+      Seq((0L, 0L, 4L), (1L, 2L, 4L), (2L, 4L, 3L), (3L, 6L, 1L)))
+    // doc 2 (2 tokens): one window; doc 3: one single-token window
+    assert(out.filter(_._1 == 2L).map(c => (c._2, c._3, c._4)).toSeq === Seq((0L, 0L, 2L)))
+    assert(out.filter(_._1 == 3L).map(c => (c._2, c._3, c._4)).toSeq === Seq((0L, 0L, 1L)))
+
+    // fingerprints are the h60 of the exact window text (overlap included)
+    val expectedFp = Seq("a b c d", "c d e f", "e f g", "g", "x y", "solo")
+      .toDF("s").select(graft.functions.CrossHash.h60(col("s")))
+      .collect().map(_.getLong(0)).toSeq
+    assert((d1 ++ out.filter(_._1 == 2L) ++ out.filter(_._1 == 3L))
+      .map(_._5).toSeq === expectedFp)
+  }
+
   test("tokenBudgetSample keeps exactly the hash-order prefix under budget, per source") {
     val budget = 300L
     val kept = Packing.tokenBudgetSample(docs, budgetTokens = budget)

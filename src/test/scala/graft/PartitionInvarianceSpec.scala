@@ -101,6 +101,14 @@ class PartitionInvarianceSpec extends SparkTestBase {
     invariant("tokenBudgetSample")(Packing.tokenBudgetSample(_))
   }
 
+  test("document chunking is partition-count invariant (pure projection)") {
+    invariant("chunkDocuments")(Packing.chunkDocuments(_))
+  }
+
+  test("nfc normalization is partition-count invariant (pure projection)") {
+    invariant("normalizeText")(TextAnalysis.normalizeText)
+  }
+
   test("snapshot merge is partition-count invariant (argmax keep-one)") {
     invariant("mergeSnapshot")(d =>
       Snapshot.mergeSnapshot(Snapshot.baseSnapshot(d), Snapshot.changeBatch(d)))

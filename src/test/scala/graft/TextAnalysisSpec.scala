@@ -136,6 +136,21 @@ class TextAnalysisSpec extends SparkTestBase {
     })
   }
 
+  test("normalizeText: decomposed and precomposed spellings collapse to one fingerprint") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Cafe\u0301 ole\u0301"), // decomposed: e + U+0301 combining acute
+      (2L, "Caf\u00e9 ol\u00e9"),   // precomposed U+00E9
+      (3L, "plain ascii")).toDF("doc_id", "text")
+    val out = TextAnalysis.normalizeText(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // same canonical form → same fingerprint, even though raw lengths differ
+    assert(out(1L)._3 === out(2L)._3)
+    assert(out(1L)._1 === 10L && out(1L)._2 === 8L) // two marks composed away
+    assert(out(2L)._1 === 8L && out(2L)._2 === 8L)  // already canonical
+    assert(out(3L)._1 === out(3L)._2)               // ASCII rides through
+  }
+
   test("repetitionStats: n-gram repetition fractions match a hand computation") {
     import spark.implicits._
     val tiny = Seq(
