@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
-import graft.ops.{Dedup, MapReduce, Multimodal, Packing, PipedMapReduce, Relational, Sampling, Similarity, Snapshot, TextAnalysis, TextOps}
+import graft.ops.{Bpe, Dedup, MapReduce, Multimodal, Packing, PipedMapReduce, Relational, Sampling, Similarity, Snapshot, TextAnalysis, TextOps}
 import graft.sources.{Formats, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -133,6 +133,10 @@ object SparkEntry {
     "ta_approx_distinct" -> ((s, d) => TextAnalysis.approxDistinctWords(Tables.documents(s, d))),
     "ta_curation_pipeline" -> ((s, d) => TextAnalysis.curationPipeline(Tables.documents(s, d))),
     "ta_top_bigrams" -> ((s, d) => TextAnalysis.topBigrams(Tables.documents(s, d))),
+    // BPE vocabulary training (k-means-style replayed loop): the merge
+    // table and the top-word segmentations after 8 greedy merge rounds
+    "ta_bpe_merges" -> ((s, d) => Bpe.mergeTable(Tables.documents(s, d))),
+    "ta_bpe_segments" -> ((s, d) => Bpe.segments(Tables.documents(s, d))),
     // Gopher-style within-document repetition filters: duplicate-2/3-gram
     // occurrence fractions + top-2-gram share (exact integer counts, IEEE
     // division — no rounding)
@@ -685,6 +689,47 @@ object SparkEntry {
        |  WHERE vec_id < ${Similarity.NumPivots}),
        |$ivfBodySql""".stripMargin
 
+  /** DuckDB replay of [[graft.ops.Bpe.train]]: the full merge loop as
+    * chained CTEs — pair counting over the symbol strings, the (count DESC,
+    * pair ASC) argmax, and the two-pass SEP-padded literal replace, one
+    * stage triple per round. `chr(31)` is [[graft.ops.Bpe.Sep]]. */
+  private def bpeCtes(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""w AS (SELECT w AS word, count(*) AS cnt
+       |  FROM (SELECT unnest(regexp_split_to_array(lower(text), '$WS')) AS w FROM documents)
+       |  WHERE regexp_matches(w, '^[a-z0-9]+$$') GROUP BY 1),
+       |s0 AS MATERIALIZED (SELECT word, cnt,
+       |  array_to_string(regexp_extract_all(word, '.'), chr(31)) AS s FROM w)""".stripMargin
+    for (r <- 1 to rounds) {
+      val prev = s"s${r - 1}"
+      sb ++= s""",
+       |p$r AS MATERIALIZED (SELECT a[i] || chr(31) || a[i + 1] AS pair, sum(cnt) AS c
+       |  FROM (SELECT cnt, string_split(s, chr(31)) AS a FROM $prev) q,
+       |    unnest(generate_series(1, len(a) - 1)) AS t(i) GROUP BY 1),
+       |b$r AS MATERIALIZED (SELECT pair, c FROM p$r ORDER BY c DESC, pair LIMIT 1),
+       |s$r AS MATERIALIZED (SELECT word, cnt, trim(replace(replace(chr(31) || s || chr(31),
+       |    chr(31) || (SELECT pair FROM b$r) || chr(31),
+       |    chr(31) || replace((SELECT pair FROM b$r), chr(31), '') || chr(31)),
+       |    chr(31) || (SELECT pair FROM b$r) || chr(31),
+       |    chr(31) || replace((SELECT pair FROM b$r), chr(31), '') || chr(31)), chr(31)) AS s
+       |  FROM $prev)""".stripMargin
+    }
+    sb.toString
+  }
+
+  private def bpeMergesOracleSql(rounds: Int): String = {
+    val unions = (1 to rounds).map { r =>
+      s"""SELECT $r AS round, replace(pair, chr(31), ' ') AS pair,
+         |  replace(pair, chr(31), '') AS merged, CAST(c AS BIGINT) AS cnt FROM b$r""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"WITH ${bpeCtes(rounds)}\nSELECT * FROM (\n  $unions) ORDER BY round"
+  }
+
+  private def bpeSegmentsOracleSql(rounds: Int, k: Int): String =
+    s"""WITH ${bpeCtes(rounds)}
+       |SELECT word, CAST(cnt AS BIGINT) AS cnt, replace(s, chr(31), ' ') AS seg
+       |FROM s$rounds ORDER BY cnt DESC, word LIMIT $k""".stripMargin
+
   /** DuckDB replay of [[Similarity.trainPivots]]: hash-seeded init, then
     * [[Similarity.KmeansIters]] Lloyd's rounds. Exactness hinges on the
     * fixed-point centroid sums — `floor(x * 2^24)` BIGINTs add exactly in
@@ -1173,6 +1218,10 @@ object SparkEntry {
          |  round(CAST(t.tf AS DOUBLE) * ln((n.n_docs + 1.0) / (d.df + 1.0)), 6) AS tfidf
          |FROM tf t JOIN dfq d USING (word) CROSS JOIN nq n
          |ORDER BY doc_id, word""".stripMargin,
+    // DuckDB replays the ENTIRE BPE training loop (pair counts → argmax →
+    // two-pass padded replace, 8 rounds of chained CTEs)
+    "ta_bpe_merges" -> bpeMergesOracleSql(graft.ops.Bpe.DefaultRounds),
+    "ta_bpe_segments" -> bpeSegmentsOracleSql(graft.ops.Bpe.DefaultRounds, 100),
     // intra-doc repetition: n-gram multisets replayed per document; the
     // fractions are single divisions of exact counts (bit-identical IEEE)
     "ta_repetition" ->

@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding vocabulary training — the subword tokenizer builder
+  * every LLM data pipeline runs before token counting means anything
+  * (SURVEY §2c north-star extension; the deterministic-training-loop twin
+  * of [[Similarity]]'s k-means IVF: a fixed number of argmax rounds whose
+  * every step the DuckDB oracle replays).
+  *
+  * Classic word-level BPE over the corpus's alnum words: start from
+  * characters, repeatedly merge the globally most frequent adjacent symbol
+  * pair (count-weighted by word frequency; ties broken lexicographically so
+  * training is a pure function of the corpus).
+  *
+  * Scale design: training runs on the DISTINCT-WORD table (vocab-sized,
+  * ~10M rows at 100 TB — millions of times smaller than the corpus), the
+  * same reduction real BPE trainers use. Each round is one map-side-combined
+  * pair-count aggregation plus a 1-row argmax collect — per-round driver
+  * traffic is one pair, the k-means pattern. Symbol sequences live as
+  * separator-joined strings so the merge step is two literal `replace`
+  * calls (codegen'd) rather than an interpreted array fold.
+  *
+  * Merge-application correctness (PROTOTYPED cross-engine): the pattern is
+  * SEP-padded (`SEP x SEP y SEP`), which makes a match impossible across
+  * symbol boundaries; a single left-to-right `replace` pass implements
+  * greedy non-overlapping merging except where consecutive occurrences
+  * share a boundary separator the first match consumed — those survivors
+  * are isolated (flanked by merged symbols) after pass one, so a SECOND
+  * identical pass completes exactly the greedy result. `aaaa → [aa,aa]`,
+  * `aaa → [aa,a]`, `bcbcbc → [bc,bc,bc]`, and `[ax,yb]` never matches
+  * `(x,y)` — all verified identical in Spark and DuckDB (BpeSpec). */
+object Bpe {
+
+  /** Symbol separator: U+001F (unit separator) — cannot occur in alnum
+    * words, so symbols never contain it and `replace` stays unambiguous. */
+  val Sep = "\u001f"
+
+  val DefaultRounds = 8
+
+  /** Distinct alnum words with corpus frequencies — the table BPE trains
+    * on. One shuffle, map-side combined. */
+  def wordCounts(docs: DataFrame): DataFrame =
+    docs.select(explode(split(lower(col("text")), "\\s+")).as("word"))
+      .filter(col("word").rlike("^[a-z0-9]+$"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** Initial state: every word split into single-character symbols. */
+  private def initState(words: DataFrame): DataFrame =
+    words.withColumn("s",
+      expr(s"array_join(regexp_extract_all(word, '.', 0), '$Sep')"))
+
+  /** One learned merge: `pair` is the two parent symbols space-joined,
+    * `merged` the new symbol, `cnt` the weighted pair count that won. */
+  final case class Merge(round: Int, pair: String, merged: String, cnt: Long)
+
+  /** Run `rounds` merge rounds; returns the merge table and the final
+    * per-word segmentation state (word, cnt, s). */
+  def train(docs: DataFrame, rounds: Int = DefaultRounds): (Seq[Merge], DataFrame) = {
+    var state = initState(wordCounts(docs)).cache()
+    val merges = Seq.newBuilder[Merge]
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      val best = state
+        .select(col("cnt"), split(col("s"), Sep).as("a"))
+        .where(size(col("a")) >= 2)
+        .select(col("cnt"), explode(expr(
+          s"transform(sequence(0, size(a) - 2), i -> concat(a[i], '$Sep', a[i + 1]))")).as("pair"))
+        .groupBy("pair").agg(sum("cnt").as("c"))
+        .orderBy(col("c").desc, col("pair").asc)
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val pair = best(0).getString(0)
+        val cnt = best(0).getLong(1)
+        val merged = pair.replace(Sep, "")
+        merges += Merge(r, pair.replace(Sep, " "), merged, cnt)
+        val pat = Sep + pair + Sep
+        val rep = Sep + merged + Sep
+        val next = state.withColumn("s", expr(
+          s"trim(BOTH '$Sep' FROM replace(replace(concat('$Sep', s, '$Sep'), " +
+            s"'$pat', '$rep'), '$pat', '$rep'))")).cache()
+        next.count() // materialize before dropping the parent cache
+        state.unpersist()
+        state = next
+        r += 1
+      }
+    }
+    (merges.result(), state)
+  }
+
+  /** The learned merge table — gate `ta_bpe_merges`. */
+  def mergeTable(docs: DataFrame, rounds: Int = DefaultRounds): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (merges, state) = train(docs, rounds)
+    state.unpersist()
+    merges.toDF("round", "pair", "merged", "cnt").orderBy("round")
+  }
+
+  /** Final segmentations of the `k` most frequent words — gate
+    * `ta_bpe_segments` (deterministic: frequency then word tiebreak). */
+  def segments(docs: DataFrame, rounds: Int = DefaultRounds, k: Int = 100): DataFrame = {
+    val (_, state) = train(docs, rounds)
+    // state stays cached (the returned plan reads it lazily); the bench/
+    // verify harnesses clear persisted RDDs between queries
+    state
+      .select(col("word"), col("cnt"),
+        expr(s"replace(s, '$Sep', ' ')").as("seg"))
+      .orderBy(col("cnt").desc, col("word").asc)
+      .limit(k)
+  }
+}

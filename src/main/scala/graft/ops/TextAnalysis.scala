@@ -251,32 +251,45 @@ object TextAnalysis {
     * keyword-stuffed spam that per-corpus dedup can't see (the repetition
     * is *inside* one document).
     *
-    * Scale: n-gram arrays are built per row (no self-join; the `when`
-    * guard keeps `sequence()` off negative ranges for short docs), then one
-    * explode + two hash aggregations keyed by (doc_id, gram) — map-side
-    * combined, no skew (keys are per-document). The emitted fractions are
-    * single IEEE divisions of exact integer counts — bit-identical across
-    * engines and layouts, no rounding needed. */
+    * Scale: ONE projection, zero shuffles — repetition is an intra-document
+    * property, so nothing ever needs to cross the wire. Totals are direct
+    * arithmetic on the token count; distinct counts are `array_distinct`
+    * per row; the top-gram multiplicity is a max-run fold over the SORTED
+    * gram array (duplicates are adjacent after `sort_array`), so the whole
+    * operator is embarrassingly parallel and its cost is exactly one corpus
+    * scan at any scale. (The first cut shuffled (doc_id, gram) pairs twice
+    * and joined back — 7 s at sf0.1 for what this form does in well under
+    * one; per-doc stats never needed a shuffle at all.) The emitted
+    * fractions are single IEEE divisions of exact integer counts —
+    * bit-identical across engines and layouts, no rounding. */
   def repetitionStats(docs: DataFrame): DataFrame = {
-    def grams(n: Int) = when(size(col("a")) >= n, expr(
-      s"transform(sequence(0, size(a) - $n), i -> concat_ws(' ', slice(a, i + 1, $n)))"))
-      .otherwise(expr("array()"))
-    val base = docs
-      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("a"))
-      .select(col("doc_id"), size(col("a")).cast("long").as("n_tokens"),
-        grams(2).as("g2"), grams(3).as("g3"))
-    def stats(gcol: String, suffix: String) = base
-      .select(col("doc_id"), explode(col(gcol)).as("g"))
-      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id").agg(
-        sum("c").as(s"t$suffix"),
-        count(lit(1)).as(s"d$suffix"),
-        max("c").as(s"m$suffix"))
+    def gramArr(n: Int) = s"CASE WHEN size(a) >= $n THEN " +
+      s"transform(sequence(0, size(a) - $n), i -> concat_ws(' ', slice(a, i + 1, $n))) " +
+      "ELSE array() END"
+    // longest run of equal adjacent elements in the sorted gram array ==
+    // the highest multiplicity of any gram
+    val maxRun =
+      """aggregate(sort_array(g2),
+        |  named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0),
+        |  (s, x) -> IF(s.prev IS NOT NULL AND x = s.prev,
+        |    named_struct('prev', x, 'run', s.run + 1, 'best', greatest(s.best, s.run + 1)),
+        |    named_struct('prev', x, 'run', 1, 'best', greatest(s.best, 1))),
+        |  s -> s.best)""".stripMargin
+    // explicit zero-denominator branch: under ANSI mode (Spark 4 default)
+    // even double 0/0 raises DIVIDE_BY_ZERO instead of yielding NULL
     def frac(num: Column, den: Column): Column =
-      coalesce(num.cast("double") / den, lit(0.0))
-    base.select("doc_id", "n_tokens")
-      .join(stats("g2", "2"), Seq("doc_id"), "left")
-      .join(stats("g3", "3"), Seq("doc_id"), "left")
+      when(den > 0, num.cast("double") / den).otherwise(lit(0.0))
+    docs.select(col("doc_id"), split(lower(col("text")), "\\s+").as("a"))
+      .withColumn("g2", expr(gramArr(2)))
+      .withColumn("g3", expr(gramArr(3)))
+      .select(
+        col("doc_id"),
+        size(col("a")).cast("long").as("n_tokens"),
+        greatest(size(col("a")) - 1, lit(0)).cast("long").as("t2"),
+        size(array_distinct(col("g2"))).cast("long").as("d2"),
+        expr(maxRun).cast("long").as("m2"),
+        greatest(size(col("a")) - 2, lit(0)).cast("long").as("t3"),
+        size(array_distinct(col("g3"))).cast("long").as("d3"))
       .select(
         col("doc_id"), col("n_tokens"),
         frac(col("t2") - col("d2"), col("t2")).as("dup_2gram_frac"),

@@ -1,0 +1,53 @@
+package graft
+
+import graft.ops.Bpe
+
+/** BPE training: hand-computed merge sequences, greedy-application edge
+  * cases (the two-pass replace), and determinism. */
+class BpeSpec extends SparkTestBase {
+
+  private def docsOf(texts: String*) = {
+    import spark.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+  }
+
+  test("learns the classic low/lower/lowest merge sequence with count-then-lex tiebreaks") {
+    // word counts: low×3, lower×1, lowest×1
+    val docs = docsOf("low lower lowest", "low low")
+    val (merges, state) = Bpe.train(docs, rounds = 6)
+    assert(merges.map(m => (m.round, m.pair, m.merged, m.cnt)) === Seq(
+      (1, "l o", "lo", 5L),     // l·o ties o·w at 5 → lexicographic
+      (2, "lo w", "low", 5L),
+      (3, "low e", "lowe", 2L),
+      (4, "lowe r", "lower", 1L), // three singleton pairs → smallest wins
+      (5, "lowe s", "lowes", 1L),
+      (6, "lowes t", "lowest", 1L)))
+    val segs = state.collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(segs("low") === "low")
+    assert(segs("lower") === "lower")
+    assert(segs("lowest") === "lowest")
+    state.unpersist()
+  }
+
+  test("greedy merge application: runs resolve left-to-right, boundaries respected") {
+    // aaaa → [aa, aa]; aaa → [aa, a] (third 'a' survives)
+    val docs = docsOf("aaaa aaa aaaa")
+    val (merges, state) = Bpe.train(docs, rounds = 1)
+    assert(merges.head.pair === "a a")
+    // frequency-weighted pair count: aaaa (cnt 2) has 3 adjacent pairs,
+    // aaa (cnt 1) has 2 → 3×2 + 2×1 = 8
+    assert(merges.head.cnt === 8L)
+    val segs = state.collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(segs("aaaa") === s"aa${Bpe.Sep}aa")
+    assert(segs("aaa") === s"aa${Bpe.Sep}a")
+    state.unpersist()
+  }
+
+  test("training is deterministic and layout-insensitive") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val a = Bpe.mergeTable(docs.repartition(1)).collect().map(_.toString).toSeq
+    val b = Bpe.mergeTable(docs.repartition(13)).collect().map(_.toString).toSeq
+    assert(a === b)
+    assert(a.size === Bpe.DefaultRounds)
+  }
+}
