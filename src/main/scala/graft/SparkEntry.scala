@@ -137,6 +137,7 @@ object SparkEntry {
     // table and the top-word segmentations after 8 greedy merge rounds
     "ta_bpe_merges" -> ((s, d) => Bpe.mergeTable(Tables.documents(s, d))),
     "ta_bpe_segments" -> ((s, d) => Bpe.segments(Tables.documents(s, d))),
+    "ta_bpe_tokenize" -> ((s, d) => Bpe.tokenizeWithVocab(Tables.documents(s, d))),
     // Gopher-style within-document repetition filters: duplicate-2/3-gram
     // occurrence fractions + top-2-gram share (exact integer counts, IEEE
     // division — no rounding)
@@ -1222,6 +1223,17 @@ object SparkEntry {
     // two-pass padded replace, 8 rounds of chained CTEs)
     "ta_bpe_merges" -> bpeMergesOracleSql(graft.ops.Bpe.DefaultRounds),
     "ta_bpe_segments" -> bpeSegmentsOracleSql(graft.ops.Bpe.DefaultRounds, 100),
+    // learned vocab applied corpus-wide: per-doc word + subword counts via
+    // the replayed final segmentation table
+    "ta_bpe_tokenize" ->
+      s"""WITH ${bpeCtes(graft.ops.Bpe.DefaultRounds)},
+         |tok AS (SELECT doc_id, w AS word
+         |  FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '$WS')) AS w FROM documents)
+         |  WHERE regexp_matches(w, '^[a-z0-9]+$$')),
+         |v AS (SELECT word, len(string_split(s, chr(31))) AS n_syms
+         |  FROM s${graft.ops.Bpe.DefaultRounds})
+         |SELECT doc_id, count(*) AS n_words, CAST(sum(n_syms) AS BIGINT) AS n_subwords
+         |FROM tok JOIN v USING (word) GROUP BY 1 ORDER BY 1""".stripMargin,
     // intra-doc repetition: n-gram multisets replayed per document; the
     // fractions are single divisions of exact counts (bit-identical IEEE)
     "ta_repetition" ->

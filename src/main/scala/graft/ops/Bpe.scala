@@ -100,6 +100,29 @@ object Bpe {
     merges.toDF("round", "pair", "merged", "cnt").orderBy("round")
   }
 
+  /** Apply the learned vocabulary to the corpus: per document, the word
+    * count and the subword-token count under the trained segmentation —
+    * the number a data pipeline actually budgets by ("how many TOKENS is
+    * this corpus under MY tokenizer", not whitespace guesses). Gate
+    * `ta_bpe_tokenize`.
+    *
+    * Scale: the segmentation lookup table is vocab-sized, so the corpus
+    * join is a broadcast hash join (no corpus shuffle); the per-doc
+    * aggregation is map-side combined. Training covers every corpus word
+    * by construction, so the inner join is lossless. */
+  def tokenizeWithVocab(docs: DataFrame, rounds: Int = DefaultRounds): DataFrame = {
+    val (_, state) = train(docs, rounds)
+    val vocab = state.select(col("word"),
+      size(split(col("s"), Sep)).cast("long").as("n_syms"))
+    docs.select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("word"))
+      .filter(col("word").rlike("^[a-z0-9]+$"))
+      .join(broadcast(vocab), Seq("word"))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_words"),
+        sum("n_syms").as("n_subwords"))
+      .orderBy("doc_id")
+  }
+
   /** Final segmentations of the `k` most frequent words — gate
     * `ta_bpe_segments` (deterministic: frequency then word tiebreak). */
   def segments(docs: DataFrame, rounds: Int = DefaultRounds, k: Int = 100): DataFrame = {

@@ -43,6 +43,15 @@ class BpeSpec extends SparkTestBase {
     state.unpersist()
   }
 
+  test("tokenizeWithVocab: per-doc subword counts follow the learned segmentation") {
+    // after 2 rounds (lo, low): low→1 symbol, lower→[low,e,r]=3, lowest→[low,e,s,t]=4
+    val docs = docsOf("low lower lowest", "low low")
+    val out = Bpe.tokenizeWithVocab(docs, rounds = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(0L) === ((3L, 8L)))
+    assert(out(1L) === ((2L, 2L)))
+  }
+
   test("training is deterministic and layout-insensitive") {
     val docs = graft.sources.Tables.documents(spark, sfDir)
     val a = Bpe.mergeTable(docs.repartition(1)).collect().map(_.toString).toSeq
