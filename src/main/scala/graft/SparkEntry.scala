@@ -236,6 +236,13 @@ object SparkEntry {
       Dedup.contaminationStats(
         all.filter(col("doc_id") % 7 =!= 0), all.filter(col("doc_id") % 7 === 0))
     }),
+    // cross-corpus fuzzy join: near-dup pairs BETWEEN the %3-split halves
+    // (train side vs external side) — no intra-corpus pairs
+    "dedup_cross_corpus" -> ((s, d) => {
+      val all = Tables.documents(s, d)
+      Dedup.crossCorpusNearDups(
+        all.filter(col("doc_id") % 3 =!= 0), all.filter(col("doc_id") % 3 === 0))
+    }),
     // north-star: similarity search. The exact all-pairs miner
     // (Similarity.embeddingNearDupPairs) is deliberately NOT gated: its n²
     // cross product is a verification utility (SimilaritySpec uses it as
@@ -547,6 +554,39 @@ object SparkEntry {
   private val minhashOracleSql: String =
     s"""WITH $minhashCtes
        |SELECT doc_a, doc_b, sig_sim FROM scored WHERE sig_sim >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+
+  /** One side of the cross-corpus MinHash oracle: shingles → signatures →
+    * bands for the subset of `documents` matching `where`. */
+  private def minhashSideCtes(sfx: String, where: String): String = {
+    val sigCols = (0 until Dedup.NumHashes)
+      .map(i => s"min(${Dedup.minHashChunkSql(i)}) AS h$i").mkString(", ")
+    val bands = (0 until Dedup.NumBands).map { b =>
+      val parts = (0 until Dedup.BandRows).map(r => s"h${b * Dedup.BandRows + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band_idx, md5(concat_ws(',', $parts)) AS band_hash FROM sig$sfx"
+    }.mkString(" UNION ALL ")
+    s"""toks$sfx AS (SELECT doc_id, regexp_split_to_array(lower(text), '$WS') AS ws
+       |  FROM documents WHERE $where),
+       |sh$sfx AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+       |  FROM toks$sfx, unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS t(i)),
+       |sig$sfx AS (SELECT doc_id, $sigCols FROM sh$sfx GROUP BY doc_id),
+       |banded$sfx AS ($bands)""".stripMargin
+  }
+
+  /** DuckDB mirror of [[Dedup.crossCorpusNearDups]] over the %3 split. */
+  private val crossCorpusOracleSql: String = {
+    val matches = (0 until Dedup.NumHashes)
+      .map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH ${minhashSideCtes("A", "doc_id % 3 <> 0")},
+       |${minhashSideCtes("B", "doc_id % 3 = 0")},
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bandedA x JOIN bandedB y
+       |  ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash),
+       |scored AS (SELECT doc_a, doc_b,
+       |  CAST($matches AS DOUBLE) / ${Dedup.NumHashes} AS sig_sim
+       |  FROM cand JOIN sigA sa ON sa.doc_id = doc_a JOIN sigB sb ON sb.doc_id = doc_b)
+       |SELECT doc_a, doc_b, sig_sim FROM scored WHERE sig_sim >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   /** DuckDB mirror of [[Dedup.nearDupSurvivors]]: same pairs as the
     * MinHash oracle, undirected transitive closure via a recursive CTE
@@ -1110,6 +1150,7 @@ object SparkEntry {
          |  SELECT doc_id, dup_key, row_number() OVER (PARTITION BY dup_key ORDER BY doc_id) AS rn FROM k)
          |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "dedup_minhash_pairs" -> minhashOracleSql,
+    "dedup_cross_corpus" -> crossCorpusOracleSql,
     "dedup_neardup_survivors" -> survivorsOracleSql,
     "dedup_quality_survivors" -> qualitySurvivorsOracleSql,
     "stream_neardup_admit" -> admitOracleSql,

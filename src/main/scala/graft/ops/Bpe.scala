@@ -56,7 +56,13 @@ object Bpe {
   final case class Merge(round: Int, pair: String, merged: String, cnt: Long)
 
   /** Run `rounds` merge rounds; returns the merge table and the final
-    * per-word segmentation state (word, cnt, s). */
+    * per-word segmentation state (word, cnt, s).
+    *
+    * Stops early if no adjacent pair remains (every word fully merged) —
+    * reachable only when `rounds` approaches the total character count of
+    * the vocabulary, far beyond any real configuration; the oracle's
+    * fixed-round CTE chain assumes the loop runs to `rounds`, which holds
+    * for every gate corpus by construction. */
   def train(docs: DataFrame, rounds: Int = DefaultRounds): (Seq[Merge], DataFrame) = {
     var state = initState(wordCounts(docs)).cache()
     val merges = Seq.newBuilder[Merge]

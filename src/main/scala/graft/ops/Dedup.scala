@@ -160,6 +160,41 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Cross-corpus MinHash fuzzy join: near-duplicate pairs BETWEEN two
+    * datasets (new crawl vs existing corpus, train set vs benchmark
+    * paraphrases) — the cross-dataset twin of [[minHashPairs]]. Both sides
+    * are banded independently; candidates are band-bucket collisions
+    * across the corpora (no intra-corpus pairs, no id-order constraint —
+    * the id spaces are unrelated); verification is the same
+    * signature-agreement estimate.
+    *
+    * Scale: identical to [[minHashPairs]] — the join is on uniform band
+    * hashes, only cross-corpus collisions materialize, and each side's
+    * signature table is one 16-long row per document. When one side is a
+    * small benchmark set its banded table broadcasts and the big side
+    * never shuffles at all. */
+  def crossCorpusNearDups(a: DataFrame, b: DataFrame,
+      minSigFrac: Double = 0.5): DataFrame = {
+    val sa = minHashSignatures(a).persist()
+    val sb = minHashSignatures(b).persist()
+    val candidates = bandedFromSignatures(sa).as("x")
+      .join(bandedFromSignatures(sb).as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_hash") === col("y.band_hash"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val saR = sa.toDF(sa.columns.toIndexedSeq.map(c => if (c == "doc_id") "doc_a" else s"a_$c"): _*)
+    val sbR = sb.toDF(sb.columns.toIndexedSeq.map(c => if (c == "doc_id") "doc_b" else s"b_$c"): _*)
+    val matches = (0 until NumHashes)
+      .map(i => when(col(s"a_h$i") === col(s"b_h$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    candidates.join(saR, "doc_a").join(sbR, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (matches.cast("double") / NumHashes).as("sig_sim"))
+      .filter(col("sig_sim") >= minSigFrac)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Per-document 32-bit SimHash over whitespace tokens (with
     * multiplicity): bit j of the fingerprint is the sign of the sum of
     * ±1 votes from each token's hash bit j. Pure two-level aggregation —

@@ -201,6 +201,27 @@ class DedupSpec extends SparkTestBase {
     assert(capped.count() === 0, "capped: df=6 > 3 shingle generates zero candidates")
   }
 
+  test("crossCorpusNearDups: self-join recovers minHashPairs; split finds only cross pairs") {
+    val docs = Tables.documents(spark, sfDir)
+    // same corpus on both sides: the doc_a < doc_b half (minus self-pairs)
+    // must be exactly the intra-corpus miner's result
+    val self = Dedup.crossCorpusNearDups(docs, docs)
+      .filter(col("doc_a") < col("doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val intra = Dedup.minHashPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(self === intra)
+    // identical docs appear as sig_sim-1.0 self-pairs on the diagonal
+    val diag = Dedup.crossCorpusNearDups(docs, docs)
+      .filter(col("doc_a") === col("doc_b"))
+    assert(diag.count() === docs.count())
+    // disjoint split: every returned pair crosses the split boundary
+    val split = Dedup.crossCorpusNearDups(
+      docs.filter(col("doc_id") % 3 =!= 0), docs.filter(col("doc_id") % 3 === 0))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(split.forall { case (a, b) => a % 3 != 0 && b % 3 == 0 })
+  }
+
   test("ngramJaccardPairs: jaccard in (0,1], capped variant is consistent") {
     val exact = Dedup.ngramJaccardPairs(docs, minJaccard = 0.2).cache()
     assert(exact.filter(col("jaccard") <= 0 || col("jaccard") > 1).count() === 0)
