@@ -523,40 +523,11 @@ object SparkEntry {
     s"CAST(len(list_filter(regexp_split_to_array(lower(text), '$WS'), t -> t IN ($in))) AS BIGINT)"
   }
 
-  /** DuckDB mirror of [[Dedup.shingles]] (distinct lowercased word 3-grams). */
-  private val shingleCte: String =
-    s"""toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '$WS') AS ws FROM documents),
-       |sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
-       |       FROM toks, unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS t(i))""".stripMargin
-
-  /** The MinHash pipeline's CTE list (shingles → signatures → bands →
-    * candidate pairs → signature-similarity scores), shared by the pair
-    * oracle and the survivor oracle built on top of it. */
-  private val minhashCtes: String = {
-    val sigCols = (0 until Dedup.NumHashes)
-      .map(i => s"min(${Dedup.minHashChunkSql(i)}) AS h$i").mkString(", ")
-    val bands = (0 until Dedup.NumBands).map { b =>
-      val parts = (0 until Dedup.BandRows).map(r => s"h${b * Dedup.BandRows + r}").mkString(", ")
-      s"SELECT doc_id, $b AS band_idx, md5(concat_ws(',', $parts)) AS band_hash FROM sig"
-    }.mkString(" UNION ALL ")
-    val matches = (0 until Dedup.NumHashes)
-      .map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)").mkString(" + ")
-    s"""$shingleCte,
-       |sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
-       |banded AS ($bands),
-       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM banded a JOIN banded b
-       |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
-       |scored AS (SELECT doc_a, doc_b, CAST($matches AS DOUBLE) / ${Dedup.NumHashes} AS sig_sim
-       |  FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b)""".stripMargin
-  }
-
-  private val minhashOracleSql: String =
-    s"""WITH $minhashCtes
-       |SELECT doc_a, doc_b, sig_sim FROM scored WHERE sig_sim >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
-
-  /** One side of the cross-corpus MinHash oracle: shingles → signatures →
-    * bands for the subset of `documents` matching `where`. */
+  /** Shingles → signatures → bands for the subset of `documents` matching
+    * `where`, all CTE names suffixed with `sfx` — the ONE generator behind
+    * every MinHash oracle (intra-corpus with `("", "TRUE")`, each
+    * cross-corpus side with its split predicate), so the banding scheme
+    * can never drift between them. */
   private def minhashSideCtes(sfx: String, where: String): String = {
     val sigCols = (0 until Dedup.NumHashes)
       .map(i => s"min(${Dedup.minHashChunkSql(i)}) AS h$i").mkString(", ")
@@ -564,29 +535,54 @@ object SparkEntry {
       val parts = (0 until Dedup.BandRows).map(r => s"h${b * Dedup.BandRows + r}").mkString(", ")
       s"SELECT doc_id, $b AS band_idx, md5(concat_ws(',', $parts)) AS band_hash FROM sig$sfx"
     }.mkString(" UNION ALL ")
-    s"""toks$sfx AS (SELECT doc_id, regexp_split_to_array(lower(text), '$WS') AS ws
-       |  FROM documents WHERE $where),
-       |sh$sfx AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
-       |  FROM toks$sfx, unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS t(i)),
+    s"""${shingleCtesFor(sfx, where)},
        |sig$sfx AS (SELECT doc_id, $sigCols FROM sh$sfx GROUP BY doc_id),
        |banded$sfx AS ($bands)""".stripMargin
   }
 
+  /** DuckDB mirror of [[Dedup.shingles]] (distinct lowercased word
+    * 3-grams) for the subset of `documents` matching `where`. */
+  private def shingleCtesFor(sfx: String, where: String): String =
+    s"""toks$sfx AS (SELECT doc_id, regexp_split_to_array(lower(text), '$WS') AS ws
+       |  FROM documents WHERE $where),
+       |sh$sfx AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+       |  FROM toks$sfx, unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS t(i))""".stripMargin
+
+  /** The unsuffixed whole-corpus shingle CTEs (n-gram Jaccard oracle). */
+  private val shingleCte: String = shingleCtesFor("", "TRUE")
+
+  /** The shared component-agreement scoring CASE sum (mirror of
+    * [[Dedup.minHashPairs]]' verification). */
+  private val sigMatchesSql: String = (0 until Dedup.NumHashes)
+    .map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)").mkString(" + ")
+
+  /** The intra-corpus MinHash pipeline's CTE list (one side + ordered
+    * candidate pairs + scores), shared by the pair oracle and the survivor
+    * oracle built on top of it. */
+  private val minhashCtes: String =
+    s"""${minhashSideCtes("", "TRUE")},
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded a JOIN banded b
+       |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+       |scored AS (SELECT doc_a, doc_b, CAST($sigMatchesSql AS DOUBLE) / ${Dedup.NumHashes} AS sig_sim
+       |  FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b)""".stripMargin
+
+  private val minhashOracleSql: String =
+    s"""WITH $minhashCtes
+       |SELECT doc_a, doc_b, sig_sim FROM scored WHERE sig_sim >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+
   /** DuckDB mirror of [[Dedup.crossCorpusNearDups]] over the %3 split. */
-  private val crossCorpusOracleSql: String = {
-    val matches = (0 until Dedup.NumHashes)
-      .map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)").mkString(" + ")
+  private val crossCorpusOracleSql: String =
     s"""WITH ${minhashSideCtes("A", "doc_id % 3 <> 0")},
        |${minhashSideCtes("B", "doc_id % 3 = 0")},
        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |  FROM bandedA x JOIN bandedB y
        |  ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash),
        |scored AS (SELECT doc_a, doc_b,
-       |  CAST($matches AS DOUBLE) / ${Dedup.NumHashes} AS sig_sim
+       |  CAST($sigMatchesSql AS DOUBLE) / ${Dedup.NumHashes} AS sig_sim
        |  FROM cand JOIN sigA sa ON sa.doc_id = doc_a JOIN sigB sb ON sb.doc_id = doc_b)
        |SELECT doc_a, doc_b, sig_sim FROM scored WHERE sig_sim >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
-  }
 
   /** DuckDB mirror of [[Dedup.nearDupSurvivors]]: same pairs as the
     * MinHash oracle, undirected transitive closure via a recursive CTE
@@ -732,8 +728,9 @@ object SparkEntry {
 
   /** DuckDB replay of [[graft.ops.Bpe.train]]: the full merge loop as
     * chained CTEs — pair counting over the symbol strings, the (count DESC,
-    * pair ASC) argmax, and the two-pass SEP-padded literal replace, one
-    * stage triple per round. `chr(31)` is [[graft.ops.Bpe.Sep]]. */
+    * pair ASC) argmax, and the doubled-boundary greedy replace (expand
+    * SEP→SEPSEP, pad, inner-half literal replace, collapse), one stage
+    * triple per round. `chr(31)` is [[graft.ops.Bpe.Sep]]. */
   private def bpeCtes(rounds: Int): String = {
     val sb = new StringBuilder
     sb ++= s"""w AS (SELECT w AS word, count(*) AS cnt
@@ -748,11 +745,11 @@ object SparkEntry {
        |  FROM (SELECT cnt, string_split(s, chr(31)) AS a FROM $prev) q,
        |    unnest(generate_series(1, len(a) - 1)) AS t(i) GROUP BY 1),
        |b$r AS MATERIALIZED (SELECT pair, c FROM p$r ORDER BY c DESC, pair LIMIT 1),
-       |s$r AS MATERIALIZED (SELECT word, cnt, trim(replace(replace(chr(31) || s || chr(31),
-       |    chr(31) || (SELECT pair FROM b$r) || chr(31),
+       |s$r AS MATERIALIZED (SELECT word, cnt, trim(replace(replace(
+       |    chr(31) || chr(31) || replace(s, chr(31), chr(31) || chr(31)) || chr(31) || chr(31),
+       |    chr(31) || replace((SELECT pair FROM b$r), chr(31), chr(31) || chr(31)) || chr(31),
        |    chr(31) || replace((SELECT pair FROM b$r), chr(31), '') || chr(31)),
-       |    chr(31) || (SELECT pair FROM b$r) || chr(31),
-       |    chr(31) || replace((SELECT pair FROM b$r), chr(31), '') || chr(31)), chr(31)) AS s
+       |    chr(31) || chr(31), chr(31)), chr(31)) AS s
        |  FROM $prev)""".stripMargin
     }
     sb.toString

@@ -6,8 +6,12 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional extra args: run only these query names (local iteration;
-    // the driver always passes exactly two args → full sweep)
+    // the driver always passes exactly two args → full sweep). Unknown
+    // names fail loudly — a typo would otherwise write nothing and exit 0,
+    // looking exactly like a passing gate.
     val only = args.drop(2).toSet
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty, s"unknown query name(s): ${unknown.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.local(cpus.toInt, "graft-verify")
     spark.sparkContext.setLogLevel("WARN")

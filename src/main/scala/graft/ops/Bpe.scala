@@ -22,15 +22,17 @@ import org.apache.spark.sql.functions._
   * separator-joined strings so the merge step is two literal `replace`
   * calls (codegen'd) rather than an interpreted array fold.
   *
-  * Merge-application correctness (PROTOTYPED cross-engine): the pattern is
-  * SEP-padded (`SEP x SEP y SEP`), which makes a match impossible across
-  * symbol boundaries; a single left-to-right `replace` pass implements
-  * greedy non-overlapping merging except where consecutive occurrences
-  * share a boundary separator the first match consumed — those survivors
-  * are isolated (flanked by merged symbols) after pass one, so a SECOND
-  * identical pass completes exactly the greedy result. `aaaa → [aa,aa]`,
-  * `aaa → [aa,a]`, `bcbcbc → [bc,bc,bc]`, and `[ax,yb]` never matches
-  * `(x,y)` — all verified identical in Spark and DuckDB (BpeSpec). */
+  * Merge-application correctness (FUZZED cross-engine against a reference
+  * greedy implementation, 2000+ random symbol sequences + all run/chain
+  * edge cases): boundaries are DOUBLED separators and the pattern
+  * `SEP x SEPSEP y SEP` consumes only the inner half of each boundary, so
+  * one left-to-right literal `replace` pass IS greedy non-overlapping
+  * merging — consecutive occurrences chain (each leaves the outer
+  * separator for its neighbor), same-symbol runs resolve left-to-right
+  * (`aaaaa → [aa,aa,a]`), and a match can never cross a symbol boundary
+  * (`[ax,yb]` never matches `(x,y)`). A naive single-separator padding is
+  * NOT greedy: its match consumes the shared boundary separator, which
+  * mis-places the odd singleton in runs of length ≥ 5. */
 object Bpe {
 
   /** Symbol separator: U+001F (unit separator) — cannot occur in alnum
@@ -83,11 +85,14 @@ object Bpe {
         val cnt = best(0).getLong(1)
         val merged = pair.replace(Sep, "")
         merges += Merge(r, pair.replace(Sep, " "), merged, cnt)
-        val pat = Sep + pair + Sep
+        // doubled-boundary greedy merge: expand SEP→SEPSEP, pad, one
+        // inner-half replace, collapse SEPSEP→SEP, trim (see scaladoc)
+        val pat = Sep + pair.replace(Sep, Sep + Sep) + Sep
         val rep = Sep + merged + Sep
         val next = state.withColumn("s", expr(
-          s"trim(BOTH '$Sep' FROM replace(replace(concat('$Sep', s, '$Sep'), " +
-            s"'$pat', '$rep'), '$pat', '$rep'))")).cache()
+          s"trim(BOTH '$Sep' FROM replace(replace(concat('$Sep$Sep', " +
+            s"replace(s, '$Sep', '$Sep$Sep'), '$Sep$Sep'), " +
+            s"'$pat', '$rep'), '$Sep$Sep', '$Sep'))")).cache()
         next.count() // materialize before dropping the parent cache
         state.unpersist()
         state = next

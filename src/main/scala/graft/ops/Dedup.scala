@@ -148,8 +148,17 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val sa = sigs.toDF(sigs.columns.toIndexedSeq.map(c => if (c == "doc_id") "doc_a" else s"a_$c"): _*)
-    val sb = sigs.toDF(sigs.columns.toIndexedSeq.map(c => if (c == "doc_id") "doc_b" else s"b_$c"): _*)
+    scoreCandidates(candidates, sigs, sigs, minSigFrac)
+  }
+
+  /** Shared verification tail of the MinHash pair miners: join each side's
+    * signature table onto the candidate pairs and keep those whose
+    * component-agreement estimate clears `minSigFrac`. One scoring rule
+    * for the intra- and cross-corpus miners, so they cannot drift. */
+  private def scoreCandidates(candidates: DataFrame, sigsA: DataFrame,
+      sigsB: DataFrame, minSigFrac: Double): DataFrame = {
+    val sa = sigsA.toDF(sigsA.columns.toIndexedSeq.map(c => if (c == "doc_id") "doc_a" else s"a_$c"): _*)
+    val sb = sigsB.toDF(sigsB.columns.toIndexedSeq.map(c => if (c == "doc_id") "doc_b" else s"b_$c"): _*)
     val matches = (0 until NumHashes)
       .map(i => when(col(s"a_h$i") === col(s"b_h$i"), 1L).otherwise(0L))
       .reduce(_ + _)
@@ -183,16 +192,7 @@ object Dedup {
           col("x.band_hash") === col("y.band_hash"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val saR = sa.toDF(sa.columns.toIndexedSeq.map(c => if (c == "doc_id") "doc_a" else s"a_$c"): _*)
-    val sbR = sb.toDF(sb.columns.toIndexedSeq.map(c => if (c == "doc_id") "doc_b" else s"b_$c"): _*)
-    val matches = (0 until NumHashes)
-      .map(i => when(col(s"a_h$i") === col(s"b_h$i"), 1L).otherwise(0L))
-      .reduce(_ + _)
-    candidates.join(saR, "doc_a").join(sbR, "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        (matches.cast("double") / NumHashes).as("sig_sim"))
-      .filter(col("sig_sim") >= minSigFrac)
-      .orderBy("doc_a", "doc_b")
+    scoreCandidates(candidates, sa, sb, minSigFrac)
   }
 
   /** Per-document 32-bit SimHash over whitespace tokens (with

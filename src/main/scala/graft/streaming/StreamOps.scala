@@ -299,13 +299,20 @@ object StreamOps {
     * changed-rows-only emission — are identical. */
   def streamSnapshotMerge(changes: Dataset[DocChange]): Dataset[SnapshotRow] = {
     import changes.sparkSession.implicits._
+    // the SAME total order as the batch side's max(struct(version, op, fp))
+    // — version, then op ("upsert" > "delete"), then fp with None lowest —
+    // so same-version conflicts resolve identically regardless of arrival
+    // order (review finding: a strict version-only compare was
+    // arrival-order-dependent on ties)
+    val rowOrd: Ordering[SnapshotRow] =
+      Ordering.by(r => (r.version, r.op, r.fp.isDefined, r.fp.getOrElse(0L)))
     def fold(id: Long, it: Iterator[DocChange],
         state: GroupState[SnapshotRow]): Iterator[SnapshotRow] = {
       val prior = state.getOption.orNull
       var best = prior
       for (c <- it) {
-        if (best == null || c.version > best.version)
-          best = SnapshotRow(id, c.version, c.op, c.fp)
+        val cand = SnapshotRow(id, c.version, c.op, c.fp)
+        if (best == null || rowOrd.compare(cand, best) > 0) best = cand
       }
       if (best != null && best != prior) {
         state.update(best)

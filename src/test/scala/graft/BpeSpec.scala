@@ -30,16 +30,20 @@ class BpeSpec extends SparkTestBase {
   }
 
   test("greedy merge application: runs resolve left-to-right, boundaries respected") {
-    // aaaa → [aa, aa]; aaa → [aa, a] (third 'a' survives)
-    val docs = docsOf("aaaa aaa aaaa")
+    // aaaa → [aa, aa]; aaa → [aa, a]; aaaaa → [aa, aa, a] (the odd
+    // singleton lands at the END — the run case a shared-boundary replace
+    // scheme gets wrong, caught in review and fixed with doubled
+    // boundaries); aaaaaa → [aa, aa, aa]
+    val docs = docsOf("aaaa aaa aaaa aaaaa aaaaaa")
     val (merges, state) = Bpe.train(docs, rounds = 1)
     assert(merges.head.pair === "a a")
-    // frequency-weighted pair count: aaaa (cnt 2) has 3 adjacent pairs,
-    // aaa (cnt 1) has 2 → 3×2 + 2×1 = 8
-    assert(merges.head.cnt === 8L)
+    // frequency-weighted pair count: aaaa(cnt 2)×3 + aaa×2 + aaaaa×4 + aaaaaa×5 = 17
+    assert(merges.head.cnt === 17L)
     val segs = state.collect().map(r => r.getString(0) -> r.getString(2)).toMap
     assert(segs("aaaa") === s"aa${Bpe.Sep}aa")
     assert(segs("aaa") === s"aa${Bpe.Sep}a")
+    assert(segs("aaaaa") === s"aa${Bpe.Sep}aa${Bpe.Sep}a")
+    assert(segs("aaaaaa") === s"aa${Bpe.Sep}aa${Bpe.Sep}aa")
     state.unpersist()
   }
 

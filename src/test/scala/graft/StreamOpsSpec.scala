@@ -285,6 +285,40 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming snapshot merge resolves same-version conflicts like the batch struct max") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.ops.Snapshot
+    import graft.streaming.StreamOps.DocChange
+    // same version, delete vs upsert, both arrival orders in ONE microbatch:
+    // batch-side max(struct(version, op, fp)) keeps the upsert ('u' > 'd')
+    val conflicting = Seq(
+      DocChange(1L, 1, "delete", None), DocChange(1L, 1, "upsert", Some(42L)),
+      DocChange(2L, 1, "upsert", Some(7L)), DocChange(2L, 1, "delete", None))
+    val base = Seq(DocChange(1L, 1, "delete", None), DocChange(2L, 1, "upsert", Some(7L)))
+      .toDF("doc_id", "version", "op", "fp")
+    val batchWinners = Snapshot.mergeSnapshot(base,
+      Seq(DocChange(1L, 1, "upsert", Some(42L)), DocChange(2L, 1, "delete", None))
+        .toDF("doc_id", "version", "op", "fp"))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+
+    val stream = MemoryStream[DocChange]
+    val q = StreamOps.streamSnapshotMerge(stream.toDS())
+      .writeStream.format("memory").queryName("snap_conflict")
+      .outputMode("append").start()
+    try {
+      stream.addData(conflicting: _*)
+      q.processAllAvailable()
+      val live = spark.table("snap_conflict")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))
+        .groupBy(_._1).values.map(_.maxBy(x => (x._2, x._3, x._4.isDefined, x._4.getOrElse(0L))))
+        .filter(_._3 == "upsert").map(r => (r._1, r._4.get)).toSet
+      assert(live === batchWinners)
+      assert(live === Set((1L, 42L), (2L, 7L)), "upsert must beat delete on version ties")
+    } finally q.stop()
+  }
+
   test("sessionizeBatch matches hand-computed sessions and counts all events") {
     import spark.implicits._
     val df = Seq(
