@@ -175,6 +175,15 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       Snapshot.mergeSnapshot(Snapshot.baseSnapshot(docs), Snapshot.changeBatch(docs))
     }),
+    // CDC extraction, the merge's inverse: diff(base, merged) must be
+    // exactly the applied batch's visible effect (updates %10==3 with the
+    // v1 fingerprint, deletes %10==7)
+    "snapshot_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val base = Snapshot.baseSnapshot(docs)
+      Snapshot.diffSnapshots(base,
+        Snapshot.mergeSnapshot(base, Snapshot.changeBatch(docs)))
+    }),
     // PII scrubbing under the oracle: the corpus has no digits, so the
     // gate INJECTS deterministic doc_id-derived emails/phones/IPs (same
     // inject-then-prove pattern as the fmt_* garbage gates), then redacts;
@@ -1354,6 +1363,22 @@ object SparkEntry {
          |  FROM d)
          |SELECT doc_id, source, n_tokens, CAST(cum_before AS BIGINT) AS cum_before
          |FROM c WHERE cum_before < 800 ORDER BY doc_id""".stripMargin,
+    // diff of (base, merged) — updates carry the v1 fingerprint, deletes a
+    // NULL one; adds are impossible in this construction
+    "snapshot_diff" ->
+      s"""WITH base AS (SELECT doc_id, ${h60Sql("text")} AS fp FROM documents),
+         |merged AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 10 = 3 THEN ${h60Sql("'v1:' || text")}
+         |         ELSE ${h60Sql("text")} END AS fp
+         |  FROM documents WHERE doc_id % 10 <> 7),
+         |d AS (SELECT coalesce(b.doc_id, m.doc_id) AS doc_id,
+         |    CASE WHEN b.doc_id IS NULL THEN 'add'
+         |         WHEN m.doc_id IS NULL THEN 'delete'
+         |         WHEN b.fp <> m.fp THEN 'update'
+         |         ELSE 'unchanged' END AS op,
+         |    m.fp AS fp
+         |  FROM base b FULL OUTER JOIN merged m ON b.doc_id = m.doc_id)
+         |SELECT doc_id, op, fp FROM d WHERE op <> 'unchanged' ORDER BY doc_id""".stripMargin,
     // snapshot + change batch → latest-version-wins merge, tombstones dropped
     "snapshot_merge" ->
       s"""WITH base AS (SELECT doc_id, 0 AS version, 'upsert' AS op,

@@ -51,6 +51,28 @@ object Snapshot {
           CrossHash.h60(concat(lit("v1:"), col("text"))))
           .otherwise(lit(null).cast("long")).as("fp"))
 
+  /** The inverse of [[mergeSnapshot]]: extract the change batch that
+    * turns snapshot `prev` into snapshot `next` — content-addressed CDC
+    * the way table formats derive incremental feeds. One full-outer
+    * hash join on `doc_id`; fingerprint comparison classifies each row
+    * as `add` (new doc), `delete` (gone), or `update` (content changed);
+    * identical rows drop out. With both snapshots bucketed on `doc_id`
+    * (Formats.writeBucketed) even this join is shuffle-free.
+    *
+    * Round-trip law (proven in SnapshotSpec): applying the extracted
+    * diff to `prev` via [[mergeSnapshot]] reproduces `next` exactly. */
+  def diffSnapshots(prev: DataFrame, next: DataFrame): DataFrame =
+    prev.select(col("doc_id"), col("fp").as("fp_prev"))
+      .join(next.select(col("doc_id"), col("fp").as("fp_next")), Seq("doc_id"), "full_outer")
+      .withColumn("op",
+        when(col("fp_prev").isNull, "add")
+          .when(col("fp_next").isNull, "delete")
+          .when(col("fp_prev") =!= col("fp_next"), "update")
+          .otherwise("unchanged"))
+      .where(col("op") =!= "unchanged")
+      .select(col("doc_id"), col("op"), col("fp_next").as("fp"))
+      .orderBy("doc_id")
+
   /** Latest-version-wins merge: union snapshot + batch, keep each
     * `doc_id`'s highest version via aggregate-form argmax, drop documents
     * whose winning row is a tombstone. Emits the next snapshot

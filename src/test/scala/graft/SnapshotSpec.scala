@@ -34,6 +34,30 @@ class SnapshotSpec extends SparkTestBase {
     assert(merged.length === expectedFps.length - tombstones)
   }
 
+  test("diff/merge round-trip: merge(prev, diff(prev, next)) == next") {
+    val base = Snapshot.baseSnapshot(docs)
+    val next = Snapshot.mergeSnapshot(base, Snapshot.changeBatch(docs))
+    val diff = Snapshot.diffSnapshots(base, next)
+
+    // the extracted diff classifies exactly the synthetic batch's effect
+    val byOp = diff.groupBy("op").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = docs.count()
+    assert(byOp.getOrElse("update", 0L) === docs.filter(col("doc_id") % 10 === 3).count())
+    assert(byOp.getOrElse("delete", 0L) === docs.filter(col("doc_id") % 10 === 7).count())
+    assert(!byOp.contains("add"))
+    assert(diff.count() < n, "diff must be smaller than the corpus")
+
+    // replay: the diff as a version-1 change batch applied to prev
+    val replayBatch = diff.select(col("doc_id"), lit(1).as("version"),
+      when(col("op") === "delete", lit("delete")).otherwise(lit("upsert")).as("op"),
+      col("fp"))
+    val replayed = Snapshot.mergeSnapshot(base, replayBatch)
+      .select("doc_id", "fp").collect().map(_.toString).sorted.toSeq
+    val expected = next.select("doc_id", "fp").collect().map(_.toString).sorted.toSeq
+    assert(replayed === expected)
+  }
+
   test("merge is idempotent: re-applying the same batch changes nothing") {
     val once = Snapshot.mergeSnapshot(
       Snapshot.baseSnapshot(docs), Snapshot.changeBatch(docs))
