@@ -104,10 +104,15 @@ object Bpe {
 
   /** The learned merge table — gate `ta_bpe_merges`. */
   def mergeTable(docs: DataFrame, rounds: Int = DefaultRounds): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
     val (merges, state) = train(docs, rounds)
     state.unpersist()
+    mergeTableOf(docs.sparkSession, merges)
+  }
+
+  /** The merge table of an already-trained model. */
+  def mergeTableOf(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[Merge]): DataFrame = {
+    import spark.implicits._
     merges.toDF("round", "pair", "merged", "cnt").orderBy("round")
   }
 
@@ -121,8 +126,12 @@ object Bpe {
     * join is a broadcast hash join (no corpus shuffle); the per-doc
     * aggregation is map-side combined. Training covers every corpus word
     * by construction, so the inner join is lossless. */
-  def tokenizeWithVocab(docs: DataFrame, rounds: Int = DefaultRounds): DataFrame = {
-    val (_, state) = train(docs, rounds)
+  def tokenizeWithVocab(docs: DataFrame, rounds: Int = DefaultRounds): DataFrame =
+    tokenizeWithVocabOf(docs, train(docs, rounds)._2)
+
+  /** [[tokenizeWithVocab]] against an already-trained segmentation state
+    * (the build-once / apply-many split, like the persisted ANN indexes). */
+  def tokenizeWithVocabOf(docs: DataFrame, state: DataFrame): DataFrame = {
     val vocab = state.select(col("word"),
       size(split(col("s"), Sep)).cast("long").as("n_syms"))
     docs.select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("word"))
@@ -136,14 +145,17 @@ object Bpe {
 
   /** Final segmentations of the `k` most frequent words — gate
     * `ta_bpe_segments` (deterministic: frequency then word tiebreak). */
-  def segments(docs: DataFrame, rounds: Int = DefaultRounds, k: Int = 100): DataFrame = {
-    val (_, state) = train(docs, rounds)
-    // state stays cached (the returned plan reads it lazily); the bench/
-    // verify harnesses clear persisted RDDs between queries
+  def segments(docs: DataFrame, rounds: Int = DefaultRounds, k: Int = 100): DataFrame =
+    segmentsOf(train(docs, rounds)._2, k)
+
+  /** [[segments]] against an already-trained segmentation state.
+    * The state plan re-evaluates fine even if the harness has cleared its
+    * cache — the learned merges are embedded literals, so no re-training
+    * action ever runs. */
+  def segmentsOf(state: DataFrame, k: Int = 100): DataFrame =
     state
       .select(col("word"), col("cnt"),
         expr(s"replace(s, '$Sep', ' ')").as("seg"))
       .orderBy(col("cnt").desc, col("word").asc)
       .limit(k)
-  }
 }

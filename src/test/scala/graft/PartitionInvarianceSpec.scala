@@ -114,6 +114,20 @@ class PartitionInvarianceSpec extends SparkTestBase {
       Snapshot.mergeSnapshot(Snapshot.baseSnapshot(d), Snapshot.changeBatch(d)))
   }
 
+  test("snapshot diff is partition-count invariant (full-outer fp compare)") {
+    invariant("diffSnapshots") { d =>
+      val base = Snapshot.baseSnapshot(d)
+      Snapshot.diffSnapshots(base,
+        Snapshot.mergeSnapshot(base, Snapshot.changeBatch(d)))
+    }
+  }
+
+  test("cross-corpus near-dup join is partition-count invariant") {
+    invariant("crossCorpusNearDups")(d =>
+      Dedup.crossCorpusNearDups(
+        d.filter(col("doc_id") % 3 =!= 0), d.filter(col("doc_id") % 3 === 0)))
+  }
+
   test("k-means IVF top-k is partition-count invariant (fixed-point centroids)") {
     def embs = Tables.embeddings(spark, sfDir)
     val narrow = Similarity.ivfTopKKmeans(embs.repartition(1), col("vec_id") < 10)
