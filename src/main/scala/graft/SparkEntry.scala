@@ -306,6 +306,10 @@ object SparkEntry {
     // full (deterministic, fixed-point) Lloyd's training loop in DuckDB
     "ann_ivf_kmeans" -> ((s, d) =>
       Similarity.ivfTopKKmeans(Tables.embeddings(s, d), col("vec_id") < 10)),
+    // SemDeDup-style cluster-balanced sampling: k-means cells capped at a
+    // deterministic hash-order prefix of 10 vectors each
+    "ann_cluster_sample" -> ((s, d) =>
+      Similarity.clusterBalancedSample(Tables.embeddings(s, d))),
     // build/query split for the IVF tier: trained pivots + cell assignment
     // stored once (bucketed on cell), probe reads the index — same oracle
     // as ann_ivf_kmeans (the index changes where cells come from, not the
@@ -831,6 +835,24 @@ object SparkEntry {
     s"""WITH $kmeansPivotCtes,
        |$ivfBodySql""".stripMargin
 
+  /** DuckDB mirror of [[Similarity.clusterBalancedSample]]: replayed
+    * k-means training, final-centroid argmax assignment, per-cell
+    * hash-order prefix cap. */
+  private val clusterSampleOracleSql: String =
+    s"""WITH $kmeansPivotCtes,
+       |sx AS (SELECT e.vec_id, c.pid,
+       |  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.pv AS DOUBLE[])) AS pcos
+       |  FROM embeddings e CROSS JOIN piv c),
+       |asg AS (SELECT vec_id, pid AS cell FROM (
+       |  SELECT vec_id, pid, row_number() OVER (PARTITION BY vec_id ORDER BY pcos DESC, pid) AS r
+       |  FROM sx) WHERE r = 1),
+       |hh AS (SELECT vec_id, cell,
+       |  ${h60Sql("'cbs:' || CAST(vec_id AS VARCHAR)")} AS h FROM asg),
+       |rk AS (SELECT vec_id, cell,
+       |  CAST(row_number() OVER (PARTITION BY cell ORDER BY h, vec_id) AS BIGINT) AS rn FROM hh)
+       |SELECT vec_id, cell, rn - 1 AS rank_in_cell FROM rk WHERE rn <= 10
+       |ORDER BY vec_id""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
@@ -1003,6 +1025,7 @@ object SparkEntry {
         |ORDER BY user_id, event_id""".stripMargin,
     "ann_ivf_topk" -> ivfOracleSql,
     "ann_ivf_kmeans" -> ivfKmeansOracleSql,
+    "ann_cluster_sample" -> clusterSampleOracleSql,
     "ann_ivf_indexed" -> ivfKmeansOracleSql,
     "ann_ivf_indexed_incr" -> ivfKmeansOracleSql,
     "fmt_bucketed_join" ->

@@ -295,6 +295,31 @@ object Similarity {
         (-col("best.npid")).cast("long").as("cell"))
   }
 
+  /** SemDeDup-style cluster-balanced sampling — the semantic-diversity
+    * counterpart of [[graft.ops.Sampling]]'s hash samplers: train k-means
+    * cells on the embeddings, then cap every cell at `perCell` vectors,
+    * keeping the deterministic salted-hash-order prefix. Dense semantic
+    * regions (near-duplicate clusters, boilerplate) are down-weighted to
+    * the cap while sparse regions survive whole — the mixing step between
+    * embedding-level dedup and training-set assembly.
+    *
+    * Scale: training + assignment are the proven IVF pieces (broadcast
+    * pivots, map-side argmax); the cap is one per-cell window over a
+    * (vec_id, cell, hash) projection — k cells partition the sort. Output
+    * is integers only, and the kept set is a pure function of the corpus
+    * (same hash-prefix determinism as the token-budget sampler). */
+  def clusterBalancedSample(emb: DataFrame, perCell: Int = 10): DataFrame = {
+    val assigned = assignCells(emb, trainPivots(emb))
+    val h = graft.functions.CrossHash.h60(
+      concat(lit("cbs:"), col("vec_id").cast("string")))
+    val w = Window.partitionBy("cell").orderBy(col("h"), col("vec_id"))
+    assigned.select(col("vec_id"), col("cell"), h.as("h"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= perCell)
+      .select(col("vec_id"), col("cell"), (col("rn") - 1).as("rank_in_cell"))
+      .orderBy("vec_id")
+  }
+
   /** Build-once half of the IVF build/query split: train pivots, assign
     * every vector to its cell, and store BOTH halves — `<table>` =
     * (vec_id, embedding, cell) bucketed on `cell` (so probe joins and

@@ -135,4 +135,12 @@ class PartitionInvarianceSpec extends SparkTestBase {
     assert(sortedRows(narrow) === sortedRows(wide),
       "ivfTopKKmeans is layout-sensitive")
   }
+
+  test("cluster-balanced sampling is partition-count invariant") {
+    def embs = Tables.embeddings(spark, sfDir)
+    val narrow = Similarity.clusterBalancedSample(embs.repartition(1))
+    val wide = Similarity.clusterBalancedSample(embs.repartition(13))
+    assert(sortedRows(narrow) === sortedRows(wide),
+      "clusterBalancedSample is layout-sensitive")
+  }
 }

@@ -306,4 +306,28 @@ class SimilaritySpec extends SparkTestBase {
     // cos in [0.4, 0.51] — floor asserts the bucketing does real work
     assert(recall >= 0.3, s"recall $recall below floor")
   }
+
+  test("clusterBalancedSample keeps exactly the per-cell hash-order prefix") {
+    import org.apache.spark.sql.functions._
+    val perCell = 4
+    val kept = Similarity.clusterBalancedSample(emb, perCell)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+    // reconstruct independently from the same trained assignment
+    val assigned = Similarity.assignCells(emb, Similarity.trainPivots(emb))
+      .select(col("vec_id"), col("cell"),
+        graft.functions.CrossHash.h60(
+          concat(lit("cbs:"), col("vec_id").cast("string"))).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = assigned.groupBy(_._2).toSeq.flatMap { case (cell, rows) =>
+      rows.sortBy(r => (r._3, r._1)).take(perCell).zipWithIndex
+        .map { case (r, i) => (r._1, cell, i.toLong) }
+    }.toSet
+    assert(kept.toSet === expected)
+
+    // every cell respects the cap, and dense cells are actually cut
+    val perCellCounts = kept.groupBy(_._2).view.mapValues(_.length)
+    assert(perCellCounts.values.forall(_ <= perCell))
+    assert(kept.length < emb.count(), "the cap must bind on dense cells")
+  }
 }
