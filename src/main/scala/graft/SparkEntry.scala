@@ -153,6 +153,9 @@ object SparkEntry {
     "ta_bpe_segments" -> ((s, d) => Bpe.segmentsOf(bpeModel(s, d)._2)),
     "ta_bpe_tokenize" -> ((s, d) =>
       Bpe.tokenizeWithVocabOf(Tables.documents(s, d), bpeModel(s, d)._2)),
+    // per-source curation funnel: survivors of each successive filter
+    // stage (quality ≥ 0.6 → lang = en → dup-2-gram ≤ 0.05), exact counts
+    "ta_filter_funnel" -> ((s, d) => TextAnalysis.filterFunnel(Tables.documents(s, d))),
     // Gopher-style within-document repetition filters: duplicate-2/3-gram
     // occurrence fractions + top-2-gram share (exact integer counts, IEEE
     // division — no rounding)
@@ -1319,6 +1322,34 @@ object SparkEntry {
          |  FROM s${graft.ops.Bpe.DefaultRounds})
          |SELECT doc_id, count(*) AS n_words, CAST(sum(n_syms) AS BIGINT) AS n_subwords
          |FROM tok JOIN v USING (word) GROUP BY 1 ORDER BY 1""".stripMargin,
+    // funnel stages replayed per doc then conditionally counted per source
+    "ta_filter_funnel" ->
+      s"""WITH c AS (SELECT source, doc_id,
+         |  regexp_split_to_array(lower(text), '$WS') AS a,
+         |  CAST(len(regexp_split_to_array(lower(text), '$WS')) AS BIGINT) AS nt,
+         |  CAST(len(list_filter(regexp_split_to_array(lower(text), '$WS'),
+         |    t -> regexp_matches(t, '^[a-z0-9]+$$'))) AS BIGINT) AS alnum,
+         |  ${markerSql("en")} AS en, ${markerSql("de")} AS de,
+         |  ${markerSql("fr")} AS fr, ${markerSql("es")} AS es
+         |FROM documents),
+         |g2 AS (SELECT doc_id, count(*) AS t2, count(DISTINCT g) AS d2 FROM (
+         |  SELECT doc_id, array_to_string(a[i:i+1], ' ') AS g
+         |  FROM c, unnest(generate_series(1, len(a) - 1)) AS t(i)) GROUP BY 1),
+         |sig AS (SELECT source,
+         |  least(CAST(nt AS DOUBLE) / 100.0, 1.0) * 0.2 + CAST(alnum AS DOUBLE) / nt * 0.5
+         |    + least(CAST(en AS DOUBLE) / nt * 4.0, 1.0) * 0.3 AS q,
+         |  CASE WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+         |       WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+         |       WHEN fr >= es AND fr > 0 THEN 'fr'
+         |       WHEN es > 0 THEN 'es'
+         |       ELSE 'und' END AS l,
+         |  coalesce(CAST(g2.t2 - g2.d2 AS DOUBLE) / nullif(g2.t2, 0), 0.0) AS r
+         |FROM c LEFT JOIN g2 USING (doc_id))
+         |SELECT source, count(*) AS n_docs,
+         |  count(CASE WHEN q >= 0.6 THEN 1 END) AS n_quality,
+         |  count(CASE WHEN q >= 0.6 AND l = 'en' THEN 1 END) AS n_lang,
+         |  count(CASE WHEN q >= 0.6 AND l = 'en' AND r <= 0.05 THEN 1 END) AS n_clean
+         |FROM sig GROUP BY source ORDER BY source""".stripMargin,
     // intra-doc repetition: n-gram multisets replayed per document; the
     // fractions are single divisions of exact counts (bit-identical IEEE)
     "ta_repetition" ->

@@ -298,6 +298,38 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Per-source curation funnel — the acceptance report a curation team
+    * reads before committing a filter config: how many documents survive
+    * each successive stage (quality floor → language gate → repetition
+    * cap). Chained `count(when(...))` conditional aggregates over ONE scan
+    * computing every signal column at once (the [[curationPipeline]]
+    * single-pass discipline); counts are exact integers, so the oracle
+    * comparison is trivial, and the columns are monotone non-increasing by
+    * construction (spec-pinned). At 100 TB this is one map-side-combined
+    * aggregation keyed by source. */
+  def filterFunnel(docs: DataFrame, minQuality: Double = 0.6,
+      lang: String = "en", maxDup2: Double = 0.05): DataFrame = {
+    val dup2 = {
+      // duplicate-2-gram occurrence fraction, inlined from
+      // [[repetitionStats]]'s zero-shuffle form
+      val t2 = greatest(size(col("a")) - 1, lit(0)).cast("long")
+      val d2 = size(array_distinct(expr(
+        "CASE WHEN size(a) >= 2 THEN transform(sequence(0, size(a) - 2), " +
+          "i -> concat_ws(' ', a[i], a[i + 1])) ELSE array() END"))).cast("long")
+      when(t2 > 0, (t2 - d2).cast("double") / t2).otherwise(lit(0.0))
+    }
+    docs
+      .select(col("source"), col("text"), split(lower(col("text")), "\\s+").as("a"))
+      .select(col("source"), qualityCol.as("q"), predLangCol.as("l"), dup2.as("r"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("q") >= minQuality, 1)).as("n_quality"),
+        count(when(col("q") >= minQuality && col("l") === lang, 1)).as("n_lang"),
+        count(when(col("q") >= minQuality && col("l") === lang &&
+          col("r") <= maxDup2, 1)).as("n_clean"))
+      .orderBy("source")
+  }
+
   /** PII patterns for [[redactPii]] — deliberately lookaround-free so the
     * same pattern text runs identically under Java regex (Spark) and RE2
     * (DuckDB), which is what lets the redaction gate hash-match across

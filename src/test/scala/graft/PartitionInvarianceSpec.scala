@@ -93,6 +93,10 @@ class PartitionInvarianceSpec extends SparkTestBase {
     invariant("repetitionStats")(TextAnalysis.repetitionStats)
   }
 
+  test("filter funnel is partition-count invariant (conditional count aggregate)") {
+    invariant("filterFunnel")(TextAnalysis.filterFunnel(_))
+  }
+
   test("sequence packing is partition-count invariant (per-bucket running sums)") {
     invariant("packSequences")(Packing.packSequences(_))
   }

@@ -169,6 +169,20 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out(3L) === ((1L, 0.0, 0.0, 0.0)))
   }
 
+  test("filterFunnel: stages are monotone and every stage binds on the corpus") {
+    val rows = TextAnalysis.filterFunnel(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, n, q, l, c) =>
+      assert(n >= q && q >= l && l >= c, s"funnel not monotone for $src: $n $q $l $c")
+    }
+    def tot(f: ((String, Long, Long, Long, Long)) => Long) = rows.map(f).sum
+    assert(tot(_._2) === docs.count())
+    // thresholds chosen so each successive stage rejects someone somewhere
+    assert(tot(_._3) < tot(_._2), "quality floor never binds")
+    assert(tot(_._5) < tot(_._4), "repetition cap never binds")
+  }
+
   test("fingerprint: fp_norm is whitespace-invariant, fp_raw is not") {
     val fps = TextAnalysis.fingerprint(tinyDocs).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
