@@ -169,6 +169,9 @@ object SparkEntry {
     // per-source token-budget cut — both integer-exact cross-engine
     "pack_sequences" -> ((s, d) => Packing.packSequences(Tables.documents(s, d))),
     "pack_token_budget" -> ((s, d) => Packing.tokenBudgetSample(Tables.documents(s, d))),
+    // production form: hot source salted into 8 sub-strata with sub-budgets
+    "pack_token_budget_salted" -> ((s, d) =>
+      Packing.tokenBudgetSampleSalted(Tables.documents(s, d))),
     // RAG-style overlapping chunking (64-token windows, 48-token hop):
     // chunk positions + content fingerprints, one map pass
     "pack_chunks" -> ((s, d) => Packing.chunkDocuments(Tables.documents(s, d))),
@@ -1432,6 +1435,20 @@ object SparkEntry {
          |  FROM d)
          |SELECT doc_id, source, n_tokens, CAST(cum_before AS BIGINT) AS cum_before
          |FROM c WHERE cum_before < 800 ORDER BY doc_id""".stripMargin,
+    // salted sub-strata walk: budget 800 split across 8 sub-strata of 100,
+    // sub = h % 8 (content-deterministic), each sub-stratum its own prefix
+    "pack_token_budget_salted" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |    CAST(len(regexp_split_to_array(lower(text), '$WS')) AS BIGINT) AS n_tokens,
+         |    ${Packing.orderHashSql} AS h FROM documents),
+         |c AS (SELECT doc_id, source, n_tokens, h % 8 AS sub,
+         |    coalesce(sum(n_tokens) OVER (PARTITION BY source, h % 8
+         |      ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |  FROM d)
+         |SELECT doc_id, source, CAST(sub AS BIGINT) AS sub, n_tokens,
+         |  CAST(cum_before AS BIGINT) AS cum_before
+         |FROM c WHERE cum_before < 100 ORDER BY doc_id""".stripMargin,
     // diff of (base, merged) — updates carry the v1 fingerprint, deletes a
     // NULL one; adds are impossible in this construction
     "snapshot_diff" ->

@@ -119,10 +119,9 @@ object Packing {
     * re-partitioned (or re-ingested) data keeps exactly the same documents.
     *
     * One hash shuffle on `source` + per-source sort. A pathological
-    * mega-source makes that sort wide; production splits a hot source into
-    * salted sub-strata with sub-budgets (same composition as
-    * [[packSequences]]'s buckets) — at gate scale the plain per-source form
-    * is the honest baseline. */
+    * mega-source makes that sort wide; [[tokenBudgetSampleSalted]] is the
+    * production form (salted sub-strata with sub-budgets) — this plain
+    * per-source form is the semantics baseline. */
   def tokenBudgetSample(docs: DataFrame, budgetTokens: Long = 800L): DataFrame = {
     val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -130,6 +129,33 @@ object Packing {
       .withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
       .where(col("cum_before") < budgetTokens)
       .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_before"))
+      .orderBy("doc_id")
+  }
+
+  /** Production form of [[tokenBudgetSample]] for hot sources: the budget
+    * is split evenly across `subStrata` salted sub-strata
+    * (`sub = h % subStrata`, a pure function of the document — not of the
+    * cluster layout), and each sub-stratum independently keeps its own
+    * hash-order prefix under `budgetTokens / subStrata`. A mega-source is
+    * no longer one single-task sort: its walk runs as `subStrata` parallel
+    * bounded walks, and because the salt is content-deterministic the kept
+    * set is still a pure function of the corpus. The cut differs from the
+    * unsalted form's by at most one document per sub-stratum boundary —
+    * the standard trade for unbounded parallelism on a skewed stratum
+    * (the same composition as [[packSequences]]'s independent buckets).
+    *
+    * Output adds `sub` so a dataloader can address sub-strata directly. */
+  def tokenBudgetSampleSalted(docs: DataFrame, budgetTokens: Long = 800L,
+      subStrata: Int = 8): DataFrame = {
+    val subBudget = budgetTokens / subStrata
+    val w = Window.partitionBy("source", "sub").orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col("doc_id"), col("source"), nTokens.as("n_tokens"), orderHash.as("h"))
+      .withColumn("sub", pmod(col("h"), lit(subStrata.toLong)))
+      .withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .where(col("cum_before") < subBudget)
+      .select(col("doc_id"), col("source"), col("sub"),
+        col("n_tokens"), col("cum_before"))
       .orderBy("doc_id")
   }
 }

@@ -304,17 +304,33 @@ object Similarity {
     * embedding-level dedup and training-set assembly.
     *
     * Scale: training + assignment are the proven IVF pieces (broadcast
-    * pivots, map-side argmax); the cap is one per-cell window over a
-    * (vec_id, cell, hash) projection — k cells partition the sort. Output
-    * is integers only, and the kept set is a pure function of the corpus
-    * (same hash-prefix determinism as the token-budget sampler). */
-  def clusterBalancedSample(emb: DataFrame, perCell: Int = 10): DataFrame = {
+    * pivots, map-side argmax); the cap is a two-level deterministic
+    * prefix so no task ever sorts a whole cell — dense cells are the very
+    * thing this operator exists to down-weight, so a per-cell global sort
+    * would put the biggest partition on the hottest key. Level 1 salts
+    * each cell into `subCells` sub-cells (k×j-way parallelism) and keeps
+    * each sub-cell's first `perCell` rows in (h, vec_id) order — a
+    * bounded sort, and a guaranteed superset of the per-cell prefix
+    * (any row of the true prefix has sub-cell rank ≤ its cell rank).
+    * Level 2 merges the ≤ j×perCell survivors per cell with one exact
+    * window; within that superset the survivor rank of every true-prefix
+    * row equals its full-cell rank (everything ahead of it survived), so
+    * the kept set and ranks are identical to the single-window form —
+    * SimilaritySpec proves the prefix-equivalence. Output is integers
+    * only, and the kept set is a pure function of the corpus (same
+    * hash-prefix determinism as the token-budget sampler). */
+  def clusterBalancedSample(emb: DataFrame, perCell: Int = 10,
+      subCells: Int = 32): DataFrame = {
     val assigned = assignCells(emb, trainPivots(emb))
     val h = graft.functions.CrossHash.h60(
       concat(lit("cbs:"), col("vec_id").cast("string")))
-    val w = Window.partitionBy("cell").orderBy(col("h"), col("vec_id"))
+    val wSub = Window.partitionBy("cell", "sub").orderBy(col("h"), col("vec_id"))
+    val wCell = Window.partitionBy("cell").orderBy(col("h"), col("vec_id"))
     assigned.select(col("vec_id"), col("cell"), h.as("h"))
-      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("sub", pmod(col("h"), lit(subCells.toLong)))
+      .withColumn("srn", row_number().over(wSub))
+      .where(col("srn") <= perCell)
+      .withColumn("rn", row_number().over(wCell).cast("long"))
       .where(col("rn") <= perCell)
       .select(col("vec_id"), col("cell"), (col("rn") - 1).as("rank_in_cell"))
       .orderBy("vec_id")

@@ -95,4 +95,40 @@ class PackingSpec extends SparkTestBase {
     // and the cut binds: some source must have dropped documents
     assert(kept.length < docs.count())
   }
+
+  test("tokenBudgetSampleSalted spreads a hot source across sub-strata") {
+    val subStrata = 8
+    val budget = 800L
+    val kept = Packing.tokenBudgetSampleSalted(docs, budget, subStrata)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+
+    // every sub-stratum independently respects its sub-budget
+    val subBudget = budget / subStrata
+    assert(kept.forall(_._5 < subBudget))
+
+    // the skewed-source work really spreads: for the source with the most
+    // kept docs, documents land in MANY sub-strata (parallel bounded walks,
+    // not one per-source sort)
+    val bySource = kept.groupBy(_._2)
+    val (hotSrc, hotRows) = bySource.maxBy(_._2.length)
+    val subsUsed = hotRows.map(_._3).distinct
+    assert(subsUsed.length >= subStrata / 2,
+      s"hot source $hotSrc only used ${subsUsed.length} of $subStrata sub-strata")
+
+    // the salt is content-deterministic: sub == h % subStrata for every row
+    val hs = docs.select(col("doc_id"), Packing.orderHash.as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(kept.forall(r => r._3 === hs(r._1) % subStrata))
+
+    // the plan caps every sort at (source, sub): the cum-sum window must be
+    // partitioned by BOTH keys — a per-source-only window would be the
+    // single-task mega-source sort this operator exists to avoid
+    val plan = Packing.tokenBudgetSampleSalted(docs, budget, subStrata)
+      .queryExecution.optimizedPlan.toString
+    val specs = "windowspecdefinition\\(([^)]*?) ASC".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(specs.nonEmpty && specs.forall(s => s.contains("source") && s.contains("sub")),
+      s"window not partitioned by (source, sub):\n$specs")
+  }
 }

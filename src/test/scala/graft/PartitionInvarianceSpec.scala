@@ -105,6 +105,10 @@ class PartitionInvarianceSpec extends SparkTestBase {
     invariant("tokenBudgetSample")(Packing.tokenBudgetSample(_))
   }
 
+  test("salted token-budget sampling is partition-count invariant") {
+    invariant("tokenBudgetSampleSalted")(Packing.tokenBudgetSampleSalted(_))
+  }
+
   test("document chunking is partition-count invariant (pure projection)") {
     invariant("chunkDocuments")(Packing.chunkDocuments(_))
   }

@@ -330,4 +330,24 @@ class SimilaritySpec extends SparkTestBase {
     assert(perCellCounts.values.forall(_ <= perCell))
     assert(kept.length < emb.count(), "the cap must bind on dense cells")
   }
+
+  test("clusterBalancedSample never sorts a whole cell in one task") {
+    // the two-level cap's plan must pre-filter on salted (cell, sub)
+    // windows before the per-cell merge window — a single window
+    // partitioned only by cell would be a full-cell single-task sort
+    val plan = Similarity.clusterBalancedSample(emb, 4)
+      .queryExecution.optimizedPlan.toString
+    val windowSpecs = "windowspecdefinition\\(([^)]*?) ASC".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(windowSpecs.nonEmpty, s"no window specs found in:\n$plan")
+    val saltedFirst = windowSpecs.exists(s => s.contains("cell") && s.contains("sub"))
+    assert(saltedFirst, s"no salted (cell, sub) pre-cap window in:\n$windowSpecs")
+    // and the salted prefix really is a strict pre-filter: with subCells=1
+    // the two levels collapse to the single-window form — same kept set
+    val collapsed = Similarity.clusterBalancedSample(emb, 4, subCells = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val twoLevel = Similarity.clusterBalancedSample(emb, 4, subCells = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(collapsed === twoLevel, "two-level cap must equal single-window prefix")
+  }
 }
