@@ -395,4 +395,50 @@ object TextAnalysis {
         col("k.quality").as("quality"))
       .orderBy("doc_id")
   }
+
+  /** Text→vector featurization: hashing-trick bag-of-tokens (signed
+    * feature hashing, Weinberger et al. 2009) over the alnum token stream.
+    * Each token scatters a ±1 vote into dimension `h("he:"+tok) % dim`
+    * (sign from an independent hash bit), and the integer vote vector is
+    * L2-normalized to a FLOAT array — the same shape as the `embeddings`
+    * table, so the whole similarity/ANN tier composes directly over raw
+    * text (clean → embed → dedup/ANN end-to-end from the corpus; the
+    * reference's mapper-defines-the-feature pattern,
+    * srics96/SDC_Mapreduce `src/app/mapper.py:10-18`).
+    *
+    * Scale + exactness: explode tokens (two codegen'd md5s per token) and
+    * hash-aggregate the ±1 votes on (doc_id, dim) — map-side combinable,
+    * so at 100 TB the shuffle carries at most docs×dim partial sums, not
+    * the token stream. (A zero-shuffle per-row fold was tried first and is
+    * ~100× slower: scattering into a dim-wide accumulator is O(dim) of
+    * interpreted lambda per token, outside whole-stage codegen.) The
+    * dense vector assembles per doc from the vote map; all arithmetic is
+    * exact-integer until the final `v / sqrt(Σv²)`, two correctly-rounded
+    * IEEE ops over exact ints — bit-identical in DuckDB's replay with no
+    * rounding escape hatch. Empty/all-filtered docs get the zero vector
+    * (explode_outer keeps them; null-dim votes are dropped at assembly). */
+  def hashEmbed(docs: DataFrame, dim: Int = Similarity.Dim): DataFrame = {
+    val alnumToks = filter(toks(col("text")), t => t.rlike("^[a-z0-9]+$"))
+    val voted = docs
+      .select(col("doc_id"), explode_outer(alnumToks).as("tok"))
+      .groupBy(col("doc_id"),
+        pmod(CrossHash.h60(concat(lit("he:"), col("tok"))), lit(dim.toLong)).as("idx"))
+      .agg(sum(when(
+        pmod(CrossHash.h60(concat(lit("hs:"), col("tok"))), lit(2L)) === 0, 1L)
+        .otherwise(-1L)).as("v"))
+    voted.groupBy(col("doc_id"))
+      .agg(map_from_entries(
+        collect_list(when(col("idx").isNotNull, struct(col("idx"), col("v")))))
+        .as("m"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => coalesce(element_at(col("m"), i.cast("long")), lit(0L))).as("v"))
+      .select(col("doc_id"), col("v"),
+        sqrt(aggregate(col("v"), lit(0.0d),
+          (a, x) => a + (x * x).cast("double"))).as("norm"))
+      .select(col("doc_id"),
+        transform(col("v"), x =>
+          when(col("norm") > 0, x.cast("double") / col("norm"))
+            .otherwise(lit(0.0d)).cast("float")).as("embedding"))
+  }
 }

@@ -117,6 +117,10 @@ class PartitionInvarianceSpec extends SparkTestBase {
     invariant("normalizeText")(TextAnalysis.normalizeText)
   }
 
+  test("hash-embed featurization is partition-count invariant (exact votes)") {
+    invariant("hashEmbed")(TextAnalysis.hashEmbed(_))
+  }
+
   test("snapshot merge is partition-count invariant (argmax keep-one)") {
     invariant("mergeSnapshot")(d =>
       Snapshot.mergeSnapshot(Snapshot.baseSnapshot(d), Snapshot.changeBatch(d)))

@@ -180,7 +180,57 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(tot(_._2) === docs.count())
     // thresholds chosen so each successive stage rejects someone somewhere
     assert(tot(_._3) < tot(_._2), "quality floor never binds")
+    assert(tot(_._4) < tot(_._3), "language gate never binds")
     assert(tot(_._5) < tot(_._4), "repetition cap never binds")
+  }
+
+  test("hashEmbed: unit-norm float vectors matching a driver-side replay") {
+    val dim = 64
+    val out = TextAnalysis.hashEmbed(docs, dim).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    assert(out.nonEmpty && out.forall(_._2.length === dim))
+
+    // unit L2 norm (or exact zero vector for token-free docs)
+    out.foreach { case (id, v) =>
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      assert(math.abs(n - 1.0) < 1e-5 || n === 0.0, s"doc $id norm $n")
+    }
+    // no zero vectors on the real corpus (every doc has alnum tokens) —
+    // this is what keeps the downstream cosine well-defined
+    assert(out.forall(_._2.exists(_ != 0.0f)), "corpus produced a zero vector")
+
+    // independent driver-side replay of the signed hashing trick
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    out.take(5).foreach { case (id, v) =>
+      val votes = new Array[Long](dim)
+      texts(id).toLowerCase.split("\\s+")
+        .filter(_.matches("^[a-z0-9]+$"))
+        .foreach { t =>
+          val idx = (h60("he:" + t) % dim).toInt
+          votes(idx) += (if (h60("hs:" + t) % 2 == 0) 1L else -1L)
+        }
+      val norm = math.sqrt(votes.map(x => x.toDouble * x).sum)
+      val exp = votes.map(x => if (norm > 0) (x / norm).toFloat else 0.0f)
+      assert(v.sameElements(exp), s"doc $id embedding mismatch")
+    }
+  }
+
+  test("hashEmbed: token-free documents get the zero vector") {
+    import spark.implicits._
+    val weird = Seq((1L, "!!! ... ---"), (2L, ""), (3L, "ok words here"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.hashEmbed(weird, 8).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+    assert(out.size === 3)
+    assert(out(1L).forall(_ === 0.0f))
+    assert(out(2L).forall(_ === 0.0f))
+    assert(out(3L).exists(_ !== 0.0f))
   }
 
   test("fingerprint: fp_norm is whitespace-invariant, fp_raw is not") {
