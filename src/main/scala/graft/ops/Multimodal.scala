@@ -168,6 +168,86 @@ object Multimodal {
     }(enc).toDF()
   }
 
+  /** Output schema of [[synthesizeWav]]. */
+  val wavBlobSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("bytes", BinaryType),
+    StructField("n_samples", LongType),
+    StructField("sample_rate", LongType)))
+
+  /** Deterministic synthetic WAV corpus — the audio twin of
+    * [[synthesizePng]]: one real 16-bit mono PCM WAV per document,
+    * sample `i = ((doc_id*37 + i*17) mod 65536) - 32768`, length
+    * `doc_id mod 400 + 100` at 8 kHz. Pure integer generating formula →
+    * the oracle replays expected sample statistics with no decoder. */
+  def synthesizeWav(docs: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(wavBlobSchema)
+    docs.select("doc_id").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val n = (id % 400 + 100).toInt
+        val data = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val s = ((id * 37 + i * 17) % 65536 - 32768).toShort
+          data(2 * i) = (s & 0xFF).toByte         // little-endian PCM
+          data(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        Row(id, bos.toByteArray, n.toLong, 8000L)
+      }
+    }(enc).toDF()
+  }
+
+  /** Output schema of [[decodeWav]]. */
+  val decodedWavSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_samples", LongType),
+    StructField("sample_rate", LongType),
+    StructField("mean_s", DoubleType),
+    StructField("min_s", LongType),
+    StructField("max_s", LongType)))
+
+  /** REAL audio decode path: `javax.sound.sampled` WAV parse inside the
+    * same partition-batched plumbing as [[decodePng]] — pure-JVM codec,
+    * PCM is lossless, so decoded sample statistics are exact and
+    * oracle-checkable against [[synthesizeWav]]'s generating formula
+    * (gate `mm_decode_wav`). The mean is one IEEE division of exact
+    * integer operands — bit-identical cross-engine. */
+  def decodeWav(blobs: DataFrame): DataFrame = {
+    val input = blobs.select("doc_id", "bytes")
+    val enc = RowEncoder.encoderFor(decodedWavSchema)
+    input.mapPartitions { rows =>
+      // per-partition init point (a native codec handle would live here)
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+          !fmt.isBigEndian, s"unexpected WAV format for doc $id: $fmt")
+        val raw = ais.readAllBytes()
+        val n = raw.length / 2
+        var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+        var i = 0
+        while (i < n) {
+          val v = ((raw(2 * i + 1) << 8) | (raw(2 * i) & 0xFF)).toShort.toInt
+          sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+          i += 1
+        }
+        Row(id, n.toLong, fmt.getSampleRate.toLong, sum.toDouble / n,
+          mn.toLong, mx.toLong)
+      }
+    }(enc).toDF()
+  }
+
   /** Output schema of [[decodeStub]]. */
   val decodedSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),

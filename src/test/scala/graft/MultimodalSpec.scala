@@ -68,6 +68,30 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("synthesizeWav emits real WAVs; decodeWav round-trips the generating formula") {
+    val docs = Tables.documents(spark, sfDir).limit(50)
+    val wav = Multimodal.synthesizeWav(docs).cache()
+    // real RIFF/WAVE containers: magic bytes "RIFF" then "WAVE" at offset 8
+    val magic = wav.select(col("doc_id"),
+      hex(substring(col("bytes"), 1, 4)).as("riff"),
+      hex(substring(col("bytes"), 9, 4)).as("wave"))
+    assert(magic.filter(col("riff") =!= "52494646" || col("wave") =!= "57415645")
+      .count() === 0)
+    val out = Multimodal.decodeWav(wav).cache()
+    assert(out.schema === Multimodal.decodedWavSchema)
+    assert(out.count() === docs.count())
+    // driver-side replay of the generating formula for a handful of docs
+    out.orderBy("doc_id").limit(5).collect().foreach { r =>
+      val id = r.getLong(0)
+      val n = (id % 400 + 100).toInt
+      val smp = (0 until n).map(i => ((id * 37 + i * 17) % 65536 - 32768).toInt)
+      assert(r.getLong(1) === n.toLong && r.getLong(2) === 8000L)
+      assert(r.getDouble(3) === smp.map(_.toLong).sum.toDouble / n,
+        s"mean sample mismatch for doc $id — PCM round trip must be lossless")
+      assert(r.getLong(4) === smp.min.toLong && r.getLong(5) === smp.max.toLong)
+    }
+  }
+
   test("decodeStub: schema contract and deterministic byte statistics") {
     val out = Multimodal.decodeStub(blobs).cache()
     assert(out.schema === Multimodal.decodedSchema)
