@@ -142,6 +142,21 @@ object SparkEntry {
     "ta_tfidf" -> ((s, d) => TextAnalysis.tfIdf(Tables.documents(s, d))),
     "ta_approx_distinct" -> ((s, d) => TextAnalysis.approxDistinctWords(Tables.documents(s, d))),
     "ta_curation_pipeline" -> ((s, d) => TextAnalysis.curationPipeline(Tables.documents(s, d))),
+    // hashing-trick text→vector featurization (signed feature hashing):
+    // exact-integer votes, one IEEE normalize — gate is the long form
+    // (doc, dim, weight) so every float crosses the oracle bit-compared
+    "ta_hash_embed" -> ((s, d) =>
+      TextAnalysis.hashEmbed(Tables.documents(s, d))
+        .select(col("doc_id"), posexplode(col("embedding")).as(Seq("dim_idx", "weight")))
+        .select(col("doc_id"), col("dim_idx").cast("long").as("dim_idx"), col("weight"))
+        .orderBy("doc_id", "dim_idx")),
+    // the composition the featurizer exists for: clean text → hash-embed →
+    // LSH ANN, end-to-end from the corpus with no given embeddings table
+    "ann_hash_embed_lsh" -> ((s, d) =>
+      Similarity.lshTopK(
+        TextAnalysis.hashEmbed(Tables.documents(s, d))
+          .select(col("doc_id").as("vec_id"), col("embedding")),
+        col("vec_id") < 10)),
     "ta_top_bigrams" -> ((s, d) => TextAnalysis.topBigrams(Tables.documents(s, d))),
     // BPE vocabulary training (k-means-style replayed loop): the merge
     // table, top-word segmentations, and corpus application after 8 greedy
@@ -266,6 +281,14 @@ object SparkEntry {
       Dedup.contaminationStats(
         all.filter(col("doc_id") % 7 =!= 0), all.filter(col("doc_id") % 7 === 0))
     }),
+    // the canonical GPT-3 13-gram rule (the span family's n=8 gate keeps
+    // the cross-operator consistency story; this one runs the cited rule)
+    "dedup_contamination_13" -> ((s, d) => {
+      val all = Tables.documents(s, d)
+      Dedup.contaminationStats(
+        all.filter(col("doc_id") % 7 =!= 0), all.filter(col("doc_id") % 7 === 0),
+        n = 13)
+    }),
     // cross-corpus fuzzy join: near-dup pairs BETWEEN the %3-split halves
     // (train side vs external side) — no intra-corpus pairs
     "dedup_cross_corpus" -> ((s, d) => {
@@ -363,6 +386,9 @@ object SparkEntry {
     // dependency-free stand-in for non-JVM codecs)
     "mm_decode_png" -> ((s, d) =>
       Multimodal.decodePng(Multimodal.synthesizePng(Tables.documents(s, d)))
+        .orderBy("doc_id")),
+    "mm_decode_wav" -> ((s, d) =>
+      Multimodal.decodeWav(Multimodal.synthesizeWav(Tables.documents(s, d)))
         .orderBy("doc_id")),
     "mm_downsample" -> ((s, d) =>
       Multimodal.downsampleBytes(Multimodal.asBlobTable(Tables.documents(s, d)), 4)
@@ -703,9 +729,10 @@ object SparkEntry {
        |  FROM sigt, unnest(generate_series(0, ${Similarity.SigBands - 1})) AS t(band_idx))""".stripMargin
   }
 
-  private val annOracleSql: String =
-    s"""WITH $lshBandedCte,
-       |cand AS (SELECT DISTINCT q.vec_id AS query_id, q.embedding AS qv,
+  /** The LSH probe body over a `banded` CTE — shared by the given-table
+    * ANN gates and the hash-embed composition gate. */
+  private val annBodySql: String =
+    s"""cand AS (SELECT DISTINCT q.vec_id AS query_id, q.embedding AS qv,
        |    n.vec_id AS neighbor_id, n.embedding AS nv
        |  FROM banded q JOIN banded n
        |  ON q.band_idx = n.band_idx AND q.band_val = n.band_val
@@ -716,6 +743,54 @@ object SparkEntry {
        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn, cos
        |  FROM scored)
        |SELECT query_id, neighbor_id, rn, cos FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
+
+  private val annOracleSql: String =
+    s"""WITH $lshBandedCte,
+       |$annBodySql""".stripMargin
+
+  /** DuckDB replay of [[TextAnalysis.hashEmbed]] as a `hemb` CTE:
+    * (doc_id, dim_idx, weight FLOAT). Exact-integer votes; the only float
+    * ops are sqrt + divide over exact ints (correctly-rounded IEEE, so
+    * bit-identical to the Spark side with no rounding). `vv` is
+    * MATERIALIZED — it feeds both the norm and the output and DuckDB
+    * would otherwise inline (recompute) it per reference. */
+  private val hashEmbedCtes: String = {
+    val dim = Similarity.Dim
+    s"""htk AS (SELECT doc_id, t AS tok FROM documents,
+       |    unnest(list_filter(regexp_split_to_array(lower(text), '$WS'),
+       |      t -> regexp_matches(t, '^[a-z0-9]+$$'))) AS u(t)),
+       |hp AS (SELECT doc_id, ${h60Sql("'he:' || tok")} % $dim AS idx,
+       |    CASE WHEN ${h60Sql("'hs:' || tok")} % 2 = 0 THEN 1 ELSE -1 END AS sgn
+       |  FROM htk),
+       |hsums AS MATERIALIZED (SELECT doc_id, idx, CAST(sum(sgn) AS BIGINT) AS v
+       |  FROM hp GROUP BY 1, 2),
+       |hdims AS (SELECT doc_id, i AS dim_idx FROM documents,
+       |    unnest(generate_series(0, ${dim - 1})) AS g(i)),
+       |vv AS MATERIALIZED (SELECT hdims.doc_id, hdims.dim_idx, coalesce(s.v, 0) AS v
+       |  FROM hdims LEFT JOIN hsums s
+       |  ON s.doc_id = hdims.doc_id AND s.idx = hdims.dim_idx),
+       |nrm AS (SELECT doc_id, sqrt(sum(CAST(v * v AS DOUBLE))) AS norm
+       |  FROM vv GROUP BY 1),
+       |hemb AS (SELECT vv.doc_id, vv.dim_idx,
+       |    CAST(CASE WHEN norm > 0 THEN v / norm ELSE 0 END AS FLOAT) AS weight
+       |  FROM vv JOIN nrm USING (doc_id))""".stripMargin
+  }
+
+  private val hashEmbedOracleSql: String =
+    s"""WITH $hashEmbedCtes
+       |SELECT doc_id, CAST(dim_idx AS BIGINT) AS dim_idx, weight
+       |FROM hemb ORDER BY doc_id, dim_idx""".stripMargin
+
+  /** Composition replay: the hash-embed CTE chain materializes an
+    * `embeddings` CTE that SHADOWS the parquet table, then the stock LSH
+    * banding + probe body runs unchanged over it. */
+  private val hashEmbedLshOracleSql: String =
+    s"""WITH $hashEmbedCtes,
+       |embeddings AS MATERIALIZED (SELECT doc_id AS vec_id,
+       |    CAST(list(weight ORDER BY dim_idx) AS FLOAT[]) AS embedding
+       |  FROM hemb GROUP BY doc_id),
+       |$lshBandedCte,
+       |$annBodySql""".stripMargin
 
   private val lshNearDupOracleSql: String =
     s"""WITH $lshBandedCte,
@@ -1237,6 +1312,20 @@ object SparkEntry {
          |  CAST(coalesce(c.c, 0) AS DOUBLE) / t.n_spans AS contam_ratio
          |FROM tot t LEFT JOIN cm c ON c.doc_id = t.doc_id
          |ORDER BY t.doc_id""".stripMargin,
+    "dedup_contamination_13" ->
+      s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '$WS') AS ws FROM documents),
+         |sp AS (SELECT doc_id, ${h60Sql("array_to_string(ws[i:i+12], ' ')")} AS sh
+         |  FROM toks, unnest(generate_series(1, greatest(len(ws) - 12, 1))) AS t(i)),
+         |bench AS (SELECT DISTINCT sh FROM sp WHERE doc_id % 7 = 0),
+         |tr AS (SELECT doc_id, sh FROM sp WHERE doc_id % 7 <> 0),
+         |tot AS (SELECT doc_id, count(*) AS n_spans FROM tr GROUP BY 1),
+         |cm AS (SELECT doc_id, count(*) AS c FROM tr
+         |  WHERE sh IN (SELECT sh FROM bench) GROUP BY 1)
+         |SELECT t.doc_id, t.n_spans,
+         |  CAST(coalesce(c.c, 0) AS BIGINT) AS n_contam_spans,
+         |  CAST(coalesce(c.c, 0) AS DOUBLE) / t.n_spans AS contam_ratio
+         |FROM tot t LEFT JOIN cm c ON c.doc_id = t.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
     // DuckDB mirror of Dedup.removeDuplicateSpans: same span hashes as
     // dedup_span_stats, ownership = min (doc_id, position) per duplicated
     // hash, drop every token covered by a non-owner occurrence, rebuild
@@ -1297,6 +1386,8 @@ object SparkEntry {
         |  FROM p)
         |SELECT query_id, neighbor_id, rn, cos FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
     "ann_lsh_topk" -> annOracleSql,
+    "ta_hash_embed" -> hashEmbedOracleSql,
+    "ann_hash_embed_lsh" -> hashEmbedLshOracleSql,
     "ann_lsh_indexed" -> annOracleSql,
     "ann_lsh_indexed_incr" -> annOracleSql,
     "sim_neardup_lsh" -> lshNearDupOracleSql,
@@ -1551,6 +1642,22 @@ object SparkEntry {
         |  CAST(min(v) AS BIGINT) AS min_px,
         |  CAST(max(v) AS BIGINT) AS max_px
         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // replays Multimodal.synthesizeWav's generating formula: sample
+    // i = ((doc_id*37 + i*17) mod 65536) - 32768 over doc_id%400+100
+    // samples — PCM is lossless, so the real javax.sound decode must
+    // reproduce these statistics exactly
+    "mm_decode_wav" ->
+      """WITH sm AS (SELECT doc_id,
+        |  (doc_id * 37 + i * 17) % 65536 - 32768 AS v
+        |  FROM documents,
+        |    unnest(generate_series(0, CAST(doc_id % 400 + 99 AS INT))) AS g(i))
+        |SELECT doc_id,
+        |  CAST(doc_id % 400 + 100 AS BIGINT) AS n_samples,
+        |  CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(sum(v) AS DOUBLE) / count(*) AS mean_s,
+        |  CAST(min(v) AS BIGINT) AS min_s,
+        |  CAST(max(v) AS BIGINT) AS max_s
+        |FROM sm GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // byte_stride mirrored as a char-stride over the ASCII payload
     "mm_downsample" ->
       """SELECT doc_id,

@@ -33,4 +33,46 @@ class SkewSpec extends SparkTestBase {
       .groupBy("_s").count().collect()
     assert(saltCards.length === 8, "hot key rows spread over all 8 salt buckets")
   }
+
+  test("AQE skew-join splits the hot partition automatically (OptimizeSkewedJoin fires)") {
+    import spark.implicits._
+    // the automatic path a user gets at scale WITHOUT salting: AQE detects
+    // the oversized shuffle partition at runtime and splits it. Thresholds
+    // are scaled down so the test corpus trips the same machinery a 100 TB
+    // hot key would; broadcast is disabled to force a shuffle join.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+
+      // one key carries almost all the bytes → one oversized partition
+      val payload = "x" * 200
+      val big = ((1 to 20000).map(i => (42L, s"$payload$i")) ++
+        (1 to 200).map(i => (i.toLong + 100, s"p$i"))).toDF("k", "payload")
+      val small = ((101 to 400).map(i => (i.toLong, s"t$i")) :+ (42L, "hot"))
+        .toDF("k2", "tag")
+      val joined = big.join(small, col("k") === col("k2"))
+      // collect() (not count()) so the inspected QueryExecution is the one
+      // that ran — count() plans a separate aggregate query
+      assert(joined.collect().length === 20200)
+
+      // the executed adaptive plan must show the skew split actually fired
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true") || plan.contains("skewed"),
+        s"OptimizeSkewedJoin did not fire:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
 }
