@@ -437,12 +437,19 @@ object Dedup {
     * 60-bit hash, the position, and the doc's token count. Spans keep
     * every occurrence (no distinct); shorter-than-n documents contribute
     * their single partial span. */
-  private def positionalSpans(docs: DataFrame, n: Int): DataFrame =
-    docs.select(col("doc_id"), split(lower(col("text")), "\\s+").as("ws"))
-      .select(col("doc_id"), col("ws"),
-        explode(sequence(lit(1), greatest(size(col("ws")) - (n - 1), lit(1)))).as("i"))
-      .select(col("doc_id"), col("i"), size(col("ws")).as("nt"),
-        CrossHash.h60(array_join(slice(col("ws"), col("i"), lit(n)), " ")).as("sh"))
+  private[graft] def positionalSpans(docs: DataFrame, n: Int,
+      carry: Seq[String] = Nil): DataFrame = {
+    // `carry` passes extra columns (e.g. the event-time `ts` for the
+    // streaming decontamination twin) through the explode untouched, so
+    // every caller shares ONE span-hash formula — the cross-engine parity
+    // contract with the DuckDB oracles lives here and nowhere else
+    val cs = carry.map(col)
+    docs.select((col("doc_id") +: cs) :+ split(lower(col("text")), "\\s+").as("ws"): _*)
+      .select((col("doc_id") +: cs) ++ Seq(col("ws"),
+        explode(sequence(lit(1), greatest(size(col("ws")) - (n - 1), lit(1)))).as("i")): _*)
+      .select((col("doc_id") +: cs) ++ Seq(col("i"), size(col("ws")).as("nt"),
+        CrossHash.h60(array_join(slice(col("ws"), col("i"), lit(n)), " ")).as("sh")): _*)
+  }
 
   def duplicateSpans(docs: DataFrame, n: Int = 8): DataFrame = {
     val sp = positionalSpans(docs, n).select("doc_id", "sh").persist()

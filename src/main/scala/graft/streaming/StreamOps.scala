@@ -273,6 +273,45 @@ object StreamOps {
       .select("doc_id", "ts")
   }
 
+  /** Streaming benchmark DECONTAMINATION — admission control composed with
+    * [[graft.ops.Dedup.contaminationStats]]'s cross-dataset rule
+    * (VERDICT r6 stretch): a crawl document arriving on the stream is
+    * admitted iff the fraction of its positional n-token spans that occur
+    * anywhere in the static benchmark corpus stays <= `maxRatio`
+    * (default 0 — the strict any-overlap-disqualifies rule).
+    *
+    * `docs` needs (doc_id, ts, text); output is the admitted (doc_id, ts)
+    * rows, emitted once the watermark passes their event time.
+    *
+    * Scale shape: the benchmark side reduces to its DISTINCT span-hash
+    * set (eval suites are tiny next to a crawl — the stream-static join
+    * broadcasts it); the stream side is a per-row span explode, a
+    * stream-static left join, and ONE watermark-bounded keyed aggregation
+    * on (ts, doc_id) — a single stateful operator, so unlike
+    * [[streamNearDupAdmitted]] no correctness-guard bypass is involved.
+    * A document's verdict depends only on its own text and the static
+    * benchmark set, never on other stream rows, so arrival order cannot
+    * flip it: batch input runs the identical plan and equals
+    * [[graft.ops.Dedup.decontaminate]]'s surviving id set exactly
+    * (StreamOpsSpec proves the MemoryStream parity). */
+  def streamDecontaminated(docs: DataFrame, benchmark: DataFrame, n: Int = 8,
+      maxRatio: Double = 0.0, delay: String = "1 hour"): DataFrame = {
+    import graft.ops.Dedup
+    val benchHashes = Dedup.positionalSpans(benchmark, n)
+      .select("sh").distinct().withColumn("hit", lit(1L))
+    val marked = Dedup.positionalSpans(docs, n, carry = Seq("ts"))
+      .select(col("doc_id"), col("ts"), col("sh"))
+      .join(benchHashes, Seq("sh"), "left")
+    val wm = if (docs.isStreaming) marked.withWatermark("ts", delay) else marked
+    wm.groupBy(col("ts"), col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_contam"))
+      // same division form as contaminationStats so threshold rounding
+      // can never disagree with the batch rule
+      .filter(col("n_contam").cast("double") / col("n_spans") <= lit(maxRatio))
+      .select("doc_id", "ts")
+  }
+
   /** One CDC record on the wire — the input of [[streamSnapshotMerge]]
     * (the streaming twin of [[graft.ops.Snapshot.mergeSnapshot]]'s change
     * batch; `fp` is None for tombstones). Public for the state-store

@@ -243,6 +243,47 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming decontamination: batch parity with decontaminate, watermark emission") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val all = Tables.documents(spark, sfDir)
+    val train = all.filter(col("doc_id") % 7 =!= 0)
+    val bench = all.filter(col("doc_id") % 7 === 0)
+    val expected = graft.ops.Dedup.decontaminate(train, bench)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(expected.nonEmpty, "some training docs must survive")
+    assert(expected.size < train.count(), "the strict rule must reject something")
+    // batch mode of the unified transform == the batch decontaminate rule
+    val viaBatch = graft.streaming.StreamOps.streamDecontaminated(
+      train.withColumn("ts", expr("timestamp_seconds(1700000000 + doc_id)")), bench)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaBatch === expected, "batch mode must equal decontaminate")
+    // streaming path: the crawl arrives as one batch, then a far-future
+    // row pushes the watermark past every document so verdicts emit
+    val inputs = train
+      .withColumn("ts", expr("timestamp_seconds(1700000000 + doc_id)"))
+      .select(col("doc_id"), col("ts"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2))).toSeq
+    val stream = MemoryStream[(Long, Timestamp, String)]
+    val q = graft.streaming.StreamOps.streamDecontaminated(
+      stream.toDS().toDF("doc_id", "ts", "text"), bench, delay = "1 second")
+      .writeStream.format("memory").queryName("decontam_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(inputs: _*)
+      q.processAllAvailable()
+      val farTs = 1700000000000L + 100L * 24 * 3600 * 1000
+      stream.addData((999999L, new Timestamp(farTs), "flush row"))
+      q.processAllAvailable()
+      val streamed = spark.table("decontam_out")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      // the flush row's own verdict stays pending behind the watermark, so
+      // the emitted set IS the batch answer — no extras to subtract
+      assert(streamed === expected,
+        "streamed admission set must equal the batch decontaminate set")
+    } finally q.stop()
+  }
+
   test("streaming snapshot merge: final state matches the batch merge, replays emit nothing") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
