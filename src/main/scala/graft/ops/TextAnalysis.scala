@@ -157,6 +157,47 @@ object TextAnalysis {
       .orderBy("doc_id", "word")
   }
 
+  /** BM25 ranked keyword search — the retrieval twin of the vector ANN
+    * tier: score every document against a bag-of-terms query with the
+    * Robertson/Okapi BM25 formula and return the top-k
+    * (`score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`,
+    * `idf = ln(1 + (N−df+0.5)/(df+0.5))`). Together with [[hashEmbed]] +
+    * LSH this gives the engine both halves of a retrieval stack — sparse
+    * lexical and dense vector — over the same corpus.
+    *
+    * Scale shape: the token stream is filtered to the QUERY'S terms before
+    * anything shuffles, so the tf aggregation touches only matching
+    * postings (query-sized, not corpus-sized); document lengths are one
+    * map-side-combined per-doc count (the only corpus-wide aggregate, and
+    * the same table an index build would persist); df and the N/avgdl
+    * scalars ride broadcast joins. Top-k is a rounded-score sort with
+    * doc_id tiebreak — same 6-decimal cross-engine quantization contract
+    * as [[tfIdf]]/[[lmScore]]. */
+  def bm25Search(docs: DataFrame, terms: Seq[String], k: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25Search needs at least one query term")
+    val toks = docs.select(
+      col("doc_id"),
+      explode(split(lower(col("text")), "\\s+")).as("word"))
+      .filter(col("word").rlike("^[a-z0-9]+$"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+    val tf = toks.filter(col("word").isin(terms: _*))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "word")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+          .as("s"))
+      .groupBy("doc_id").agg(round(sum("s"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Bigram language-model scoring — the CCNet-style perplexity-proxy
     * quality signal: train an add-one-smoothed bigram model on the corpus
     * itself (counts + vocab size), then score every document by its mean

@@ -56,6 +56,47 @@ class TextAnalysisSpec extends SparkTestBase {
       .collect().forall(_.getDouble(4) === 0.0))
   }
 
+  test("bm25Search matches a driver-side replay of the formula, ranks tf up and length down") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "spark spark spark join window filter"), // high tf, short
+      (2L, "spark join"),                            // short, 2 query terms
+      (3L, "spark filter filter filter filter filter filter filter filter filter"), // 1 hit, long
+      (4L, "filter group sort"),                     // no query terms
+      (5L, "window window join spark table table"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bm25Search(corpus, Seq("spark", "window", "join"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+
+    // independent replay (k1 = 1.2, b = 0.75)
+    val toks = corpus.collect().map(r => (r.getLong(0),
+      r.getString(1).toLowerCase.split("\\s+").filter(_.matches("^[a-z0-9]+$")).toSeq)).toMap
+    val n = toks.size
+    val avgdl = toks.values.map(_.size).sum.toDouble / n
+    val terms = Seq("spark", "window", "join")
+    val df = terms.map(t => t -> toks.values.count(_.contains(t))).toMap
+    def score(id: Long): Double = {
+      val dl = toks(id).size
+      val s = terms.map { t =>
+        val tf = toks(id).count(_ == t)
+        if (tf == 0) 0.0
+        else math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5)) * (tf * 2.2) /
+          (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      }.sum
+      // Spark's round() is HALF_UP on BigDecimal — mirror it exactly
+      BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = toks.keys.toSeq
+      .map(id => (id, score(id))).filter(_._2 != 0.0)
+      .sortBy { case (id, s) => (-s, id) }
+    assert(out.toSeq === expected, "scores and ranking must match the replay")
+    // doc 4 has no query term: absent from results
+    assert(!out.exists(_._1 === 4L))
+    // higher tf at comparable length wins; a lone hit diluted by length loses
+    val byId = out.toMap
+    assert(byId(1L) > byId(3L), "tf-heavy short doc must outrank diluted long doc")
+  }
+
   test("approxDistinctWords: HLL estimate within 5% of exact") {
     val out = TextAnalysis.approxDistinctWords(docs).collect()
     assert(out.nonEmpty)
