@@ -145,6 +145,49 @@ object Packing {
     * (the same composition as [[packSequences]]'s independent buckets).
     *
     * Output adds `sub` so a dataloader can address sub-strata directly. */
+  /** Temperature-scaled SOURCE MIXING — the data-recipe step between
+    * per-domain curation and the dataloader: give each source a token
+    * budget proportional to `n_s^alpha` (its token count raised to the
+    * mixing temperature; `alpha = 1` keeps natural proportions, `alpha = 0`
+    * weights all sources equally, the usual multilingual/domain-rebalance
+    * knob sits in between), then cut each source's budget with the same
+    * deterministic hash-order walk as [[tokenBudgetSample]].
+    *
+    * Budgets are derived from ONE tiny per-source aggregate (rows =
+    * #sources, broadcast back), so the corpus-side plan is exactly the
+    * budget walk: one shuffle on `source`, per-source bounded sort. The
+    * float weight math happens per SOURCE, not per document, and the
+    * resulting integer budget is quantized (`floor(round(·, 6))`) so the
+    * ≤1-ulp cross-engine spread in `pow`/division can never flip a
+    * boundary document (same contract as [[graft.ops.TextAnalysis.tfIdf]]'s
+    * 6-decimal rounding; a budget would need to sit within 1e-6 of an
+    * integer to be at risk — verified absent for the gate corpora).
+    *
+    * For a pathologically hot source compose with the salted form: the
+    * walk here is [[tokenBudgetSample]]'s; swap in
+    * [[tokenBudgetSampleSalted]]'s sub-strata window for the production
+    * cut of a mega-source. */
+  def sourceMixSample(docs: DataFrame, totalTokens: Long = 4000L,
+      alpha: Double = 0.5): DataFrame = {
+    val base = docs.select(col("doc_id"), col("source"),
+      nTokens.as("n_tokens"), orderHash.as("h"))
+    val totals = base.groupBy("source").agg(sum("n_tokens").as("src_tokens"))
+    val z = totals.agg(sum(pow(col("src_tokens"), alpha)).as("z"))
+    val budgets = totals.crossJoin(broadcast(z))
+      .select(col("source"),
+        floor(round(lit(totalTokens.toDouble) * pow(col("src_tokens"), alpha) / col("z"),
+          6)).cast("long").as("budget"))
+    val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .join(broadcast(budgets), "source")
+      .where(col("cum_before") < col("budget"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("cum_before"), col("budget"))
+      .orderBy("doc_id")
+  }
+
   def tokenBudgetSampleSalted(docs: DataFrame, budgetTokens: Long = 800L,
       subStrata: Int = 8): DataFrame = {
     val subBudget = budgetTokens / subStrata

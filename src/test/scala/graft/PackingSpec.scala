@@ -96,6 +96,59 @@ class PackingSpec extends SparkTestBase {
     assert(kept.length < docs.count())
   }
 
+  test("sourceMixSample: budgets follow n^alpha and the walk is the budget prefix") {
+    val total = 4000L
+    val alpha = 0.5
+    val kept = Packing.sourceMixSample(docs, total, alpha)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+
+    // rebuild the budgets independently: floor(round(total * n^a / Σ n^a, 6))
+    val srcTokens = docs
+      .select(col("source"), size(split(lower(col("text")), "\\s+")).cast("long").as("n"))
+      .groupBy("source").agg(sum("n").as("t"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val z = srcTokens.values.map(math.pow(_, alpha)).sum
+    val budgets = srcTokens.map { case (s, t) =>
+      s -> math.floor(BigDecimal(total.toDouble * math.pow(t, alpha) / z)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toLong
+    }
+    assert(kept.forall(r => r._5 === budgets(r._2)),
+      "emitted budget must equal the independently derived one")
+    // temperature math conserves the budget (floor loses < 1 per source)
+    assert(budgets.values.sum <= total && budgets.values.sum > total - budgets.size)
+
+    // kept set is exactly each source's hash-order prefix under its budget
+    val walk = docs
+      .select(col("doc_id"), col("source"),
+        size(split(lower(col("text")), "\\s+")).cast("long").as("n"),
+        Packing.orderHash.as("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._2)
+    val expected = walk.toSeq.flatMap { case (src, rows) =>
+      var cum = 0L
+      rows.sortBy(r => (r._4, r._1)).flatMap { case (id, _, n, _) =>
+        val keep = cum < budgets(src)
+        cum += n
+        if (keep) Some((id, src)) else None
+      }
+    }.toSet
+    assert(kept.map(r => (r._1, r._2)).toSet === expected)
+    // the mixing cut binds
+    assert(kept.length < docs.count())
+    // alpha < 1 rebalances: the LARGEST source's budget share must sit
+    // below its natural token share (down-weighted), the smallest above
+    val totalTok = srcTokens.values.sum.toDouble
+    val budTot = budgets.values.sum.toDouble
+    val (maxSrc, maxTok) = srcTokens.maxBy(_._2)
+    val (minSrc, minTok) = srcTokens.minBy(_._2)
+    if (maxTok > minTok) {
+      assert(budgets(maxSrc) / budTot < maxTok / totalTok + 1e-9,
+        "hot source must be down-weighted at alpha < 1")
+      assert(budgets(minSrc) / budTot > minTok / totalTok - 1e-9,
+        "small source must be up-weighted at alpha < 1")
+    }
+  }
+
   test("tokenBudgetSampleSalted spreads a hot source across sub-strata") {
     val subStrata = 8
     val budget = 800L
