@@ -46,15 +46,43 @@ object SparkEntry {
       catch { case t: Throwable => builtIndexes.remove(key); throw t }
     }
 
-  /** BPE model memoized per (session, sf dir) — the training-loop analogue
-    * of [[buildOnce]]: the three ta_bpe_* gates share one training. The
-    * cached state plan survives harness cache-clearing (its merges are
-    * embedded literals, so re-evaluation never re-trains). */
-  private val bpeModels = new java.util.concurrent.ConcurrentHashMap[
-    String, (Seq[graft.ops.Bpe.Merge], DataFrame)]()
-  private def bpeModel(s: SparkSession, d: String): (Seq[graft.ops.Bpe.Merge], DataFrame) =
-    bpeModels.computeIfAbsent(s"${System.identityHashCode(s)}:$d",
-      _ => graft.ops.Bpe.train(Tables.documents(s, d)))
+  /** BPE MERGES memoized per (session, sf dir) — the training-loop
+    * analogue of [[buildOnce]]: the three ta_bpe_* gates share one
+    * training. Keyed on the session OBJECT via a WeakHashMap (ADVICE r6):
+    * entries are evicted with the session instead of pinning dead
+    * sessions forever, and two live sessions can never collide (the
+    * previous identity-hash string key could). Crucially the memo holds
+    * PLAIN merge rows, not a session-bound DataFrame — a DataFrame value
+    * would strongly reference its session and defeat the weak key — and
+    * the gates rebuild the segmentation state plan from the merges via
+    * [[graft.ops.Bpe.stateOf]] (plan construction only; evaluation
+    * replays the literal replaces, never a training collect). */
+  private val bpeMerges = new java.util.WeakHashMap[SparkSession,
+    java.util.concurrent.ConcurrentHashMap[String, Seq[graft.ops.Bpe.Merge]]]()
+  private def bpeModel(s: SparkSession, d: String): (Seq[graft.ops.Bpe.Merge], DataFrame) = {
+    val perSession = bpeMerges.synchronized {
+      var m = bpeMerges.get(s)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, Seq[graft.ops.Bpe.Merge]]()
+        bpeMerges.put(s, m)
+      }
+      m
+    }
+    val merges = perSession.computeIfAbsent(d, _ => {
+      val (m, state) = graft.ops.Bpe.train(Tables.documents(s, d))
+      state.unpersist() // the memo keeps only the merges — see stateOf
+      // loud guard (ADVICE r6): the fixed-round DuckDB oracle's CTE chain
+      // always runs DefaultRounds rounds — if training exhausts the corpus
+      // early, the oracle's replace() NULLs every segmentation and the
+      // ta_bpe_* gates would silently diverge. Fail here instead.
+      require(m.size == graft.ops.Bpe.DefaultRounds,
+        s"BPE training exhausted after ${m.size} of " +
+          s"${graft.ops.Bpe.DefaultRounds} rounds on $d — the fixed-round " +
+          "oracle would diverge; shrink rounds or grow the corpus")
+      m
+    })
+    (merges, graft.ops.Bpe.stateOf(Tables.documents(s, d), merges))
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -158,6 +186,11 @@ object SparkEntry {
           .select(col("doc_id").as("vec_id"), col("embedding")),
         col("vec_id") < 10)),
     "ta_top_bigrams" -> ((s, d) => TextAnalysis.topBigrams(Tables.documents(s, d))),
+    // BM25 ranked keyword search — the sparse-lexical half of the
+    // retrieval stack (hash-embed + LSH is the dense half): top-20 docs
+    // for a 3-term query, 6-decimal-rounded scores, doc_id tiebreak
+    "ta_bm25_search" -> ((s, d) =>
+      TextAnalysis.bm25Search(Tables.documents(s, d), Seq("spark", "window", "join"))),
     // BPE vocabulary training (k-means-style replayed loop): the merge
     // table, top-word segmentations, and corpus application after 8 greedy
     // merge rounds. ONE training per (process, sf dir) serves all three
@@ -190,6 +223,10 @@ object SparkEntry {
     // RAG-style overlapping chunking (64-token windows, 48-token hop):
     // chunk positions + content fingerprints, one map pass
     "pack_chunks" -> ((s, d) => Packing.chunkDocuments(Tables.documents(s, d))),
+    // temperature-scaled source mixing (alpha = 0.5): per-source budgets
+    // ∝ sqrt(source tokens), quantized at the source level, then the same
+    // deterministic hash-order budget walk as pack_token_budget
+    "pack_source_mix" -> ((s, d) => Packing.sourceMixSample(Tables.documents(s, d))),
     // Unicode NFC canonicalization via the codegen'd NfcNormalize
     // expression: the ASCII corpus is already canonical, so the gate
     // INJECTS doc_id-derived decomposed sequences (combining acute/ring/
@@ -288,6 +325,18 @@ object SparkEntry {
       Dedup.contaminationStats(
         all.filter(col("doc_id") % 7 =!= 0), all.filter(col("doc_id") % 7 === 0),
         n = 13)
+    }),
+    // streaming decontamination, batch mode: the stream-static admission
+    // plan (StreamOps.streamDecontaminated) over the same %7 split — by
+    // construction equals Dedup.decontaminate's surviving id set; the
+    // MemoryStream twin with real watermarks runs in StreamOpsSpec
+    "stream_decontam_admit" -> ((s, d) => {
+      val all = Tables.documents(s, d)
+      graft.streaming.StreamOps.streamDecontaminated(
+        all.filter(col("doc_id") % 7 =!= 0)
+          .withColumn("ts", timestamp_micros(col("doc_id"))),
+        all.filter(col("doc_id") % 7 === 0))
+        .select("doc_id").orderBy("doc_id")
     }),
     // cross-corpus fuzzy join: near-dup pairs BETWEEN the %3-split halves
     // (train side vs external side) — no intra-corpus pairs
@@ -1326,6 +1375,17 @@ object SparkEntry {
          |  CAST(coalesce(c.c, 0) AS DOUBLE) / t.n_spans AS contam_ratio
          |FROM tot t LEFT JOIN cm c ON c.doc_id = t.doc_id
          |ORDER BY t.doc_id""".stripMargin,
+    // DuckDB mirror of StreamOps.streamDecontaminated's batch mode: the
+    // admitted training docs are exactly those with zero benchmark-
+    // overlapping spans (strict maxRatio = 0 rule)
+    "stream_decontam_admit" ->
+      s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '$WS') AS ws FROM documents),
+         |sp AS (SELECT doc_id, ${h60Sql("array_to_string(ws[i:i+7], ' ')")} AS sh
+         |  FROM toks, unnest(generate_series(1, greatest(len(ws) - 7, 1))) AS t(i)),
+         |bench AS (SELECT DISTINCT sh FROM sp WHERE doc_id % 7 = 0)
+         |SELECT doc_id FROM sp WHERE doc_id % 7 <> 0 GROUP BY doc_id
+         |HAVING count(*) FILTER (WHERE sh IN (SELECT sh FROM bench)) = 0
+         |ORDER BY doc_id""".stripMargin,
     // DuckDB mirror of Dedup.removeDuplicateSpans: same span hashes as
     // dedup_span_stats, ownership = min (doc_id, position) per duplicated
     // hash, drop every token covered by a non-owner occurrence, rebuild
@@ -1401,6 +1461,23 @@ object SparkEntry {
          |  round(CAST(t.tf AS DOUBLE) * ln((n.n_docs + 1.0) / (d.df + 1.0)), 6) AS tfidf
          |FROM tf t JOIN dfq d USING (word) CROSS JOIN nq n
          |ORDER BY doc_id, word""".stripMargin,
+    // DuckDB mirror of TextAnalysis.bm25Search: same Robertson/Okapi
+    // formula, same operation order, same 6-decimal rounding; k1 = 1.2,
+    // b = 0.75, query = {spark, window, join}
+    "ta_bm25_search" ->
+      s"""WITH tk AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '$WS')) AS word FROM documents),
+         |ftk AS (SELECT doc_id, word FROM tk WHERE regexp_matches(word, '^[a-z0-9]+$$')),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM ftk GROUP BY 1),
+         |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM ftk
+         |  WHERE word IN ('spark', 'window', 'join') GROUP BY 1, 2),
+         |dfq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+         |sc AS (SELECT t.doc_id,
+         |    ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * (t.tf * 2.2) /
+         |      (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)) AS s
+         |  FROM tf t JOIN dfq d USING (word) JOIN dl l USING (doc_id) CROSS JOIN st s)
+         |SELECT doc_id, round(sum(s), 6) AS score FROM sc GROUP BY 1
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     // DuckDB replays the ENTIRE BPE training loop (pair counts → argmax →
     // two-pass padded replace, 8 rounds of chained CTEs)
     "ta_bpe_merges" -> bpeMergesOracleSql(graft.ops.Bpe.DefaultRounds),
@@ -1540,6 +1617,26 @@ object SparkEntry {
          |SELECT doc_id, source, CAST(sub AS BIGINT) AS sub, n_tokens,
          |  CAST(cum_before AS BIGINT) AS cum_before
          |FROM c WHERE cum_before < 100 ORDER BY doc_id""".stripMargin,
+    // temperature-scaled source mixing: per-source budgets ∝ n_s^0.5
+    // quantized floor(round(·,6)) at the SOURCE level, then the
+    // pack_token_budget hash-order walk against the joined budget
+    "pack_source_mix" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |    CAST(len(regexp_split_to_array(lower(text), '$WS')) AS BIGINT) AS n_tokens,
+         |    ${Packing.orderHashSql} AS h FROM documents),
+         |t AS (SELECT source, sum(n_tokens) AS src_tokens FROM d GROUP BY 1),
+         |z AS (SELECT sum(pow(src_tokens, 0.5)) AS z FROM t),
+         |b AS (SELECT source,
+         |    CAST(floor(round(4000.0 * pow(src_tokens, 0.5) / z.z, 6)) AS BIGINT) AS budget
+         |  FROM t CROSS JOIN z),
+         |c AS (SELECT doc_id, source, n_tokens,
+         |    coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |  FROM d)
+         |SELECT c.doc_id, c.source, c.n_tokens,
+         |  CAST(c.cum_before AS BIGINT) AS cum_before, b.budget
+         |FROM c JOIN b USING (source) WHERE c.cum_before < b.budget
+         |ORDER BY doc_id""".stripMargin,
     // diff of (base, merged) — updates carry the v1 fingerprint, deletes a
     // NULL one; adds are impossible in this construction
     "snapshot_diff" ->

@@ -85,14 +85,7 @@ object Bpe {
         val cnt = best(0).getLong(1)
         val merged = pair.replace(Sep, "")
         merges += Merge(r, pair.replace(Sep, " "), merged, cnt)
-        // doubled-boundary greedy merge: expand SEP→SEPSEP, pad, one
-        // inner-half replace, collapse SEPSEP→SEP, trim (see scaladoc)
-        val pat = Sep + pair.replace(Sep, Sep + Sep) + Sep
-        val rep = Sep + merged + Sep
-        val next = state.withColumn("s", expr(
-          s"trim(BOTH '$Sep' FROM replace(replace(concat('$Sep$Sep', " +
-            s"replace(s, '$Sep', '$Sep$Sep'), '$Sep$Sep'), " +
-            s"'$pat', '$rep'), '$Sep$Sep', '$Sep'))")).cache()
+        val next = applyMerge(state, pair, merged).cache()
         next.count() // materialize before dropping the parent cache
         state.unpersist()
         state = next
@@ -101,6 +94,31 @@ object Bpe {
     }
     (merges.result(), state)
   }
+
+  /** One greedy merge applied to the symbol column `s` — the
+    * doubled-boundary literal-replace trick from the object scaladoc
+    * (expand SEP→SEPSEP, pad, one inner-half replace, collapse, trim).
+    * Shared by [[train]] and [[stateOf]] so a rebuilt plan is
+    * expression-identical to the one training produced. */
+  private def applyMerge(st: DataFrame, sepPair: String, merged: String): DataFrame = {
+    val pat = Sep + sepPair.replace(Sep, Sep + Sep) + Sep
+    val rep = Sep + merged + Sep
+    st.withColumn("s", expr(
+      s"trim(BOTH '$Sep' FROM replace(replace(concat('$Sep$Sep', " +
+        s"replace(s, '$Sep', '$Sep$Sep'), '$Sep$Sep'), " +
+        s"'$pat', '$rep'), '$Sep$Sep', '$Sep'))"))
+  }
+
+  /** Rebuild the final segmentation state PLAN from already-learned
+    * merges — no action runs at construction, and evaluation replays only
+    * the chained literal replaces (never a training collect). This lets a
+    * caller memoize plain [[Merge]] rows (which hold no session-bound
+    * DataFrame, so session-keyed weak caches can actually evict) and still
+    * serve [[segmentsOf]] / [[tokenizeWithVocabOf]]. */
+  def stateOf(docs: DataFrame, merges: Seq[Merge]): DataFrame =
+    merges.foldLeft(initState(wordCounts(docs))) { (st, m) =>
+      applyMerge(st, m.pair.replace(" ", Sep), m.merged)
+    }
 
   /** The learned merge table — gate `ta_bpe_merges`. */
   def mergeTable(docs: DataFrame, rounds: Int = DefaultRounds): DataFrame = {
@@ -126,8 +144,17 @@ object Bpe {
     * join is a broadcast hash join (no corpus shuffle); the per-doc
     * aggregation is map-side combined. Training covers every corpus word
     * by construction, so the inner join is lossless. */
-  def tokenizeWithVocab(docs: DataFrame, rounds: Int = DefaultRounds): DataFrame =
-    tokenizeWithVocabOf(docs, train(docs, rounds)._2)
+  def tokenizeWithVocab(docs: DataFrame, rounds: Int = DefaultRounds): DataFrame = {
+    val state = train(docs, rounds)._2
+    val out = tokenizeWithVocabOf(docs, state)
+    // drop the training cache before returning (ADVICE r6: this overload
+    // used to leak one persisted table per call). The returned plan still
+    // evaluates fine: the state's merges are embedded literals (see
+    // [[segmentsOf]]), so re-evaluation recomputes the chained replaces
+    // without ever re-running a training action.
+    state.unpersist()
+    out
+  }
 
   /** [[tokenizeWithVocab]] against an already-trained segmentation state
     * (the build-once / apply-many split, like the persisted ANN indexes). */
