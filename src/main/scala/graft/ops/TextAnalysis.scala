@@ -181,21 +181,108 @@ object TextAnalysis {
       explode(split(lower(col("text")), "\\s+")).as("word"))
       .filter(col("word").rlike("^[a-z0-9]+$"))
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
     val tf = toks.filter(col("word").isin(terms: _*))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
-    tf.join(broadcast(dfreq), "word")
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(stats))
-      .select(col("doc_id"),
-        (log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
-          (col("tf") * lit(k1 + 1.0)) /
-          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
-          .as("s"))
-      .groupBy("doc_id").agg(round(sum("s"), 6).as("score"))
+    rankBm25(
+      tf.join(broadcast(dfreq), "word")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(bm25Stats(dl)))
+        .select(col("doc_id"), bm25ScoreCol(k1, b).as("s")), k)
+  }
+
+  /** The per-(doc, term) BM25 contribution over columns
+    * (tf, df, dl, n_docs, avgdl) — ONE expression shared by the direct and
+    * indexed search paths so their scores are bit-identical (both gates
+    * share one oracle). */
+  private def bm25ScoreCol(k1: Double, b: Double): org.apache.spark.sql.Column =
+    log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+      (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+
+  /** Corpus stats row (n_docs, avgdl) from the per-doc length table.
+    * avgdl is the double quotient of exact longs (a doc length sum and a
+    * count), so the one-shot and incremental index paths compute the SAME
+    * double — a float avg whose partial-sum order varied could not
+    * guarantee that. */
+  private def bm25Stats(dl: DataFrame): DataFrame =
+    dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_dl"))
+      .select(col("n_docs"),
+        (col("total_dl").cast("double") / col("n_docs")).as("avgdl"))
+
+  private def rankBm25(perTerm: DataFrame, k: Int): DataFrame =
+    perTerm.groupBy("doc_id").agg(round(sum("s"), 6).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
+
+  /** Posting rows of the persisted BM25 index: one row per (word, doc)
+    * carrying the term frequency AND the document length denormalized in —
+    * the classic search-index layout, so a probe never joins the
+    * corpus-sized doc-length table. */
+  private def bm25Postings(docs: DataFrame): DataFrame = {
+    val tf = docs.select(
+      col("doc_id"),
+      explode(split(lower(col("text")), "\\s+")).as("word"))
+      .filter(col("word").rlike("^[a-z0-9]+$"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    tf.join(tf.groupBy("doc_id").agg(sum("tf").as("dl")), "doc_id")
+  }
+
+  /** Build-once half of the BM25 build/query split (the inverted-index
+    * twin of [[graft.ops.Similarity.buildLshIndex]]): posting lists
+    * bucketed + sorted on `word` (probes on a term set read only matching
+    * buckets, and per-word aggregation plans exchange-free), plus a
+    * one-row `<table>_stats` side table holding exact (n_docs, total_dl).
+    * df is NOT stored: a probe derives each query term's df by counting
+    * that term's postings — the rows it already reads — so appends never
+    * rewrite global state beyond the stats row. */
+  def buildBm25Index(docs: DataFrame, table: String, numBuckets: Int = 8): Unit = {
+    graft.sources.Formats.writeBucketed(bm25Postings(docs), table, Seq("word"), numBuckets)
+    graft.sources.Formats.writeManaged(
+      docs.sparkSession.table(table).select("doc_id", "dl").distinct()
+        .agg(count(lit(1)).as("n_docs"), sum("dl").as("total_dl")),
+      table + "_stats")
+  }
+
+  /** Incremental-ingest half: posting rows of the NEW batch appended into
+    * the bucketed layout (existing postings are neither read nor
+    * rewritten — Spark bucketing is per-file), and the stats row updated
+    * by pure integer addition from a one-row read. Batches must be
+    * doc-disjoint (same contract as the ANN index appends); because df is
+    * probe-derived and the stats math is exact integer sums, a two-batch
+    * index answers bit-identically to a one-shot build of the union. */
+  def appendToBm25Index(newDocs: DataFrame, table: String, numBuckets: Int = 8): Unit = {
+    val spark = newDocs.sparkSession
+    val p = bm25Postings(newDocs)
+    graft.sources.Formats.writeBucketedAppend(p, table, Seq("word"), numBuckets)
+    val add = p.select("doc_id", "dl").distinct()
+      .agg(count(lit(1)).as("n_docs"), sum("dl").as("total_dl")).collect()(0)
+    val old = spark.table(table + "_stats").collect()(0)
+    import spark.implicits._
+    graft.sources.Formats.writeManaged(
+      Seq((old.getLong(0) + add.getLong(0), old.getLong(1) + add.getLong(1)))
+        .toDF("n_docs", "total_dl"),
+      table + "_stats")
+  }
+
+  /** Query-many half: [[bm25Search]] semantics (and the same oracle)
+    * against a stored [[buildBm25Index]] table. The probe reads ONLY the
+    * query terms' postings (bucket pruning on the `word` filter), derives
+    * df from those same rows with an exchange-free per-word count, and
+    * broadcasts df + the stats row — so query cost scales with the terms'
+    * posting lists, never the corpus. */
+  def bm25SearchIndexed(spark: org.apache.spark.sql.SparkSession, table: String,
+      terms: Seq[String], k: Int = 20, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25SearchIndexed needs at least one query term")
+    val p = spark.table(table).filter(col("word").isin(terms: _*))
+    val dfq = p.groupBy("word").agg(count(lit(1)).as("df"))
+    val stats = spark.table(table + "_stats")
+      .select(col("n_docs"),
+        (col("total_dl").cast("double") / col("n_docs")).as("avgdl"))
+    rankBm25(
+      p.join(broadcast(dfq), "word")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"), bm25ScoreCol(k1, b).as("s")), k)
   }
 
   /** Bigram language-model scoring — the CCNet-style perplexity-proxy

@@ -105,28 +105,40 @@ object Formats {
   def writeBucketed(df: DataFrame, table: String, bucketCol: String, numBuckets: Int): Unit =
     writeBucketed(df, table, Seq(bucketCol), numBuckets)
 
-  /** Multi-column variant: the bucket key is the column tuple (hash of all
-    * of them), for tables probed on composite keys — e.g. an LSH signature
-    * index bucketed on (band_idx, band_val). */
-  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String], numBuckets: Int): Unit = {
-    val spark = df.sparkSession
-    // Overwrite only replaces a table THIS session's catalog knows about; a
-    // managed location left by a previous session still blocks the create
-    // (LOCATION_ALREADY_EXISTS). Drop both the catalog entry and any stale
-    // directory so the write is idempotent across sessions. The recursive
-    // delete is safe only because GraftSession scopes the warehouse dir per
-    // process (no other live process can have data there); callers with a
-    // shared warehouse should not point external tables under it.
+  /** Overwrite only replaces a table THIS session's catalog knows about; a
+    * managed location left by a previous session still blocks the create
+    * (LOCATION_ALREADY_EXISTS). Drop both the catalog entry and any stale
+    * directory so the write is idempotent across sessions. The recursive
+    * delete is safe only because GraftSession scopes the warehouse dir per
+    * process (no other live process can have data there); callers with a
+    * shared warehouse should not point external tables under it. */
+  private def dropForOverwrite(spark: SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val loc = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
+  }
+
+  /** Multi-column variant: the bucket key is the column tuple (hash of all
+    * of them), for tables probed on composite keys — e.g. an LSH signature
+    * index bucketed on (band_idx, band_val). */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String], numBuckets: Int): Unit = {
+    dropForOverwrite(df.sparkSession, table)
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+  }
+
+  /** Plain (unbucketed) managed-table overwrite with the same
+    * cross-session idempotence as [[writeBucketed]] — for the small
+    * side-tables an index keeps next to its bucketed data (e.g. corpus
+    * stats rows). */
+  def writeManaged(df: DataFrame, table: String): Unit = {
+    dropForOverwrite(df.sparkSession, table)
+    df.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(table)
   }
 
   /** Append a batch into a bucketed table's layout (creating the table on

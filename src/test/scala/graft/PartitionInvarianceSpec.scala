@@ -121,6 +121,24 @@ class PartitionInvarianceSpec extends SparkTestBase {
     invariant("hashEmbed")(TextAnalysis.hashEmbed(_))
   }
 
+  test("bm25 search is partition-count invariant (quantized score, id tiebreak)") {
+    invariant("bm25Search")(
+      TextAnalysis.bm25Search(_, Seq("spark", "window", "join")))
+  }
+
+  test("source mixing is partition-count invariant (source-level float, integer walk)") {
+    invariant("sourceMixSample")(Packing.sourceMixSample(_))
+  }
+
+  test("streaming decontamination batch mode is partition-count invariant") {
+    invariant("streamDecontaminated") { d =>
+      graft.streaming.StreamOps.streamDecontaminated(
+        d.filter(col("doc_id") % 7 =!= 0)
+          .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(col("doc_id"))),
+        d.filter(col("doc_id") % 7 === 0))
+    }
+  }
+
   test("snapshot merge is partition-count invariant (argmax keep-one)") {
     invariant("mergeSnapshot")(d =>
       Snapshot.mergeSnapshot(Snapshot.baseSnapshot(d), Snapshot.changeBatch(d)))

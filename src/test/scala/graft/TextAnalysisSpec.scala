@@ -97,6 +97,42 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(byId(1L) > byId(3L), "tf-heavy short doc must outrank diluted long doc")
   }
 
+  test("bm25 index: probe equals direct search, append equals one-shot, pruned exchange-free plan") {
+    val terms = Seq("spark", "window", "join")
+    val direct = TextAnalysis.bm25Search(docs, terms)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+    TextAnalysis.buildBm25Index(docs, "t_bm25_spec")
+    val probe = TextAnalysis.bm25SearchIndexed(spark, "t_bm25_spec", terms)
+    assert(probe.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq === direct,
+      "stored-index probe must answer bit-identically to the direct search")
+
+    // the probe scans only the query terms' buckets (bucket pruning on the
+    // word filter), and the per-word df aggregation plans exchange-free
+    // over the bucketed layout
+    val planStr = probe.queryExecution.executedPlan.toString
+    assert(planStr.contains("SelectedBucketsCount"),
+      s"word filter must prune buckets:\n$planStr")
+    val dfqPlan = spark.table("t_bm25_spec")
+      .filter(col("word").isin(terms: _*))
+      .groupBy("word").agg(count(lit(1)).as("df"))
+      .queryExecution.executedPlan.toString
+    assert(!dfqPlan.contains("ShuffleExchange"),
+      s"df aggregation must not shuffle the bucketed postings:\n$dfqPlan")
+
+    // incremental: doc-disjoint halves built + appended answer identically,
+    // and the merged stats row equals the one-shot build's
+    TextAnalysis.buildBm25Index(docs.filter(col("doc_id") % 2 === 0), "t_bm25_spec_incr")
+    TextAnalysis.appendToBm25Index(docs.filter(col("doc_id") % 2 =!= 0), "t_bm25_spec_incr")
+    val incr = TextAnalysis.bm25SearchIndexed(spark, "t_bm25_spec_incr", terms)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(incr === direct, "two-batch index must equal the one-shot build")
+    val one = spark.table("t_bm25_spec_stats").collect()(0)
+    val two = spark.table("t_bm25_spec_incr_stats").collect()(0)
+    assert((two.getLong(0), two.getLong(1)) === ((one.getLong(0), one.getLong(1))),
+      "stats row must merge by exact integer addition")
+  }
+
   test("approxDistinctWords: HLL estimate within 5% of exact") {
     val out = TextAnalysis.approxDistinctWords(docs).collect()
     assert(out.nonEmpty)
