@@ -233,6 +233,10 @@ object SparkEntry {
     // model, per-doc mean log P(w_i | w_{i-1}); oracle replays the full
     // train-then-score loop
     "ta_lm_score" -> ((s, d) => TextAnalysis.lmScore(Tables.documents(s, d))),
+    // TextRank keyword extraction: fixed-point PageRank over the word
+    // co-occurrence graph, 8 damped iterations, fully distributed rank
+    // state; the oracle replays every iteration as chained CTEs
+    "ta_textrank" -> ((s, d) => TextAnalysis.textRank(Tables.documents(s, d))),
     // training-batch assembly: deterministic-shuffle concat-then-chunk
     // packing into fixed-token sequences (per-bucket independence), and a
     // per-source token-budget cut — both integer-exact cross-engine
@@ -850,6 +854,39 @@ object SparkEntry {
     s"""WITH $hashEmbedCtes
        |SELECT doc_id, CAST(dim_idx AS BIGINT) AS dim_idx, weight
        |FROM hemb ORDER BY doc_id, dim_idx""".stripMargin
+
+  /** DuckDB replay of [[graft.ops.TextAnalysis.textRank]]: the word
+    * co-occurrence graph, then every damped PageRank iteration as a
+    * chained CTE. Ranks are fixed-point longs and each edge contribution
+    * is rounded to an integer BEFORE the incoming sum (matching the
+    * engine), so both sides do exact integer aggregation — no float
+    * summation order anywhere. */
+  private def textRankOracleSql(iters: Int, k: Int): String = {
+    val base =
+      s"""WITH f AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '$WS'),
+         |    t -> regexp_matches(t, '^[a-z0-9]+$$')) AS a FROM documents),
+         |bi AS (SELECT a[i] AS w1, a[i + 1] AS w2
+         |  FROM f, unnest(generate_series(1, len(a) - 1)) AS t(i)
+         |  WHERE len(a) >= 2 AND a[i] <> a[i + 1]),
+         |ed AS (SELECT src, dst, count(*) AS w FROM
+         |  (SELECT w1 AS src, w2 AS dst FROM bi UNION ALL SELECT w2, w1 FROM bi)
+         |  GROUP BY 1, 2),
+         |e AS (SELECT src, dst, w, sum(w) OVER (PARTITION BY src) AS wsrc FROM ed),
+         |nd AS (SELECT DISTINCT unnest(a) AS word FROM f),
+         |nn AS (SELECT count(*) AS n FROM nd),
+         |r0 AS (SELECT word, CAST(round(1e12 / n) AS BIGINT) AS r FROM nd CROSS JOIN nn)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS (SELECT nd.word,
+         |  CAST(round((1.0 - 0.85) * 1e12 / nn.n) AS BIGINT) + coalesce(c.cin, 0) AS r
+         |  FROM nd CROSS JOIN nn LEFT JOIN
+         |    (SELECT e.dst AS word,
+         |       CAST(sum(CAST(round(0.85 * (CAST(e.w AS DOUBLE) / e.wsrc) * p.r) AS BIGINT)) AS BIGINT) AS cin
+         |     FROM e JOIN r${i - 1} p ON p.word = e.src GROUP BY 1) c
+         |    ON c.word = nd.word)""".stripMargin
+    }
+    (base +: rounds).mkString(",\n") +
+      s"\nSELECT word, r AS rank FROM r$iters ORDER BY rank DESC, word LIMIT $k"
+  }
 
   /** DuckDB mirror of the BM25 scoring shared by the direct and indexed
     * search gates (avg(dl) here equals the engine's exact
@@ -1583,6 +1620,8 @@ object SparkEntry {
          |  FROM bi b JOIN c12 c USING (w1, w2) JOIN c1 u USING (w1) CROSS JOIN v)
          |SELECT doc_id, count(*) AS n_bigrams, round(avg(logp), 6) AS avg_logp
          |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
+    // fixed-point PageRank over the word graph, all 8 iterations replayed
+    "ta_textrank" -> textRankOracleSql(8, 20),
     // concat-then-chunk sequence packing: per-bucket running token sums in
     // deterministic (salted-hash, doc_id) order — all-integer outputs
     "pack_sequences" ->

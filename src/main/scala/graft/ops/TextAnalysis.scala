@@ -320,6 +320,70 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** TextRank keyword extraction — PageRank over the corpus's word
+    * co-occurrence graph (nodes = alnum words, undirected edges = adjacent
+    * word pairs weighted by adjacency count, self-loops dropped), fixed
+    * `iters` damped iterations from a uniform start, top-k by final rank.
+    * The third deterministic training loop in the engine next to k-means
+    * and BPE — and unlike those, its per-round state (the rank vector) is
+    * FULLY distributed: nothing but a node count ever reaches the driver.
+    *
+    * Cross-engine determinism is the k-means trick re-applied: ranks live
+    * as FIXED-POINT integers (scale 1e12). Each edge's contribution
+    * `damping * (w / W_src) * r_src` is one double expression rounded to
+    * a long BEFORE the incoming-edge sum, so every aggregation is exact
+    * integer addition — summation order (the thing that differs across
+    * partitionings and engines) cannot move a single bit. The DuckDB
+    * oracle replays all `iters` rounds as chained CTEs.
+    *
+    * Scale shape: the corpus is touched ONCE (the bigram projection —
+    * adjacent pairs of the token array, no self-join); everything after
+    * runs on the vocab-sized node table and the unique-bigram-sized edge
+    * table. Each iteration is one shuffle join of edges against ranks and
+    * one map-side-combined integer sum — the textbook distributed
+    * PageRank step. Edge/node tables are persisted across the loop and
+    * released before return; the final rank table stays cached
+    * (caller-clears contract, as for the pair miners). */
+  def textRank(docs: DataFrame, iters: Int = 8, damping: Double = 0.85,
+      k: Int = 20): DataFrame = {
+    val arr = expr("filter(split(lower(text), '\\\\s+'), t -> t rlike '^[a-z0-9]+$')")
+    val f = docs.select(col("doc_id"), arr.as("a"))
+    val bi = f.where(size(col("a")) >= 2)
+      .select(explode(expr(
+        "filter(transform(sequence(0, size(a) - 2), " +
+          "i -> struct(a[i] AS w1, a[i + 1] AS w2)), p -> p.w1 != p.w2)")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val edges = bi.select(col("w1").as("src"), col("w2").as("dst"))
+      .unionAll(bi.select(col("w2").as("src"), col("w1").as("dst")))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    val e = edges.join(edges.groupBy("src").agg(sum("w").as("wsrc")), "src").persist()
+    val nodes = f.select(explode(col("a")).as("word")).distinct().persist()
+    val n = nodes.count() // vocab count — the loop's only driver traffic
+    val scale = 1e12
+    val init = math.round(scale / n)
+    val teleport = math.round((1.0 - damping) * scale / n)
+    var r = nodes.withColumn("r", lit(init)).persist()
+    r.count()
+    for (_ <- 1 to iters) {
+      val contrib = e.join(r.withColumnRenamed("word", "src"), "src")
+        .select(col("dst").as("word"),
+          round(lit(damping) * (col("w").cast("double") / col("wsrc")) * col("r"))
+            .cast("long").as("c"))
+        .groupBy("word").agg(sum("c").as("cin"))
+      val next = nodes.join(contrib, Seq("word"), "left")
+        .select(col("word"),
+          (lit(teleport) + coalesce(col("cin"), lit(0L))).as("r")).persist()
+      next.count() // materialize before dropping the parent cache
+      r.unpersist()
+      r = next
+    }
+    val out = r.orderBy(col("r").desc, col("word")).limit(k)
+      .select(col("word"), col("r").as("rank"))
+    e.unpersist()
+    nodes.unpersist()
+    out
+  }
+
   /** Approximate distinct-term counts per source (HyperLogLog++) next to
     * the exact count. The approx path is the 100 TB answer — constant
     * memory per group, mergeable sketch, no second shuffle of raw terms;

@@ -121,6 +121,10 @@ class PartitionInvarianceSpec extends SparkTestBase {
     invariant("hashEmbed")(TextAnalysis.hashEmbed(_))
   }
 
+  test("textRank is partition-count invariant (fixed-point integer iterations)") {
+    invariant("textRank")(TextAnalysis.textRank(_))
+  }
+
   test("bm25 search is partition-count invariant (quantized score, id tiebreak)") {
     invariant("bm25Search")(
       TextAnalysis.bm25Search(_, Seq("spark", "window", "join")))

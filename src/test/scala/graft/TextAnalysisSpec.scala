@@ -97,6 +97,42 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(byId(1L) > byId(3L), "tf-heavy short doc must outrank diluted long doc")
   }
 
+  test("textRank matches a driver-side fixed-point replay on a crafted graph") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "hub spoke1 hub spoke2 hub spoke3"),
+      (2L, "spoke1 hub"),
+      (3L, "isolated"),
+      (4L, "chain1 chain2 chain1"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.textRank(corpus, iters = 8, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
+    // independent replay with plain Scala maps, same fixed-point rule
+    val toksByDoc = corpus.collect().map(r =>
+      r.getString(1).toLowerCase.split("\\s+").filter(_.matches("^[a-z0-9]+$")).toSeq)
+    val bi = toksByDoc.flatMap(a => a.zip(a.drop(1))).filter(p => p._1 != p._2)
+    val edges = (bi ++ bi.map(_.swap)).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val wsrc = edges.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val nodes = toksByDoc.flatten.distinct.sorted
+    val n = nodes.size
+    var r = nodes.map(w => w -> math.round(1e12 / n)).toMap
+    val teleport = math.round((1.0 - 0.85) * 1e12 / n)
+    for (_ <- 1 to 8) {
+      val cin = edges.toSeq.map { case ((src, dst), w) =>
+        dst -> math.round(0.85 * (w.toDouble / wsrc(src)) * r(src))
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      r = nodes.map(w => w -> (teleport + cin.getOrElse(w, 0L))).toMap
+    }
+    val expected = r.toSeq.sortBy { case (w, rk) => (-rk, w) }.take(10)
+    assert(out === expected, "ranks must match the fixed-point replay exactly")
+    // the hub is the best-connected node: it must outrank every spoke
+    val byWord = out.toMap
+    assert(byWord("hub") > byWord("spoke2"), "hub must outrank a leaf spoke")
+    // an isolated word receives only teleport mass
+    assert(byWord("isolated") === teleport)
+  }
+
   test("bm25 index: probe equals direct search, append equals one-shot, pruned exchange-free plan") {
     val terms = Seq("spark", "window", "join")
     val direct = TextAnalysis.bm25Search(docs, terms)
