@@ -173,11 +173,16 @@ object SparkEntry {
     // hashing-trick text→vector featurization (signed feature hashing):
     // exact-integer votes, one IEEE normalize — gate is the long form
     // (doc, dim, weight) so every float crosses the oracle bit-compared
+    // Ordering: a single-partition sort, NOT orderBy — a range sort's
+    // bound-sampling pass re-executes the whole embed chain (uncacheable
+    // inside a gate), doubling this dump's cost; one partition of the
+    // 320k-row long form is the same sizing Verify's coalesce(1) write
+    // applies anyway. Row order is identical either way.
     "ta_hash_embed" -> ((s, d) =>
       TextAnalysis.hashEmbed(Tables.documents(s, d))
         .select(col("doc_id"), posexplode(col("embedding")).as(Seq("dim_idx", "weight")))
         .select(col("doc_id"), col("dim_idx").cast("long").as("dim_idx"), col("weight"))
-        .orderBy("doc_id", "dim_idx")),
+        .repartition(1).sortWithinPartitions("doc_id", "dim_idx")),
     // the composition the featurizer exists for: clean text → hash-embed →
     // LSH ANN, end-to-end from the corpus with no given embeddings table
     "ann_hash_embed_lsh" -> ((s, d) =>

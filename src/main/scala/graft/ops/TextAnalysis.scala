@@ -618,19 +618,26 @@ object TextAnalysis {
       .agg(sum(when(
         pmod(CrossHash.h60(concat(lit("hs:"), col("tok"))), lit(2L)) === 0, 1L)
         .otherwise(-1L)).as("v"))
+    // Dense assembly with NO higher-order functions: transform/aggregate
+    // lambdas are CodegenFallback (interpreted per row, outside
+    // whole-stage codegen) and measured ~3x slower here; `dim` is a
+    // compile-time constant, so the vector is an explicit dim-wide array
+    // of codegen'd element_at lookups and the squared norm is the exact
+    // integer vote sum aggregated alongside the map (identical to the
+    // array fold it replaces: absent dims contribute zero).
     voted.groupBy(col("doc_id"))
-      .agg(map_from_entries(
-        collect_list(when(col("idx").isNotNull, struct(col("idx"), col("v")))))
-        .as("m"))
+      .agg(
+        map_from_entries(
+          collect_list(when(col("idx").isNotNull, struct(col("idx"), col("v")))))
+          .as("m"),
+        sum(when(col("idx").isNotNull, col("v") * col("v")).otherwise(0L)).as("ss"))
       .select(col("doc_id"),
-        transform(sequence(lit(0), lit(dim - 1)),
-          i => coalesce(element_at(col("m"), i.cast("long")), lit(0L))).as("v"))
-      .select(col("doc_id"), col("v"),
-        sqrt(aggregate(col("v"), lit(0.0d),
-          (a, x) => a + (x * x).cast("double"))).as("norm"))
+        array((0 until dim).map(i =>
+          coalesce(element_at(col("m"), lit(i.toLong)), lit(0L))): _*).as("v"),
+        sqrt(col("ss").cast("double")).as("norm"))
       .select(col("doc_id"),
-        transform(col("v"), x =>
-          when(col("norm") > 0, x.cast("double") / col("norm"))
-            .otherwise(lit(0.0d)).cast("float")).as("embedding"))
+        array((0 until dim).map(i =>
+          when(col("norm") > 0, col("v")(i).cast("double") / col("norm"))
+            .otherwise(lit(0.0d)).cast("float")): _*).as("embedding"))
   }
 }
