@@ -57,18 +57,24 @@ object SparkEntry {
     * the gates rebuild the segmentation state plan from the merges via
     * [[graft.ops.Bpe.stateOf]] (plan construction only; evaluation
     * replays the literal replaces, never a training collect). */
-  private val bpeMerges = new java.util.WeakHashMap[SparkSession,
-    java.util.concurrent.ConcurrentHashMap[String, Seq[graft.ops.Bpe.Merge]]]()
-  private def bpeModel(s: SparkSession, d: String): (Seq[graft.ops.Bpe.Merge], DataFrame) = {
-    val perSession = bpeMerges.synchronized {
-      var m = bpeMerges.get(s)
+  private def sessionMemo[T](cache: java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, T]],
+      s: SparkSession, d: String)(build: => T): T = {
+    val perSession = cache.synchronized {
+      var m = cache.get(s)
       if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[String, Seq[graft.ops.Bpe.Merge]]()
-        bpeMerges.put(s, m)
+        m = new java.util.concurrent.ConcurrentHashMap[String, T]()
+        cache.put(s, m)
       }
       m
     }
-    val merges = perSession.computeIfAbsent(d, _ => {
+    perSession.computeIfAbsent(d, _ => build)
+  }
+
+  private val bpeMerges = new java.util.WeakHashMap[SparkSession,
+    java.util.concurrent.ConcurrentHashMap[String, Seq[graft.ops.Bpe.Merge]]]()
+  private def bpeModel(s: SparkSession, d: String): (Seq[graft.ops.Bpe.Merge], DataFrame) = {
+    val merges = sessionMemo(bpeMerges, s, d) {
       val (m, state) = graft.ops.Bpe.train(Tables.documents(s, d))
       state.unpersist() // the memo keeps only the merges — see stateOf
       // loud guard (ADVICE r6): the fixed-round DuckDB oracle's CTE chain
@@ -80,9 +86,20 @@ object SparkEntry {
           s"${graft.ops.Bpe.DefaultRounds} rounds on $d — the fixed-round " +
           "oracle would diverge; shrink rounds or grow the corpus")
       m
-    })
+    }
     (merges, graft.ops.Bpe.stateOf(Tables.documents(s, d), merges))
   }
+
+  /** Trained classifier weights memoized per (session, sf dir) — same
+    * shape as [[bpeModel]]: the memo holds plain fixed-point longs (weak
+    * key stays collectable), the 32-round training runs once per dir and
+    * lands in the gate's cold run (the sanctioned build/apply split). */
+  private val clfWeights = new java.util.WeakHashMap[SparkSession,
+    java.util.concurrent.ConcurrentHashMap[String, Seq[Long]]]()
+  private def classifierWeights(s: SparkSession, d: String): Seq[Long] =
+    sessionMemo(clfWeights, s, d) {
+      graft.ops.Classifier.train(Tables.documents(s, d)).last
+    }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -242,6 +259,11 @@ object SparkEntry {
     // co-occurrence graph, 8 damped iterations, fully distributed rank
     // state; the oracle replays every iteration as chained CTEs
     "ta_textrank" -> ((s, d) => TextAnalysis.textRank(Tables.documents(s, d))),
+    // trained quality classifier (GPT-3/WebText pattern): 32 rounds of
+    // fixed-point full-batch logistic GD, labels from the quality rule;
+    // training memoized per (session, dir), the oracle replays every round
+    "ta_quality_classifier" -> ((s, d) =>
+      graft.ops.Classifier.scores(Tables.documents(s, d), classifierWeights(s, d))),
     // training-batch assembly: deterministic-shuffle concat-then-chunk
     // packing into fixed-token sequences (per-bucket independence), and a
     // per-source token-budget cut — both integer-exact cross-engine
@@ -876,12 +898,12 @@ object SparkEntry {
          |ed AS (SELECT src, dst, count(*) AS w FROM
          |  (SELECT w1 AS src, w2 AS dst FROM bi UNION ALL SELECT w2, w1 FROM bi)
          |  GROUP BY 1, 2),
-         |e AS (SELECT src, dst, w, sum(w) OVER (PARTITION BY src) AS wsrc FROM ed),
-         |nd AS (SELECT DISTINCT unnest(a) AS word FROM f),
-         |nn AS (SELECT count(*) AS n FROM nd),
-         |r0 AS (SELECT word, CAST(round(1e12 / n) AS BIGINT) AS r FROM nd CROSS JOIN nn)""".stripMargin
+         |e AS MATERIALIZED (SELECT src, dst, w, sum(w) OVER (PARTITION BY src) AS wsrc FROM ed),
+         |nd AS MATERIALIZED (SELECT DISTINCT unnest(a) AS word FROM f),
+         |nn AS MATERIALIZED (SELECT count(*) AS n FROM nd),
+         |r0 AS MATERIALIZED (SELECT word, CAST(round(1e12 / n) AS BIGINT) AS r FROM nd CROSS JOIN nn)""".stripMargin
     val rounds = (1 to iters).map { i =>
-      s"""r$i AS (SELECT nd.word,
+      s"""r$i AS MATERIALIZED (SELECT nd.word,
          |  CAST(round((1.0 - 0.85) * 1e12 / nn.n) AS BIGINT) + coalesce(c.cin, 0) AS r
          |  FROM nd CROSS JOIN nn LEFT JOIN
          |    (SELECT e.dst AS word,
@@ -891,6 +913,52 @@ object SparkEntry {
     }
     (base +: rounds).mkString(",\n") +
       s"\nSELECT word, r AS rank FROM r$iters ORDER BY rank DESC, word LIMIT $k"
+  }
+
+  /** DuckDB replay of [[graft.ops.Classifier.qualityClassifier]]: the
+    * exact feature/label CTE, then every full-batch GD round as a chained
+    * (gradient, weights) CTE pair. Per-example contributions are rounded
+    * to BIGINT before the sums and weight updates round half-away-from-
+    * zero — both matching the engine — so the final weights, probabilities
+    * and predictions must agree bit-for-bit. */
+  private def classifierOracleSql(iters: Int, lr: Double): String = {
+    val base =
+      s"""WITH c AS (SELECT doc_id,
+         |  CAST(len(regexp_split_to_array(lower(text), '$WS')) AS BIGINT) AS nt,
+         |  CAST(len(list_filter(regexp_split_to_array(lower(text), '$WS'),
+         |    t -> regexp_matches(t, '^[a-z0-9]+$$'))) AS BIGINT) AS alnum,
+         |  ${markerSql("en")} AS stop
+         |FROM documents),
+         |ft AS MATERIALIZED (SELECT doc_id, CAST(1.0 AS DOUBLE) AS x0,
+         |  least(CAST(nt AS DOUBLE) / 100.0, 1.0) AS x1,
+         |  CAST(alnum AS DOUBLE) / nt AS x2,
+         |  CAST(stop AS DOUBLE) / nt AS x3,
+         |  CASE WHEN least(CAST(nt AS DOUBLE) / 100.0, 1.0) * 0.2 + CAST(alnum AS DOUBLE) / nt * 0.5
+         |    + least(CAST(stop AS DOUBLE) / nt * 4.0, 1.0) * 0.3 >= ${graft.ops.Classifier.LabelThreshold}
+         |    THEN 1.0 ELSE 0.0 END AS y
+         |FROM c),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ft),
+         |w0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1, CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3)""".stripMargin
+    def z(a: String) = s"(($a.w0 * x0 + $a.w1 * x1 + $a.w2 * x2 + $a.w3 * x3) / 1000000.0)"
+    def p(a: String) = s"(1.0 / (1.0 + exp(-${z(a)})))"
+    // every per-round CTE is MATERIALIZED: w_i references w_{i-1} twice
+    // (directly and through g_i), so inlining would blow up exponentially
+    // in the round count and re-open the parquet scan per reference (the
+    // same reason the BPE oracle materializes its chain)
+    val rounds = (1 to iters).map { i =>
+      val gsel = (0 to 3).map(j =>
+        s"CAST(sum(CAST(round(1000000.0 * (${p("w")} - y) * x$j) AS BIGINT)) AS BIGINT) AS g$j")
+        .mkString(", ")
+      val wsel = (0 to 3).map(j =>
+        s"w.w$j - CAST(round($lr * g.g$j / nn.n) AS BIGINT) AS w$j").mkString(", ")
+      s"""g$i AS MATERIALIZED (SELECT $gsel FROM ft CROSS JOIN w${i - 1} w),
+         |w$i AS MATERIALIZED (SELECT $wsel FROM w${i - 1} w CROSS JOIN g$i g CROSS JOIN nn)""".stripMargin
+    }
+    (base +: rounds).mkString(",\n") +
+      s"""\nSELECT doc_id, round(${p("w")}, 6) AS p,
+         |  CASE WHEN ${p("w")} >= 0.5 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS pred,
+         |  CAST(y AS BIGINT) AS label
+         |FROM ft CROSS JOIN w$iters w ORDER BY doc_id""".stripMargin
   }
 
   /** DuckDB mirror of the BM25 scoring shared by the direct and indexed
@@ -1627,6 +1695,9 @@ object SparkEntry {
          |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
     // fixed-point PageRank over the word graph, all 8 iterations replayed
     "ta_textrank" -> textRankOracleSql(8, 20),
+    // the full 32-round logistic GD replayed as chained CTEs
+    "ta_quality_classifier" -> classifierOracleSql(
+      graft.ops.Classifier.DefaultIters, graft.ops.Classifier.DefaultLr),
     // concat-then-chunk sequence packing: per-bucket running token sums in
     // deterministic (salted-hash, doc_id) order — all-integer outputs
     "pack_sequences" ->

@@ -125,6 +125,10 @@ class PartitionInvarianceSpec extends SparkTestBase {
     invariant("textRank")(TextAnalysis.textRank(_))
   }
 
+  test("trained quality classifier is partition-count invariant (integer gradients)") {
+    invariant("qualityClassifier")(graft.ops.Classifier.qualityClassifier(_))
+  }
+
   test("bm25 search is partition-count invariant (quantized score, id tiebreak)") {
     invariant("bm25Search")(
       TextAnalysis.bm25Search(_, Seq("spark", "window", "join")))

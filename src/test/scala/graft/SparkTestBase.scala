@@ -12,6 +12,11 @@ object SparkTestBase {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
+    // per-process warehouse, same contract as GraftSession: a shared
+    // ./spark-warehouse leaks managed-table locations across test JVMs
+    // (a stale graft_*_incr dir from a previous run breaks this run's
+    // bucketed APPEND, which must create the table fresh)
+    .config("spark.sql.warehouse.dir", graft.GraftSession.warehouseDir)
     .getOrCreate()
 }
 
