@@ -213,6 +213,11 @@ object SparkEntry {
     // for a 3-term query, 6-decimal-rounded scores, doc_id tiebreak
     "ta_bm25_search" -> ((s, d) =>
       TextAnalysis.bm25Search(Tables.documents(s, d), Seq("spark", "window", "join"))),
+    // hybrid retrieval: reciprocal-rank fusion of the BM25 term ranking
+    // and the exact dense cosine ranking against doc 0's hash-embed
+    // vector — both candidate lists capped before the fusion join
+    "ta_hybrid_search" -> ((s, d) =>
+      TextAnalysis.hybridSearch(Tables.documents(s, d), Seq("spark", "window", "join"))),
     // build/query split: posting lists persisted ONCE bucketed on word,
     // probe reads only the query terms' postings (same oracle as
     // ta_bm25_search — the index changes where postings come from, not
@@ -991,6 +996,45 @@ object SparkEntry {
        |$lshBandedCte,
        |$annBodySql""".stripMargin
 
+  /** DuckDB replay of [[graft.ops.TextAnalysis.hybridSearch]]: the
+    * hash-embed chain feeds an exact-cosine dense ranking for query doc 0,
+    * the BM25 chain feeds the sparse ranking, and RRF fuses the two
+    * capped candidate lists (fixed expression order — no float
+    * aggregation, so no rounding is needed on the fused score). */
+  private val hybridOracleSql: String =
+    s"""WITH $hashEmbedCtes,
+       |embeddings AS MATERIALIZED (SELECT doc_id AS vec_id,
+       |    CAST(list(weight ORDER BY dim_idx) AS FLOAT[]) AS embedding
+       |  FROM hemb GROUP BY doc_id),
+       |dn AS (SELECT e2.vec_id AS doc_id,
+       |    CAST(row_number() OVER (ORDER BY
+       |      list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e2.embedding AS DOUBLE[])) DESC,
+       |      e2.vec_id) AS BIGINT) AS r_dense
+       |  FROM embeddings e2 CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+       |  WHERE e2.vec_id <> 0),
+       |dtop AS (SELECT doc_id, r_dense FROM dn WHERE r_dense <= 100),
+       |tk2 AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '$WS')) AS word FROM documents),
+       |ftk2 AS (SELECT doc_id, word FROM tk2 WHERE regexp_matches(word, '^[a-z0-9]+$$')),
+       |dl2 AS (SELECT doc_id, count(*) AS dl FROM ftk2 GROUP BY 1),
+       |st2 AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl2),
+       |tf2 AS (SELECT doc_id, word, count(*) AS tf FROM ftk2
+       |  WHERE word IN ('spark', 'window', 'join') GROUP BY 1, 2),
+       |dfq2 AS (SELECT word, count(*) AS df FROM tf2 GROUP BY 1),
+       |sc2 AS (SELECT t.doc_id,
+       |    ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * (t.tf * 2.2) /
+       |      (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)) AS s
+       |  FROM tf2 t JOIN dfq2 d USING (word) JOIN dl2 l USING (doc_id) CROSS JOIN st2 s),
+       |btop AS (SELECT doc_id, score FROM
+       |  (SELECT doc_id, round(sum(s), 6) AS score FROM sc2 GROUP BY 1
+       |   ORDER BY score DESC, doc_id LIMIT 100)),
+       |srank AS (SELECT doc_id,
+       |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS r_sparse FROM btop)
+       |SELECT coalesce(s.doc_id, d.doc_id) AS doc_id,
+       |  coalesce(1.0 / (60.0 + s.r_sparse), 0.0) + coalesce(1.0 / (60.0 + d.r_dense), 0.0) AS rrf,
+       |  s.r_sparse, d.r_dense
+       |FROM srank s FULL OUTER JOIN dtop d ON s.doc_id = d.doc_id
+       |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
+
   private val lshNearDupOracleSql: String =
     s"""WITH $lshBandedCte,
        |cand AS (SELECT DISTINCT a.vec_id AS id_a, a.embedding AS va,
@@ -1618,6 +1662,7 @@ object SparkEntry {
     "ta_bm25_search" -> bm25OracleSql,
     "ta_bm25_indexed" -> bm25OracleSql,
     "ta_bm25_indexed_incr" -> bm25OracleSql,
+    "ta_hybrid_search" -> hybridOracleSql,
     // DuckDB replays the ENTIRE BPE training loop (pair counts → argmax →
     // two-pass padded replace, 8 rounds of chained CTEs)
     "ta_bpe_merges" -> bpeMergesOracleSql(graft.ops.Bpe.DefaultRounds),

@@ -191,6 +191,43 @@ object TextAnalysis {
         .select(col("doc_id"), bm25ScoreCol(k1, b).as("s")), k)
   }
 
+  /** HYBRID retrieval — reciprocal-rank fusion of the engine's two
+    * retrieval halves over the same corpus (the modern default for search
+    * over a document store): the sparse ranking is [[bm25Search]]'s
+    * term-query top-`candidates`, the dense ranking is exact cosine
+    * against a query document's [[hashEmbed]] vector, and each document's
+    * fused score is `Σ 1/(kRrf + rank)` over the rankings that retrieved
+    * it (RRF, Cormack et al. — rank-based, so the two scorers' wildly
+    * different score scales never need calibration).
+    *
+    * Determinism: both inputs are already oracle-gated rankings with
+    * integer ranks; the fusion arithmetic is two correctly-rounded IEEE
+    * ops per row in a fixed expression order — no float aggregation
+    * anywhere. Scale shape: both rankings bound their candidate sets
+    * before the fusion join, so the full-outer join runs on two
+    * `candidates`-sized tables regardless of corpus size. */
+  def hybridSearch(docs: DataFrame, terms: Seq[String], queryDocId: Long = 0L,
+      k: Int = 20, candidates: Int = 100, kRrf: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // the candidate lists are <= `candidates` rows, so the single-partition
+    // rank window is bounded by construction
+    val sparse = bm25Search(docs, terms, candidates)
+      .withColumn("r_sparse",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("r_sparse"))
+    val dense = Similarity.bruteForceTopK(
+      hashEmbed(docs).select(col("doc_id").as("vec_id"), col("embedding")),
+      col("vec_id") === queryDocId, candidates)
+      .select(col("neighbor_id").as("doc_id"), col("rn").as("r_dense"))
+    sparse.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (coalesce(lit(1.0) / (lit(kRrf.toDouble) + col("r_sparse")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kRrf.toDouble) + col("r_dense")), lit(0.0))).as("rrf"),
+        col("r_sparse"), col("r_dense"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** The per-(doc, term) BM25 contribution over columns
     * (tf, df, dl, n_docs, avgdl) — ONE expression shared by the direct and
     * indexed search paths so their scores are bit-identical (both gates

@@ -133,6 +133,33 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(byWord("isolated") === teleport)
   }
 
+  test("hybridSearch fuses the two verified rankings with exact RRF") {
+    import graft.ops.Similarity
+    val terms = Seq("spark", "window", "join")
+    val out = TextAnalysis.hybridSearch(docs, terms).collect()
+      .map(r => (r.getLong(0), r.getDouble(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSeq
+
+    // rebuild the fusion from the two independently-gated rankings
+    val sp = TextAnalysis.bm25Search(docs, terms, 100).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy { case (id, s) => (-s, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1).toLong }.toMap
+    val dn = Similarity.bruteForceTopK(
+      TextAnalysis.hashEmbed(docs).select(col("doc_id").as("vec_id"), col("embedding")),
+      col("vec_id") === 0L, 100).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toMap
+    val expected = (sp.keySet ++ dn.keySet).toSeq.map { id =>
+      val rrf = sp.get(id).map(r => 1.0 / (60.0 + r)).getOrElse(0.0) +
+        dn.get(id).map(r => 1.0 / (60.0 + r)).getOrElse(0.0)
+      (id, rrf, sp.get(id), dn.get(id))
+    }.sortBy { case (id, rrf, _, _) => (-rrf, id) }.take(20)
+    assert(out === expected, "fused ranking must match the driver-side RRF replay")
+    // the fusion genuinely mixes the two retrievers
+    assert(out.exists(_._3.isDefined), "top-20 must include a sparse-retrieved doc")
+    assert(out.exists(_._4.isDefined), "top-20 must include a dense-retrieved doc")
+  }
+
   test("bm25 index: probe equals direct search, append equals one-shot, pruned exchange-free plan") {
     val terms = Seq("spark", "window", "join")
     val direct = TextAnalysis.bm25Search(docs, terms)
