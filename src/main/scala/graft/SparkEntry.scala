@@ -597,6 +597,11 @@ object SparkEntry {
           countDistinct(col("user_id")).as("n_users"))
         .orderBy("event_type")
     }),
+    // footer-statistics aggregation: count/min/max answered from parquet
+    // metadata via the scoped V2 reader — FormatsSpec asserts the scan
+    // carries PushedAggregation (no row groups read)
+    "fmt_agg_pushdown" -> ((s, d) =>
+      Formats.aggregateFromFooters(s, s"$d/lineitem.parquet", "l_orderkey")),
     // error-safe SQL surface: try_* functions return NULL instead of
     // failing the job — the ANSI-mode-compatible behavior a 100 TB batch
     // job wants for dirty arithmetic (mirrors the permissive-parse story
@@ -1372,6 +1377,10 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
         |  count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // metadata-only aggregate: same numbers DuckDB computes by scanning
+    "fmt_agg_pushdown" ->
+      """SELECT count(*) AS n_rows, min(l_orderkey) AS min_l_orderkey,
+        |  max(l_orderkey) AS max_l_orderkey FROM lineitem""".stripMargin,
     // try_divide mirrored as an explicit zero guard; TRY_CAST exists in
     // both engines with identical NULL-on-failure semantics
     "scalar_try_funcs" ->

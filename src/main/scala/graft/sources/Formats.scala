@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, count, lit, max, min}
 import org.apache.spark.sql.types.StructType
 
 /** Source/sink format surface beyond the reference's text blobs (SURVEY
@@ -97,6 +98,30 @@ object Formats {
     spark.read.parquet(inPath).coalesce(nFiles)
       .write.mode(SaveMode.Overwrite).parquet(outPath)
     nFiles
+  }
+
+  /** COUNT/MIN/MAX answered from parquet FOOTER STATISTICS — no row
+    * groups are read at all. At 100 TB this is the difference between a
+    * metadata pass (one footer per file) and a full scan for the
+    * "how many rows / what key range" queries every pipeline runs before
+    * sizing a job. Aggregate pushdown is a DataSource-V2-only feature and
+    * bucketed tables need V1, so the V2 reader is scoped to THIS plan:
+    * `useV1SourceList` is flipped only around `load()` (the V1/V2 choice
+    * is made there) and restored before returning, while the
+    * `aggregatePushdown` flag itself is harmless to leave on (it only
+    * affects V2 parquet scans, and every other graft read resolves V1).
+    * FormatsSpec asserts `PushedAggregation` lands in the scan. */
+  def aggregateFromFooters(spark: SparkSession, path: String, keyCol: String): DataFrame = {
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    val key = "spark.sql.sources.useV1SourceList"
+    val prior = spark.conf.get(key)
+    spark.conf.set(key,
+      prior.split(",").map(_.trim).filterNot(_ == "parquet").mkString(","))
+    try spark.read.parquet(path).agg(
+      count(lit(1)).as("n_rows"),
+      min(col(keyCol)).as(s"min_$keyCol"),
+      max(col(keyCol)).as(s"max_$keyCol"))
+    finally spark.conf.set(key, prior)
   }
 
   /** Bucketed + sorted managed table (bucketing requires the table

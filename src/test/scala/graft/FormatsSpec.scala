@@ -116,6 +116,27 @@ class FormatsSpec extends SparkTestBase {
     assert(files.nonEmpty)
   }
 
+  test("footer-statistics aggregate pushes COUNT/MIN/MAX into the scan") {
+    val path = s"$sfDir/lineitem.parquet"
+    val agg = graft.sources.Formats.aggregateFromFooters(spark, path, "l_orderkey")
+    // the V2 scan must carry the pushed aggregates — the row groups are
+    // never read, only the file footers
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation"),
+      s"aggregate must be pushed into the parquet scan:\n$plan")
+    // and the metadata answer equals the full-scan answer
+    val full = spark.read.parquet(path)
+      .agg(org.apache.spark.sql.functions.count(lit(1)),
+        org.apache.spark.sql.functions.min(col("l_orderkey")),
+        org.apache.spark.sql.functions.max(col("l_orderkey"))).collect()(0)
+    val meta = agg.collect()(0)
+    assert((meta.getLong(0), meta.getLong(1), meta.getLong(2)) ===
+      ((full.getLong(0), full.getLong(1), full.getLong(2))))
+    // the scoped V2 flip restored the session default (V1 everywhere else)
+    assert(spark.conf.get("spark.sql.sources.useV1SourceList").contains("parquet"),
+      "useV1SourceList must be restored after the scoped V2 read")
+  }
+
   test("bucketed tables join with zero exchanges") {
     val wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
     val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey", "o_totalprice")
