@@ -399,26 +399,26 @@ object TextAnalysis {
     val scale = 1e12
     val init = math.round(scale / n)
     val teleport = math.round((1.0 - damping) * scale / n)
-    var r = nodes.withColumn("r", lit(init)).persist()
-    r.count()
+    // Unlike the BPE/k-means loops there is NO per-round driver dependency
+    // (ranks never leave the cluster), so the iterations compose LAZILY:
+    // each round chains one join + one integer aggregation onto the plan
+    // and a single action at the end runs the whole chain as one job. The
+    // edge/node tables are referenced by every round and stay persisted
+    // (caller-clears contract, as for the pair miners) — forcing a
+    // cache+count per round was 5x slower in fixed job overhead.
+    var r = nodes.withColumn("r", lit(init))
     for (_ <- 1 to iters) {
       val contrib = e.join(r.withColumnRenamed("word", "src"), "src")
         .select(col("dst").as("word"),
           round(lit(damping) * (col("w").cast("double") / col("wsrc")) * col("r"))
             .cast("long").as("c"))
         .groupBy("word").agg(sum("c").as("cin"))
-      val next = nodes.join(contrib, Seq("word"), "left")
+      r = nodes.join(contrib, Seq("word"), "left")
         .select(col("word"),
-          (lit(teleport) + coalesce(col("cin"), lit(0L))).as("r")).persist()
-      next.count() // materialize before dropping the parent cache
-      r.unpersist()
-      r = next
+          (lit(teleport) + coalesce(col("cin"), lit(0L))).as("r"))
     }
-    val out = r.orderBy(col("r").desc, col("word")).limit(k)
+    r.orderBy(col("r").desc, col("word")).limit(k)
       .select(col("word"), col("r").as("rank"))
-    e.unpersist()
-    nodes.unpersist()
-    out
   }
 
   /** Approximate distinct-term counts per source (HyperLogLog++) next to
