@@ -57,15 +57,17 @@ object Classifier {
 
   /** Exact per-document features + label, all derivable identically in
     * DuckDB: bias, bounded length score, alnum ratio, en-stopword ratio;
-    * y = 1 iff the quality rule clears [[LabelThreshold]]. */
-  def features(docs: DataFrame): DataFrame =
-    TextAnalysis.qualityScore(docs).select(
-      col("doc_id"),
+    * y = 1 iff the quality rule clears [[LabelThreshold]]. `carry` passes
+    * extra columns (e.g. a stream's event-time `ts`) through untouched —
+    * the expressions are [[TextAnalysis.qualityScore]]'s own column
+    * builders, so the feature values are identical with or without it. */
+  def features(docs: DataFrame, carry: Seq[String] = Nil): DataFrame =
+    docs.select((col("doc_id") +: carry.map(col)) ++ Seq(
       lit(1.0).as("x0"),
-      least(col("n_tokens").cast("double") / 100.0, lit(1.0)).as("x1"),
-      col("alnum_ratio").as("x2"),
-      col("stop_ratio").as("x3"),
-      when(col("quality") >= LabelThreshold, 1.0).otherwise(0.0).as("y"))
+      least(TextAnalysis.nTokensCol.cast("double") / 100.0, lit(1.0)).as("x1"),
+      (TextAnalysis.nAlnumCol.cast("double") / TextAnalysis.nTokensCol).as("x2"),
+      (TextAnalysis.markerHits("en").cast("double") / TextAnalysis.nTokensCol).as("x3"),
+      when(TextAnalysis.qualityCol >= LabelThreshold, 1.0).otherwise(0.0).as("y")): _*)
 
   private val FeatureCols = Seq("x0", "x1", "x2", "x3")
 
@@ -98,16 +100,21 @@ object Classifier {
     hist.result()
   }
 
-  /** Score the corpus under trained weights: calibrated probability
-    * (6-decimal quantized, the cross-engine float contract), the 0.5
-    * decision, and the label for offline accuracy reads. */
-  def scores(docs: DataFrame, w: Seq[Long]): DataFrame =
-    features(docs).select(
-      col("doc_id"),
+  /** Stream-safe scoring projection under literal weights — the
+    * probability (6-decimal quantized, the cross-engine float contract),
+    * the 0.5 decision, and the rule label, with no ordering (a streaming
+    * plan cannot sort). [[scores]] is this plus the batch gate's
+    * deterministic order; [[graft.streaming.StreamOps.streamQualityScored]]
+    * is this over an event-timed stream. */
+  def scoredFrame(docs: DataFrame, w: Seq[Long], carry: Seq[String] = Nil): DataFrame =
+    features(docs, carry).select((col("doc_id") +: carry.map(col)) ++ Seq(
       round(pCol(w), 6).as("p"),
       when(pCol(w) >= 0.5, 1L).otherwise(0L).as("pred"),
-      col("y").cast("long").as("label"))
-      .orderBy("doc_id")
+      col("y").cast("long").as("label")): _*)
+
+  /** Score the corpus under trained weights — gate form. */
+  def scores(docs: DataFrame, w: Seq[Long]): DataFrame =
+    scoredFrame(docs, w).orderBy("doc_id")
 
   /** Train-then-score in one call — gate `ta_quality_classifier`. */
   def qualityClassifier(docs: DataFrame, iters: Int = DefaultIters,

@@ -37,7 +37,7 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "et", "est"),
     "es" -> Seq("el", "los", "las", "y", "es"))
 
-  private def markerHits(lang: String): Column = {
+  private[ops] def markerHits(lang: String): Column = {
     val set = LangMarkers.toMap.apply(lang)
     val hits = expr(
       s"size(filter(split(lower(text), '\\\\s+'), t -> t IN (${set.map("'" + _ + "'").mkString(",")})))")

@@ -312,6 +312,17 @@ object StreamOps {
       .select("doc_id", "ts")
   }
 
+  /** Train-batch / serve-stream: score arriving documents under an
+    * already-trained [[graft.ops.Classifier]] weight vector. The weights
+    * are plain literals and the features are per-row expressions, so this
+    * is a STATELESS streaming projection — no state store, no watermark,
+    * unconditional stream/batch parity (StreamOpsSpec drives a
+    * MemoryStream and compares against the batch scorer row-for-row).
+    * This is the serving half of the learned curation filter: train on
+    * yesterday's corpus, admit/score today's crawl as it arrives. */
+  def streamQualityScored(docs: DataFrame, w: Seq[Long]): DataFrame =
+    graft.ops.Classifier.scoredFrame(docs, w, carry = Seq("ts"))
+
   /** One CDC record on the wire — the input of [[streamSnapshotMerge]]
     * (the streaming twin of [[graft.ops.Snapshot.mergeSnapshot]]'s change
     * batch; `fp` is None for tombstones). Public for the state-store

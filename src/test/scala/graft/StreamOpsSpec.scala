@@ -284,6 +284,35 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming quality scoring: stateless projection equals the batch scorer") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    // 4 training rounds keep the spec fast — serve-side parity is
+    // independent of training depth
+    val w = graft.ops.Classifier.train(docs, iters = 4).last
+    val expected = graft.ops.Classifier.scores(docs, w)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3))).toSet
+    val inputs = docs
+      .withColumn("ts", expr("timestamp_seconds(1700000000 + doc_id)"))
+      .select("doc_id", "ts", "text").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2))).toSeq
+    val stream = MemoryStream[(Long, Timestamp, String)]
+    val q = graft.streaming.StreamOps.streamQualityScored(
+      stream.toDS().toDF("doc_id", "ts", "text"), w)
+      .writeStream.format("memory").queryName("clf_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(inputs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("clf_out")
+        .select("doc_id", "p", "pred", "label")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3))).toSet
+      assert(streamed === expected,
+        "stateless streaming scorer must equal the batch scorer exactly")
+    } finally q.stop()
+  }
+
   test("streaming snapshot merge: final state matches the batch merge, replays emit nothing") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
