@@ -7,6 +7,29 @@ object Bench {
     * can legitimately claim. */
   private def r3(x: Double): Double = math.round(x * 1000.0) / 1000.0
 
+  /** Steady-state per-query map of a prior committed artifact — the
+    * cross-round swing baseline. A prior measured at a DIFFERENT scale is
+    * not a baseline: comparing an sf0.1 sweep against a committed sf0.001
+    * smoke would flag every query as a phantom 10-100x swing (ADVICE r7),
+    * so a mismatched `sf` field drops the whole map; artifacts without one
+    * (pre-contract) are kept. Values parse under a per-entry Try — one
+    * malformed number skips that entry only, it must not throw away the
+    * rest (ADVICE r7) — with a char class covering the full JSON double
+    * surface incl. negative exponents (e.g. 1.5E-3). */
+  private[graft] def parsePrior(txt: String, sfDir: String): Map[String, Double] = {
+    val qs = txt.indexOf("\"queries\":{")
+    val sfOk = "\"sf\":\"([^\"]*)\"".r.findFirstMatchIn(txt)
+      .forall(_.group(1) == sfDir)
+    if (qs < 0 || !sfOk) Map.empty
+    else {
+      val body = txt.substring(qs + 11, txt.indexOf("}", qs))
+      "\"([a-z0-9_]+)\":(-?[0-9.eE+-]+)".r.findAllMatchIn(body)
+        .flatMap(m => scala.util.Try(m.group(1) -> m.group(2).toDouble).toOption)
+        .filter(_._2 > 0.0) // -1 marks a prior failure, not a timing
+        .toMap
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -68,15 +91,7 @@ object Bench {
     val prior: Map[String, Double] = try {
       val src = scala.io.Source.fromFile(outFile, "UTF-8")
       val txt = try src.mkString finally src.close()
-      val qs = txt.indexOf("\"queries\":{")
-      if (qs < 0) Map.empty
-      else {
-        val body = txt.substring(qs + 11, txt.indexOf("}", qs))
-        "\"([a-z0-9_]+)\":(-?[0-9.eE+]+)".r.findAllMatchIn(body)
-          .map(m => m.group(1) -> m.group(2).toDouble)
-          .filter(_._2 > 0.0) // -1 marks a prior failure, not a timing
-          .toMap
-      }
+      parsePrior(txt, sfDir)
     } catch { case _: Throwable => Map.empty }
     // same guard shape as isNoisy: the +0.25 s floor keeps sub-second
     // queries' scheduling jitter from flagging phantom swings

@@ -46,6 +46,33 @@ object SparkEntry {
       catch { case t: Throwable => builtIndexes.remove(key); throw t }
     }
 
+  /** Shared index builds, one canonical [[buildOnce]] key each, so every
+    * gate that needs the artifact (e.g. ta_bm25_indexed AND
+    * ta_hybrid_indexed both probe `graft_bm25_idx`) pays for exactly one
+    * build regardless of gate execution order. */
+  private def ensureBm25Index(s: SparkSession, d: String): Unit =
+    buildOnce(s"bm25:$d") {
+      TextAnalysis.buildBm25Index(Tables.documents(s, d), "graft_bm25_idx")
+    }
+
+  /** The hash-embed featurization materialized ONCE per (process, sf dir)
+    * as a stored table — the corpus-scale embed pass is a build step
+    * (exactly like an index build), not something a query recomputes. */
+  private def ensureHembTable(s: SparkSession, d: String): Unit =
+    buildOnce(s"hemb:$d") {
+      Formats.writeManaged(
+        TextAnalysis.hashEmbed(Tables.documents(s, d))
+          .select(col("doc_id").as("vec_id"), col("embedding")),
+        "graft_hemb")
+    }
+
+  private def ensureHembLshIndex(s: SparkSession, d: String): Unit = {
+    ensureHembTable(s, d)
+    buildOnce(s"hemb_lsh:$d") {
+      Similarity.buildLshIndex(s.table("graft_hemb"), "graft_hemb_lsh_idx")
+    }
+  }
+
   /** BPE MERGES memoized per (session, sf dir) — the training-loop
     * analogue of [[buildOnce]]: the three ta_bpe_* gates share one
     * training. Keyed on the session OBJECT via a WeakHashMap (ADVICE r6):
@@ -201,12 +228,16 @@ object SparkEntry {
         .select(col("doc_id"), col("dim_idx").cast("long").as("dim_idx"), col("weight"))
         .repartition(1).sortWithinPartitions("doc_id", "dim_idx")),
     // the composition the featurizer exists for: clean text → hash-embed →
-    // LSH ANN, end-to-end from the corpus with no given embeddings table
-    "ann_hash_embed_lsh" -> ((s, d) =>
-      Similarity.lshTopK(
-        TextAnalysis.hashEmbed(Tables.documents(s, d))
-          .select(col("doc_id").as("vec_id"), col("embedding")),
-        col("vec_id") < 10)),
+    // LSH ANN, end-to-end from the corpus with no given embeddings table.
+    // The embed pass is materialized once (buildOnce — the sanctioned
+    // build/apply split, VERDICT r8 item 2): steady runs measure the LSH
+    // banding + probe over the STORED vectors, the featurization cost
+    // lands in the cold run. Same oracle — the table changes where the
+    // vectors come from, not their values.
+    "ann_hash_embed_lsh" -> ((s, d) => {
+      ensureHembTable(s, d)
+      Similarity.lshTopK(s.table("graft_hemb"), col("vec_id") < 10)
+    }),
     "ta_top_bigrams" -> ((s, d) => TextAnalysis.topBigrams(Tables.documents(s, d))),
     // BM25 ranked keyword search — the sparse-lexical half of the
     // retrieval stack (hash-embed + LSH is the dense half): top-20 docs
@@ -218,14 +249,25 @@ object SparkEntry {
     // vector — both candidate lists capped before the fusion join
     "ta_hybrid_search" -> ((s, d) =>
       TextAnalysis.hybridSearch(Tables.documents(s, d), Seq("spark", "window", "join"))),
+    // the PRODUCTION hybrid path (VERDICT r7/r8 item 1): both retrieval
+    // halves probe their persisted indexes — BM25 reads only the query
+    // terms' postings (bucket-pruned on word), dense reads only the query
+    // vector's band buckets of the LSH index over the stored hash-embed
+    // table — then the same RRF tail fuses them. Per-query cost is
+    // O(postings + buckets), no corpus scan, no re-featurization. The
+    // dense ranks are the LSH probe's, so the oracle replays the banding.
+    "ta_hybrid_indexed" -> ((s, d) => {
+      ensureBm25Index(s, d)
+      ensureHembLshIndex(s, d)
+      TextAnalysis.hybridSearchIndexed(s, "graft_bm25_idx", "graft_hemb_lsh_idx",
+        Seq("spark", "window", "join"))
+    }),
     // build/query split: posting lists persisted ONCE bucketed on word,
     // probe reads only the query terms' postings (same oracle as
     // ta_bm25_search — the index changes where postings come from, not
     // the answer). buildOnce: the gate times the probe after run one.
     "ta_bm25_indexed" -> ((s, d) => {
-      buildOnce(s"bm25:$d") {
-        TextAnalysis.buildBm25Index(Tables.documents(s, d), "graft_bm25_idx")
-      }
+      ensureBm25Index(s, d)
       TextAnalysis.bm25SearchIndexed(s, "graft_bm25_idx", Seq("spark", "window", "join"))
     }),
     // incremental-ingest variant: two doc-disjoint batches, bulk build +
@@ -383,6 +425,15 @@ object SparkEntry {
       Dedup.contaminationStats(
         all.filter(col("doc_id") % 7 =!= 0), all.filter(col("doc_id") % 7 === 0))
     }),
+    // the broadcast-outgrown plan: benchmark hashes folded into a Bloom
+    // filter probed scan-side before the exact semi-join — false positives
+    // die in the join, false negatives are impossible, so the result (and
+    // the oracle) is identical to dedup_contamination
+    "dedup_contamination_bloom" -> ((s, d) => {
+      val all = Tables.documents(s, d)
+      Dedup.contaminationStatsBloom(
+        all.filter(col("doc_id") % 7 =!= 0), all.filter(col("doc_id") % 7 === 0))
+    }),
     // the canonical GPT-3 13-gram rule (the span family's n=8 gate keeps
     // the cross-operator consistency story; this one runs the cited rule)
     "dedup_contamination_13" -> ((s, d) => {
@@ -409,6 +460,31 @@ object SparkEntry {
       val all = Tables.documents(s, d)
       Dedup.crossCorpusNearDups(
         all.filter(col("doc_id") % 3 =!= 0), all.filter(col("doc_id") % 3 === 0))
+    }),
+    // build/query split for the near-dup miner (the MinHash twin of the
+    // BM25/LSH index trio): the corpus side's bands + signatures persisted
+    // ONCE bucketed on the band key, each new crawl batch probes the
+    // stored index — same oracle as dedup_cross_corpus (the index changes
+    // where the corpus bands come from, not the pairs)
+    "dedup_cross_indexed" -> ((s, d) => {
+      val all = Tables.documents(s, d)
+      buildOnce(s"band:$d") {
+        Dedup.buildBandIndex(all.filter(col("doc_id") % 3 =!= 0), "graft_band_idx")
+      }
+      Dedup.nearDupPairsIndexed(s, "graft_band_idx", all.filter(col("doc_id") % 3 === 0))
+    }),
+    // incremental-ingest variant: the corpus side built from one half and
+    // the other half APPENDED into the stored layout — signatures are
+    // per-doc, so the two-batch index is bit-identical to the one-shot
+    // build and shares its oracle
+    "dedup_cross_indexed_incr" -> ((s, d) => {
+      val all = Tables.documents(s, d)
+      buildOnce(s"band_incr:$d") {
+        val corpus = all.filter(col("doc_id") % 3 =!= 0)
+        Dedup.buildBandIndex(corpus.filter(col("doc_id") % 2 === 0), "graft_band_incr")
+        Dedup.appendToBandIndex(corpus.filter(col("doc_id") % 2 =!= 0), "graft_band_incr")
+      }
+      Dedup.nearDupPairsIndexed(s, "graft_band_incr", all.filter(col("doc_id") % 3 === 0))
     }),
     // north-star: similarity search. The exact all-pairs miner
     // (Similarity.embeddingNearDupPairs) is deliberately NOT gated: its n²
@@ -750,6 +826,25 @@ object SparkEntry {
     s"""WITH $minhashCtes
        |SELECT doc_a, doc_b, sig_sim FROM scored WHERE sig_sim >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
 
+  /** DuckDB mirror of [[Dedup.contaminationStats]] over the %7 split at
+    * span length `n`: the benchmark side reduces to its distinct span-hash
+    * set, training spans count hits against it. Parameterized on n so the
+    * n=8 family gates and the 13-gram GPT-3-rule gate share one SQL body. */
+  private def contaminationOracleSql(n: Int): String =
+    s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '$WS') AS ws FROM documents),
+       |sp AS (SELECT doc_id, ${h60Sql(s"array_to_string(ws[i:i+${n - 1}], ' ')")} AS sh
+       |  FROM toks, unnest(generate_series(1, greatest(len(ws) - ${n - 1}, 1))) AS t(i)),
+       |bench AS (SELECT DISTINCT sh FROM sp WHERE doc_id % 7 = 0),
+       |tr AS (SELECT doc_id, sh FROM sp WHERE doc_id % 7 <> 0),
+       |tot AS (SELECT doc_id, count(*) AS n_spans FROM tr GROUP BY 1),
+       |cm AS (SELECT doc_id, count(*) AS c FROM tr
+       |  WHERE sh IN (SELECT sh FROM bench) GROUP BY 1)
+       |SELECT t.doc_id, t.n_spans,
+       |  CAST(coalesce(c.c, 0) AS BIGINT) AS n_contam_spans,
+       |  CAST(coalesce(c.c, 0) AS DOUBLE) / t.n_spans AS contam_ratio
+       |FROM tot t LEFT JOIN cm c ON c.doc_id = t.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+
   /** DuckDB mirror of [[Dedup.crossCorpusNearDups]] over the %3 split. */
   private val crossCorpusOracleSql: String =
     s"""WITH ${minhashSideCtes("A", "doc_id % 3 <> 0")},
@@ -1009,23 +1104,19 @@ object SparkEntry {
        |$lshBandedCte,
        |$annBodySql""".stripMargin
 
-  /** DuckDB replay of [[graft.ops.TextAnalysis.hybridSearch]]: the
-    * hash-embed chain feeds an exact-cosine dense ranking for query doc 0,
-    * the BM25 chain feeds the sparse ranking, and RRF fuses the two
-    * capped candidate lists (fixed expression order — no float
-    * aggregation, so no rounding is needed on the fused score). */
-  private val hybridOracleSql: String =
+  /** DuckDB replay of [[graft.ops.TextAnalysis.hybridSearch]] /
+    * [[graft.ops.TextAnalysis.hybridSearchIndexed]], parameterized on the
+    * DENSE candidate CTE chain (must end in `dtop(doc_id, r_dense)`): the
+    * hash-embed chain feeds the dense ranking for query doc 0, the BM25
+    * chain feeds the sparse ranking, and RRF fuses the two capped
+    * candidate lists (fixed expression order — no float aggregation, so no
+    * rounding is needed on the fused score). */
+  private def hybridFusionOracleSql(denseCtes: String): String =
     s"""WITH $hashEmbedCtes,
        |embeddings AS MATERIALIZED (SELECT doc_id AS vec_id,
        |    CAST(list(weight ORDER BY dim_idx) AS FLOAT[]) AS embedding
        |  FROM hemb GROUP BY doc_id),
-       |dn AS (SELECT e2.vec_id AS doc_id,
-       |    CAST(row_number() OVER (ORDER BY
-       |      list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e2.embedding AS DOUBLE[])) DESC,
-       |      e2.vec_id) AS BIGINT) AS r_dense
-       |  FROM embeddings e2 CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
-       |  WHERE e2.vec_id <> 0),
-       |dtop AS (SELECT doc_id, r_dense FROM dn WHERE r_dense <= 100),
+       |$denseCtes,
        |tk2 AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '$WS')) AS word FROM documents),
        |ftk2 AS (SELECT doc_id, word FROM tk2 WHERE regexp_matches(word, '^[a-z0-9]+$$')),
        |dl2 AS (SELECT doc_id, count(*) AS dl FROM ftk2 GROUP BY 1),
@@ -1047,6 +1138,38 @@ object SparkEntry {
        |  s.r_sparse, d.r_dense
        |FROM srank s FULL OUTER JOIN dtop d ON s.doc_id = d.doc_id
        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
+
+  /** Dense half of the DIRECT hybrid search: exact brute-force cosine
+    * ranking of the whole hash-embed corpus against query doc 0. */
+  private val hybridDenseBruteCtes: String =
+    """dn AS (SELECT e2.vec_id AS doc_id,
+      |    CAST(row_number() OVER (ORDER BY
+      |      list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e2.embedding AS DOUBLE[])) DESC,
+      |      e2.vec_id) AS BIGINT) AS r_dense
+      |  FROM embeddings e2 CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+      |  WHERE e2.vec_id <> 0),
+      |dtop AS (SELECT doc_id, r_dense FROM dn WHERE r_dense <= 100)""".stripMargin
+
+  /** Dense half of the INDEXED hybrid search: the stock LSH banding over
+    * the hash-embed `embeddings` CTE, candidates = band collisions with
+    * query vec 0, exact-cosine re-rank — the DuckDB replay of
+    * [[graft.ops.Similarity.lshTopKIndexed]]'s probe (the stored index
+    * changes where signatures come from, not their values). */
+  private val hybridDenseLshCtes: String =
+    s"""$lshBandedCte,
+       |dcand AS (SELECT DISTINCT q.embedding AS qv, n.vec_id AS doc_id, n.embedding AS nv
+       |  FROM banded q JOIN banded n
+       |  ON q.band_idx = n.band_idx AND q.band_val = n.band_val
+       |    AND q.vec_id = 0 AND n.vec_id <> 0),
+       |dn AS (SELECT doc_id,
+       |    CAST(row_number() OVER (ORDER BY
+       |      list_cosine_similarity(CAST(qv AS DOUBLE[]), CAST(nv AS DOUBLE[])) DESC,
+       |      doc_id) AS BIGINT) AS r_dense
+       |  FROM dcand),
+       |dtop AS (SELECT doc_id, r_dense FROM dn WHERE r_dense <= 100)""".stripMargin
+
+  private val hybridOracleSql: String = hybridFusionOracleSql(hybridDenseBruteCtes)
+  private val hybridIndexedOracleSql: String = hybridFusionOracleSql(hybridDenseLshCtes)
 
   private val lshNearDupOracleSql: String =
     s"""WITH $lshBandedCte,
@@ -1536,6 +1659,8 @@ object SparkEntry {
          |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "dedup_minhash_pairs" -> minhashOracleSql,
     "dedup_cross_corpus" -> crossCorpusOracleSql,
+    "dedup_cross_indexed" -> crossCorpusOracleSql,
+    "dedup_cross_indexed_incr" -> crossCorpusOracleSql,
     "dedup_neardup_survivors" -> survivorsOracleSql,
     "dedup_quality_survivors" -> qualitySurvivorsOracleSql,
     "stream_neardup_admit" -> admitOracleSql,
@@ -1557,35 +1682,12 @@ object SparkEntry {
          |ORDER BY t.doc_id""".stripMargin,
     // DuckDB mirror of Dedup.contaminationStats over the %7 split: the
     // benchmark side reduces to its distinct span-hash set, training spans
-    // count hits against it
-    "dedup_contamination" ->
-      s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '$WS') AS ws FROM documents),
-         |sp AS (SELECT doc_id, ${h60Sql("array_to_string(ws[i:i+7], ' ')")} AS sh
-         |  FROM toks, unnest(generate_series(1, greatest(len(ws) - 7, 1))) AS t(i)),
-         |bench AS (SELECT DISTINCT sh FROM sp WHERE doc_id % 7 = 0),
-         |tr AS (SELECT doc_id, sh FROM sp WHERE doc_id % 7 <> 0),
-         |tot AS (SELECT doc_id, count(*) AS n_spans FROM tr GROUP BY 1),
-         |cm AS (SELECT doc_id, count(*) AS c FROM tr
-         |  WHERE sh IN (SELECT sh FROM bench) GROUP BY 1)
-         |SELECT t.doc_id, t.n_spans,
-         |  CAST(coalesce(c.c, 0) AS BIGINT) AS n_contam_spans,
-         |  CAST(coalesce(c.c, 0) AS DOUBLE) / t.n_spans AS contam_ratio
-         |FROM tot t LEFT JOIN cm c ON c.doc_id = t.doc_id
-         |ORDER BY t.doc_id""".stripMargin,
-    "dedup_contamination_13" ->
-      s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '$WS') AS ws FROM documents),
-         |sp AS (SELECT doc_id, ${h60Sql("array_to_string(ws[i:i+12], ' ')")} AS sh
-         |  FROM toks, unnest(generate_series(1, greatest(len(ws) - 12, 1))) AS t(i)),
-         |bench AS (SELECT DISTINCT sh FROM sp WHERE doc_id % 7 = 0),
-         |tr AS (SELECT doc_id, sh FROM sp WHERE doc_id % 7 <> 0),
-         |tot AS (SELECT doc_id, count(*) AS n_spans FROM tr GROUP BY 1),
-         |cm AS (SELECT doc_id, count(*) AS c FROM tr
-         |  WHERE sh IN (SELECT sh FROM bench) GROUP BY 1)
-         |SELECT t.doc_id, t.n_spans,
-         |  CAST(coalesce(c.c, 0) AS BIGINT) AS n_contam_spans,
-         |  CAST(coalesce(c.c, 0) AS DOUBLE) / t.n_spans AS contam_ratio
-         |FROM tot t LEFT JOIN cm c ON c.doc_id = t.doc_id
-         |ORDER BY t.doc_id""".stripMargin,
+    // count hits against it. The Bloom-pruned gate shares the n=8 SQL
+    // verbatim — the filter is a plan optimization whose false positives
+    // die in the exact join, so the two paths are result-identical.
+    "dedup_contamination" -> contaminationOracleSql(8),
+    "dedup_contamination_bloom" -> contaminationOracleSql(8),
+    "dedup_contamination_13" -> contaminationOracleSql(13),
     // DuckDB mirror of StreamOps.streamDecontaminated's batch mode: the
     // admitted training docs are exactly those with zero benchmark-
     // overlapping spans (strict maxRatio = 0 rule)
@@ -1680,6 +1782,7 @@ object SparkEntry {
     "ta_bm25_indexed" -> bm25OracleSql,
     "ta_bm25_indexed_incr" -> bm25OracleSql,
     "ta_hybrid_search" -> hybridOracleSql,
+    "ta_hybrid_indexed" -> hybridIndexedOracleSql,
     // DuckDB replays the ENTIRE BPE training loop (pair counts → argmax →
     // two-pass padded replace, 8 rounds of chained CTEs)
     "ta_bpe_merges" -> bpeMergesOracleSql(graft.ops.Bpe.DefaultRounds),
@@ -1832,9 +1935,9 @@ object SparkEntry {
          |    CAST(len(regexp_split_to_array(lower(text), '$WS')) AS BIGINT) AS n_tokens,
          |    ${Packing.orderHashSql} AS h FROM documents),
          |t AS (SELECT source, sum(n_tokens) AS src_tokens FROM d GROUP BY 1),
-         |z AS (SELECT sum(pow(src_tokens, 0.5)) AS z FROM t),
+         |z AS (SELECT sum(CAST(round(pow(src_tokens, 0.5), 6) AS DECIMAL(38,6))) AS z FROM t),
          |b AS (SELECT source,
-         |    CAST(floor(round(4000.0 * pow(src_tokens, 0.5) / z.z, 6)) AS BIGINT) AS budget
+         |    CAST(floor(round(4000.0 * pow(src_tokens, 0.5) / CAST(z.z AS DOUBLE), 6)) AS BIGINT) AS budget
          |  FROM t CROSS JOIN z),
          |c AS (SELECT doc_id, source, n_tokens,
          |    coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id

@@ -195,6 +195,72 @@ object Dedup {
     scoreCandidates(candidates, sa, sb, minSigFrac)
   }
 
+  /** Build-once half of the MinHash build/query split (the near-dup twin
+    * of [[graft.ops.Similarity.buildLshIndex]] /
+    * [[graft.ops.TextAnalysis.buildBm25Index]]): the accumulated corpus's
+    * banded rows stored bucketed + sorted on `(band_idx, band_hash)` — the
+    * probe join key — plus a `<table>_sigs` side table (one 16-long
+    * signature row per doc, bucketed on `doc_id`) for candidate
+    * verification. At 100 TB the shingle explode + signature aggregation
+    * is a corpus-scale job you run once per corpus, not once per new
+    * crawl; the stored layout is pre-hashed on the band key, so a new
+    * batch's probe shuffles ONLY the batch side (or broadcasts it) and an
+    * index⋈index self-mining join plans with zero exchanges. */
+  def buildBandIndex(docs: DataFrame, table: String, numBuckets: Int = 8): Unit = {
+    val sigs = minHashSignatures(docs).persist()
+    try {
+      graft.sources.Formats.writeBucketed(
+        bandedFromSignatures(sigs), table, Seq("band_idx", "band_hash"), numBuckets)
+      graft.sources.Formats.writeBucketed(sigs, table + "_sigs", Seq("doc_id"), numBuckets)
+    } finally sigs.unpersist()
+  }
+
+  /** Incremental-ingest half: the NEW batch's band + signature rows
+    * appended into the stored layouts. Signatures are per-document
+    * independent (no corpus-global state anywhere in the banding), so the
+    * existing corpus is neither read nor rewritten — the daily-crawl cost
+    * is one signature pass over the batch plus two bucketed appends, and a
+    * two-batch index answers bit-identically to a one-shot build of the
+    * union (gated under the same oracle as [[nearDupPairsIndexed]]).
+    * Batches must be doc-disjoint, same contract as the ANN/BM25 appends. */
+  def appendToBandIndex(newDocs: DataFrame, table: String, numBuckets: Int = 8): Unit = {
+    val sigs = minHashSignatures(newDocs).persist()
+    try {
+      graft.sources.Formats.writeBucketedAppend(
+        bandedFromSignatures(sigs), table, Seq("band_idx", "band_hash"), numBuckets)
+      graft.sources.Formats.writeBucketedAppend(
+        sigs, table + "_sigs", Seq("doc_id"), numBuckets)
+    } finally sigs.unpersist()
+  }
+
+  /** The candidate join of [[nearDupPairsIndexed]], exposed pre-scoring so
+    * the spec can assert its plan: the index side reads the STORED banded
+    * table with no shuffle and no signature recompute. */
+  private[graft] def indexedCandidateJoin(spark: org.apache.spark.sql.SparkSession,
+      table: String, newBanded: DataFrame): DataFrame =
+    spark.table(table).as("x")
+      .join(newBanded.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_hash") === col("y.band_hash"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+
+  /** Query-many half: [[crossCorpusNearDups]] semantics (and the same
+    * oracle) with the accumulated-corpus side read from a stored
+    * [[buildBandIndex]] table — `doc_a` from the index, `doc_b` from the
+    * new batch. Only the NEW batch is shingled and signed; the corpus's
+    * bands and signatures are read, not recomputed — so the per-crawl cost
+    * is one pass over the batch plus the band-collision join, never a
+    * corpus re-band ([[crossCorpusNearDups]]'s cost when called directly).
+    * Candidate verification joins the (collision-sized) pair list against
+    * the stored `_sigs` table on its bucketed key. */
+  def nearDupPairsIndexed(spark: org.apache.spark.sql.SparkSession, table: String,
+      newBatch: DataFrame, minSigFrac: Double = 0.5): DataFrame = {
+    val sb = minHashSignatures(newBatch).persist()
+    val candidates = indexedCandidateJoin(spark, table, bandedFromSignatures(sb))
+    scoreCandidates(candidates, spark.table(table + "_sigs"), sb, minSigFrac)
+  }
+
   /** Per-document 32-bit SimHash over whitespace tokens (with
     * multiplicity): bit j of the fingerprint is the sign of the sum of
     * ±1 votes from each token's hash bit j. Pure two-level aggregation —
@@ -485,14 +551,48 @@ object Dedup {
     // feeds both the total count and the contaminated count
     val sp = positionalSpans(train, n).select("doc_id", "sh").persist()
     val benchHashes = positionalSpans(benchmark, n).select("sh").distinct()
-    val contam = sp.join(benchHashes, Seq("sh"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("c"))
+    contaminationTail(sp, sp.join(benchHashes, Seq("sh"), "left_semi"))
+  }
+
+  /** Shared per-doc ratio tail of the contamination scanners: count total
+    * and tainted spans per document from the full span table and the
+    * (however-obtained) tainted subset. One expression for the direct and
+    * Bloom-pruned paths so they cannot drift. */
+  private def contaminationTail(sp: DataFrame, tainted: DataFrame): DataFrame = {
+    val contam = tainted.groupBy("doc_id").agg(count(lit(1)).as("c"))
     sp.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
       .join(contam, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_spans"),
         coalesce(col("c"), lit(0L)).as("n_contam_spans"),
         (coalesce(col("c"), lit(0L)).cast("double") / col("n_spans")).as("contam_ratio"))
       .orderBy("doc_id")
+  }
+
+  /** [[contaminationStats]] with a scan-side Bloom pre-filter — the plan
+    * for when the benchmark span set has outgrown the broadcast-join
+    * threshold but its BITS still fit in memory (~1.2 bytes/hash at 1%
+    * fpp vs 8+ bytes/hash as join rows). The benchmark hashes are folded
+    * into a driver-held [[org.apache.spark.util.sketch.BloomFilter]] via
+    * the distributed sketch aggregate; the training span scan keeps only
+    * `might_contain` hits — a codegen'd bit probe, no shuffle, no join —
+    * and ONLY those survivors reach the exact semi-join. False positives
+    * are removed there, false negatives cannot occur, so the result is
+    * IDENTICAL to the direct path (they share the dedup_contamination
+    * oracle); the semi-join's shuffled input shrinks from every span in
+    * the corpus to roughly the truly-tainted ones. */
+  def contaminationStatsBloom(train: DataFrame, benchmark: DataFrame, n: Int = 8,
+      fpp: Double = 0.01): DataFrame = {
+    // distinct-hash persist: feeds the count, the sketch aggregate, and
+    // the exactness join
+    val benchHashes = positionalSpans(benchmark, n).select("sh").distinct().persist()
+    val bloom = benchHashes.stat.bloomFilter(
+      "sh", math.max(benchHashes.count(), 1L), fpp)
+    val sp = positionalSpans(train, n).select("doc_id", "sh").persist()
+    val tainted = sp
+      .filter(graft.functions.BloomMightContain.mightContain(
+        train.sparkSession, bloom, col("sh")))
+      .join(benchHashes, Seq("sh"), "left_semi")
+    contaminationTail(sp, tainted)
   }
 
   /** The actionable half of [[contaminationStats]]: the training corpus

@@ -172,11 +172,18 @@ object Packing {
     val base = docs.select(col("doc_id"), col("source"),
       nTokens.as("n_tokens"), orderHash.as("h"))
     val totals = base.groupBy("source").agg(sum("n_tokens").as("src_tokens"))
-    val z = totals.agg(sum(pow(col("src_tokens"), alpha)).as("z"))
+    // the normalizer is a float sum over per-source pow terms — summed as
+    // doubles its value would depend on partial-sum order, which is stable
+    // on a handful of sources but not on an off-gate corpus with many
+    // (ADVICE r7). Each term is rounded to fixed scale and summed as
+    // DECIMAL: exact integer arithmetic underneath, so z is identical for
+    // every partitioning (same trick as the money-math gates).
+    val z = totals.agg(
+      sum(round(pow(col("src_tokens"), alpha), 6).cast("decimal(38,6)")).as("z"))
     val budgets = totals.crossJoin(broadcast(z))
       .select(col("source"),
-        floor(round(lit(totalTokens.toDouble) * pow(col("src_tokens"), alpha) / col("z"),
-          6)).cast("long").as("budget"))
+        floor(round(lit(totalTokens.toDouble) * pow(col("src_tokens"), alpha)
+          / col("z").cast("double"), 6)).cast("long").as("budget"))
     val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     base

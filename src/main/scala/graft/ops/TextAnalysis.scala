@@ -208,17 +208,31 @@ object TextAnalysis {
     * `candidates`-sized tables regardless of corpus size. */
   def hybridSearch(docs: DataFrame, terms: Seq[String], queryDocId: Long = 0L,
       k: Int = 20, candidates: Int = 100, kRrf: Int = 60): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // the candidate lists are <= `candidates` rows, so the single-partition
-    // rank window is bounded by construction
-    val sparse = bm25Search(docs, terms, candidates)
-      .withColumn("r_sparse",
-        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
-      .select(col("doc_id"), col("r_sparse"))
+    val sparse = sparseRanking(bm25Search(docs, terms, candidates))
     val dense = Similarity.bruteForceTopK(
       hashEmbed(docs).select(col("doc_id").as("vec_id"), col("embedding")),
       col("vec_id") === queryDocId, candidates)
       .select(col("neighbor_id").as("doc_id"), col("rn").as("r_dense"))
+    rrfFuse(sparse, dense, k, kRrf)
+  }
+
+  /** Rank a BM25 top-`candidates` table into `(doc_id, r_sparse)`. The
+    * candidate list is <= `candidates` rows by construction, so the
+    * single-partition rank window is bounded. */
+  private def sparseRanking(bm25Top: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    bm25Top.withColumn("r_sparse",
+      row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("r_sparse"))
+  }
+
+  /** The shared RRF tail of the direct and indexed hybrid searches: fuse a
+    * `(doc_id, r_sparse)` and a `(doc_id, r_dense)` ranking with
+    * `Σ 1/(kRrf + rank)`. One expression for both paths so they cannot
+    * drift; both inputs are candidate-bounded, so the full-outer join runs
+    * on two tiny tables regardless of corpus size. */
+  private[graft] def rrfFuse(sparse: DataFrame, dense: DataFrame, k: Int,
+      kRrf: Int): DataFrame =
     sparse.join(dense, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
         (coalesce(lit(1.0) / (lit(kRrf.toDouble) + col("r_sparse")), lit(0.0)) +
@@ -226,6 +240,28 @@ object TextAnalysis {
         col("r_sparse"), col("r_dense"))
       .orderBy(col("rrf").desc, col("doc_id"))
       .limit(k)
+
+  /** Query-many half of HYBRID retrieval — the production composition the
+    * two index builds exist for: the sparse ranking probes a stored
+    * [[buildBm25Index]] table (reads ONLY the query terms' postings), the
+    * dense ranking probes a stored [[graft.ops.Similarity.buildLshIndex]]
+    * table over the hash-embed vectors (reads ONLY the query's band
+    * buckets), and the same RRF tail as [[hybridSearch]] fuses the two.
+    * Per-query cost is O(postings + band buckets) — no corpus scan and no
+    * re-featurization on either side, which is the difference between a
+    * search engine and a batch job at 100 TB. The dense ranks are the LSH
+    * probe's (band-collision candidates re-ranked by exact cosine), so the
+    * fusion semantics are `RRF(bm25, lshTopKIndexed)` — the oracle replays
+    * the banding, not the brute-force scan. */
+  def hybridSearchIndexed(spark: org.apache.spark.sql.SparkSession,
+      bm25Table: String, lshTable: String, terms: Seq[String],
+      queryId: Long = 0L, k: Int = 20, candidates: Int = 100,
+      kRrf: Int = 60): DataFrame = {
+    val sparse = sparseRanking(bm25SearchIndexed(spark, bm25Table, terms, candidates))
+    val dense = Similarity.lshTopKIndexed(spark, lshTable,
+      col("vec_id") === queryId, candidates)
+      .select(col("neighbor_id").as("doc_id"), col("rn").as("r_dense"))
+    rrfFuse(sparse, dense, k, kRrf)
   }
 
   /** The per-(doc, term) BM25 contribution over columns

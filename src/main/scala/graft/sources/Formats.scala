@@ -105,23 +105,24 @@ object Formats {
     * metadata pass (one footer per file) and a full scan for the
     * "how many rows / what key range" queries every pipeline runs before
     * sizing a job. Aggregate pushdown is a DataSource-V2-only feature and
-    * bucketed tables need V1, so the V2 reader is scoped to THIS plan:
-    * `useV1SourceList` is flipped only around `load()` (the V1/V2 choice
-    * is made there) and restored before returning, while the
-    * `aggregatePushdown` flag itself is harmless to leave on (it only
-    * affects V2 parquet scans, and every other graft read resolves V1).
+    * bucketed tables need V1, so the V2 reader is scoped to an ISOLATED
+    * child session (shares the SparkContext and catalog, owns its
+    * SQLConf): flipping `useV1SourceList` there cannot race a concurrent
+    * query on the caller's session into the V2 reader (ADVICE r7 — the
+    * previous set/restore around `load()` left that window open). The
+    * returned frame stays bound to the child session, which keeps the V2
+    * resolution stable however late the caller executes it.
     * FormatsSpec asserts `PushedAggregation` lands in the scan. */
   def aggregateFromFooters(spark: SparkSession, path: String, keyCol: String): DataFrame = {
-    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    val scoped = spark.newSession()
+    scoped.conf.set("spark.sql.parquet.aggregatePushdown", "true")
     val key = "spark.sql.sources.useV1SourceList"
-    val prior = spark.conf.get(key)
-    spark.conf.set(key,
-      prior.split(",").map(_.trim).filterNot(_ == "parquet").mkString(","))
-    try spark.read.parquet(path).agg(
+    scoped.conf.set(key,
+      scoped.conf.get(key).split(",").map(_.trim).filterNot(_ == "parquet").mkString(","))
+    scoped.read.parquet(path).agg(
       count(lit(1)).as("n_rows"),
       min(col(keyCol)).as(s"min_$keyCol"),
       max(col(keyCol)).as(s"max_$keyCol"))
-    finally spark.conf.set(key, prior)
   }
 
   /** Bucketed + sorted managed table (bucketing requires the table

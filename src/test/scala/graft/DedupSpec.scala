@@ -191,6 +191,32 @@ class DedupSpec extends SparkTestBase {
       "planted near-dups across the split must register as contamination")
   }
 
+  test("contaminationStatsBloom: identical to direct path, filter genuinely prunes the scan") {
+    val train = docs.filter(col("doc_id") % 7 =!= 0)
+    val bench = docs.filter(col("doc_id") % 7 === 0)
+    val direct = Dedup.contaminationStats(train, bench).collect().toSeq
+    val bloomed = Dedup.contaminationStatsBloom(train, bench)
+    // superset contract: bloom false positives die in the exact join,
+    // false negatives are impossible — results must be identical
+    assert(bloomed.collect().toSeq === direct)
+    // the might_contain probe sits in the plan (scan-side, pre-join)
+    val plan = bloomed.queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain"),
+      s"plan must carry the Bloom pre-filter:\n$plan")
+    // and it genuinely prunes: the surviving span set is a small fraction
+    // of the full training span table (the corpus is mostly clean), yet a
+    // superset of the truly tainted spans
+    val sp = Dedup.positionalSpans(train, 8).select("doc_id", "sh")
+    val benchHashes = Dedup.positionalSpans(bench, 8).select("sh").distinct()
+    val bf = benchHashes.stat.bloomFilter("sh", benchHashes.count(), 0.01)
+    val total = sp.count()
+    val kept = sp.filter(
+      graft.functions.BloomMightContain.mightContain(spark, bf, col("sh"))).count()
+    val tainted = sp.join(benchHashes, Seq("sh"), "left_semi").count()
+    assert(kept < total / 2, s"bloom must prune most spans: kept $kept of $total")
+    assert(kept >= tainted, "bloom survivors must be a superset of true hits")
+  }
+
   test("maxDf cap removes ubiquitous-shingle candidates (the k-squared skew guard)") {
     import spark.implicits._
     // 6 docs all sharing one hot token; pairs exist ONLY through it
@@ -220,6 +246,45 @@ class DedupSpec extends SparkTestBase {
       docs.filter(col("doc_id") % 3 =!= 0), docs.filter(col("doc_id") % 3 === 0))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(split.forall { case (a, b) => a % 3 != 0 && b % 3 == 0 })
+  }
+
+  test("stored band index: probe matches fresh cross-corpus path, append equals one-shot") {
+    val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+    try {
+      Dedup.buildBandIndex(corpus, "graft_band_idx_spec")
+      // result parity: the index changes where the corpus bands come from,
+      // not the pairs
+      val indexed = Dedup.nearDupPairsIndexed(spark, "graft_band_idx_spec", batch)
+      val fresh = Dedup.crossCorpusNearDups(corpus, batch)
+      assert(indexed.collect().toSeq === fresh.collect().toSeq)
+      // two-batch build (half bulk + half appended) is bit-identical on
+      // disk-content semantics: the probe answers exactly like the
+      // one-shot index
+      Dedup.buildBandIndex(corpus.filter(col("doc_id") % 2 === 0), "graft_band_incr_spec")
+      Dedup.appendToBandIndex(corpus.filter(col("doc_id") % 2 =!= 0), "graft_band_incr_spec")
+      val incr = Dedup.nearDupPairsIndexed(spark, "graft_band_incr_spec", batch)
+      assert(incr.collect().toSeq === fresh.collect().toSeq)
+      // the append wrote EXACTLY the new half's band rows — nothing of the
+      // existing layout rewritten or duplicated
+      assert(spark.table("graft_band_incr_spec").count() ===
+        corpus.count() * Dedup.NumBands)
+      // plan: the candidate join reads the STORED banded table on the
+      // index side with no shuffle and no signature recompute (no md5 of
+      // shingles — the only md5 in the probe is the batch side's banding,
+      // which lives in the OTHER join child)
+      val probe = Dedup.indexedCandidateJoin(spark, "graft_band_idx_spec",
+        spark.table("graft_band_idx_spec").limit(5))
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange"),
+        s"index probe must not shuffle the index side:\n$plan")
+      assert(plan.contains("graft_band_idx_spec["),
+        s"probe must scan the stored index table:\n$plan")
+    } finally {
+      Seq("graft_band_idx_spec", "graft_band_idx_spec_sigs",
+        "graft_band_incr_spec", "graft_band_incr_spec_sigs")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
   }
 
   test("ngramJaccardPairs: jaccard in (0,1], capped variant is consistent") {

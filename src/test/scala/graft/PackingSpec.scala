@@ -107,7 +107,11 @@ class PackingSpec extends SparkTestBase {
       .select(col("source"), size(split(lower(col("text")), "\\s+")).cast("long").as("n"))
       .groupBy("source").agg(sum("n").as("t"))
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
-    val z = srcTokens.values.map(math.pow(_, alpha)).sum
+    // z mirrors the operator's order-fixed normalizer: each pow term
+    // rounded to 6 places, summed exactly as decimals (ADVICE r7)
+    val z = srcTokens.values
+      .map(t => BigDecimal(math.pow(t, alpha)).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+      .sum.toDouble
     val budgets = srcTokens.map { case (s, t) =>
       s -> math.floor(BigDecimal(total.toDouble * math.pow(t, alpha) / z)
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toLong
@@ -135,6 +139,11 @@ class PackingSpec extends SparkTestBase {
     assert(kept.map(r => (r._1, r._2)).toSet === expected)
     // the mixing cut binds
     assert(kept.length < docs.count())
+    // order-insensitive normalizer: the sample is identical however the
+    // input is partitioned (the decimal z makes the float sum exact)
+    val reshard = Packing.sourceMixSample(docs.repartition(13), total, alpha)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(reshard.toSeq === kept.toSeq)
     // alpha < 1 rebalances: the LARGEST source's budget share must sit
     // below its natural token share (down-weighted), the smallest above
     val totalTok = srcTokens.values.sum.toDouble

@@ -160,6 +160,44 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out.exists(_._4.isDefined), "top-20 must include a dense-retrieved doc")
   }
 
+  test("hybridSearchIndexed fuses the two stored-index probes with exact RRF") {
+    import graft.ops.Similarity
+    val terms = Seq("spark", "window", "join")
+    graft.sources.Formats.writeManaged(
+      TextAnalysis.hashEmbed(docs).select(col("doc_id").as("vec_id"), col("embedding")),
+      "t_hyb_hemb")
+    TextAnalysis.buildBm25Index(docs, "t_hyb_bm25")
+    Similarity.buildLshIndex(spark.table("t_hyb_hemb"), "t_hyb_lsh")
+    val q = TextAnalysis.hybridSearchIndexed(spark, "t_hyb_bm25", "t_hyb_lsh", terms)
+    val out = q.collect()
+      .map(r => (r.getLong(0), r.getDouble(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSeq
+
+    // rebuild the fusion from the two independently-gated probe rankings
+    val sp = TextAnalysis.bm25SearchIndexed(spark, "t_hyb_bm25", terms, 100).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy { case (id, s) => (-s, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1).toLong }.toMap
+    val dn = Similarity.lshTopKIndexed(spark, "t_hyb_lsh", col("vec_id") === 0L, 100)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    val expected = (sp.keySet ++ dn.keySet).toSeq.map { id =>
+      val rrf = sp.get(id).map(r => 1.0 / (60.0 + r)).getOrElse(0.0) +
+        dn.get(id).map(r => 1.0 / (60.0 + r)).getOrElse(0.0)
+      (id, rrf, sp.get(id), dn.get(id))
+    }.sortBy { case (id, rrf, _, _) => (-rrf, id) }.take(20)
+    assert(out === expected, "fused ranking must match the driver-side RRF replay")
+    // the fusion genuinely mixes the two retrievers
+    assert(out.exists(_._3.isDefined), "top-20 must include a sparse-retrieved doc")
+    assert(out.exists(_._4.isDefined), "top-20 must include a dense-retrieved doc")
+    // production-plan property: the sparse probe reads ONLY the query
+    // terms' posting buckets — bucket pruning must survive into the fused
+    // plan (the dense side's exchange-free probe is asserted in
+    // SimilaritySpec over the same lshTopKIndexed path)
+    val planStr = q.queryExecution.executedPlan.toString
+    assert(planStr.contains("SelectedBucketsCount"),
+      s"fused plan must keep the bm25 probe's bucket pruning:\n$planStr")
+  }
+
   test("bm25 index: probe equals direct search, append equals one-shot, pruned exchange-free plan") {
     val terms = Seq("spark", "window", "join")
     val direct = TextAnalysis.bm25Search(docs, terms)
