@@ -42,10 +42,14 @@ object Engine {
     * reference's poll-while-running status surface (a client polls
     * `/jobs/job_<seq>/status` mid-run, `src/master/master.cpp:300-336`,
     * `src/webclient/webclient.cpp:42-51`). [[status]] transitions
-    * CREATED → RUNNING → COMPLETED|FAILED and can be polled from any
-    * thread; [[await]] blocks for the terminal [[JobResult]]; [[cancel]]
-    * aborts the job's in-flight Spark stages via its job group (the job
-    * then terminates FAILED, like the reference's abandoned tasks). */
+    * CREATED → RUNNING → COMPLETED|FAILED|CANCELLED and can be polled from
+    * any thread; [[await]] blocks for the terminal [[JobResult]];
+    * [[cancel]] aborts the job's Spark stages via its job group and the
+    * job terminates CANCELLED. */
+  object JobHandle {
+    private[Engine] val seq = new java.util.concurrent.atomic.AtomicLong(0L)
+  }
+
   final class JobHandle private[Engine] (
       val jobId: Int,
       val spec: JobSpec,
@@ -59,7 +63,10 @@ object Engine {
     private val prog = new java.util.concurrent.atomic.AtomicLong(
       java.lang.Double.doubleToLongBits(0.0))
 
-    private[Engine] val group = s"graft-job-$jobId"
+    // process-unique, not just per-jobId: cancelJobGroupAndFutureJobs
+    // poisons a group id permanently, and callers (runQueueConcurrent, a
+    // restarted JobServer) legitimately reuse small integer job ids
+    private[Engine] val group = s"graft-job-$jobId-${JobHandle.seq.incrementAndGet()}"
     private[Engine] def transition(s: String): Unit = { state.set(s); transitionLog.add(s) }
     private[Engine] def complete(r: JobResult): Unit = {
       terminal = r; transition(r.status)
@@ -100,8 +107,21 @@ object Engine {
     def transitions: Seq[String] = { import scala.jdk.CollectionConverters._; transitionLog.asScala.toSeq }
     /** Block until the job reaches a terminal state. */
     def await(): JobResult = { done.await(); terminal }
-    /** Best-effort cancel: aborts the job group's running Spark stages. */
-    def cancel(): Unit = spark.sparkContext.cancelJobGroup(group)
+    @volatile private var cancelRequested = false
+    /** True once [[cancel]] was called — the runner uses it to classify
+      * the resulting stage abort as CANCELLED rather than FAILED. */
+    def cancelled: Boolean = cancelRequested
+    /** Cancel: aborts the job group's running Spark stages AND fails any
+      * action the job submits afterwards (`cancelJobGroupAndFutureJobs` —
+      * plain `cancelJobGroup` would no-op in the window BETWEEN a
+      * multi-action job's actions and let the rest of the job run). The
+      * engine-side analogue of the reference master dropping a queued job
+      * znode, plus the running-stage abort the reference lacks. The runner
+      * thread observes the abort and completes terminal-state CANCELLED. */
+    def cancel(): Unit = {
+      cancelRequested = true
+      spark.sparkContext.cancelJobGroupAndFutureJobs(group, s"job $jobId cancelled")
+    }
   }
 
   /** Submit a word-count job without blocking: returns immediately with a
@@ -154,7 +174,11 @@ object Engine {
         handle.complete(JobResult(jobId, spec, "COMPLETED", counts.count(), outDir))
       } catch {
         case e: Throwable =>
-          handle.complete(JobResult(jobId, spec, "FAILED", -1L, outDir, Some(String.valueOf(e.getMessage))))
+          // a cancel()-induced stage abort surfaces here as an exception;
+          // classify it by the requested-cancel flag so a deliberate stop
+          // is not recorded as a failure
+          val status = if (handle.cancelled) "CANCELLED" else "FAILED"
+          handle.complete(JobResult(jobId, spec, status, -1L, outDir, Some(String.valueOf(e.getMessage))))
       } finally {
         spark.sparkContext.clearJobGroup()
         // safe while events are still in flight: advanceProgress is

@@ -25,7 +25,12 @@ import org.apache.spark.sql.SparkSession
   *    "transitions", ...}` — the poll-while-running surface (reference
   *    clients poll `/jobs/job_<seq>/status`); terminal jobs add
   *    `distinct_keys` / `error`;
-  *  - `GET /jobs` → summary list of every submitted job.
+  *  - `GET /jobs` → summary list of every submitted job;
+  *  - `DELETE /jobs/<id>` → cancel: a queued job is dropped before it
+  *    ever takes a slot, a running one gets its Spark job group aborted
+  *    (the reference master's queued-znode removal,
+  *    `src/master/master.cpp:300-336`, plus a running-stage abort the
+  *    reference lacks). Terminal jobs are left untouched.
   *
   * Built on the JDK's `com.sun.net.httpserver` (no extra dependency) with
   * Jackson (already on Spark's classpath) for JSON. Admission is bounded
@@ -41,6 +46,9 @@ final class JobServer(spark: SparkSession, outRoot: String, maxParallel: Int = 4
     * slot and swaps in the live [[Engine.JobHandle]]. */
   private final class Entry(val spec: Engine.JobSpec) {
     @volatile var handle: Option[Engine.JobHandle] = None
+    /** Cancel requested while still queued: the admission thread skips
+      * launching (releasing its slot), and status reads CANCELLED. */
+    @volatile var cancelled = false
   }
 
   private val om = new ObjectMapper()
@@ -69,6 +77,11 @@ final class JobServer(spark: SparkSession, outRoot: String, maxParallel: Int = 4
     val node = om.createObjectNode()
     node.put("job_id", id)
     e.handle match {
+      case None if e.cancelled => // dropped from the queue before a slot
+        node.put("status", "CANCELLED")
+        node.put("progress", 0.0)
+        val tr = node.putArray("transitions")
+        tr.add("CREATED"); tr.add("CANCELLED")
       case None => // admitted, waiting for a slot — the reference's queued znode
         node.put("status", "CREATED")
         node.put("progress", 0.0)
@@ -78,7 +91,7 @@ final class JobServer(spark: SparkSession, outRoot: String, maxParallel: Int = 4
         node.put("progress", h.progress)
         val tr = node.putArray("transitions")
         h.transitions.foreach(tr.add)
-        if (h.status == "COMPLETED" || h.status == "FAILED") {
+        if (h.status == "COMPLETED" || h.status == "FAILED" || h.status == "CANCELLED") {
           val r = h.await()
           node.put("distinct_keys", r.distinctKeys)
           node.put("out_dir", r.outDir)
@@ -113,7 +126,20 @@ final class JobServer(spark: SparkSession, outRoot: String, maxParallel: Int = 4
             case Some((id, e)) => respond(ex, 200, statusJson(id, e))
             case None          => respond(ex, 404, err("no such job"))
           }
-        case ("POST" | "GET", _) => respond(ex, 404, err("unknown path"))
+        case ("DELETE", p) if p.startsWith("/jobs/") =>
+          p.stripPrefix("/jobs/").toIntOption.flatMap(id =>
+            Option(jobs.get(id)).map(id -> _)) match {
+            case Some((id, e)) =>
+              // queued-or-running either way: flag first, then abort any
+              // live handle. The admission thread re-checks the flag after
+              // setting the handle, so whichever write lands second still
+              // observes the other — no uncancellable window.
+              e.cancelled = true
+              e.handle.foreach(_.cancel())
+              respond(ex, 200, statusJson(id, e))
+            case None => respond(ex, 404, err("no such job"))
+          }
+        case ("POST" | "GET" | "DELETE", _) => respond(ex, 404, err("unknown path"))
         case _                   => respond(ex, 405, err("method not allowed"))
       }
     } catch {
@@ -145,8 +171,15 @@ final class JobServer(spark: SparkSession, outRoot: String, maxParallel: Int = 4
         // immediately with the pollable CREATED job
         val admit = new Thread(() => {
           slots.acquire()
-          entry.handle = Some(Engine.submitAsync(spark, spec, s"$outRoot/job_$id", id,
-            _ => slots.release()))
+          if (entry.cancelled) slots.release() // dropped while queued
+          else {
+            entry.handle = Some(Engine.submitAsync(spark, spec, s"$outRoot/job_$id", id,
+              _ => slots.release()))
+            // close the race with a DELETE that set the flag between the
+            // check above and the handle write: one side's write is always
+            // visible to the other's re-check
+            if (entry.cancelled) entry.handle.foreach(_.cancel())
+          }
         }, s"graft-jobserver-admit-$id")
         admit.setDaemon(true)
         admit.start()

@@ -74,6 +74,30 @@ class DedupSpec extends SparkTestBase {
     assert(survivors.size < all.size, "planted near-dups must collapse")
   }
 
+  test("LongLongMap: randomized parity with a boxed HashMap through growth") {
+    val rnd = new scala.util.Random(42)
+    val m = new Dedup.LongLongMap(16) // tiny initial capacity forces growth
+    val ref = scala.collection.mutable.HashMap[Long, Long]()
+    // keys include 0 and adversarially-sequential ids (the probe-cluster
+    // case the hash mix exists for), values include overwrites
+    val keys = (0L until 2000L) ++ Seq.fill(3000)(rnd.nextLong().abs)
+    keys.foreach { k =>
+      val v = rnd.nextLong()
+      m.put(k, v); ref(k) = v
+      if (rnd.nextBoolean()) { val v2 = rnd.nextLong(); m.put(k, v2); ref(k) = v2 }
+    }
+    assert(m.size === ref.size)
+    ref.foreach { case (k, v) => assert(m.getOrElse(k, Long.MinValue) === v) }
+    // misses fall through to the default
+    (0 until 500).foreach { _ =>
+      val k = -(rnd.nextLong().abs.max(1L)) // negative: never inserted
+      assert(m.getOrElse(k, 7L) === 7L)
+    }
+    var seen = 0
+    m.foreachKey(k => { assert(ref.contains(k)); seen += 1 })
+    assert(seen === ref.size)
+  }
+
   test("nearDupSurvivorsBy keeps the argmax-quality member per component, both tiers") {
     import graft.ops.TextAnalysis
     val byQuality = Dedup.nearDupSurvivorsBy(docs, TextAnalysis.qualityCol)
