@@ -270,6 +270,20 @@ object SparkEntry {
       ensureBm25Index(s, d)
       TextAnalysis.bm25SearchIndexed(s, "graft_bm25_idx", Seq("spark", "window", "join"))
     }),
+    // the maintenance step of the append lifecycle: half bulk-built, half
+    // appended (files accumulate per batch), then compacted back to one
+    // file per bucket — the probe answers identically over the compacted
+    // layout, so the gate shares the direct search's oracle; what changed
+    // is the file count every future probe pays for
+    "ta_bm25_compacted" -> ((s, d) => {
+      buildOnce(s"bm25_compact:$d") {
+        val docs = Tables.documents(s, d)
+        TextAnalysis.buildBm25Index(docs.filter(col("doc_id") % 2 === 0), "graft_bm25_cpt")
+        TextAnalysis.appendToBm25Index(docs.filter(col("doc_id") % 2 =!= 0), "graft_bm25_cpt")
+        graft.sources.Formats.compactBucketed(s, "graft_bm25_cpt", Seq("word"), 8)
+      }
+      TextAnalysis.bm25SearchIndexed(s, "graft_bm25_cpt", Seq("spark", "window", "join"))
+    }),
     // incremental-ingest variant: two doc-disjoint batches, bulk build +
     // append; df is probe-derived and stats merge by integer addition, so
     // the two-batch index shares the one-shot oracle
@@ -1781,6 +1795,7 @@ object SparkEntry {
     "ta_bm25_search" -> bm25OracleSql,
     "ta_bm25_indexed" -> bm25OracleSql,
     "ta_bm25_indexed_incr" -> bm25OracleSql,
+    "ta_bm25_compacted" -> bm25OracleSql,
     "ta_hybrid_search" -> hybridOracleSql,
     "ta_hybrid_indexed" -> hybridIndexedOracleSql,
     // DuckDB replays the ENTIRE BPE training loop (pair counts → argmax →

@@ -665,6 +665,18 @@ object Dedup {
         .select("doc_id"),
       Seq("doc_id"), "left_semi")
 
+  /** [[decontaminate]] over the Bloom-pruned scan — the actionable
+    * threshold filter for the broadcast-outgrown regime. Result-identical
+    * to [[decontaminate]] (the stats are identical), at the Bloom path's
+    * scan cost. */
+  def decontaminateBloom(train: DataFrame, benchmark: DataFrame, n: Int = 8,
+      maxRatio: Double = 0.0, fpp: Double = 0.01): DataFrame =
+    train.join(
+      contaminationStatsBloom(train, benchmark, n, fpp)
+        .filter(col("contam_ratio") <= maxRatio)
+        .select("doc_id"),
+      Seq("doc_id"), "left_semi")
+
   /** Span-level dedup REWRITE — the actionable half of the
     * [[duplicateSpans]] curation signal: produce the *cleaned corpus* with
     * cross-document repeated spans dropped, first occurrence kept. This is

@@ -183,4 +183,60 @@ object Formats {
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Compact a bucketed table back to ONE file per bucket, preserving the
+    * bucketed + per-bucket-sorted layout — the maintenance half of the
+    * append-based index lifecycle (build → append xN → compact → probe).
+    * Every [[writeBucketedAppend]] batch adds its own files per bucket, so
+    * a daily-ingest index accumulates files linearly in batches; at 100 TB
+    * each file is a task, a footer read, and an object-store request on
+    * every probe. The rewrite `repartition`s on the bucket columns first —
+    * Spark's bucket placement IS `HashPartitioning` on those columns, so
+    * each task holds exactly one bucket's rows and the bucketed write
+    * emits exactly one file per non-empty bucket (without the repartition,
+    * a T-task write can emit up to T x buckets files — the bucketed-write
+    * small-file trap). Rewritten via a staging table + catalog rename, so
+    * a reader never observes a half-compacted table; probes answer
+    * identically before and after (same rows, same layout contract — the
+    * compacted gate shares its uncompacted twin's oracle). Returns the
+    * table's parquet file count after compaction. */
+  def compactBucketed(spark: SparkSession, table: String, bucketCols: Seq[String],
+      numBuckets: Int): Int = {
+    val staging = table + "__compacting"
+    dropForOverwrite(spark, staging)
+    // read the table's FILES as plain parquet, not `spark.table`: the
+    // bucketed scan advertises HashPartitioning(numBuckets), so Catalyst
+    // would elide the repartition as redundant — and then the
+    // auto-bucketed-scan rule (nothing in this plan requires the bucket
+    // distribution) silently reads the small files in arbitrary coalesced
+    // splits, producing one file per (task x bucket) instead of one per
+    // bucket. A raw file scan carries no partitioning claim, so the
+    // shuffle survives and every task holds exactly one bucket's rows.
+    spark.read.parquet(tableLocation(spark, table))
+      .repartition(numBuckets, bucketCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(staging)
+    spark.sql(s"DROP TABLE `$table`")
+    spark.sql(s"ALTER TABLE `$staging` RENAME TO `$table`")
+    bucketedFileCount(spark, table)
+  }
+
+  private def tableLocation(spark: SparkSession, table: String): String =
+    spark.sql(s"DESCRIBE TABLE EXTENDED `$table`")
+      .filter(col("col_name") === "Location").select("data_type")
+      .collect()(0).getString(0)
+
+  /** Number of parquet data files under a managed table's location — the
+    * quantity compaction exists to bound. */
+  def bucketedFileCount(spark: SparkSession, table: String): Int = {
+    val loc = new org.apache.hadoop.fs.Path(new java.net.URI(tableLocation(spark, table)))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(loc, true)
+    var n = 0
+    while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+    n
+  }
 }

@@ -239,6 +239,12 @@ class DedupSpec extends SparkTestBase {
     val tainted = sp.join(benchHashes, Seq("sh"), "left_semi").count()
     assert(kept < total / 2, s"bloom must prune most spans: kept $kept of $total")
     assert(kept >= tainted, "bloom survivors must be a superset of true hits")
+    // the actionable wrapper composes identically to the direct one
+    val cleanDirect = Dedup.decontaminate(train, bench).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val cleanBloom = Dedup.decontaminateBloom(train, bench).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(cleanBloom === cleanDirect)
   }
 
   test("maxDf cap removes ubiquitous-shingle candidates (the k-squared skew guard)") {

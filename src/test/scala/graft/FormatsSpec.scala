@@ -137,6 +137,45 @@ class FormatsSpec extends SparkTestBase {
       "useV1SourceList must be restored after the scoped V2 read")
   }
 
+  test("compactBucketed: appends accumulate files, compaction yields one per bucket, data identical") {
+    val o = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    try {
+      // build + three appends: each batch writes its own per-bucket files
+      Formats.writeBucketed(o.filter(col("o_orderkey") % 4 === 0), "orders_cpt", Seq("o_custkey"), 8)
+      (1 to 3).foreach(i =>
+        Formats.writeBucketedAppend(o.filter(col("o_orderkey") % 4 === i), "orders_cpt", Seq("o_custkey"), 8))
+      val before = Formats.bucketedFileCount(spark, "orders_cpt")
+      assert(before > 8, s"appends must accumulate files past one per bucket: $before")
+      val rows = spark.table("orders_cpt").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+      val after = Formats.compactBucketed(spark, "orders_cpt", Seq("o_custkey"), 8)
+      // exactly one file per non-empty bucket, and the helper agrees with
+      // the filesystem
+      assert(after <= 8, s"compaction must yield at most one file per bucket: $after")
+      assert(after === Formats.bucketedFileCount(spark, "orders_cpt"))
+      // nothing lost, nothing duplicated
+      val rowsAfter = spark.table("orders_cpt").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+      assert(rowsAfter === rows)
+      // the compacted layout still carries the bucket contract: a join on
+      // the bucket key plans with zero exchanges on the compacted side
+      val priorThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val c = Tables.customer(spark, sfDir).select("c_custkey", "c_mktsegment")
+        Formats.writeBucketed(c, "customer_cpt", Seq("c_custkey"), 8)
+        val joined = spark.table("orders_cpt")
+          .join(spark.table("customer_cpt"), col("o_custkey") === col("c_custkey"))
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange"), s"compacted bucketed join must not shuffle:\n$plan")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", priorThreshold)
+    } finally {
+      Seq("orders_cpt", "orders_cpt__compacting", "customer_cpt")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("bucketed tables join with zero exchanges") {
     val wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
     val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey", "o_totalprice")
