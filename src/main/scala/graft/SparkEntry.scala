@@ -513,6 +513,12 @@ object SparkEntry {
       Similarity.embeddingNearDupPairsLSH(Tables.embeddings(s, d))),
     "ann_lsh_topk" -> ((s, d) =>
       Similarity.lshTopK(Tables.embeddings(s, d), col("vec_id") < 10)),
+    // int8 scalar-quantized tier: the corpus scan reads 1 byte/dim (4x
+    // compression) and ranks by the QUANTIZED cosine — exact integer dots
+    // (byte_dot) + one IEEE division, so the ranking has its own exact
+    // DuckDB replay; recall vs the float tier is measured in the spec
+    "ann_sq_topk" -> ((s, d) =>
+      Similarity.sqTopK(Tables.embeddings(s, d), col("vec_id") < 10)),
     // build/query split: banded signatures persisted ONCE as a bucketed
     // table, probe reads the stored index (same oracle as ann_lsh_topk —
     // the index changes where signatures come from, not the answer).
@@ -975,6 +981,28 @@ object SparkEntry {
   private val annOracleSql: String =
     s"""WITH $lshBandedCte,
        |$annBodySql""".stripMargin
+
+  /** DuckDB replay of [[graft.ops.Similarity.sqTopK]]: the same per-vector
+    * int8 quantization (round-half-away matches Spark's round), codes
+    * folded as doubles — every term is an exact integer < 2^21, so the
+    * fold is exact under any order and bit-equal to the Spark side's long
+    * accumulation — and the same `dq / (|q| * |n|)` association. */
+  private val sqTopKOracleSql: String =
+    """WITH ma AS (SELECT vec_id,
+      |    CAST(list_max(list_transform(embedding, e -> abs(e))) AS DOUBLE) AS m
+      |  FROM embeddings),
+      |codes AS (SELECT e.vec_id,
+      |    CASE WHEN ma.m = 0 THEN list_transform(e.embedding, x -> CAST(0 AS DOUBLE))
+      |         ELSE list_transform(e.embedding, x -> round(CAST(x AS DOUBLE) * 127.0 / ma.m)) END AS c
+      |  FROM embeddings e JOIN ma USING (vec_id)),
+      |normed AS (SELECT vec_id, c, sqrt(list_dot_product(c, c)) AS nrm FROM codes),
+      |pairs AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+      |    list_dot_product(q.c, n.c) / (q.nrm * n.nrm) AS cos_q
+      |  FROM normed q JOIN normed n ON q.vec_id < 10 AND n.vec_id <> q.vec_id),
+      |r AS (SELECT query_id, neighbor_id,
+      |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_q DESC, neighbor_id) AS BIGINT) AS rn, cos_q
+      |  FROM pairs)
+      |SELECT query_id, neighbor_id, rn, cos_q FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
 
   /** DuckDB replay of [[TextAnalysis.hashEmbed]] as a `hemb` CTE:
     * (doc_id, dim_idx, weight FLOAT). Exact-integer votes; the only float
@@ -1773,6 +1801,7 @@ object SparkEntry {
         |  FROM p)
         |SELECT query_id, neighbor_id, rn, cos FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
     "ann_lsh_topk" -> annOracleSql,
+    "ann_sq_topk" -> sqTopKOracleSql,
     "ta_hash_embed" -> hashEmbedOracleSql,
     "ann_hash_embed_lsh" -> hashEmbedLshOracleSql,
     "ann_lsh_indexed" -> annOracleSql,

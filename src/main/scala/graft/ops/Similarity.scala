@@ -86,6 +86,53 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
+  /** Per-vector int8 scalar quantization: `code_i = round(x_i * 127 /
+    * max|x|)` — 4x smaller than FLOAT (the difference between a
+    * memory-bandwidth-bound scan fitting in cache-page budget or not at
+    * 100 TB), and cosine over the codes needs no dequantization at all:
+    * the per-vector scale cancels in `dot / (|q| |n|)`. The all-zero
+    * vector keeps all-zero codes (its cosine is undefined either way).
+    * Two-step select so the max-abs scale computes once per row — it is
+    * referenced twice (guard + lambda), which keeps CollapseProject from
+    * inlining it into the per-element lambda. */
+  def quantizeInt8(emb: DataFrame): DataFrame =
+    emb
+      .select(col("vec_id"), col("embedding"),
+        expr("CAST(array_max(transform(embedding, e -> abs(e))) AS DOUBLE)").as("ma"))
+      .select(col("vec_id"),
+        when(col("ma") === 0.0, expr("transform(embedding, e -> CAST(0 AS TINYINT))"))
+          .otherwise(expr(
+            "transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 127.0 / ma) AS TINYINT))"))
+          .as("codes"))
+
+  /** Scalar-quantized brute-force top-k — [[bruteForceTopK]]'s plan shape
+    * over int8 codes: the corpus pass reads 1 byte/dim instead of 4 and
+    * every dot is a primitive integer loop ([[graft.functions.ByteDot]]).
+    * This tier's ranking is the QUANTIZED cosine (deterministic, its own
+    * oracle — exact integer dots, one IEEE division), not the float
+    * ranking; SimilaritySpec measures its recall against the exact tier.
+    * The scale story composes with the others: SQ is the in-memory
+    * compression lever, LSH/IVF are the candidate-pruning levers. */
+  def sqTopK(emb: DataFrame, queryPred: Column, k: Int = 5): DataFrame = {
+    graft.functions.ByteDot.register(emb.sparkSession)
+    val codes = quantizeInt8(emb)
+    val q = codes.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("codes").as("qc"),
+        sqrt(expr("byte_dot(codes, codes)").cast("double")).as("qnorm"))
+    val n = codes
+      .select(col("vec_id").as("neighbor_id"), col("codes").as("nc"),
+        sqrt(expr("byte_dot(codes, codes)").cast("double")).as("nnorm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_q").desc, col("neighbor_id"))
+    broadcast(q).join(n, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_q",
+        expr("byte_dot(qc, nc)").cast("double") / (col("qnorm") * col("nnorm")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select("query_id", "neighbor_id", "rn", "cos_q")
+      .orderBy("query_id", "rn")
+  }
+
   val NumPlanes = 16
   val Dim       = 64
   val SigBands  = 4 // 4 bands x 4 bits; a pair collides if any 4-bit band agrees
