@@ -519,6 +519,19 @@ object SparkEntry {
     // DuckDB replay; recall vs the float tier is measured in the spec
     "ann_sq_topk" -> ((s, d) =>
       Similarity.sqTopK(Tables.embeddings(s, d), col("vec_id") < 10)),
+    // build/query split for the SQ tier: half the corpus quantized in the
+    // bulk build, half appended (codes are per-vector, so the two-batch
+    // table is bit-identical to a one-shot build); the probe reads STORED
+    // 1-byte codes and never touches the float corpus — same oracle as
+    // ann_sq_topk (the table changes where codes come from, not the answer)
+    "ann_sq_indexed" -> ((s, d) => {
+      buildOnce(s"sq:$d") {
+        val emb = Tables.embeddings(s, d)
+        Similarity.buildSqCodes(emb.filter(col("vec_id") % 2 === 0), "graft_sq_codes")
+        Similarity.appendToSqCodes(emb.filter(col("vec_id") % 2 =!= 0), "graft_sq_codes")
+      }
+      Similarity.sqTopKIndexed(s, "graft_sq_codes", col("vec_id") < 10)
+    }),
     // build/query split: banded signatures persisted ONCE as a bucketed
     // table, probe reads the stored index (same oracle as ann_lsh_topk —
     // the index changes where signatures come from, not the answer).
@@ -541,6 +554,12 @@ object SparkEntry {
     }),
     "ann_ivf_topk" -> ((s, d) =>
       Similarity.ivfTopK(Tables.embeddings(s, d), col("vec_id") < 10)),
+    // product-quantization tier: 16 trained sub-codebooks, 16-byte codes
+    // (16x compression), asymmetric scoring — float queries against
+    // code-reconstructed neighbors; the oracle replays training, encoding,
+    // and the ranking end to end
+    "ann_pq_topk" -> ((s, d) =>
+      Similarity.pqTopK(Tables.embeddings(s, d), col("vec_id") < 10)),
     // same probe plan over k-means-trained pivots; the oracle replays the
     // full (deterministic, fixed-point) Lloyd's training loop in DuckDB
     "ann_ivf_kmeans" -> ((s, d) =>
@@ -1337,6 +1356,68 @@ object SparkEntry {
     s"""WITH $kmeansPivotCtes,
        |$ivfBodySql""".stripMargin
 
+  /** DuckDB replay of [[Similarity.pqTopK]]: per-subspace L2 Lloyd's
+    * training ([[Similarity.PqIters]] rounds over all
+    * [[Similarity.PqSubspaces]] codebooks at once, same fixed-point
+    * centroid sums as the IVF replay), argmin encoding, reconstruction by
+    * subspace-ordered concatenation, and the standard cosine ranking of
+    * float queries against the reconstructions. d2 uses the dot-expansion
+    * `x·x - 2 x·c + c·c` in the exact Spark association so assignment
+    * ties break identically. */
+  private val pqTopKOracleSql: String = {
+    val m = Similarity.PqSubspaces
+    val sd = Similarity.PqSubDim
+    val k = Similarity.PqCodes
+    val q = s"${Similarity.QuantScale}.0"
+    def d2(x: String, c: String): String =
+      s"list_dot_product(CAST($x AS DOUBLE[]), CAST($x AS DOUBLE[])) - " +
+        s"2.0 * list_dot_product(CAST($x AS DOUBLE[]), CAST($c AS DOUBLE[])) + " +
+        s"list_dot_product(CAST($c AS DOUBLE[]), CAST($c AS DOUBLE[]))"
+    val rounds = (1 to Similarity.PqIters).map { i =>
+      val prev = s"pb${i - 1}"
+      s"""ps$i AS (SELECT s.vec_id, s.m, s.sv, c.pid, ${d2("s.sv", "c.cv")} AS d2
+         |  FROM psub s JOIN $prev c ON s.m = c.m),
+         |pa$i AS (SELECT vec_id, m, sv, pid AS cell FROM (
+         |  SELECT vec_id, m, sv, pid,
+         |    row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, pid) AS r
+         |  FROM ps$i) WHERE r = 1),
+         |pm$i AS (SELECT m, cell, d AS pos,
+         |  sum(CAST(floor(CAST(sv[d] AS DOUBLE) * $q) AS BIGINT)) AS s, count(*) AS n
+         |  FROM pa$i, unnest(generate_series(1, $sd)) AS t(d) GROUP BY m, cell, d),
+         |pg$i AS (SELECT m, cell AS pid,
+         |  list(CAST(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * $q) AS FLOAT) ORDER BY pos) AS cv
+         |  FROM pm$i GROUP BY m, cell),
+         |pb$i AS (SELECT c.m, c.pid, coalesce(g.cv, c.cv) AS cv
+         |  FROM $prev c LEFT JOIN pg$i g ON c.m = g.m AND c.pid = g.pid)""".stripMargin
+    }.mkString(",\n")
+    val fin = s"pb${Similarity.PqIters}"
+    s"""WITH psub AS (SELECT vec_id, m,
+       |    list_slice(embedding, m * $sd + 1, m * $sd + $sd) AS sv
+       |  FROM embeddings, unnest(generate_series(0, ${m - 1})) AS t(m)),
+       |pkinit AS (SELECT embedding,
+       |  row_number() OVER (ORDER BY ${h32Sql("CAST(vec_id AS VARCHAR)")}, vec_id) AS krn
+       |  FROM embeddings),
+       |pb0 AS (SELECT m, CAST(krn - 1 AS BIGINT) AS pid,
+       |    list_slice(embedding, m * $sd + 1, m * $sd + $sd) AS cv
+       |  FROM pkinit, unnest(generate_series(0, ${m - 1})) AS t(m) WHERE krn <= $k),
+       |$rounds,
+       |pcode AS (SELECT vec_id, m, cell FROM (
+       |  SELECT s.vec_id, s.m, c.pid AS cell,
+       |    row_number() OVER (PARTITION BY s.vec_id, s.m
+       |      ORDER BY ${d2("s.sv", "c.cv")}, c.pid) AS r
+       |  FROM psub s JOIN $fin c ON s.m = c.m) WHERE r = 1),
+       |prec AS (SELECT p.vec_id, flatten(list(c.cv ORDER BY p.m)) AS rv
+       |  FROM pcode p JOIN $fin c ON p.m = c.m AND p.cell = c.pid
+       |  GROUP BY p.vec_id),
+       |pp AS (SELECT qq.vec_id AS query_id, nn.vec_id AS neighbor_id,
+       |    list_cosine_similarity(CAST(qq.embedding AS DOUBLE[]), CAST(nn.rv AS DOUBLE[])) AS cos_pq
+       |  FROM embeddings qq JOIN prec nn ON qq.vec_id < 10 AND nn.vec_id <> qq.vec_id),
+       |pr AS (SELECT query_id, neighbor_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_pq DESC, neighbor_id) AS BIGINT) AS rn, cos_pq
+       |  FROM pp)
+       |SELECT query_id, neighbor_id, rn, cos_pq FROM pr WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
+  }
+
   /** DuckDB mirror of [[Similarity.clusterBalancedSample]]: replayed
     * k-means training, final-centroid argmax assignment, per-cell
     * hash-order prefix cap. */
@@ -1802,6 +1883,8 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, rn, cos FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
     "ann_lsh_topk" -> annOracleSql,
     "ann_sq_topk" -> sqTopKOracleSql,
+    "ann_sq_indexed" -> sqTopKOracleSql,
+    "ann_pq_topk" -> pqTopKOracleSql,
     "ta_hash_embed" -> hashEmbedOracleSql,
     "ann_hash_embed_lsh" -> hashEmbedLshOracleSql,
     "ann_lsh_indexed" -> annOracleSql,

@@ -115,7 +115,35 @@ object Similarity {
     * compression lever, LSH/IVF are the candidate-pruning levers. */
   def sqTopK(emb: DataFrame, queryPred: Column, k: Int = 5): DataFrame = {
     graft.functions.ByteDot.register(emb.sparkSession)
-    val codes = quantizeInt8(emb)
+    rankSq(quantizeInt8(emb), queryPred, k)
+  }
+
+  /** Build-once half of the SQ build/query split: materialize the int8
+    * codes as a stored table. Unlike the LSH/IVF indexes there is no
+    * probe key to bucket on — the SQ tier's scan IS a full pass by design
+    * (its lever is bytes-per-row, not rows-touched) — so the "index" is
+    * the quantization pass run once instead of per query: every probe
+    * reads 1-byte codes off disk and never touches the float corpus. */
+  def buildSqCodes(emb: DataFrame, table: String): Unit =
+    graft.sources.Formats.writeManaged(quantizeInt8(emb), table)
+
+  /** Per-doc-independent codes → append-only ingest, same contract as the
+    * other index appends: a two-batch build answers bit-identically to a
+    * one-shot build of the union. */
+  def appendToSqCodes(newEmb: DataFrame, table: String): Unit =
+    quantizeInt8(newEmb).write.mode(org.apache.spark.sql.SaveMode.Append)
+      .format("parquet").saveAsTable(table)
+
+  /** Query-many half: [[sqTopK]] semantics (same oracle) over the STORED
+    * codes — the quantization pass is read, not recomputed. */
+  def sqTopKIndexed(spark: org.apache.spark.sql.SparkSession, table: String,
+      queryPred: Column, k: Int = 5): DataFrame = {
+    graft.functions.ByteDot.register(spark)
+    rankSq(spark.table(table), queryPred, k)
+  }
+
+  /** Shared ranking tail of the direct and indexed SQ paths. */
+  private def rankSq(codes: DataFrame, queryPred: Column, k: Int): DataFrame = {
     val q = codes.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("codes").as("qc"),
         sqrt(expr("byte_dot(codes, codes)").cast("double")).as("qnorm"))
@@ -468,6 +496,137 @@ object Similarity {
   }
 
   val KmeansIters = 2
+
+  val PqSubspaces = 16
+  val PqSubDim: Int = Dim / PqSubspaces
+  val PqCodes = 16
+  val PqIters = 2
+
+  /** Squared L2 distance via the dot expansion `x·x - 2 x·c + c·c` — the
+    * SAME association on both engines (three sequential-fold dots, two
+    * subtractions left to right), so PQ assignment ties break identically
+    * in the DuckDB replay. `list_distance`'s sqrt-of-squared-diffs fold
+    * would NOT be bit-equal to any Spark-side expression. */
+  private def sqDist(x: String, c: String): Column =
+    expr(s"float_dot($x, $x)") - lit(2.0) * expr(s"float_dot($x, $c)") +
+      expr(s"float_dot($c, $c)")
+
+  /** One row per (vector, subspace): the [[PqSubDim]]-wide sub-vector. */
+  private def subVectors(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+      posexplode(array((0 until PqSubspaces).map(m =>
+        slice(col("embedding"), m * PqSubDim + 1, PqSubDim)): _*))
+        .as(Seq("m", "sv")))
+
+  /** Product-quantization codebooks: per subspace, [[PqCodes]] centroids
+    * trained by deterministic Lloyd's under SQUARED-L2 assignment (the PQ
+    * objective is reconstruction, so magnitude matters — unlike the IVF
+    * tier's cosine cells). All [[PqSubspaces]] codebooks train together:
+    * each round is ONE distributed job — sub-vector × broadcast-codebook
+    * argmin keyed on (vector, subspace), then [[QuantScale]] fixed-point
+    * LONG sums per (subspace, cell, dim) — whose M×k×subdim gram (not the
+    * corpus) is collected, the [[trainPivots]] shape widened by the
+    * subspace key. Init per subspace: the sub-vectors of the k
+    * hash-smallest vec_ids (same seeded sample as [[trainPivots]]).
+    * Returns `(m, pid, cv: ARRAY<FLOAT>)`. */
+  def trainPqCodebooks(emb: DataFrame, k: Int = PqCodes, iters: Int = PqIters): DataFrame = {
+    graft.functions.FloatDot.register(emb.sparkSession)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val init: Array[Seq[Float]] = emb
+      .withColumn("hk", graft.functions.CrossHash.h32(col("vec_id").cast("string")))
+      .orderBy(col("hk"), col("vec_id"))
+      .limit(k)
+      .select(col("embedding")).as[Seq[Float]]
+      .collect()
+    // codebooks(m)(pid) = centroid of subspace m, cell pid
+    var books: Array[Array[Seq[Float]]] = Array.tabulate(PqSubspaces, k) {
+      (m, pid) => init(pid).slice(m * PqSubDim, (m + 1) * PqSubDim)
+    }
+    val subs = subVectors(emb)
+    for (_ <- 1 to iters) {
+      val w = Window.partitionBy(col("vec_id"), col("m"))
+        .orderBy(col("d2"), col("pid"))
+      val assigned = subs.join(broadcast(codebookTable(spark, books)), Seq("m"))
+        .withColumn("d2", sqDist("sv", "cv"))
+        .withColumn("r", row_number().over(w))
+        .filter(col("r") === 1)
+        .select(col("m"), col("pid").as("cell"), col("sv"))
+      val sums = assigned
+        .select(col("m"), col("cell"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .select(col("m"), col("cell"), col("pos"),
+          floor(col("x").cast("double") * QuantScale).as("q"))
+        .groupBy("m", "cell", "pos")
+        .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+        .as[(Int, Long, Int, Long, Long)]
+        .collect()
+      val next = books.map(_.map(_.toArray))
+      sums.foreach { case (m, cell, pos, s, n) =>
+        next(m)(cell.toInt)(pos) = (s.toDouble / (n.toDouble * QuantScale)).toFloat
+      }
+      books = next.map(_.map(_.toSeq))
+    }
+    codebookTable(spark, books)
+  }
+
+  private def codebookTable(spark: org.apache.spark.sql.SparkSession,
+      books: Array[Array[Seq[Float]]]): DataFrame =
+    spark.createDataFrame(for {
+      (cells, m) <- books.toSeq.zipWithIndex
+      (cv, pid) <- cells.toSeq.zipWithIndex
+    } yield (m, pid.toLong, cv)).toDF("m", "pid", "cv")
+
+  /** Encode the corpus against trained codebooks: per (vector, subspace)
+    * the argmin-d2 cell, assembled in subspace order into a PqSubspaces-byte code
+    * array — 16x smaller than the 256-byte float vector at the default 16 subspaces. */
+  def pqEncode(emb: DataFrame, codebooks: DataFrame): DataFrame = {
+    graft.functions.FloatDot.register(emb.sparkSession)
+    val w = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("d2"), col("pid"))
+    subVectors(emb).join(broadcast(codebooks), Seq("m"))
+      .withColumn("d2", sqDist("sv", "cv"))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") === 1)
+      .groupBy("vec_id")
+      .agg(expr("transform(array_sort(collect_list(struct(m, pid))), s -> CAST(s.pid AS TINYINT))")
+        .as("codes"))
+  }
+
+  /** PQ ANN top-k by asymmetric distance: queries stay full-precision
+    * floats, neighbors are their per-subspace codes reconstructed through the
+    * broadcast codebooks (`ĉ_n` = the concatenation of each subspace's
+    * coded centroid), ranked by `cosine(q, ĉ_n)` — the same
+    * sequential-fold cosine as every other tier, so the whole pipeline
+    * (training, encoding, ranking) replays bit-for-bit in DuckDB. At
+    * 100 TB this is the memory-residency lever taken further than int8:
+    * the corpus scan reads PqSubspaces bytes per vector (16x at the default), the codebooks are a
+    * broadcast literal, and only the tiny query set touches floats.
+    * Recall vs the exact tier is measured in SimilaritySpec. */
+  def pqTopK(emb: DataFrame, queryPred: Column, k: Int = 5): DataFrame = {
+    graft.functions.FloatDot.register(emb.sparkSession)
+    val books = trainPqCodebooks(emb)
+    val rec = pqEncode(emb, books)
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("cm", "code")))
+      .join(broadcast(books.select(
+          col("m").as("cm"), col("pid").as("cpid"), col("cv"))),
+        Seq("cm"))
+      .filter(col("code").cast("long") === col("cpid"))
+      .groupBy(col("vec_id"))
+      .agg(flatten(expr("transform(array_sort(collect_list(struct(cm, cv))), s -> s.cv)"))
+        .as("rv"))
+    val q = emb.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_pq").desc, col("neighbor_id"))
+    broadcast(q)
+      .join(rec.select(col("vec_id").as("neighbor_id"), col("rv")),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_pq", cosine("qv", "rv"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select("query_id", "neighbor_id", "rn", "cos_pq")
+      .orderBy("query_id", "rn")
+  }
 
   /** Fixed-point grid for centroid accumulation: component sums are taken
     * over `floor(x * 2^24)` LONGs, not doubles. Long addition is exact and

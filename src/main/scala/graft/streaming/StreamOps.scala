@@ -109,6 +109,42 @@ object StreamOps {
         writeBatchIdempotent(b, outDir, id))
       .start()
 
+  /** Fold exactly-once staged stream batches into a stored index — the
+    * composition that closes the streaming-ingest loop around the
+    * build/append index family: a stream lands micro-batches via
+    * [[startExactlyOnceFileSink]] (idempotent `batch_id=N` dirs), and this
+    * maintenance job appends each NOT-YET-ABSORBED batch into the index
+    * through `append` (e.g. `Similarity.appendToLshIndex(_, table)`),
+    * recording absorbed ids in a `<ledgerTable>` so re-runs are no-ops.
+    * Appends must be doc-disjoint across batches (the file sink's
+    * exactly-once contract provides that).
+    *
+    * The ledger row commits AFTER its batch's append — a crash between
+    * the two replays that one batch, the standard at-least-once window of
+    * any non-transactional two-phase sink (a transactional table format
+    * is the production upgrade; no such dependency exists here). Returns
+    * the batch ids absorbed by THIS call. */
+  def absorbStagedBatches(spark: SparkSession, stagingDir: String,
+      ledgerTable: String)(append: DataFrame => Unit): Seq[Long] = {
+    import spark.implicits._
+    val root = new org.apache.hadoop.fs.Path(stagingDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    val staged = fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("batch_id=")).map(_.stripPrefix("batch_id=").toLong)
+    val absorbed: Set[Long] =
+      if (spark.catalog.tableExists(ledgerTable))
+        spark.table(ledgerTable).collect().map(_.getLong(0)).toSet
+      else Set.empty
+    val pending = staged.filterNot(absorbed).sorted
+    pending.foreach { id =>
+      append(spark.read.parquet(s"$stagingDir/batch_id=$id"))
+      Seq(id).toDF("batch_id").write.mode(org.apache.spark.sql.SaveMode.Append)
+        .format("parquet").saveAsTable(ledgerTable)
+    }
+    pending
+  }
+
   /** Input record for sessionization. */
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)

@@ -172,6 +172,43 @@ class StreamOpsSpec extends SparkTestBase {
     assert(spark.read.parquet(outDir).count() === 3, "replay does not duplicate")
   }
 
+  test("staged stream batches absorb into the LSH index once; probe equals one-shot build") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val outDir = java.nio.file.Files.createTempDirectory("graft-ing").resolve("stage").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-ing-ck").toString
+    val stream = MemoryStream[(Long, Seq[Float])]
+    try {
+      // two micro-batches land exactly-once in batch_id dirs
+      val rows = emb.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq
+      val (b1, b2) = rows.partition(_._1 % 2 == 0)
+      val q = StreamOps.startExactlyOnceFileSink(
+        stream.toDF().toDF("vec_id", "embedding"), outDir, ckDir)
+      try {
+        stream.addData(b1); q.processAllAvailable()
+        stream.addData(b2); q.processAllAvailable()
+      } finally q.stop()
+      // absorb stages into the index; a second call is a no-op
+      def appendBatch(df: org.apache.spark.sql.DataFrame): Unit =
+        graft.ops.Similarity.appendToLshIndex(
+          df.select(col("vec_id"), col("embedding").cast("array<float>").as("embedding")),
+          "graft_lsh_ing_spec")
+      val absorbed = StreamOps.absorbStagedBatches(spark, outDir, "graft_lsh_ing_ledger")(appendBatch)
+      assert(absorbed.size === 2, s"both staged batches absorb: $absorbed")
+      val again = StreamOps.absorbStagedBatches(spark, outDir, "graft_lsh_ing_ledger")(appendBatch)
+      assert(again.isEmpty, "re-running the maintenance job absorbs nothing")
+      // the streamed-ingest index answers exactly like the one-shot build
+      val viaStream = graft.ops.Similarity.lshTopKIndexed(
+        spark, "graft_lsh_ing_spec", col("vec_id") < 5)
+      val fresh = graft.ops.Similarity.lshTopK(emb, col("vec_id") < 5)
+      assert(viaStream.collect().toSeq === fresh.collect().toSeq)
+    } finally {
+      Seq("graft_lsh_ing_spec", "graft_lsh_ing_ledger")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("streaming near-dup admission: batch parity and TTL state eviction") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
