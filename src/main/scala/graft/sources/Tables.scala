@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{expr, timestamp_micros}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Parquet table loaders for the graft test corpus (TESTDATA.md / FIXTURES.md §B).
   *
@@ -26,18 +26,23 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which vanilla Spark rejects
-    * (PARQUET_TYPE_ILLEGAL) unless `spark.sql.legacy.parquet.nanosAsLong`
-    * is set — set it at session construction (Verify/Bench/test builders;
-    * this loader does NOT mutate session conf — ADVICE r1). Nanos arrive as
-    * long and are truncated to micros, the same conversion DuckDB applies,
-    * so oracle comparisons line up. The integer `div` matters: a double
-    * division would lose precision above 2^53 ns (~mid-1970s). */
+  /** events.ts normalization. The generator has shipped this column as
+    * parquet TIMESTAMP(NANOS) (which Spark reads as long under
+    * `spark.sql.legacy.parquet.nanosAsLong`) and as TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) (which Spark reads as TIMESTAMP_NTZ). Both are
+    * folded to plain TIMESTAMP here so every downstream `unix_micros`/
+    * window/watermark call sees one type. All graft sessions pin
+    * `spark.sql.session.timeZone=UTC`, so the NTZ→TZ cast is value-exact
+    * and matches DuckDB's naive-timestamp reading of the same file. The
+    * integer `div` on the nanos path matters: a double division would lose
+    * precision above 2^53 ns (~mid-1970s). */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = table(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", expr("cast(ts as timestamp)"))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
