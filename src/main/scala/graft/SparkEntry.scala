@@ -73,6 +73,13 @@ object SparkEntry {
     }
   }
 
+  /** The stored IVF index is shared by the ANN probe gate AND the
+    * cluster-balanced-sampling gate — one canonical key, one build. */
+  private def ensureIvfIndex(s: SparkSession, d: String): Unit =
+    buildOnce(s"ivf:$d") {
+      Similarity.buildIvfIndex(Tables.embeddings(s, d), "graft_ivf_idx")
+    }
+
   /** BPE MERGES memoized per (session, sf dir) — the training-loop
     * analogue of [[buildOnce]]: the three ta_bpe_* gates share one
     * training. Keyed on the session OBJECT via a WeakHashMap (ADVICE r6):
@@ -573,8 +580,39 @@ object SparkEntry {
     // as ann_ivf_kmeans (the index changes where cells come from, not the
     // answer)
     "ann_ivf_indexed" -> ((s, d) => {
-      buildOnce(s"ivf:$d") { Similarity.buildIvfIndex(Tables.embeddings(s, d), "graft_ivf_idx") }
+      ensureIvfIndex(s, d)
       Similarity.ivfTopKIndexed(s, "graft_ivf_idx", col("vec_id") < 10)
+    }),
+    // the same stored IVF assignment feeds curation: cluster-balanced
+    // sampling is a pure function of (vec_id, cell), so the indexed
+    // variant reads the index (embedding column pruned from the scan) and
+    // shares ann_cluster_sample's oracle
+    "ann_cluster_sample_indexed" -> ((s, d) => {
+      ensureIvfIndex(s, d)
+      Similarity.clusterBalancedSampleIndexed(s, "graft_ivf_idx")
+    }),
+    // build/query split for the PQ tier: codebooks trained + corpus
+    // encoded once, probe ranks float queries against STORED 16-byte
+    // codes — same oracle as ann_pq_topk (the index changes where codes
+    // come from, not the answer)
+    "ann_pq_indexed" -> ((s, d) => {
+      buildOnce(s"pq:$d") { Similarity.buildPqIndex(Tables.embeddings(s, d), "graft_pq_idx") }
+      Similarity.pqTopKIndexed(s, "graft_pq_idx",
+        Tables.embeddings(s, d).filter(col("vec_id") < 10))
+    }),
+    // incremental-ingest variant: books trained once over the corpus,
+    // codes arrive in two batches encoded against the STORED books —
+    // per-vector given fixed books, so the union equals the one-shot
+    // encode and the gate shares ann_pq_topk's oracle
+    "ann_pq_indexed_incr" -> ((s, d) => {
+      buildOnce(s"pq_incr:$d") {
+        val emb = Tables.embeddings(s, d)
+        Similarity.buildPqBooks(emb, "graft_pq_incr")
+        Similarity.appendToPqIndex(s, emb.filter(col("vec_id") % 2 === 0), "graft_pq_incr")
+        Similarity.appendToPqIndex(s, emb.filter(col("vec_id") % 2 =!= 0), "graft_pq_incr")
+      }
+      Similarity.pqTopKIndexed(s, "graft_pq_incr",
+        Tables.embeddings(s, d).filter(col("vec_id") < 10))
     }),
     // incremental-ingest variant of the IVF split: pivots trained once
     // over the corpus, then assignments arrive in two batches, each
@@ -1609,6 +1647,7 @@ object SparkEntry {
     "ann_ivf_topk" -> ivfOracleSql,
     "ann_ivf_kmeans" -> ivfKmeansOracleSql,
     "ann_cluster_sample" -> clusterSampleOracleSql,
+    "ann_cluster_sample_indexed" -> clusterSampleOracleSql,
     "ann_ivf_indexed" -> ivfKmeansOracleSql,
     "ann_ivf_indexed_incr" -> ivfKmeansOracleSql,
     "fmt_bucketed_join" ->
@@ -1885,6 +1924,8 @@ object SparkEntry {
     "ann_sq_topk" -> sqTopKOracleSql,
     "ann_sq_indexed" -> sqTopKOracleSql,
     "ann_pq_topk" -> pqTopKOracleSql,
+    "ann_pq_indexed" -> pqTopKOracleSql,
+    "ann_pq_indexed_incr" -> pqTopKOracleSql,
     "ta_hash_embed" -> hashEmbedOracleSql,
     "ann_hash_embed_lsh" -> hashEmbedLshOracleSql,
     "ann_lsh_indexed" -> annOracleSql,

@@ -395,8 +395,25 @@ object Similarity {
     * only, and the kept set is a pure function of the corpus (same
     * hash-prefix determinism as the token-budget sampler). */
   def clusterBalancedSample(emb: DataFrame, perCell: Int = 10,
-      subCells: Int = 32): DataFrame = {
-    val assigned = assignCells(emb, trainPivots(emb))
+      subCells: Int = 32): DataFrame =
+    sampleCells(assignCells(emb, trainPivots(emb)), perCell, subCells)
+
+  /** [[clusterBalancedSample]] semantics (same oracle) over a STORED
+    * [[buildIvfIndex]] assignment table: the sampler is a pure function of
+    * (vec_id, cell), both already on disk, so the training sweep and the
+    * corpus-wide argmax are read, not recomputed — and selecting only
+    * those two columns prunes the float embedding column out of the scan
+    * entirely. Curation-by-sampling becomes one more consumer of the same
+    * index the ANN probes use. */
+  def clusterBalancedSampleIndexed(spark: org.apache.spark.sql.SparkSession,
+      table: String, perCell: Int = 10, subCells: Int = 32): DataFrame =
+    sampleCells(spark.table(table).select("vec_id", "cell"), perCell, subCells)
+
+  /** Shared sampling policy of the direct and indexed paths: the per-cell
+    * deterministic hash-order prefix, two-level so no single task sorts a
+    * whole cell. */
+  private def sampleCells(assigned: DataFrame, perCell: Int,
+      subCells: Int): DataFrame = {
     val h = graft.functions.CrossHash.h60(
       concat(lit("cbs:"), col("vec_id").cast("string")))
     val wSub = Window.partitionBy("cell", "sub").orderBy(col("h"), col("vec_id"))
@@ -605,7 +622,17 @@ object Similarity {
   def pqTopK(emb: DataFrame, queryPred: Column, k: Int = 5): DataFrame = {
     graft.functions.FloatDot.register(emb.sparkSession)
     val books = trainPqCodebooks(emb)
-    val rec = pqEncode(emb, books)
+    rankPq(
+      emb.filter(queryPred)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+      pqEncode(emb, books), books, k)
+  }
+
+  /** Decode each code array back to its reconstructed vector `ĉ_n` (the
+    * concatenation of the coded centroid per subspace) — shared by the
+    * direct and indexed PQ paths. */
+  private def pqReconstruct(codes: DataFrame, books: DataFrame): DataFrame =
+    codes
       .select(col("vec_id"), posexplode(col("codes")).as(Seq("cm", "code")))
       .join(broadcast(books.select(
           col("m").as("cm"), col("pid").as("cpid"), col("cv"))),
@@ -614,18 +641,70 @@ object Similarity {
       .groupBy(col("vec_id"))
       .agg(flatten(expr("transform(array_sort(collect_list(struct(cm, cv))), s -> s.cv)"))
         .as("rv"))
-    val q = emb.filter(queryPred)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+
+  /** Shared asymmetric-distance ranking tail of the direct and indexed PQ
+    * paths: float queries against code-reconstructed neighbors. */
+  private def rankPq(queries: DataFrame, codes: DataFrame, books: DataFrame,
+      k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_pq").desc, col("neighbor_id"))
-    broadcast(q)
-      .join(rec.select(col("vec_id").as("neighbor_id"), col("rv")),
+    broadcast(queries)
+      .join(pqReconstruct(codes, books)
+          .select(col("vec_id").as("neighbor_id"), col("rv")),
         col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_pq", cosine("qv", "rv"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
       .select("query_id", "neighbor_id", "rn", "cos_pq")
       .orderBy("query_id", "rn")
+  }
+
+  /** Train and store ONLY the codebooks — the starting point of the PQ
+    * incremental-ingest path, mirroring [[buildIvfPivots]]: books are
+    * trained once over the (historical) corpus, then batches are encoded
+    * against the STORED books as they arrive ([[appendToPqIndex]]) without
+    * retraining. Codebook drift under sustained ingest is handled by
+    * periodic retrain + re-encode (a fresh [[buildPqIndex]]). */
+  def buildPqBooks(emb: DataFrame, table: String, k: Int = PqCodes,
+      iters: Int = PqIters): Unit =
+    graft.sources.Formats.writeBucketed(
+      trainPqCodebooks(emb, k, iters), s"${table}_books", Seq("m"), 1)
+
+  /** Build-once half of the PQ build/query split: train the codebooks and
+    * encode the whole corpus, storing `<table>` = (vec_id, codes:
+    * ARRAY<TINYINT>) and `<table>_books` = the tiny codebook table. Like
+    * the SQ tier there is no probe key to bucket the codes on — the PQ
+    * scan is a full pass whose lever is bytes-per-row (PqSubspaces bytes
+    * instead of 4×Dim) — so the build's job is paying the training sweep
+    * and the corpus-wide encode exactly once. At 100 TB a query then reads
+    * 16-byte codes off disk and never touches the float corpus. */
+  def buildPqIndex(emb: DataFrame, table: String): Unit = {
+    val books = trainPqCodebooks(emb)
+    graft.sources.Formats.writeBucketed(books, s"${table}_books", Seq("m"), 1)
+    graft.sources.Formats.writeManaged(pqEncode(emb, books), table)
+  }
+
+  /** Incremental-ingest half: encode the new batch against the STORED
+    * books and append. Encoding is per-vector independent given fixed
+    * books, so N appended batches equal one bulk encode of their union —
+    * which is why the two-batch gate shares [[pqTopK]]'s oracle. */
+  def appendToPqIndex(spark: org.apache.spark.sql.SparkSession, newEmb: DataFrame,
+      table: String): Unit =
+    pqEncode(newEmb, spark.table(s"${table}_books"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .format("parquet").saveAsTable(table)
+
+  /** Query-many half: [[pqTopK]] semantics (same oracle) against a stored
+    * [[buildPqIndex]] table pair. The caller supplies the query vectors in
+    * full precision (at serving time the query's floats are in hand);
+    * training and the corpus encode are read, not recomputed, so the
+    * probe's corpus side scans only the 16-byte codes. */
+  def pqTopKIndexed(spark: org.apache.spark.sql.SparkSession, table: String,
+      queries: DataFrame, k: Int = 5): DataFrame = {
+    graft.functions.FloatDot.register(spark)
+    rankPq(
+      queries.select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+      spark.table(table), spark.table(s"${table}_books"), k)
   }
 
   /** Fixed-point grid for centroid accumulation: component sums are taken

@@ -408,4 +408,71 @@ class SimilaritySpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(collapsed === twoLevel, "two-level cap must equal single-window prefix")
   }
+
+  test("stored PQ index: probe matches the one-shot path, corpus side reads 16-byte codes") {
+    try {
+      Similarity.buildPqIndex(emb, "graft_pq_spec")
+      // the stored codes really are the compressed representation: one
+      // TINYINT per subspace, nothing else
+      val codesSchema = spark.table("graft_pq_spec").schema
+      assert(codesSchema.fieldNames.toSeq === Seq("vec_id", "codes"))
+      assert(spark.table("graft_pq_spec")
+        .filter(size(col("codes")) =!= Similarity.PqSubspaces).count() === 0)
+      val indexed = Similarity.pqTopKIndexed(spark, "graft_pq_spec",
+        emb.filter(col("vec_id") < 5))
+      val fresh = Similarity.pqTopK(emb, col("vec_id") < 5)
+      assert(indexed.collect().toSeq === fresh.collect().toSeq)
+      // probe plan reads the stored codes + books; the corpus float column
+      // appears only on the (tiny) query side, never under the index scan
+      val plan = indexed.queryExecution.executedPlan.toString
+      assert(plan.contains("graft_pq_spec["),
+        s"probe must scan the stored codes table:\n$plan")
+      assert(plan.contains("graft_pq_spec_books["),
+        s"probe must read the stored codebooks:\n$plan")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_pq_spec")
+      spark.sql("DROP TABLE IF EXISTS graft_pq_spec_books")
+    }
+  }
+
+  test("incremental PQ index: stored-books encode, append equals one-shot ranking") {
+    try {
+      Similarity.buildPqBooks(emb, "graft_pq_incr_spec")
+      val batch1 = emb.filter(col("vec_id") % 2 === 0)
+      val batch2 = emb.filter(col("vec_id") % 2 =!= 0)
+      Similarity.appendToPqIndex(spark, batch1, "graft_pq_incr_spec")
+      // the append wrote exactly the batch's codes — nothing rewritten
+      assert(spark.table("graft_pq_incr_spec").count() === batch1.count())
+      Similarity.appendToPqIndex(spark, batch2, "graft_pq_incr_spec")
+      assert(spark.table("graft_pq_incr_spec").count() === emb.count())
+      // encoding is per-vector under fixed books: two appended batches
+      // answer identically to the one-shot trained path
+      val indexed = Similarity.pqTopKIndexed(spark, "graft_pq_incr_spec",
+        emb.filter(col("vec_id") < 5))
+      val fresh = Similarity.pqTopK(emb, col("vec_id") < 5)
+      assert(indexed.collect().toSeq === fresh.collect().toSeq)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_pq_incr_spec")
+      spark.sql("DROP TABLE IF EXISTS graft_pq_incr_spec_books")
+    }
+  }
+
+  test("clusterBalancedSampleIndexed: equals the direct sampler, prunes the float column") {
+    try {
+      Similarity.buildIvfIndex(emb, "graft_cbs_spec")
+      val indexed = Similarity.clusterBalancedSampleIndexed(spark, "graft_cbs_spec")
+      val direct = Similarity.clusterBalancedSample(emb)
+      assert(indexed.collect().toSeq === direct.collect().toSeq)
+      // the sampler needs only (vec_id, cell): the stored index's float
+      // embedding column must be pruned out of the scan entirely
+      val plan = indexed.queryExecution.executedPlan.toString
+      assert(plan.contains("graft_cbs_spec["),
+        s"indexed sampler must scan the stored assignment:\n$plan")
+      assert(!plan.contains("embedding"),
+        s"embedding column must be pruned from the sampling scan:\n$plan")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_cbs_spec")
+      spark.sql("DROP TABLE IF EXISTS graft_cbs_spec_pivots")
+    }
+  }
 }
