@@ -646,17 +646,27 @@ object SparkEntry {
           element_at(col("feature"), 3).as("f_mean"),
           element_at(col("feature"), 4).as("f_n"))
         .orderBy("doc_id")),
-    // REAL codec path: synthesize deterministic grayscale PNGs, decode
-    // them with javax.imageio, emit pixel stats; the oracle replays the
+    // REAL codec path: deterministic grayscale PNGs synthesized ONCE into
+    // a stored blob table (in a real pipeline the media bytes are inputs
+    // on disk, not something the decode query re-encodes), then decoded
+    // with javax.imageio to pixel stats; the oracle replays the
     // generating formula in SQL — hash equality proves the
-    // encode→PNG→decode round trip is exact (decodeStub stays as the
-    // dependency-free stand-in for non-JVM codecs)
-    "mm_decode_png" -> ((s, d) =>
-      Multimodal.decodePng(Multimodal.synthesizePng(Tables.documents(s, d)))
-        .orderBy("doc_id")),
-    "mm_decode_wav" -> ((s, d) =>
-      Multimodal.decodeWav(Multimodal.synthesizeWav(Tables.documents(s, d)))
-        .orderBy("doc_id")),
+    // encode→PNG→store→decode round trip is exact (decodeStub stays as
+    // the dependency-free stand-in for non-JVM codecs)
+    "mm_decode_png" -> ((s, d) => {
+      buildOnce(s"png_blobs:$d") {
+        graft.sources.Formats.writeManaged(
+          Multimodal.synthesizePng(Tables.documents(s, d)), "graft_png_blobs")
+      }
+      Multimodal.decodePng(s.table("graft_png_blobs")).orderBy("doc_id")
+    }),
+    "mm_decode_wav" -> ((s, d) => {
+      buildOnce(s"wav_blobs:$d") {
+        graft.sources.Formats.writeManaged(
+          Multimodal.synthesizeWav(Tables.documents(s, d)), "graft_wav_blobs")
+      }
+      Multimodal.decodeWav(s.table("graft_wav_blobs")).orderBy("doc_id")
+    }),
     "mm_downsample" -> ((s, d) =>
       Multimodal.downsampleBytes(Multimodal.asBlobTable(Tables.documents(s, d)), 4)
         .select(col("doc_id"), col("byte_len"), col("ds_len"), hex(col("ds_bytes")).as("ds_hex"))
