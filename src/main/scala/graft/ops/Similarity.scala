@@ -562,12 +562,7 @@ object Similarity {
     }
     val subs = subVectors(emb)
     for (_ <- 1 to iters) {
-      val w = Window.partitionBy(col("vec_id"), col("m"))
-        .orderBy(col("d2"), col("pid"))
-      val assigned = subs.join(broadcast(codebookTable(spark, books)), Seq("m"))
-        .withColumn("d2", sqDist("sv", "cv"))
-        .withColumn("r", row_number().over(w))
-        .filter(col("r") === 1)
+      val assigned = argminCell(subs, codebookTable(spark, books))
         .select(col("m"), col("pid").as("cell"), col("sv"))
       val sums = assigned
         .select(col("m"), col("cell"), posexplode(col("sv")).as(Seq("pos", "x")))
@@ -593,17 +588,28 @@ object Similarity {
       (cv, pid) <- cells.toSeq.zipWithIndex
     } yield (m, pid.toLong, cv)).toDF("m", "pid", "cv")
 
+  /** Per-(vector, subspace) argmin-d2 cell against a broadcast codebook —
+    * shared by training assignment and encoding. `min(struct(d2, pid))`
+    * is lexicographic, i.e. exactly the `(d2 ASC, pid ASC)` winner a
+    * row_number window would pick, but as a partial-aggregatable groupBy:
+    * the argmin combines map-side and never shuffle-sorts the N×k
+    * candidate rows (the window form shuffled + sorted them every Lloyd's
+    * round). The sub-vector rides along via `first` (it is functionally
+    * dependent on the group key, so `first` is deterministic). */
+  private def argminCell(subs: DataFrame, codebooks: DataFrame): DataFrame =
+    subs.join(broadcast(codebooks), Seq("m"))
+      .withColumn("d2", sqDist("sv", "cv"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(first(col("sv")).as("sv"),
+        min(struct(col("d2"), col("pid"))).as("best"))
+      .select(col("vec_id"), col("m"), col("best.pid").as("pid"), col("sv"))
+
   /** Encode the corpus against trained codebooks: per (vector, subspace)
     * the argmin-d2 cell, assembled in subspace order into a PqSubspaces-byte code
     * array — 16x smaller than the 256-byte float vector at the default 16 subspaces. */
   def pqEncode(emb: DataFrame, codebooks: DataFrame): DataFrame = {
     graft.functions.FloatDot.register(emb.sparkSession)
-    val w = Window.partitionBy(col("vec_id"), col("m"))
-      .orderBy(col("d2"), col("pid"))
-    subVectors(emb).join(broadcast(codebooks), Seq("m"))
-      .withColumn("d2", sqDist("sv", "cv"))
-      .withColumn("r", row_number().over(w))
-      .filter(col("r") === 1)
+    argminCell(subVectors(emb), codebooks)
       .groupBy("vec_id")
       .agg(expr("transform(array_sort(collect_list(struct(m, pid))), s -> CAST(s.pid AS TINYINT))")
         .as("codes"))
