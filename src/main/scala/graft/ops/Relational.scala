@@ -439,6 +439,167 @@ object Relational {
         col("n"))
   }
 
+  /** TPC-H Q4-shaped order-priority check: count orders per priority class
+    * where EXISTS a returned line item shipped after the order date — the
+    * canonical correlated-EXISTS shape, planned as a LEFT SEMI join (the
+    * fact side streams once; no row multiplication from multi-line
+    * matches). */
+  def q4OrderPriority(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val l = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+    o.join(l, o("o_orderkey") === l("l_orderkey") &&
+        l("l_shipdate") > o("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q7-shaped cross-nation volume shipping: revenue between
+    * DISTINCT (supplier nation, customer nation) pairs by order year. The
+    * nation dimension joins twice under different aliases — the classic
+    * self-referenced-dimension topology; both broadcast, only the fact
+    * join shuffles. */
+  def q7VolumeShipping(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val sup = Tables.supplier(s, dir)
+    val n1 = Tables.nation(s, dir).select(
+      col("n_nationkey").as("supp_nkey"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, dir).select(
+      col("n_nationkey").as("cust_nkey"), col("n_name").as("cust_nation"))
+    val revenue = col("l_extendedprice").cast(money) * (lit(1) - col("l_discount").cast(rate))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(n1), sup("s_nationkey") === col("supp_nkey"))
+      .join(broadcast(n2), c("c_nationkey") === col("cust_nkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(o("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(revenue).cast("double").as("revenue"), count(lit(1)).as("n"))
+      .orderBy("supp_nation", "cust_nation", "o_year")
+  }
+
+  /** TPC-H Q10-shaped returned-item report: the top 20 customers by
+    * revenue lost to returns. Selective fact filter first, dimension
+    * broadcasts, deterministic LIMIT via the (revenue DESC, c_custkey)
+    * tiebreak. */
+  def q10ReturnedItems(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    val revenue = col("l_extendedprice").cast(money) * (lit(1) - col("l_discount").cast(rate))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(c("c_custkey"), c("c_name"), c("c_acctbal"), n("n_name"))
+      .agg(sum(revenue).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("n_name"), col("revenue"))
+  }
+
+  /** TPC-H Q13-shaped customer order-count distribution: LEFT OUTER join
+    * so order-less customers land in the zero bucket (the whole point of
+    * the query — an inner join could never produce it), then a histogram
+    * of the per-customer counts. Two aggregations, one outer join; the
+    * orders side is pre-filtered to non-urgent. */
+  def q13OrderDistribution(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).filter(col("o_orderpriority") =!= "1-URGENT")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(c("c_custkey"))
+      .agg(count(o("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q17-shaped small-quantity revenue: per-part average quantity as
+    * a self-aggregated build side (no correlated re-scan — the subquery
+    * becomes a broadcast join against the part-level aggregate), then the
+    * 20%-of-average predicate and the yearly-revenue division. The avg is
+    * exact: quantities are small integers summed in DOUBLE far below 2^53,
+    * so the threshold replays bit-for-bit. */
+  def q17SmallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir).filter(col("p_brand") === "Brand#1")
+    val l = Tables.lineitem(s, dir)
+    val avgQty = l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .groupBy(l("l_partkey").as("ap_partkey"))
+      .agg(avg(col("l_quantity")).as("avg_qty"))
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .join(broadcast(avgQty), l("l_partkey") === col("ap_partkey"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg(
+        (sum(col("l_extendedprice").cast(money)).cast("double") / lit(7.0))
+          .as("avg_yearly"),
+        count(lit(1)).as("n"))
+  }
+
+  /** TPC-H Q18-shaped large-volume customers: a HAVING on the order-level
+    * quantity rollup gates which orders join back to their header and
+    * customer — aggregate-then-join, so the expensive per-order sum runs
+    * once and only qualifying keys rejoin the dimensions. */
+  def q18LargeVolume(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val big = l.groupBy(col("l_orderkey").as("big_okey"))
+      .agg(sum(col("l_quantity").cast(money)).as("sum_qty_d"))
+      .filter(col("sum_qty_d") > 300)
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    o.join(big, o("o_orderkey") === col("big_okey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .select(c("c_name"), c("c_custkey"), o("o_orderkey"), o("o_orderdate"),
+        o("o_totalprice"), col("sum_qty_d").cast("double").as("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q19-shaped disjunctive-predicate revenue: three brand ×
+    * quantity-band × size-band arms OR'd together — the shape that
+    * punishes engines which can't push a disjunction into a single scan
+    * (here it folds to one pass over lineitem with part broadcast). */
+  def q19DisjunctiveRevenue(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val p = Tables.part(s, dir)
+    val revenue = col("l_extendedprice").cast(money) * (lit(1) - col("l_discount").cast(rate))
+    val arm1 = col("p_brand") === "Brand#1" &&
+      col("l_quantity").between(1, 11) && col("p_size").between(1, 5)
+    val arm2 = col("p_brand") === "Brand#2" &&
+      col("l_quantity").between(10, 20) && col("p_size").between(1, 10)
+    val arm3 = col("p_brand") === "Brand#3" &&
+      col("l_quantity").between(20, 30) && col("p_size").between(1, 15)
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .filter(arm1 || arm2 || arm3)
+      .agg(sum(revenue).cast("double").as("revenue"), count(lit(1)).as("n"))
+  }
+
+  /** TPC-H Q22-shaped idle-customer report: customers whose balance beats
+    * the global positive-balance average but who have never placed an
+    * URGENT order — a scalar-aggregate broadcast (the average) plus a LEFT
+    * ANTI join (the NOT EXISTS), grouped by nation. The threshold is
+    * cross-multiplied (`bal * n > sum`) instead of divided so the
+    * comparison stays in exact DECIMAL arithmetic — a double average's
+    * last ulp would depend on partial-sum order and could flip boundary
+    * customers between engines. */
+  def q22IdleCustomers(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val urgent = Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+    val posBal = c.filter(col("c_acctbal") > 0)
+      .agg(sum(col("c_acctbal").cast(money)).as("sum_pos"),
+        count(lit(1)).as("n_pos"))
+    c.crossJoin(broadcast(posBal))
+      .filter(col("c_acctbal").cast(money) * col("n_pos") > col("sum_pos"))
+      .join(urgent, c("c_custkey") === urgent("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_custs"),
+        sum(col("c_acctbal").cast(money)).cast("double").as("total_bal"))
+      .orderBy("c_nationkey")
+  }
+
   /** Event-time RANGE window frame: per event, count and exact-decimal sum
     * of the same user's values in the trailing hour INCLUDING the current
     * row — a value-based frame (`RANGE BETWEEN INTERVAL`), not a row-count

@@ -30,4 +30,25 @@ class PlanAuditSpec extends SparkTestBase {
         s"gate $name plans a CartesianProduct:\n$plan")
     }
   }
+
+  test("second TPC-H wave plans the join shapes the queries are about") {
+    val d = "/root/testdata/sf0.001"
+    import graft.ops.Relational
+    // Q4's EXISTS must be a semi join (no row multiplication), Q22's NOT
+    // EXISTS an anti join, Q13's zero bucket an outer join — the shapes
+    // are the point of the queries, so a regression to inner/exists-agg
+    // forms is a correctness smell even if small-SF results still match
+    val q4 = Relational.q4OrderPriority(spark, d).queryExecution.executedPlan.toString
+    assert(q4.contains("LeftSemi"), s"Q4 EXISTS must plan a semi join:\n$q4")
+    val q22 = Relational.q22IdleCustomers(spark, d).queryExecution.executedPlan.toString
+    assert(q22.contains("LeftAnti"), s"Q22 NOT EXISTS must plan an anti join:\n$q22")
+    val q13 = Relational.q13OrderDistribution(spark, d).queryExecution.executedPlan.toString
+    assert(q13.contains("LeftOuter"), s"Q13 must keep the outer join:\n$q13")
+    // the dimension sides of the report queries broadcast — the fact
+    // table is the only shuffled input
+    val q10 = Relational.q10ReturnedItems(spark, d).queryExecution.executedPlan.toString
+    assert(q10.contains("BroadcastHashJoin"), s"Q10 dimensions must broadcast:\n$q10")
+    val q7 = Relational.q7VolumeShipping(spark, d).queryExecution.executedPlan.toString
+    assert(q7.contains("BroadcastHashJoin"), s"Q7 dimensions must broadcast:\n$q7")
+  }
 }
