@@ -691,6 +691,12 @@ object SparkEntry {
         .orderBy("win_start", "event_type")),
     "stream_sessions_batch" -> ((s, d) =>
       graft.streaming.StreamOps.sessionizeBatch(Tables.events(s, d))),
+    // the NATIVE session_window form of the same gap rule — shares the
+    // cumulative form's oracle (no exact-gap ties in the corpus, so the
+    // end-exclusive boundary difference cannot bite; a regen that
+    // introduced one would fail this gate's hash, not drift silently)
+    "stream_sessions_native" -> ((s, d) =>
+      graft.streaming.StreamOps.sessionizeNative(Tables.events(s, d))),
     // stream-stream interval join run on batch input (StreamOpsSpec drives
     // the same transform through two MemoryStream sides)
     "stream_interval_join" -> ((s, d) =>
@@ -1425,6 +1431,19 @@ object SparkEntry {
     * float queries against the reconstructions. d2 uses the dot-expansion
     * `x·x - 2 x·c + c·c` in the exact Spark association so assignment
     * ties break identically. */
+  /** Gap-based sessionization replay, shared by the cumulative-window and
+    * native session_window gates (identical on a corpus with no exact-gap
+    * ties — see [[graft.streaming.StreamOps.sessionizeNative]]). */
+  private val sessionsOracleSql: String =
+    """WITH base AS (SELECT user_id, event_id, ts, value, epoch_ms(ts) AS ts_ms FROM events),
+      |l AS (SELECT *, lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms FROM base),
+      |f AS (SELECT *, CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS new_session FROM l),
+      |s AS (SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx FROM f)
+      |SELECT user_id, session_idx, min(ts) AS start_ts, max(ts) AS end_ts,
+      |  count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   private val pqTopKOracleSql: String = {
     val m = Similarity.PqSubspaces
     val sd = Similarity.PqSubDim
@@ -2424,15 +2443,8 @@ object SparkEntry {
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    "stream_sessions_batch" ->
-      """WITH base AS (SELECT user_id, event_id, ts, value, epoch_ms(ts) AS ts_ms FROM events),
-        |l AS (SELECT *, lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms FROM base),
-        |f AS (SELECT *, CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS new_session FROM l),
-        |s AS (SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx FROM f)
-        |SELECT user_id, session_idx, min(ts) AS start_ts, max(ts) AS end_ts,
-        |  count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "stream_sessions_batch" -> sessionsOracleSql,
+    "stream_sessions_native" -> sessionsOracleSql,
     "stream_interval_join" ->
       """SELECT l.user_id, l.event_id AS l_id, r.event_id AS r_id,
         |  CAST(CAST(l.value AS DECIMAL(18,2)) AS DOUBLE) AS l_value,

@@ -75,6 +75,24 @@ class StreamOpsSpec extends SparkTestBase {
     assert(viaState.toSeq === viaWindows.toSeq)
   }
 
+  test("native session_window form equals the cumulative form on the events table") {
+    val raw = Tables.events(spark, sfDir)
+    val native = StreamOps.sessionizeNative(raw).collect()
+    val cumulative = StreamOps.sessionizeBatch(raw).collect()
+    assert(native.toSeq === cumulative.toSeq)
+    // the corpus carries no exact-gap ties (the one input where the two
+    // forms legitimately differ) — assert that precondition so a testdata
+    // regen that introduces one fails HERE with a message, not as an
+    // opaque oracle hash mismatch
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val exactGap = raw
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .filter(expr("unix_micros(ts) - unix_micros(prev)") === 30L * 60 * 1000 * 1000)
+      .count()
+    assert(exactGap === 0, "corpus gained an exact-gap tie; forms now differ by contract")
+  }
+
   test("streaming sessionize emits a session when the event-time timeout fires") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
