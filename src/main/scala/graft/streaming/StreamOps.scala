@@ -145,6 +145,28 @@ object StreamOps {
     pending
   }
 
+  /** Retention half of the staged-ingest lifecycle: delete staged batch
+    * dirs the ledger has already absorbed. Only ledger-listed ids are
+    * touched — a batch the sink wrote but [[absorbStagedBatches]] has not
+    * yet folded in survives any number of vacuum runs, so sink, absorb,
+    * and vacuum can run on independent schedules. Returns the ids whose
+    * dirs were deleted by THIS call. At 100 TB this is what keeps the
+    * staging prefix bounded: without it the sink's history grows without
+    * limit even though every byte of it already lives in the index. */
+  def vacuumAbsorbedBatches(spark: SparkSession, stagingDir: String,
+      ledgerTable: String): Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(stagingDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root) || !spark.catalog.tableExists(ledgerTable)) return Seq.empty
+    val absorbed = spark.table(ledgerTable).collect().map(_.getLong(0)).toSet
+    val staged = fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("batch_id=")).map(_.stripPrefix("batch_id=").toLong)
+    val deletable = staged.filter(absorbed).sorted
+    deletable.foreach(id =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$stagingDir/batch_id=$id"), true))
+    deletable
+  }
+
   /** Input record for sessionization. */
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)

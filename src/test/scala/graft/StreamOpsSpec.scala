@@ -216,6 +216,16 @@ class StreamOpsSpec extends SparkTestBase {
       assert(absorbed.size === 2, s"both staged batches absorb: $absorbed")
       val again = StreamOps.absorbStagedBatches(spark, outDir, "graft_lsh_ing_ledger")(appendBatch)
       assert(again.isEmpty, "re-running the maintenance job absorbs nothing")
+      // retention: a staged-but-unabsorbed batch survives vacuum, absorbed
+      // dirs are reclaimed, and a second vacuum is a no-op
+      val unabsorbedDir = new java.io.File(s"$outDir/batch_id=99")
+      unabsorbedDir.mkdirs()
+      val vacuumed = StreamOps.vacuumAbsorbedBatches(spark, outDir, "graft_lsh_ing_ledger")
+      assert(vacuumed === absorbed.sorted, s"vacuum reclaims exactly the absorbed ids: $vacuumed")
+      assert(unabsorbedDir.exists(), "a not-yet-absorbed batch must survive vacuum")
+      assert(!new java.io.File(s"$outDir/batch_id=${absorbed.head}").exists())
+      assert(StreamOps.vacuumAbsorbedBatches(spark, outDir, "graft_lsh_ing_ledger").isEmpty,
+        "second vacuum is a no-op")
       // the streamed-ingest index answers exactly like the one-shot build
       val viaStream = graft.ops.Similarity.lshTopKIndexed(
         spark, "graft_lsh_ing_spec", col("vec_id") < 5)
