@@ -282,6 +282,16 @@ object SparkEntry {
       TextAnalysis.hybridSearchIndexed(s, "graft_bm25_idx", "graft_hemb_lsh_idx",
         Seq("spark", "window", "join"))
     }),
+    // the query-MANY serving shape: a three-query workload through ONE
+    // plan — one bucket-pruned posting scan for the union of terms, one
+    // multi-query LSH probe, per-query RRF — each query's ranking
+    // identical to its single-query run (the oracle replays all three)
+    "ta_hybrid_many" -> ((s, d) => {
+      ensureBm25Index(s, d)
+      ensureHembLshIndex(s, d)
+      TextAnalysis.hybridSearchManyIndexed(s, "graft_bm25_idx",
+        "graft_hemb_lsh_idx", hybridWorkload)
+    }),
     // build/query split: posting lists persisted ONCE bucketed on word,
     // probe reads only the query terms' postings (same oracle as
     // ta_bm25_search — the index changes where postings come from, not
@@ -1299,6 +1309,70 @@ object SparkEntry {
   private val hybridOracleSql: String = hybridFusionOracleSql(hybridDenseBruteCtes)
   private val hybridIndexedOracleSql: String = hybridFusionOracleSql(hybridDenseLshCtes)
 
+  /** The fixed workload of the query-many hybrid gate: three queries, each
+    * its own term set, query_id doubling as the dense vec_id. */
+  private val hybridWorkload: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("spark", "window"),
+    1L -> Seq("join", "filter"),
+    2L -> Seq("stream", "query"))
+
+  /** DuckDB replay of [[TextAnalysis.hybridSearchManyIndexed]] over
+    * [[hybridWorkload]] — the single-query fusion oracle widened by a
+    * query_id key: per-word df and corpus stats stay GLOBAL (shared across
+    * queries, exactly as the shared posting scan computes them), rankings
+    * and the RRF cap go per-query via PARTITION BY. */
+  private val hybridManyOracleSql: String = {
+    val qtermVals = hybridWorkload
+      .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
+    val qids = hybridWorkload.map(_._1).mkString(", ")
+    val words = hybridWorkload.flatMap(_._2).distinct.map(w => s"'$w'").mkString(", ")
+    s"""WITH $hashEmbedCtes,
+       |embeddings AS MATERIALIZED (SELECT doc_id AS vec_id,
+       |    CAST(list(weight ORDER BY dim_idx) AS FLOAT[]) AS embedding
+       |  FROM hemb GROUP BY doc_id),
+       |$lshBandedCte,
+       |qterms(query_id, word) AS (VALUES $qtermVals),
+       |dcand AS (SELECT DISTINCT q.vec_id AS query_id, q.embedding AS qv,
+       |    n.vec_id AS doc_id, n.embedding AS nv
+       |  FROM banded q JOIN banded n
+       |  ON q.band_idx = n.band_idx AND q.band_val = n.band_val
+       |    AND q.vec_id IN ($qids) AND n.vec_id <> q.vec_id),
+       |dn AS (SELECT query_id, doc_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY
+       |      list_cosine_similarity(CAST(qv AS DOUBLE[]), CAST(nv AS DOUBLE[])) DESC,
+       |      doc_id) AS BIGINT) AS r_dense
+       |  FROM dcand),
+       |dtop AS (SELECT query_id, doc_id, r_dense FROM dn WHERE r_dense <= 100),
+       |tk2 AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '$WS')) AS word FROM documents),
+       |ftk2 AS (SELECT doc_id, word FROM tk2 WHERE regexp_matches(word, '^[a-z0-9]+$$')),
+       |dl2 AS (SELECT doc_id, count(*) AS dl FROM ftk2 GROUP BY 1),
+       |st2 AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl2),
+       |tf2 AS (SELECT doc_id, word, count(*) AS tf FROM ftk2
+       |  WHERE word IN ($words) GROUP BY 1, 2),
+       |dfq2 AS (SELECT word, count(*) AS df FROM tf2 GROUP BY 1),
+       |sc2 AS (SELECT qt.query_id, t.doc_id,
+       |    ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * (t.tf * 2.2) /
+       |      (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)) AS s
+       |  FROM tf2 t JOIN qterms qt USING (word) JOIN dfq2 d USING (word)
+       |  JOIN dl2 l USING (doc_id) CROSS JOIN st2 s),
+       |btop AS (SELECT query_id, doc_id, round(sum(s), 6) AS score
+       |  FROM sc2 GROUP BY 1, 2),
+       |srank0 AS (SELECT query_id, doc_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS r_sparse
+       |  FROM btop),
+       |srank AS (SELECT query_id, doc_id, r_sparse FROM srank0 WHERE r_sparse <= 100),
+       |fused AS (SELECT coalesce(s.query_id, d.query_id) AS query_id,
+       |  coalesce(s.doc_id, d.doc_id) AS doc_id,
+       |  coalesce(1.0 / (60.0 + s.r_sparse), 0.0) + coalesce(1.0 / (60.0 + d.r_dense), 0.0) AS rrf,
+       |  s.r_sparse, d.r_dense
+       |  FROM srank s FULL OUTER JOIN dtop d
+       |  ON s.query_id = d.query_id AND s.doc_id = d.doc_id)
+       |SELECT query_id, doc_id, rrf, r_sparse, r_dense FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS fr
+       |  FROM fused)
+       |WHERE fr <= 20 ORDER BY query_id, rrf DESC, doc_id""".stripMargin
+  }
+
   private val lshNearDupOracleSql: String =
     s"""WITH $lshBandedCte,
        |cand AS (SELECT DISTINCT a.vec_id AS id_a, a.embedding AS va,
@@ -2077,6 +2151,7 @@ object SparkEntry {
     "ta_bm25_compacted" -> bm25OracleSql,
     "ta_hybrid_search" -> hybridOracleSql,
     "ta_hybrid_indexed" -> hybridIndexedOracleSql,
+    "ta_hybrid_many" -> hybridManyOracleSql,
     // DuckDB replays the ENTIRE BPE training loop (pair counts → argmax →
     // two-pass padded replace, 8 rounds of chained CTEs)
     "ta_bpe_merges" -> bpeMergesOracleSql(graft.ops.Bpe.DefaultRounds),

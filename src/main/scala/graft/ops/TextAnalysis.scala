@@ -216,6 +216,62 @@ object TextAnalysis {
     rrfFuse(sparse, dense, k, kRrf)
   }
 
+  /** Query-MANY indexed hybrid retrieval — [[hybridSearchIndexed]] for a
+    * whole workload in one plan: every query's sparse half probes the
+    * shared BM25 posting buckets (one bucket-pruned scan for the UNION of
+    * all query terms, df and corpus stats computed once and shared), every
+    * dense half rides one multi-query LSH probe, and the RRF tail fuses
+    * per (query_id, doc_id). This is the serving shape at scale: N queries
+    * cost one pass over their combined postings + band buckets, not N
+    * plan launches — and each query's ranking is IDENTICAL to its
+    * single-query [[hybridSearchIndexed]] run (per-query windows see
+    * exactly the rows the single-query top-k saw; SparkEntry's gate shares
+    * a per-query-replayed oracle). Queries are a driver-known workload
+    * (`(query_id, terms)`, with query_id doubling as the dense query's
+    * vec_id), so the term filter pushes down as an `IN` literal. */
+  def hybridSearchManyIndexed(spark: org.apache.spark.sql.SparkSession,
+      bm25Table: String, lshTable: String, queries: Seq[(Long, Seq[String])],
+      k: Int = 20, candidates: Int = 100, kRrf: Int = 60,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
+      "hybridSearchManyIndexed needs at least one query, each with terms")
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val words = queries.flatMap(_._2).distinct
+    val qTerms = queries.flatMap { case (qid, ts) => ts.distinct.map((qid, _)) }
+      .toDF("query_id", "word")
+    val p = spark.table(bm25Table).filter(col("word").isin(words: _*))
+    val dfq = p.groupBy("word").agg(count(lit(1)).as("df"))
+    val stats = spark.table(bm25Table + "_stats")
+      .select(col("n_docs"),
+        (col("total_dl").cast("double") / col("n_docs")).as("avgdl"))
+    val wS = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val sparse = p.join(broadcast(qTerms), Seq("word"))
+      .join(broadcast(dfq), Seq("word"))
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"), bm25ScoreCol(k1, b).as("s"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum("s"), 6).as("score"))
+      .withColumn("r_sparse", row_number().over(wS).cast("long"))
+      .filter(col("r_sparse") <= candidates)
+      .select("query_id", "doc_id", "r_sparse")
+    val dense = Similarity.lshTopKIndexed(spark, lshTable,
+        col("vec_id").isin(queries.map(_._1): _*), candidates)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rn").as("r_dense"))
+    val wF = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    sparse.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(kRrf.toDouble) + col("r_sparse")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(kRrf.toDouble) + col("r_dense")), lit(0.0)))
+      .withColumn("fr", row_number().over(wF))
+      .filter(col("fr") <= k)
+      .select("query_id", "doc_id", "rrf", "r_sparse", "r_dense")
+      .orderBy(col("query_id"), col("rrf").desc, col("doc_id"))
+  }
+
   /** Rank a BM25 top-`candidates` table into `(doc_id, r_sparse)`. The
     * candidate list is <= `candidates` rows by construction, so the
     * single-partition rank window is bounded. */

@@ -418,4 +418,33 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(fps(1L)._1 !== fps(2L)._1, "raw fingerprints differ")
     assert(fps(1L)._1 !== fps(3L)._1)
   }
+
+  test("hybridSearchManyIndexed: each query's slice equals its single-query run") {
+    val docs = Tables.documents(spark, sfDir)
+    try {
+      TextAnalysis.buildBm25Index(docs, "graft_bm25_many_spec")
+      graft.ops.Similarity.buildLshIndex(
+        TextAnalysis.hashEmbed(docs)
+          .select(col("doc_id").as("vec_id"), col("embedding")),
+        "graft_lsh_many_spec")
+      val workload = Seq(0L -> Seq("spark", "window"), 1L -> Seq("join", "filter"))
+      val many = TextAnalysis.hybridSearchManyIndexed(spark,
+          "graft_bm25_many_spec", "graft_lsh_many_spec", workload)
+        .collect()
+        .groupBy(_.getLong(0))
+        .view.mapValues(_.map(r =>
+          (r.getLong(1), r.getDouble(2), Option(r.get(3)), Option(r.get(4)))).toSeq)
+        .toMap
+      workload.foreach { case (qid, terms) =>
+        val single = TextAnalysis.hybridSearchIndexed(spark,
+            "graft_bm25_many_spec", "graft_lsh_many_spec", terms, queryId = qid)
+          .collect()
+          .map(r => (r.getLong(0), r.getDouble(1), Option(r.get(2)), Option(r.get(3))))
+          .toSeq
+        assert(many(qid) === single,
+          s"query $qid: batched ranking must equal the single-query ranking")
+      }
+    } finally Seq("graft_bm25_many_spec", "graft_bm25_many_spec_stats",
+      "graft_lsh_many_spec").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
 }
