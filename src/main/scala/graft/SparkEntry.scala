@@ -300,6 +300,13 @@ object SparkEntry {
       ensureBm25Index(s, d)
       TextAnalysis.bm25SearchIndexed(s, "graft_bm25_idx", Seq("spark", "window", "join"))
     }),
+    // the standalone query-many sparse probe: the whole keyword workload
+    // through one bucket-pruned posting scan, per-query top-k — each
+    // query's ranking identical to its single-query run
+    "ta_bm25_many" -> ((s, d) => {
+      ensureBm25Index(s, d)
+      TextAnalysis.bm25SearchManyIndexed(s, "graft_bm25_idx", hybridWorkload)
+    }),
     // the maintenance step of the append lifecycle: half bulk-built, half
     // appended (files accumulate per batch), then compacted back to one
     // file per bucket — the probe answers identically over the compacted
@@ -1316,6 +1323,34 @@ object SparkEntry {
     1L -> Seq("join", "filter"),
     2L -> Seq("stream", "query"))
 
+  /** DuckDB replay of [[TextAnalysis.bm25SearchManyIndexed]] over
+    * [[hybridWorkload]]: global df + corpus stats, per-query score sums
+    * and top-20 caps. */
+  private val bm25ManyOracleSql: String = {
+    val qtermVals = hybridWorkload
+      .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
+    val words = hybridWorkload.flatMap(_._2).distinct.map(w => s"'$w'").mkString(", ")
+    s"""WITH qterms(query_id, word) AS (VALUES $qtermVals),
+       |tk2 AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '$WS')) AS word FROM documents),
+       |ftk2 AS (SELECT doc_id, word FROM tk2 WHERE regexp_matches(word, '^[a-z0-9]+$$')),
+       |dl2 AS (SELECT doc_id, count(*) AS dl FROM ftk2 GROUP BY 1),
+       |st2 AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl2),
+       |tf2 AS (SELECT doc_id, word, count(*) AS tf FROM ftk2
+       |  WHERE word IN ($words) GROUP BY 1, 2),
+       |dfq2 AS (SELECT word, count(*) AS df FROM tf2 GROUP BY 1),
+       |sc2 AS (SELECT qt.query_id, t.doc_id,
+       |    ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * (t.tf * 2.2) /
+       |      (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)) AS s
+       |  FROM tf2 t JOIN qterms qt USING (word) JOIN dfq2 d USING (word)
+       |  JOIN dl2 l USING (doc_id) CROSS JOIN st2 s),
+       |btop AS (SELECT query_id, doc_id, round(sum(s), 6) AS score
+       |  FROM sc2 GROUP BY 1, 2)
+       |SELECT query_id, doc_id, score FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS r
+       |  FROM btop)
+       |WHERE r <= 20 ORDER BY query_id, score DESC, doc_id""".stripMargin
+  }
+
   /** DuckDB replay of [[TextAnalysis.hybridSearchManyIndexed]] over
     * [[hybridWorkload]] — the single-query fusion oracle widened by a
     * query_id key: per-word df and corpus stats stay GLOBAL (shared across
@@ -2152,6 +2187,7 @@ object SparkEntry {
     "ta_hybrid_search" -> hybridOracleSql,
     "ta_hybrid_indexed" -> hybridIndexedOracleSql,
     "ta_hybrid_many" -> hybridManyOracleSql,
+    "ta_bm25_many" -> bm25ManyOracleSql,
     // DuckDB replays the ENTIRE BPE training loop (pair counts → argmax →
     // two-pass padded replace, 8 rounds of chained CTEs)
     "ta_bpe_merges" -> bpeMergesOracleSql(graft.ops.Bpe.DefaultRounds),

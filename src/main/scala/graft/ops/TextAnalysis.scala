@@ -236,25 +236,7 @@ object TextAnalysis {
     require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
       "hybridSearchManyIndexed needs at least one query, each with terms")
     import org.apache.spark.sql.expressions.Window
-    import spark.implicits._
-    val words = queries.flatMap(_._2).distinct
-    val qTerms = queries.flatMap { case (qid, ts) => ts.distinct.map((qid, _)) }
-      .toDF("query_id", "word")
-    val p = spark.table(bm25Table).filter(col("word").isin(words: _*))
-    val dfq = p.groupBy("word").agg(count(lit(1)).as("df"))
-    val stats = spark.table(bm25Table + "_stats")
-      .select(col("n_docs"),
-        (col("total_dl").cast("double") / col("n_docs")).as("avgdl"))
-    val wS = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("doc_id"))
-    val sparse = p.join(broadcast(qTerms), Seq("word"))
-      .join(broadcast(dfq), Seq("word"))
-      .crossJoin(broadcast(stats))
-      .select(col("query_id"), col("doc_id"), bm25ScoreCol(k1, b).as("s"))
-      .groupBy(col("query_id"), col("doc_id"))
-      .agg(round(sum("s"), 6).as("score"))
-      .withColumn("r_sparse", row_number().over(wS).cast("long"))
-      .filter(col("r_sparse") <= candidates)
+    val sparse = rankBm25Many(spark, bm25Table, queries, candidates, k1, b)
       .select("query_id", "doc_id", "r_sparse")
     val dense = Similarity.lshTopKIndexed(spark, lshTable,
         col("vec_id").isin(queries.map(_._1): _*), candidates)
@@ -270,6 +252,49 @@ object TextAnalysis {
       .filter(col("fr") <= k)
       .select("query_id", "doc_id", "rrf", "r_sparse", "r_dense")
       .orderBy(col("query_id"), col("rrf").desc, col("doc_id"))
+  }
+
+  /** Query-MANY indexed BM25 search — the standalone sparse half of
+    * [[hybridSearchManyIndexed]]: a whole keyword workload through one
+    * bucket-pruned posting scan (union of all query terms; df and corpus
+    * stats computed once and shared across queries), per-query top-k.
+    * Each query's ranking is identical to its single-query
+    * [[bm25SearchIndexed]] run. */
+  def bm25SearchManyIndexed(spark: org.apache.spark.sql.SparkSession,
+      table: String, queries: Seq[(Long, Seq[String])], k: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    rankBm25Many(spark, table, queries, k, k1, b)
+      .select("query_id", "doc_id", "score")
+      .orderBy(col("query_id"), col("score").desc, col("doc_id"))
+
+  /** Shared multi-query BM25 ranking: per-query `(doc_id, score, r_sparse)`
+    * capped at `limit`, off one scan of the union of all query terms'
+    * posting buckets. */
+  private def rankBm25Many(spark: org.apache.spark.sql.SparkSession,
+      table: String, queries: Seq[(Long, Seq[String])], limit: Int,
+      k1: Double, b: Double): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
+      "a BM25 workload needs at least one query, each with terms")
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val words = queries.flatMap(_._2).distinct
+    val qTerms = queries.flatMap { case (qid, ts) => ts.distinct.map((qid, _)) }
+      .toDF("query_id", "word")
+    val p = spark.table(table).filter(col("word").isin(words: _*))
+    val dfq = p.groupBy("word").agg(count(lit(1)).as("df"))
+    val stats = spark.table(table + "_stats")
+      .select(col("n_docs"),
+        (col("total_dl").cast("double") / col("n_docs")).as("avgdl"))
+    val wS = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    p.join(broadcast(qTerms), Seq("word"))
+      .join(broadcast(dfq), Seq("word"))
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"), bm25ScoreCol(k1, b).as("s"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum("s"), 6).as("score"))
+      .withColumn("r_sparse", row_number().over(wS).cast("long"))
+      .filter(col("r_sparse") <= limit)
   }
 
   /** Rank a BM25 top-`candidates` table into `(doc_id, r_sparse)`. The

@@ -444,6 +444,20 @@ class TextAnalysisSpec extends SparkTestBase {
         assert(many(qid) === single,
           s"query $qid: batched ranking must equal the single-query ranking")
       }
+      // and the standalone sparse workload probe agrees with the
+      // single-query BM25 search per query
+      val bmMany = TextAnalysis.bm25SearchManyIndexed(spark,
+          "graft_bm25_many_spec", workload)
+        .collect()
+        .groupBy(_.getLong(0))
+        .view.mapValues(_.map(r => (r.getLong(1), r.getDouble(2))).toSeq).toMap
+      workload.foreach { case (qid, terms) =>
+        val single = TextAnalysis.bm25SearchIndexed(spark,
+            "graft_bm25_many_spec", terms)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(bmMany(qid) === single,
+          s"query $qid: batched BM25 must equal the single-query search")
+      }
     } finally Seq("graft_bm25_many_spec", "graft_bm25_many_spec_stats",
       "graft_lsh_many_spec").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
