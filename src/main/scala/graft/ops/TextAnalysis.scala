@@ -278,8 +278,11 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val words = queries.flatMap(_._2).distinct
-    val qTerms = queries.flatMap { case (qid, ts) => ts.distinct.map((qid, _)) }
-      .toDF("query_id", "word")
+    // dedupe the FLATTENED (qid, word) pairs, not per-entry: a workload
+    // repeating a query_id across entries must not double-count a term's
+    // BM25 contribution (single-query isin() dedupes implicitly; ADVICE r9)
+    val qTerms = queries.flatMap { case (qid, ts) => ts.map((qid, _)) }
+      .distinct.toDF("query_id", "word")
     val p = spark.table(table).filter(col("word").isin(words: _*))
     val dfq = p.groupBy("word").agg(count(lit(1)).as("df"))
     val stats = spark.table(table + "_stats")

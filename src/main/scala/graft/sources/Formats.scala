@@ -137,7 +137,15 @@ object Formats {
     * directory so the write is idempotent across sessions. The recursive
     * delete is safe only because GraftSession scopes the warehouse dir per
     * process (no other live process can have data there); callers with a
-    * shared warehouse should not point external tables under it. */
+    * shared warehouse should not point external tables under it.
+    *
+    * Public as [[dropManaged]]: an incremental build that APPENDS batches
+    * (no initial overwrite to clear prior state) must drop its target
+    * first so a retry after a partial failure starts clean instead of
+    * re-appending onto surviving rows. */
+  def dropManaged(spark: SparkSession, table: String): Unit =
+    dropForOverwrite(spark, table)
+
   private def dropForOverwrite(spark: SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val loc = new org.apache.hadoop.fs.Path(

@@ -127,22 +127,36 @@ object StreamOps {
   def absorbStagedBatches(spark: SparkSession, stagingDir: String,
       ledgerTable: String)(append: DataFrame => Unit): Seq[Long] = {
     import spark.implicits._
-    val root = new org.apache.hadoop.fs.Path(stagingDir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return Seq.empty
-    val staged = fs.listStatus(root).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("batch_id=")).map(_.stripPrefix("batch_id=").toLong)
-    val absorbed: Set[Long] =
+    val staged = listStagedBatchIds(spark, stagingDir)
+    if (staged.isEmpty) return Seq.empty
+    // ledger minus staged via LEFT ANTI join: the ledger (which grows with
+    // the stream's whole history) is never collected to the driver — only
+    // the anti-join survivors land here, bounded by the staged-dir count
+    // that vacuum keeps small
+    val pending =
       if (spark.catalog.tableExists(ledgerTable))
-        spark.table(ledgerTable).collect().map(_.getLong(0)).toSet
-      else Set.empty
-    val pending = staged.filterNot(absorbed).sorted
+        staged.toDF("batch_id")
+          .join(spark.table(ledgerTable), Seq("batch_id"), "left_anti")
+          .collect().map(_.getLong(0)).toSeq.sorted
+      else staged.sorted
     pending.foreach { id =>
       append(spark.read.parquet(s"$stagingDir/batch_id=$id"))
       Seq(id).toDF("batch_id").write.mode(org.apache.spark.sql.SaveMode.Append)
         .format("parquet").saveAsTable(ledgerTable)
     }
     pending
+  }
+
+  /** Staged `batch_id=N` dirs under `stagingDir`, by directory listing. A
+    * non-numeric suffix (a stray `batch_id=tmp`, an editor artifact) is
+    * skipped rather than thrown on — one junk dir must not brick the
+    * absorb/vacuum lifecycle forever (ADVICE r9). */
+  private def listStagedBatchIds(spark: SparkSession, stagingDir: String): Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(stagingDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.matches("batch_id=\\d+")).map(_.stripPrefix("batch_id=").toLong)
   }
 
   /** Retention half of the staged-ingest lifecycle: delete staged batch
@@ -155,13 +169,18 @@ object StreamOps {
     * limit even though every byte of it already lives in the index. */
   def vacuumAbsorbedBatches(spark: SparkSession, stagingDir: String,
       ledgerTable: String): Seq[Long] = {
+    import spark.implicits._
+    if (!spark.catalog.tableExists(ledgerTable)) return Seq.empty
+    val staged = listStagedBatchIds(spark, stagingDir)
+    if (staged.isEmpty) return Seq.empty
+    // staged ∩ ledger via LEFT SEMI join — same driver-bound rule as
+    // [[absorbStagedBatches]]: the ledger stays distributed, only ids that
+    // are both staged AND absorbed (≤ staged-dir count) are collected
+    val deletable = staged.toDF("batch_id")
+      .join(spark.table(ledgerTable), Seq("batch_id"), "left_semi")
+      .collect().map(_.getLong(0)).toSeq.sorted
     val root = new org.apache.hadoop.fs.Path(stagingDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root) || !spark.catalog.tableExists(ledgerTable)) return Seq.empty
-    val absorbed = spark.table(ledgerTable).collect().map(_.getLong(0)).toSet
-    val staged = fs.listStatus(root).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("batch_id=")).map(_.stripPrefix("batch_id=").toLong)
-    val deletable = staged.filter(absorbed).sorted
     deletable.foreach(id =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$stagingDir/batch_id=$id"), true))
     deletable
@@ -479,9 +498,13 @@ object StreamOps {
   }
 
   /** [[sessionizeBatch]] through Spark's NATIVE `session_window` operator —
-    * the declarative form of the same gap rule, usable verbatim under
-    * `readStream` (where it becomes stateful session aggregation with
-    * watermark-driven eviction, no custom state code). Semantics note: the
+    * the declarative form of the same gap rule. The `session_window`
+    * AGGREGATION half is what runs verbatim under `readStream` (stateful
+    * session aggregation with watermark-driven eviction, no custom state
+    * code); the trailing per-user `session_idx` assignment is a
+    * `row_number()` window, which structured streaming does not support —
+    * that half is batch-only, kept here so the output schema lines up with
+    * [[sessionizeBatch]] for the shared oracle. Semantics note: the
     * two forms differ ONLY on an event landing exactly `gap` after its
     * predecessor — the window form's [start, start+gap) is end-exclusive
     * (new session), the cumulative form's `diff > gap` keeps it (same
