@@ -636,12 +636,27 @@ object SparkEntry {
     // encode and the gate shares ann_pq_topk's oracle
     "ann_pq_indexed_incr" -> ((s, d) => {
       buildOnce(s"pq_incr:$d") {
+        // the appends below have no initial overwrite: drop first so a
+        // retry after a partial failure can't re-append onto survivors
+        Formats.dropManaged(s, "graft_pq_incr")
         val emb = Tables.embeddings(s, d)
         Similarity.buildPqBooks(emb, "graft_pq_incr")
         Similarity.appendToPqIndex(s, emb.filter(col("vec_id") % 2 === 0), "graft_pq_incr")
         Similarity.appendToPqIndex(s, emb.filter(col("vec_id") % 2 =!= 0), "graft_pq_incr")
       }
       Similarity.pqTopKIndexed(s, "graft_pq_incr",
+        Tables.embeddings(s, d).filter(col("vec_id") < 10))
+    }),
+    // the composed production index: IVF's trained coarse cells bound
+    // WHICH rows a query reads (nprobe cell prune), PQ's stored codes
+    // bound the BYTES per row (asymmetric scoring over 16-byte codes,
+    // reconstruction only for probed candidates) — the oracle replays
+    // cell assignment AND PQ ranking end to end
+    "ann_ivfpq_indexed" -> ((s, d) => {
+      buildOnce(s"ivfpq:$d") {
+        Similarity.buildIvfPqIndex(Tables.embeddings(s, d), "graft_ivfpq_idx")
+      }
+      Similarity.ivfPqTopKIndexed(s, "graft_ivfpq_idx",
         Tables.embeddings(s, d).filter(col("vec_id") < 10))
     }),
     // incremental-ingest variant of the IVF split: pivots trained once
@@ -651,6 +666,8 @@ object SparkEntry {
     // gate shares ann_ivf_kmeans's oracle
     "ann_ivf_indexed_incr" -> ((s, d) => {
       buildOnce(s"ivf_incr:$d") {
+        // same retry-idempotence rule as pq_incr: appends need a clean slate
+        Formats.dropManaged(s, "graft_ivf_incr")
         val emb = Tables.embeddings(s, d)
         Similarity.buildIvfPivots(emb, "graft_ivf_incr")
         Similarity.appendToIvfIndex(s, emb.filter(col("vec_id") % 2 === 0), "graft_ivf_incr")
@@ -1553,7 +1570,15 @@ object SparkEntry {
       |  count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
-  private val pqTopKOracleSql: String = {
+  /** The PQ training/encoding/reconstruction replay (psub … prec), shared
+    * by the standalone PQ oracle and the composed IVF×PQ oracle: per-
+    * subspace L2 Lloyd's training ([[Similarity.PqIters]] rounds over all
+    * [[Similarity.PqSubspaces]] codebooks at once, same fixed-point
+    * centroid sums as the IVF replay), argmin encoding, reconstruction by
+    * subspace-ordered concatenation. d2 uses the dot-expansion
+    * `x·x - 2 x·c + c·c` in the exact Spark association so assignment
+    * ties break identically. Ends at `prec` = (vec_id, rv). */
+  private val pqTrainCtes: String = {
     val m = Similarity.PqSubspaces
     val sd = Similarity.PqSubDim
     val k = Similarity.PqCodes
@@ -1580,7 +1605,7 @@ object SparkEntry {
          |  FROM $prev c LEFT JOIN pg$i g ON c.m = g.m AND c.pid = g.pid)""".stripMargin
     }.mkString(",\n")
     val fin = s"pb${Similarity.PqIters}"
-    s"""WITH psub AS (SELECT vec_id, m,
+    s"""psub AS (SELECT vec_id, m,
        |    list_slice(embedding, m * $sd + 1, m * $sd + $sd) AS sv
        |  FROM embeddings, unnest(generate_series(0, ${m - 1})) AS t(m)),
        |pkinit AS (SELECT embedding,
@@ -1597,7 +1622,11 @@ object SparkEntry {
        |  FROM psub s JOIN $fin c ON s.m = c.m) WHERE r = 1),
        |prec AS (SELECT p.vec_id, flatten(list(c.cv ORDER BY p.m)) AS rv
        |  FROM pcode p JOIN $fin c ON p.m = c.m AND p.cell = c.pid
-       |  GROUP BY p.vec_id),
+       |  GROUP BY p.vec_id)""".stripMargin
+  }
+
+  private val pqTopKOracleSql: String =
+    s"""WITH $pqTrainCtes,
        |pp AS (SELECT qq.vec_id AS query_id, nn.vec_id AS neighbor_id,
        |    list_cosine_similarity(CAST(qq.embedding AS DOUBLE[]), CAST(nn.rv AS DOUBLE[])) AS cos_pq
        |  FROM embeddings qq JOIN prec nn ON qq.vec_id < 10 AND nn.vec_id <> qq.vec_id),
@@ -1605,7 +1634,35 @@ object SparkEntry {
        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_pq DESC, neighbor_id) AS BIGINT) AS rn, cos_pq
        |  FROM pp)
        |SELECT query_id, neighbor_id, rn, cos_pq FROM pr WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
-  }
+
+  /** DuckDB replay of the composed IVF×PQ probe: k-means pivots + cell
+    * assignment from the IVF replay bound the candidate set (2 probed
+    * cells per query), PQ training + reconstruction from the PQ replay
+    * provide the scoring vectors, and the final ranking is the PQ tier's
+    * `cosine(q, ĉ_n)` over ONLY the probed cells' members — the exact
+    * composition [[Similarity.ivfPqTopKIndexed]] executes off the stored
+    * index. */
+  private val ivfPqOracleSql: String =
+    s"""WITH $kmeansPivotCtes,
+       |$pqTrainCtes,
+       |xsc AS (SELECT e.vec_id, e.embedding, p.pid,
+       |  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(p.pv AS DOUBLE[])) AS pcos
+       |  FROM embeddings e CROSS JOIN piv p),
+       |xranked AS (SELECT vec_id, embedding, pid,
+       |  row_number() OVER (PARTITION BY vec_id ORDER BY pcos DESC, pid) AS prn FROM xsc),
+       |xcells AS (SELECT vec_id AS neighbor_id, pid AS cell
+       |  FROM xranked WHERE prn = 1),
+       |xprobes AS (SELECT vec_id AS query_id, embedding AS qv, pid AS cell
+       |  FROM xranked WHERE vec_id < 10 AND prn <= 2),
+       |xcand AS (SELECT query_id, qv, neighbor_id
+       |  FROM xprobes JOIN xcells USING (cell) WHERE neighbor_id <> query_id),
+       |xscored AS (SELECT c.query_id, c.neighbor_id,
+       |  list_cosine_similarity(CAST(c.qv AS DOUBLE[]), CAST(n.rv AS DOUBLE[])) AS cos_pq
+       |  FROM xcand c JOIN prec n ON c.neighbor_id = n.vec_id),
+       |xr AS (SELECT query_id, neighbor_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_pq DESC, neighbor_id) AS BIGINT) AS rn, cos_pq
+       |  FROM xscored)
+       |SELECT query_id, neighbor_id, rn, cos_pq FROM xr WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
 
   /** DuckDB mirror of [[Similarity.clusterBalancedSample]]: replayed
     * k-means training, final-centroid argmax assignment, per-cell
@@ -2159,6 +2216,7 @@ object SparkEntry {
     "ann_sq_topk" -> sqTopKOracleSql,
     "ann_sq_indexed" -> sqTopKOracleSql,
     "ann_pq_topk" -> pqTopKOracleSql,
+    "ann_ivfpq_indexed" -> ivfPqOracleSql,
     "ann_pq_indexed" -> pqTopKOracleSql,
     "ann_pq_indexed_incr" -> pqTopKOracleSql,
     "ta_hash_embed" -> hashEmbedOracleSql,

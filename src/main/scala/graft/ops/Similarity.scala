@@ -713,6 +713,88 @@ object Similarity {
       spark.table(table), spark.table(s"${table}_books"), k)
   }
 
+  /** Build-once half of the composed IVF×PQ index — the production ANN
+    * layout at 100 TB, composing the two trained tiers that already exist
+    * separately: IVF's coarse cells bound WHICH rows a query reads, PQ's
+    * codes bound the BYTES per row read. Stores three tables:
+    * `<table>` = (vec_id, cell, codes: ARRAY<TINYINT>) bucketed on `cell`
+    * (a probe's cell join is pre-hashed on disk and each row is ~32 bytes
+    * instead of the 256-byte float vector — the embedding column is not
+    * stored at all), plus the tiny `<table>_pivots` (pid, pv) and
+    * `<table>_books` (m, pid, cv) model tables. Training pays one k-means
+    * sweep per tier plus one corpus-wide assignment + encode — the
+    * standard IVF-PQ build cost, run exactly once here. */
+  def buildIvfPqIndex(emb: DataFrame, table: String, kClusters: Int = NumPivots,
+      iters: Int = KmeansIters, numBuckets: Int = 8): Unit = {
+    val piv = trainPivots(emb, kClusters, iters)
+    val books = trainPqCodebooks(emb)
+    graft.sources.Formats.writeBucketed(piv, s"${table}_pivots", Seq("pid"), 1)
+    graft.sources.Formats.writeBucketed(books, s"${table}_books", Seq("m"), 1)
+    graft.sources.Formats.writeBucketed(
+      assignCells(emb, piv).select(col("vec_id"), col("cell"))
+        .join(pqEncode(emb, books), Seq("vec_id"))
+        .select(col("vec_id"), col("cell"), col("codes")),
+      table, Seq("cell"), numBuckets)
+  }
+
+  /** Query half of the IVF×PQ index: nprobe coarse-cell prune, then
+    * asymmetric PQ scoring over ONLY the probed cells' stored codes.
+    * The probe recomputes pivot cosines for the |queries|×k probe ranking
+    * alone; the corpus-wide argmax and the corpus encode are READ.
+    *
+    * The probed cell ids — |queries| × nprobe longs, the ONE sanctioned
+    * driver-side collect — come back as literals so the code-table scan is
+    * BUCKET-PRUNED (`cell` is the bucket key and `isin` over literals
+    * prunes buckets at planning time): unprobed cells are never read off
+    * disk, not merely filtered after a full scan. Each surviving
+    * candidate's code array is reconstructed once through the broadcast
+    * codebooks (carrying its cell), and the candidate join broadcasts the
+    * tiny probe set against the pruned reconstruction. Per-query top-k
+    * ranks by the same `cosine(q, ĉ_n)` as [[pqTopK]], so the composed
+    * oracle replays cell assignment and PQ ranking end to end. At 100 TB
+    * a query therefore reads `nprobe/kClusters` of the corpus at
+    * `PqSubspaces` bytes per row — both pruning levers at once, which is
+    * why this is the layout production ANN systems run. */
+  def ivfPqTopKIndexed(spark: org.apache.spark.sql.SparkSession, table: String,
+      queries: DataFrame, k: Int = 5, nprobe: Int = 2): DataFrame = {
+    graft.functions.FloatDot.register(spark)
+    val piv = spark.table(s"${table}_pivots")
+    val books = spark.table(s"${table}_books")
+    val idx = spark.table(table)
+    val wProbe = Window.partitionBy(col("vec_id")).orderBy(col("pcos").desc, col("pid"))
+    val probes = queries.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(piv))
+      .withColumn("pcos", cosine("embedding", "pv"))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("pid").cast("long").as("cell"))
+    val cellIds = probes.select(col("cell")).distinct().collect().map(_.getLong(0))
+    val pruned = idx.filter(col("cell").isin(cellIds: _*))
+    // reconstruct each pruned candidate once (shared across the queries
+    // probing its cell), keeping the cell key for the candidate join
+    val rec = pruned
+      .select(col("vec_id"), col("cell"), posexplode(col("codes")).as(Seq("cm", "code")))
+      .join(broadcast(books.select(
+          col("m").as("cm"), col("pid").as("cpid"), col("cv"))),
+        Seq("cm"))
+      .filter(col("code").cast("long") === col("cpid"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("cell")).as("cell"),
+        flatten(expr("transform(array_sort(collect_list(struct(cm, cv))), s -> s.cv)"))
+          .as("rv"))
+      .select(col("vec_id").as("neighbor_id"), col("cell"), col("rv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_pq").desc, col("neighbor_id"))
+    broadcast(probes).join(rec, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_pq", cosine("qv", "rv"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select("query_id", "neighbor_id", "rn", "cos_pq")
+      .orderBy("query_id", "rn")
+  }
+
   /** Fixed-point grid for centroid accumulation: component sums are taken
     * over `floor(x * 2^24)` LONGs, not doubles. Long addition is exact and
     * associative, so the trained centroids are bit-identical across

@@ -284,6 +284,48 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("stored IVF×PQ index: cell prune + stored-code scoring, no retrain, no corpus pass") {
+    try {
+      Similarity.buildIvfPqIndex(emb, "graft_ivfpq_spec")
+      val out = Similarity.ivfPqTopKIndexed(spark, "graft_ivfpq_spec",
+        emb.filter(col("vec_id") < 5))
+      val rows = out.collect()
+      // contract: ≤k ranked rows per query, no self-pairs, cos in range
+      assert(rows.groupBy(_.getLong(0)).forall { case (_, rs) =>
+        rs.map(_.getLong(2)).sorted.sameElements(1L to rs.length) })
+      assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
+      // recall floor vs the exact float tier: the composition stacks IVF's
+      // geometric loss on PQ's quantization loss, so the floor sits under
+      // both tiers' individual floors but far above chance (5/999 ≈ 0.005)
+      val exact = Similarity.bruteForceTopK(emb, col("vec_id") < 5)
+        .select("query_id", "neighbor_id")
+      val recall = recallVs(exact)(out)
+      assert(recall >= 0.15, s"ivf-pq recall $recall below floor")
+      // plan: candidate join is a broadcast hash join on the cell key
+      // reading the STORED composed index (cells + codes in one table)
+      val full = out.queryExecution.executedPlan.toString
+      val plan = full.split("== Initial Plan ==").head // AQE prints both
+      assert(plan.contains("BroadcastHashJoin [cell"),
+        s"candidate join must broadcast probes against stored cells:\n$plan")
+      assert(plan.contains("graft_ivfpq_spec["),
+        s"probe must scan the stored composed index:\n$plan")
+      // stored-cells prune: the probed cell ids are literals, so the scan
+      // of the bucketed code table prunes unprobed buckets at plan time
+      assert(plan.contains("SelectedBucketsCount"),
+        s"code-table scan must be bucket-pruned to the probed cells:\n$plan")
+      // no retrain / no corpus pass: the ONLY scan of the raw embeddings
+      // parquet is the query side — cells and codes both come off disk
+      // (the corpus-wide argmax would show as a second embeddings scan)
+      val embScans = "embeddings\\.parquet".r.findAllIn(plan).length
+      assert(embScans == 1,
+        s"probe must read raw embeddings only for the queries ($embScans scans):\n$plan")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_ivfpq_spec")
+      spark.sql("DROP TABLE IF EXISTS graft_ivfpq_spec_pivots")
+      spark.sql("DROP TABLE IF EXISTS graft_ivfpq_spec_books")
+    }
+  }
+
   test("incremental LSH index: append equals one-shot build, touches only the new batch") {
     try {
       val oldBatch = emb.filter(col("vec_id") % 2 === 0)
