@@ -353,6 +353,15 @@ object SparkEntry {
     // model, per-doc mean log P(w_i | w_{i-1}); oracle replays the full
     // train-then-score loop
     "ta_lm_score" -> ((s, d) => TextAnalysis.lmScore(Tables.documents(s, d))),
+    // build/score split for the LM: exact-integer count tables + vocab
+    // stored once, the probe's only corpus pass is the scored docs' bigram
+    // projection — bit-identical to the train-per-call form (same oracle)
+    "ta_lm_indexed" -> ((s, d) => {
+      buildOnce(s"lm:$d") {
+        TextAnalysis.buildLmModel(Tables.documents(s, d), "graft_lm_model")
+      }
+      TextAnalysis.lmScoreIndexed(s, Tables.documents(s, d), "graft_lm_model")
+    }),
     // TextRank keyword extraction: fixed-point PageRank over the word
     // co-occurrence graph, 8 damped iterations, fully distributed rank
     // state; the oracle replays every iteration as chained CTEs. The rank
@@ -1425,6 +1434,22 @@ object SparkEntry {
        |WHERE fr <= 20 ORDER BY query_id, rrf DESC, doc_id""".stripMargin
   }
 
+  /** DuckDB replay of the bigram-LM train-then-score loop, shared by the
+    * train-per-call gate and its stored-model twin (exact integer count
+    * tables make the two bit-identical). */
+  private val lmScoreOracleSql: String =
+    s"""WITH f AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '$WS'),
+       |    t -> regexp_matches(t, '^[a-z0-9]+$$')) AS a FROM documents),
+       |bi AS (SELECT doc_id, a[i] AS w1, a[i + 1] AS w2
+       |  FROM f, unnest(generate_series(1, len(a) - 1)) AS t(i) WHERE len(a) >= 2),
+       |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+       |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+       |v AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(a) AS w FROM f)),
+       |sc AS (SELECT b.doc_id, ln((c.c12 + 1.0) / (u.c1 + v.v)) AS logp
+       |  FROM bi b JOIN c12 c USING (w1, w2) JOIN c1 u USING (w1) CROSS JOIN v)
+       |SELECT doc_id, count(*) AS n_bigrams, round(avg(logp), 6) AS avg_logp
+       |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin
+
   private val lshNearDupOracleSql: String =
     s"""WITH $lshBandedCte,
        |cand AS (SELECT DISTINCT a.vec_id AS id_a, a.embedding AS va,
@@ -2309,18 +2334,10 @@ object SparkEntry {
          |ORDER BY f.doc_id""".stripMargin,
     // DuckDB replays the full bigram-LM train-then-score loop: counts, vocab,
     // add-one smoothing, per-doc mean log-prob (round 6 like ta_tfidf)
-    "ta_lm_score" ->
-      s"""WITH f AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '$WS'),
-         |    t -> regexp_matches(t, '^[a-z0-9]+$$')) AS a FROM documents),
-         |bi AS (SELECT doc_id, a[i] AS w1, a[i + 1] AS w2
-         |  FROM f, unnest(generate_series(1, len(a) - 1)) AS t(i) WHERE len(a) >= 2),
-         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
-         |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
-         |v AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(a) AS w FROM f)),
-         |sc AS (SELECT b.doc_id, ln((c.c12 + 1.0) / (u.c1 + v.v)) AS logp
-         |  FROM bi b JOIN c12 c USING (w1, w2) JOIN c1 u USING (w1) CROSS JOIN v)
-         |SELECT doc_id, count(*) AS n_bigrams, round(avg(logp), 6) AS avg_logp
-         |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ta_lm_score" -> lmScoreOracleSql,
+    // the indexed twin scores against STORED exact-integer count tables, so
+    // it is bit-identical to the train-per-call form and shares its oracle
+    "ta_lm_indexed" -> lmScoreOracleSql,
     // fixed-point PageRank over the word graph, all 8 iterations replayed
     "ta_textrank" -> textRankOracleSql(8, 20),
     // the full 32-round logistic GD replayed as chained CTEs

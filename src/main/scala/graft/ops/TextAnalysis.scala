@@ -477,6 +477,58 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Build-once half of the LM build/score split, mirroring
+    * [[buildBm25Index]]: persist the bigram model [[lmScore]] retrains on
+    * every call — `<table>` = (w1, w2, c12) bucketed + sorted on `w1`,
+    * `<table>_c1` = (w1, c1) bucketed on `w1` (the exact integer row sums
+    * of c12, stored so a probe never re-aggregates the bigram table), and
+    * a one-row `<table>_stats` holding the distinct-unigram vocab size.
+    * All three are exact integer statistics, so scoring against the
+    * stored model is bit-identical to [[lmScore]]'s train-per-call — the
+    * indexed gate shares its oracle. At 100 TB the corpus-scale training
+    * aggregations run once here; scoring then joins token-scale bigrams
+    * against count tables that AQE broadcasts when they fit. */
+  def buildLmModel(docs: DataFrame, table: String, numBuckets: Int = 8): Unit = {
+    val arr = expr("filter(split(lower(text), '\\\\s+'), t -> t rlike '^[a-z0-9]+$')")
+    val f = docs.select(col("doc_id"), arr.as("a"))
+    val bi = f.where(size(col("a")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(a) - 2), i -> struct(a[i] AS w1, a[i + 1] AS w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    graft.sources.Formats.writeBucketed(c12, table, Seq("w1"), numBuckets)
+    val spark = docs.sparkSession
+    graft.sources.Formats.writeBucketed(
+      spark.table(table).groupBy("w1").agg(sum("c12").as("c1")),
+      s"${table}_c1", Seq("w1"), numBuckets)
+    graft.sources.Formats.writeManaged(
+      f.select(explode(col("a")).as("w")).agg(count_distinct(col("w")).as("v")),
+      s"${table}_stats")
+  }
+
+  /** Score half: [[lmScore]] semantics (same oracle) against a stored
+    * [[buildLmModel]] table triple. The scored docs' bigram projection is
+    * the only corpus-scale pass — counts and vocab are read, not
+    * retrained. Bigrams unseen by the stored model drop out of the score
+    * exactly as they do in the train-per-call form's inner joins. */
+  def lmScoreIndexed(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
+      table: String): DataFrame = {
+    val arr = expr("filter(split(lower(text), '\\\\s+'), t -> t rlike '^[a-z0-9]+$')")
+    val bi = docs.select(col("doc_id"), arr.as("a"))
+      .where(size(col("a")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(a) - 2), i -> struct(a[i] AS w1, a[i + 1] AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    bi.join(spark.table(table), Seq("w1", "w2"))
+      .join(spark.table(s"${table}_c1"), Seq("w1"))
+      .crossJoin(broadcast(spark.table(s"${table}_stats")))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(avg(log((col("c12") + lit(1.0)) / (col("c1") + col("v")))), 6).as("avg_logp"))
+      .orderBy("doc_id")
+  }
+
   /** TextRank keyword extraction — PageRank over the corpus's word
     * co-occurrence graph (nodes = alnum words, undirected edges = adjacent
     * word pairs weighted by adjacency count, self-loops dropped), fixed

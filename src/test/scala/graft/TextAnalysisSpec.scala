@@ -314,6 +314,31 @@ class TextAnalysisSpec extends SparkTestBase {
     })
   }
 
+  test("lm model: stored-model scoring equals train-per-call, one corpus pass in the probe") {
+    try {
+      TextAnalysis.buildLmModel(docs, "t_lm_spec")
+      val indexed = TextAnalysis.lmScoreIndexed(spark, docs, "t_lm_spec")
+      val direct = TextAnalysis.lmScore(docs)
+      // exact integer counts + the same float expression → bit parity
+      assert(indexed.collect().toSeq === direct.collect().toSeq,
+        "stored-model scoring must answer bit-identically to train-per-call")
+      // the probe's ONLY corpus-scale pass is the scored docs' bigram
+      // projection: training would scan documents at least twice more
+      // (c12 chain + vocab distinct)
+      val plan = indexed.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      val docScans = "documents\\.parquet".r.findAllIn(plan).length
+      assert(docScans == 1,
+        s"probe must scan documents once ($docScans scans):\n$plan")
+      assert(plan.contains("t_lm_spec["),
+        s"probe must read the stored count table:\n$plan")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS t_lm_spec")
+      spark.sql("DROP TABLE IF EXISTS t_lm_spec_c1")
+      spark.sql("DROP TABLE IF EXISTS t_lm_spec_stats")
+    }
+  }
+
   test("normalizeText: decomposed and precomposed spellings collapse to one fingerprint") {
     import spark.implicits._
     val docs = Seq(
