@@ -195,6 +195,13 @@ object SparkEntry {
     "q18_large_volume" -> Relational.q18LargeVolume,
     "q19_disjunctive_revenue" -> Relational.q19DisjunctiveRevenue,
     "q22_idle_customers" -> Relational.q22IdleCustomers,
+    // third wave: multi-EXISTS decorrelation (Q21), correlated scalar min
+    // (Q2), group-HAVING over a global scalar (Q11), view-over-aggregate
+    // max (Q15)
+    "q21_waiting_suppliers" -> Relational.q21WaitingSuppliers,
+    "q2_min_cost_supplier" -> Relational.q2MinCostSupplier,
+    "q11_important_parts" -> Relational.q11ImportantParts,
+    "q15_top_supplier" -> Relational.q15TopSupplier,
     // window functions
     "window_top3_orders" -> Relational.top3OrdersPerCustomer,
     "window_running_qty" -> Relational.runningQtyPerSupplier,
@@ -1914,6 +1921,57 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders o
         |    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q21_waiting_suppliers" ->
+      """WITH f AS (SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderstatus = 'F'),
+        |late AS (SELECT l_orderkey, l_suppkey FROM lineitem JOIN f ON l_orderkey = o_orderkey
+        |  WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |SELECT s_name, count(*) AS numwait
+        |FROM late l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
+    "q2_min_cost_supplier" ->
+      """WITH esupp AS (SELECT s_suppkey, s_name, s_acctbal, n_name FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'),
+        |offers AS (SELECT l_partkey, l_suppkey,
+        |    min(CAST(l_extendedprice AS DOUBLE) / CAST(l_quantity AS DOUBLE)) AS cost
+        |  FROM lineitem JOIN esupp ON l_suppkey = s_suppkey GROUP BY 1, 2),
+        |mc AS (SELECT l_partkey, min(cost) AS min_cost FROM offers GROUP BY 1)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name, o.cost
+        |FROM part JOIN mc ON p_partkey = mc.l_partkey
+        |JOIN offers o ON o.l_partkey = p_partkey AND o.cost = mc.min_cost
+        |JOIN esupp ON o.l_suppkey = s_suppkey
+        |WHERE p_type = 'LARGE' AND p_size <= 10
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin,
+    // per-row revenue is exact at scale 4 → carried as ×10^4 BIGINTs so the
+    // HAVING-over-global-scalar threshold is integer cross-multiplication
+    "q11_important_parts" ->
+      """WITH v AS (SELECT l_partkey AS p_partkey,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(4,2))) * 10000 AS BIGINT)) AS BIGINT) AS v4
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_7' GROUP BY 1),
+        |m AS (SELECT CAST(sum(v4) AS BIGINT) AS t4, count(*) AS n_parts FROM v)
+        |SELECT p_partkey, CAST(v4 AS DOUBLE) / 10000.0 AS value
+        |FROM v CROSS JOIN m WHERE v4 * n_parts * 2 > t4 * 3
+        |ORDER BY value DESC, p_partkey""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS total_revenue
+        |  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY 1),
+        |mx AS (SELECT max(total_revenue) AS max_rev FROM rev)
+        |SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey CROSS JOIN mx
+        |WHERE total_revenue = max_rev ORDER BY s_suppkey""".stripMargin,
     "q14_promo_revenue" ->
       """SELECT 100.0 * promo_revenue / total_revenue AS promo_pct,
         |  promo_revenue, total_revenue, n FROM (

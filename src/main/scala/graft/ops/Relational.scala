@@ -454,6 +454,131 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** TPC-H Q21-shaped waiting suppliers — the multi-EXISTS decorrelation
+    * shape: late line items (shipped >60 days after the order date) of
+    * finalized orders, kept when ANOTHER supplier shares the order (a
+    * LEFT SEMI self-join) but NO other supplier was ALSO late (a LEFT
+    * ANTI against the same late set) — the sole-blamable-supplier rule.
+    * The supplier/nation/region dimension chain broadcasts; the two
+    * existence probes are the only fact-scale joins, each planned as a
+    * semi/anti hash join that never multiplies rows. (The reference
+    * schema has no commit/receipt dates, so lateness is expressed against
+    * the order date — the decorrelation topology is the point.) */
+  def q21WaitingSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate")
+    val l = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
+    val late = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .select("l_orderkey", "l_suppkey")
+    val eurSupp = Tables.supplier(s, dir)
+      .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, dir).filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey", "s_name")
+    late.as("l1")
+      .join(l.as("l2"),
+        col("l1.l_orderkey") === col("l2.l_orderkey") &&
+          col("l1.l_suppkey") =!= col("l2.l_suppkey"), "left_semi")
+      .as("l1")
+      .join(late.as("l3"),
+        col("l1.l_orderkey") === col("l3.l_orderkey") &&
+          col("l1.l_suppkey") =!= col("l3.l_suppkey"), "left_anti")
+      .join(broadcast(eurSupp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
+  /** TPC-H Q2-shaped minimum-cost supplier — the correlated-scalar-min
+    * shape: for each qualifying part, the region's suppliers whose
+    * offered unit cost EQUALS the part's minimum unit cost (the
+    * decorrelated form of `cost = (SELECT min(cost) ... WHERE partkey =
+    * outer.partkey)`). The reference schema has no partsupp, so the offer
+    * table derives from line items: per (part, supplier) the minimum
+    * `extendedprice / quantity`. Cost equality is IEEE-exact — both
+    * engines divide the same doubles and take min over the same set, so
+    * the boundary join cannot drift. Dimension chain broadcasts; the only
+    * fact-scale work is one grouped pass over the region's line items. */
+  def q2MinCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    val esupp = Tables.supplier(s, dir)
+      .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, dir).filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    val offers = Tables.lineitem(s, dir)
+      .join(broadcast(esupp.select("s_suppkey")), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("cost"))
+    val mc = offers.groupBy(col("l_partkey").as("mc_partkey"))
+      .agg(min(col("cost")).as("min_cost"))
+    Tables.part(s, dir)
+      .filter(col("p_type") === "LARGE" && col("p_size") <= 10)
+      .select("p_partkey", "p_name")
+      .join(mc, col("p_partkey") === col("mc_partkey"))
+      .join(offers,
+        col("l_partkey") === col("p_partkey") && col("cost") === col("min_cost"))
+      .join(broadcast(esupp), col("l_suppkey") === col("s_suppkey"))
+      .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "cost")
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q11-shaped important parts — grouped values filtered by a
+    * GLOBAL scalar aggregate (`HAVING value > fraction * sum(value)`),
+    * the q22 shape at part granularity: one nation's suppliers' line-item
+    * value per part, kept when the part holds more than 1.5× the mean
+    * share. Per-row revenue is exact at scale 4, so it is carried as a
+    * ×10⁴ fixed-point LONG: the threshold compare is the pure integer
+    * cross-multiplication `v × n × 2 > total × 3` — a decimal × count
+    * product would blow Spark's precision-38 cap and silently round,
+    * and a double mean could flip boundary parts between engines. The
+    * one-row totals cross-join broadcasts. */
+  def q11ImportantParts(s: SparkSession, dir: String): DataFrame = {
+    val supp = Tables.supplier(s, dir)
+      .join(Tables.nation(s, dir).filter(col("n_name") === "NATION_7"),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val v = Tables.lineitem(s, dir)
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_partkey"),
+        (col("l_extendedprice").cast(money)
+          * (lit(1) - col("l_discount").cast(rate)) * 10000).cast("long").as("v4"))
+      .groupBy(col("l_partkey").as("p_partkey"))
+      .agg(sum(col("v4")).as("v4"))
+    val m = v.agg(sum(col("v4")).as("t4"), count(lit(1)).as("n_parts"))
+    v.crossJoin(broadcast(m))
+      .filter(col("v4") * col("n_parts") * 2 > col("t4") * 3)
+      .select(col("p_partkey"),
+        (col("v4").cast("double") / 10000.0).as("value"))
+      .orderBy(col("value").desc, col("p_partkey"))
+  }
+
+  /** TPC-H Q15-shaped top supplier — the view-over-aggregate shape: a
+    * quarter's revenue per supplier (exact decimal sums), then the
+    * supplier(s) whose revenue equals the global max. Max and the
+    * equality run on exact decimals, so the "top" set is bit-stable
+    * across engines and partitionings; the one-row max broadcasts. */
+  def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("l_extendedprice").cast(money)
+        * (lit(1) - col("l_discount").cast(rate))).as("total_revenue"))
+    val mx = rev.agg(max(col("total_revenue")).as("max_rev"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("total_revenue") === col("max_rev"))
+      .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_revenue").cast("double").as("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
   /** TPC-H Q7-shaped cross-nation volume shipping: revenue between
     * DISTINCT (supplier nation, customer nation) pairs by order year. The
     * nation dimension joins twice under different aliases — the classic

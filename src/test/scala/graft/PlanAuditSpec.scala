@@ -51,4 +51,29 @@ class PlanAuditSpec extends SparkTestBase {
     val q7 = Relational.q7VolumeShipping(spark, d).queryExecution.executedPlan.toString
     assert(q7.contains("BroadcastHashJoin"), s"Q7 dimensions must broadcast:\n$q7")
   }
+
+  test("third TPC-H wave plans the join shapes the queries are about") {
+    val d = "/root/testdata/sf0.001"
+    import graft.ops.Relational
+    // Q21's two existence probes are the point: EXISTS-another-supplier
+    // must be a semi join and NOT-EXISTS-another-late-supplier an anti
+    // join — both against fact-scale inputs, neither multiplying rows
+    val q21 = Relational.q21WaitingSuppliers(spark, d).queryExecution.executedPlan.toString
+    assert(q21.contains("LeftSemi"), s"Q21 EXISTS must plan a semi join:\n$q21")
+    assert(q21.contains("LeftAnti"), s"Q21 NOT EXISTS must plan an anti join:\n$q21")
+    // Q2's correlated min decorrelates to aggregate + equality join, with
+    // the supplier dimension chain broadcast
+    val q2 = Relational.q2MinCostSupplier(spark, d).queryExecution.executedPlan.toString
+    assert(q2.contains("BroadcastHashJoin"), s"Q2 dimensions must broadcast:\n$q2")
+    // Q11/Q15's global scalar (total / max over the grouped view) joins
+    // back as a single-row broadcast, never a shuffled join
+    val q11 = Relational.q11ImportantParts(spark, d).queryExecution.executedPlan.toString
+    assert(q11.contains("BroadcastNestedLoopJoin"),
+      s"Q11's one-row totals must broadcast:\n$q11")
+    // Catalyst turns Q15's cross-then-equality into an equi hash join on
+    // the revenue; either broadcast form is the correct one-row-side plan
+    val q15 = Relational.q15TopSupplier(spark, d).queryExecution.executedPlan.toString
+    assert(q15.contains("BroadcastHashJoin") || q15.contains("BroadcastNestedLoopJoin"),
+      s"Q15's one-row max must broadcast:\n$q15")
+  }
 }
