@@ -203,11 +203,20 @@ object Formats {
     * each task holds exactly one bucket's rows and the bucketed write
     * emits exactly one file per non-empty bucket (without the repartition,
     * a T-task write can emit up to T x buckets files — the bucketed-write
-    * small-file trap). Rewritten via a staging table + catalog rename, so
-    * a reader never observes a half-compacted table; probes answer
-    * identically before and after (same rows, same layout contract — the
-    * compacted gate shares its uncompacted twin's oracle). Returns the
-    * table's parquet file count after compaction. */
+    * small-file trap). Rewritten via a staging table, with the visibility
+    * switch a SINGLE `ALTER TABLE SET LOCATION` on the live table — a
+    * concurrent reader resolving the name at any instant sees a complete
+    * table (old files before the alter, compacted files after); the
+    * previous drop→rename sequence had a window where the name resolved
+    * to nothing. The staging entry is then re-pointed at the ORPHANED old
+    * location before being dropped, so the managed-table drop deletes
+    * exactly the superseded files. (In-flight scans that already resolved
+    * old file paths can still race that delete — the standard
+    * non-transactional-catalog caveat; a transactional table format is
+    * the production upgrade.) Probes answer identically before and after
+    * (same rows, same layout contract — the compacted gate shares its
+    * uncompacted twin's oracle). Returns the table's parquet file count
+    * after compaction. */
   def compactBucketed(spark: SparkSession, table: String, bucketCols: Seq[String],
       numBuckets: Int): Int = {
     val staging = table + "__compacting"
@@ -220,15 +229,19 @@ object Formats {
     // splits, producing one file per (task x bucket) instead of one per
     // bucket. A raw file scan carries no partitioning claim, so the
     // shuffle survives and every task holds exactly one bucket's rows.
-    spark.read.parquet(tableLocation(spark, table))
+    val oldLoc = tableLocation(spark, table)
+    spark.read.parquet(oldLoc)
       .repartition(numBuckets, bucketCols.map(col): _*)
       .write.mode(SaveMode.Overwrite)
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
       .saveAsTable(staging)
-    spark.sql(s"DROP TABLE `$table`")
-    spark.sql(s"ALTER TABLE `$staging` RENAME TO `$table`")
+    val newLoc = tableLocation(spark, staging)
+    spark.sql(s"ALTER TABLE `$table` SET LOCATION '$newLoc'")
+    spark.catalog.refreshTable(table)
+    spark.sql(s"ALTER TABLE `$staging` SET LOCATION '$oldLoc'")
+    spark.sql(s"DROP TABLE `$staging`")
     bucketedFileCount(spark, table)
   }
 
