@@ -725,6 +725,123 @@ object Relational {
       .orderBy("c_nationkey")
   }
 
+  /** TPC-H Q8-shaped national market share — the conditional-share-of-
+    * aggregate shape: one nation's fraction of a region's revenue for one
+    * part type, by order year. The numerator is a CASE-gated sum inside
+    * the same aggregation as the denominator (one pass, no self-join);
+    * both are exact DECIMAL sums, so the share is ONE double division of
+    * two bit-identical values — no float aggregation anywhere. The whole
+    * dimension chain (part filter, customer→nation→region market gate,
+    * supplier→nation share tag) broadcasts; the only shuffle joins the
+    * two fact tables, then one year-keyed aggregation. */
+  def q8MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val p = Tables.part(s, dir).filter(col("p_type") === "PROMO").select("p_partkey")
+    val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+    val n1 = Tables.nation(s, dir).select(
+      col("n_nationkey").as("c_nkey"), col("n_regionkey"))
+    val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+    val sup = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+    val n2 = Tables.nation(s, dir).select(
+      col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+    val volume = col("l_extendedprice").cast(money) * (lit(1) - col("l_discount").cast(rate))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(p), l("l_partkey") === col("p_partkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n1), c("c_nationkey") === col("c_nkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(n2), sup("s_nationkey") === col("s_nkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_3", volume)
+          .otherwise(lit(0).cast(money))).cast("double").as("nation_volume"),
+        sum(volume).cast("double").as("total_volume"))
+      .select(col("o_year"),
+        (col("nation_volume") / col("total_volume")).as("mkt_share"),
+        col("nation_volume"), col("total_volume"))
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q12-shaped line-class priority audit — the fact-join +
+    * conditional-count shape: for a shipping year, per line class the
+    * number of lines whose order was high-priority vs not. (The corpus
+    * schema has no `l_shipmode`/commit/receipt dates, so the class is
+    * `l_returnflag` and the date gate is the ship date — the join +
+    * CASE-count topology is the point.) Counts are exact integers; the
+    * orders side carries only (key, priority) into the join. */
+  def q12ShipPriority(s: SparkSession, dir: String): DataFrame = {
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_returnflag")
+      .join(Tables.orders(s, dir).select("o_orderkey", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag").as("ship_class"))
+      .agg(
+        count(when(high, 1)).as("high_line_count"),
+        count(when(!high, 1)).as("low_line_count"))
+      .orderBy("ship_class")
+  }
+
+  /** TPC-H Q16-shaped supplier diversity count — the NOT-IN-subquery +
+    * grouped COUNT DISTINCT shape: how many distinct suppliers offer each
+    * (brand, type, size) combination, excluding a blacklisted supplier set
+    * (here: negative account balance — the schema has no comment text).
+    * The part/supplier relation derives from the distinct (part, supplier)
+    * pairs observed in line items (no partsupp table). The NOT IN
+    * decorrelates to a broadcast LEFT ANTI join; the count-distinct is one
+    * shuffle keyed by the group columns. */
+  def q16SupplierCount(s: SparkSession, dir: String): DataFrame = {
+    val ps = Tables.lineitem(s, dir).select("l_partkey", "l_suppkey").distinct()
+    val bad = Tables.supplier(s, dir)
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+    val p = Tables.part(s, dir)
+      .filter(col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    ps.join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  /** TPC-H Q20-shaped concentrated-supply report — the nested-IN-with-
+    * correlated-scalar shape: suppliers in one nation who, for some
+    * 'small%'-named part, shipped MORE than half of that (part, supplier)
+    * pair's lifetime quantity inside the 1996 window (the decorrelated
+    * `availqty > 0.5 * sum(qty)` rule re-expressed against line items —
+    * the schema has no partsupp). Quantities are integral doubles carried
+    * as exact LONGs, and the half threshold is the integer
+    * cross-multiplication `2·qty96 > total` — no float comparison. The
+    * part filter broadcasts into the fact aggregation; the supplier gate
+    * is a LEFT SEMI against the qualifying pairs. */
+  def q20ExcessShare(s: SparkSession, dir: String): DataFrame = {
+    val sp = Tables.part(s, dir)
+      .filter(col("p_name").startsWith("small")).select("p_partkey")
+    val in96 = col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+      col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+    val pairs = Tables.lineitem(s, dir)
+      .join(broadcast(sp), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(
+        sum(col("l_quantity").cast("long")).as("total_qty"),
+        sum(when(in96, col("l_quantity").cast("long")).otherwise(0L)).as("qty96"))
+      .filter(col("qty96") * 2 > col("total_qty"))
+      .select("l_suppkey")
+    Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir).filter(col("n_name") === "NATION_2")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(pairs, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_name", "s_acctbal")
+      .orderBy("s_name")
+  }
+
   /** Event-time RANGE window frame: per event, count and exact-decimal sum
     * of the same user's values in the trailing hour INCLUDING the current
     * row — a value-based frame (`RANGE BETWEEN INTERVAL`), not a row-count

@@ -76,4 +76,20 @@ class PlanAuditSpec extends SparkTestBase {
     assert(q15.contains("BroadcastHashJoin") || q15.contains("BroadcastNestedLoopJoin"),
       s"Q15's one-row max must broadcast:\n$q15")
   }
+
+  test("fourth TPC-H wave plans the join shapes the queries are about") {
+    val d = "/root/testdata/sf0.001"
+    import graft.ops.Relational
+    // Q8's whole dimension chain broadcasts — the orders⋈lineitem fact
+    // join is the only exchange-scale join in the plan
+    val q8 = Relational.q8MarketShare(spark, d).queryExecution.executedPlan.toString
+    assert(q8.contains("BroadcastHashJoin"), s"Q8 dimensions must broadcast:\n$q8")
+    // Q16's NOT IN must decorrelate to an anti join against the
+    // blacklisted-supplier set, never a per-row subquery
+    val q16 = Relational.q16SupplierCount(spark, d).queryExecution.executedPlan.toString
+    assert(q16.contains("LeftAnti"), s"Q16 NOT IN must plan an anti join:\n$q16")
+    // Q20's nested IN must be a semi join against the qualifying pairs
+    val q20 = Relational.q20ExcessShare(spark, d).queryExecution.executedPlan.toString
+    assert(q20.contains("LeftSemi"), s"Q20 IN must plan a semi join:\n$q20")
+  }
 }
