@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
-import graft.ops.{Bpe, Dedup, MapReduce, Multimodal, Packing, PipedMapReduce, Relational, Sampling, Similarity, Snapshot, TextAnalysis, TextOps}
+import graft.ops.{Bpe, Dedup, MapReduce, Multimodal, Packing, PipedMapReduce, Relational, Sampling, SharedCorpus, Similarity, Snapshot, TextAnalysis, TextOps}
 import graft.sources.{Formats, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -52,7 +52,7 @@ object SparkEntry {
     * build regardless of gate execution order. */
   private def ensureBm25Index(s: SparkSession, d: String): Unit =
     buildOnce(s"bm25:$d") {
-      TextAnalysis.buildBm25Index(Tables.documents(s, d), "graft_bm25_idx")
+      TextAnalysis.buildBm25Index(SharedCorpus.docsTok(s, d), "graft_bm25_idx")
     }
 
   /** The hash-embed featurization materialized ONCE per (process, sf dir)
@@ -61,7 +61,7 @@ object SparkEntry {
   private def ensureHembTable(s: SparkSession, d: String): Unit =
     buildOnce(s"hemb:$d") {
       Formats.writeManaged(
-        TextAnalysis.hashEmbed(Tables.documents(s, d))
+        TextAnalysis.hashEmbed(SharedCorpus.docsTok(s, d))
           .select(col("doc_id").as("vec_id"), col("embedding")),
         "graft_hemb")
     }
@@ -132,7 +132,7 @@ object SparkEntry {
     java.util.concurrent.ConcurrentHashMap[String, Seq[Long]]]()
   private def classifierWeights(s: SparkSession, d: String): Seq[Long] =
     sessionMemo(clfWeights, s, d) {
-      graft.ops.Classifier.train(Tables.documents(s, d)).last
+      graft.ops.Classifier.train(SharedCorpus.docsTok(s, d)).last
     }
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -206,1770 +206,6 @@ object SparkEntry {
     // share-of-aggregate (Q8), fact-join conditional counts (Q12), NOT-IN
     // + grouped COUNT DISTINCT (Q16), nested IN with a decorrelated
     // correlated-scalar threshold (Q20)
-    "q8_market_share" -> Relational.q8MarketShare,
-    "q12_ship_priority" -> Relational.q12ShipPriority,
-    "q16_supplier_count" -> Relational.q16SupplierCount,
-    "q20_excess_share" -> Relational.q20ExcessShare,
-    // window functions
-    "window_top3_orders" -> Relational.top3OrdersPerCustomer,
-    "window_running_qty" -> Relational.runningQtyPerSupplier,
-    "window_moving_avg" -> Relational.movingAvgEventValue,
-    "window_navigation" -> Relational.windowNavigation,
-    "window_range_frame" -> Relational.trailingHourStats,
-    "window_rank_stats" -> Relational.windowRankStats,
-    // SQL three-valued logic surface
-    "null_handling_sampler" -> Relational.nullHandlingSampler,
-    "null_agg_counts" -> Relational.nullAggCounts,
-    // salted-join twin of join_broadcast_segment — same oracle, skew-safe plan
-    "skew_salted_revenue" -> Relational.saltedRevenueBySegment,
-    "percentiles_qty" -> Relational.percentilesQty,
-    // sketch quantiles: rows-only by contract (engine-specific sketch, like
-    // ta_approx_distinct); SketchSpec bounds it against the exact version
-    "agg_approx_quantiles" -> Relational.approxQuantilesQty,
-    "pivot_status" -> Relational.pivotStatusByPriority,
-    "unpivot_measures" -> Relational.unpivotOrderMeasures,
-    "setops_all_variants" -> Relational.setOpsAllVariants,
-    "array_agg_statuses" -> Relational.arrayAggStatuses,
-    "string_funcs_sampler" -> Relational.stringFuncsSampler,
-    // multi-dimensional aggregation
-    "rollup_flag_status" -> Relational.rollupFlagStatus,
-    "cube_status_priority" -> Relational.cubeStatusPriority,
-    "grouping_sets_docs" -> Relational.groupingSetsDocs,
-    // set operations
-    "setops_custkeys" -> Relational.setOpsCustkeys,
-    // scalar / temporal / JSON function surface
-    "scalar_sampler" -> Relational.scalarSampler,
-    "json_extract_events" -> Relational.jsonExtractEvents,
-    "orders_per_month" -> Relational.ordersPerMonth,
-    // north-star: text analysis (SURVEY §2c)
-    "ta_token_stats" -> ((s, d) => TextAnalysis.tokenStats(Tables.documents(s, d))),
-    "ta_lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
-    "ta_quality" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
-    "ta_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
-    "ta_tfidf" -> ((s, d) => TextAnalysis.tfIdf(Tables.documents(s, d))),
-    "ta_approx_distinct" -> ((s, d) => TextAnalysis.approxDistinctWords(Tables.documents(s, d))),
-    "ta_curation_pipeline" -> ((s, d) => TextAnalysis.curationPipeline(Tables.documents(s, d))),
-    // hashing-trick text→vector featurization (signed feature hashing):
-    // exact-integer votes, one IEEE normalize — gate is the long form
-    // (doc, dim, weight) so every float crosses the oracle bit-compared
-    // Ordering: a single-partition sort, NOT orderBy — a range sort's
-    // bound-sampling pass re-executes the whole embed chain (uncacheable
-    // inside a gate), doubling this dump's cost; one partition of the
-    // 320k-row long form is the same sizing Verify's coalesce(1) write
-    // applies anyway. Row order is identical either way.
-    "ta_hash_embed" -> ((s, d) =>
-      TextAnalysis.hashEmbed(Tables.documents(s, d))
-        .select(col("doc_id"), posexplode(col("embedding")).as(Seq("dim_idx", "weight")))
-        .select(col("doc_id"), col("dim_idx").cast("long").as("dim_idx"), col("weight"))
-        .repartition(1).sortWithinPartitions("doc_id", "dim_idx")),
-    // the composition the featurizer exists for: clean text → hash-embed →
-    // LSH ANN, end-to-end from the corpus with no given embeddings table.
-    // The embed pass is materialized once (buildOnce — the sanctioned
-    // build/apply split, VERDICT r8 item 2): steady runs measure the LSH
-    // banding + probe over the STORED vectors, the featurization cost
-    // lands in the cold run. Same oracle — the table changes where the
-    // vectors come from, not their values.
-    "ann_hash_embed_lsh" -> ((s, d) => {
-      ensureHembTable(s, d)
-      Similarity.lshTopK(s.table("graft_hemb"), col("vec_id") < 10)
-    }),
-    "ta_top_bigrams" -> ((s, d) => TextAnalysis.topBigrams(Tables.documents(s, d))),
-    // BM25 ranked keyword search — the sparse-lexical half of the
-    // retrieval stack (hash-embed + LSH is the dense half): top-20 docs
-    // for a 3-term query, 6-decimal-rounded scores, doc_id tiebreak
-    "ta_bm25_search" -> ((s, d) =>
-      TextAnalysis.bm25Search(Tables.documents(s, d), Seq("spark", "window", "join"))),
-    // hybrid retrieval: reciprocal-rank fusion of the BM25 term ranking
-    // and the exact dense cosine ranking against doc 0's hash-embed
-    // vector — both candidate lists capped before the fusion join
-    "ta_hybrid_search" -> ((s, d) =>
-      TextAnalysis.hybridSearch(Tables.documents(s, d), Seq("spark", "window", "join"))),
-    // the PRODUCTION hybrid path (VERDICT r7/r8 item 1): both retrieval
-    // halves probe their persisted indexes — BM25 reads only the query
-    // terms' postings (bucket-pruned on word), dense reads only the query
-    // vector's band buckets of the LSH index over the stored hash-embed
-    // table — then the same RRF tail fuses them. Per-query cost is
-    // O(postings + buckets), no corpus scan, no re-featurization. The
-    // dense ranks are the LSH probe's, so the oracle replays the banding.
-    "ta_hybrid_indexed" -> ((s, d) => {
-      ensureBm25Index(s, d)
-      ensureHembLshIndex(s, d)
-      TextAnalysis.hybridSearchIndexed(s, "graft_bm25_idx", "graft_hemb_lsh_idx",
-        Seq("spark", "window", "join"))
-    }),
-    // the query-MANY serving shape: a three-query workload through ONE
-    // plan — one bucket-pruned posting scan for the union of terms, one
-    // multi-query LSH probe, per-query RRF — each query's ranking
-    // identical to its single-query run (the oracle replays all three)
-    "ta_hybrid_many" -> ((s, d) => {
-      ensureBm25Index(s, d)
-      ensureHembLshIndex(s, d)
-      TextAnalysis.hybridSearchManyIndexed(s, "graft_bm25_idx",
-        "graft_hemb_lsh_idx", hybridWorkload)
-    }),
-    // build/query split: posting lists persisted ONCE bucketed on word,
-    // probe reads only the query terms' postings (same oracle as
-    // ta_bm25_search — the index changes where postings come from, not
-    // the answer). buildOnce: the gate times the probe after run one.
-    "ta_bm25_indexed" -> ((s, d) => {
-      ensureBm25Index(s, d)
-      TextAnalysis.bm25SearchIndexed(s, "graft_bm25_idx", Seq("spark", "window", "join"))
-    }),
-    // the standalone query-many sparse probe: the whole keyword workload
-    // through one bucket-pruned posting scan, per-query top-k — each
-    // query's ranking identical to its single-query run
-    "ta_bm25_many" -> ((s, d) => {
-      ensureBm25Index(s, d)
-      TextAnalysis.bm25SearchManyIndexed(s, "graft_bm25_idx", hybridWorkload)
-    }),
-    // the maintenance step of the append lifecycle: half bulk-built, half
-    // appended (files accumulate per batch), then compacted back to one
-    // file per bucket — the probe answers identically over the compacted
-    // layout, so the gate shares the direct search's oracle; what changed
-    // is the file count every future probe pays for
-    "ta_bm25_compacted" -> ((s, d) => {
-      buildOnce(s"bm25_compact:$d") {
-        val docs = Tables.documents(s, d)
-        TextAnalysis.buildBm25Index(docs.filter(col("doc_id") % 2 === 0), "graft_bm25_cpt")
-        TextAnalysis.appendToBm25Index(docs.filter(col("doc_id") % 2 =!= 0), "graft_bm25_cpt")
-        graft.sources.Formats.compactBucketed(s, "graft_bm25_cpt", Seq("word"), 8)
-      }
-      TextAnalysis.bm25SearchIndexed(s, "graft_bm25_cpt", Seq("spark", "window", "join"))
-    }),
-    // incremental-ingest variant: two doc-disjoint batches, bulk build +
-    // append; df is probe-derived and stats merge by integer addition, so
-    // the two-batch index shares the one-shot oracle
-    "ta_bm25_indexed_incr" -> ((s, d) => {
-      buildOnce(s"bm25_incr:$d") {
-        val docs = Tables.documents(s, d)
-        TextAnalysis.buildBm25Index(docs.filter(col("doc_id") % 3 =!= 0), "graft_bm25_incr")
-        TextAnalysis.appendToBm25Index(docs.filter(col("doc_id") % 3 === 0), "graft_bm25_incr")
-      }
-      TextAnalysis.bm25SearchIndexed(s, "graft_bm25_incr", Seq("spark", "window", "join"))
-    }),
-    // BPE vocabulary training (k-means-style replayed loop): the merge
-    // table, top-word segmentations, and corpus application after 8 greedy
-    // merge rounds. ONE training per (process, sf dir) serves all three
-    // gates — the sanctioned build-once/apply-many split of the indexed-ANN
-    // gates (VERDICT r5): training cost lands in the first gate's cold run,
-    // steady runs measure the derived queries
-    "ta_bpe_merges" -> ((s, d) => Bpe.mergeTableOf(s, bpeModel(s, d)._1)),
-    "ta_bpe_segments" -> ((s, d) => Bpe.segmentsOf(bpeModel(s, d)._2)),
-    "ta_bpe_tokenize" -> ((s, d) =>
-      Bpe.tokenizeWithVocabOf(Tables.documents(s, d), bpeModel(s, d)._2)),
-    // per-source curation funnel: survivors of each successive filter
-    // stage (quality ≥ 0.6 → lang = en → dup-2-gram ≤ 0.05), exact counts
-    "ta_filter_funnel" -> ((s, d) => TextAnalysis.filterFunnel(Tables.documents(s, d))),
-    // Gopher-style within-document repetition filters: duplicate-2/3-gram
-    // occurrence fractions + top-2-gram share (exact integer counts, IEEE
-    // division — no rounding)
-    "ta_repetition" -> ((s, d) => TextAnalysis.repetitionStats(Tables.documents(s, d))),
-    // CCNet-style bigram-LM quality scoring: add-one-smoothed corpus-trained
-    // model, per-doc mean log P(w_i | w_{i-1}); oracle replays the full
-    // train-then-score loop
-    "ta_lm_score" -> ((s, d) => TextAnalysis.lmScore(Tables.documents(s, d))),
-    // build/score split for the LM: exact-integer count tables + vocab
-    // stored once, the probe's only corpus pass is the scored docs' bigram
-    // projection — bit-identical to the train-per-call form (same oracle)
-    "ta_lm_indexed" -> ((s, d) => {
-      buildOnce(s"lm:$d") {
-        TextAnalysis.buildLmModel(Tables.documents(s, d), "graft_lm_model")
-      }
-      TextAnalysis.lmScoreIndexed(s, Tables.documents(s, d), "graft_lm_model")
-    }),
-    // TextRank keyword extraction: fixed-point PageRank over the word
-    // co-occurrence graph, 8 damped iterations, fully distributed rank
-    // state; the oracle replays every iteration as chained CTEs. The rank
-    // table is computed once and stored (buildOnce — the sanctioned
-    // build/apply split: a keyword table is compute-once/query-many, and
-    // the 16-stage iteration cost stays visible in the cold run)
-    "ta_textrank" -> ((s, d) => {
-      buildOnce(s"textrank:$d") {
-        Formats.writeManaged(TextAnalysis.textRank(Tables.documents(s, d)), "graft_textrank")
-      }
-      s.table("graft_textrank").orderBy(col("rank").desc, col("word"))
-    }),
-    // trained quality classifier (GPT-3/WebText pattern): 32 rounds of
-    // fixed-point full-batch logistic GD, labels from the quality rule;
-    // training memoized per (session, dir), the oracle replays every round
-    "ta_quality_classifier" -> ((s, d) =>
-      graft.ops.Classifier.scores(Tables.documents(s, d), classifierWeights(s, d))),
-    // training-batch assembly: deterministic-shuffle concat-then-chunk
-    // packing into fixed-token sequences (per-bucket independence), and a
-    // per-source token-budget cut — both integer-exact cross-engine
-    "pack_sequences" -> ((s, d) => Packing.packSequences(Tables.documents(s, d))),
-    "pack_token_budget" -> ((s, d) => Packing.tokenBudgetSample(Tables.documents(s, d))),
-    // production form: hot source salted into 8 sub-strata with sub-budgets
-    "pack_token_budget_salted" -> ((s, d) =>
-      Packing.tokenBudgetSampleSalted(Tables.documents(s, d))),
-    // RAG-style overlapping chunking (64-token windows, 48-token hop):
-    // chunk positions + content fingerprints, one map pass
-    "pack_chunks" -> ((s, d) => Packing.chunkDocuments(Tables.documents(s, d))),
-    // temperature-scaled source mixing (alpha = 0.5): per-source budgets
-    // ∝ sqrt(source tokens), quantized at the source level, then the same
-    // deterministic hash-order budget walk as pack_token_budget
-    "pack_source_mix" -> ((s, d) => Packing.sourceMixSample(Tables.documents(s, d))),
-    // Unicode NFC canonicalization via the codegen'd NfcNormalize
-    // expression: the ASCII corpus is already canonical, so the gate
-    // INJECTS doc_id-derived decomposed sequences (combining acute/ring/
-    // diaeresis) and both engines must normalize AND fingerprint them
-    // identically (JDK Normalizer vs DuckDB utf8proc)
-    "ta_normalize" -> ((s, d) => {
-      // DECOMPOSED sequences (base letter + combining mark, spelled as
-      // escapes so the codepoints are visible): e+U+0301, A+U+030A,
-      // o+U+0308 — NFC must compose them; oracle injects via chr()
-      val injected = Tables.documents(s, d).select(col("doc_id"),
-        concat(col("text"),
-          expr("repeat(' Cafe\\u0301', CAST(doc_id % 3 AS INT))"),
-          expr("repeat(' A\\u030Angstro\\u0308m', CAST(doc_id % 2 AS INT))")).as("text"))
-      TextAnalysis.normalizeText(injected)
-    }),
-    // incremental corpus maintenance: snapshot + synthetic change batch
-    // (re-crawl upserts %10==3, tombstones %10==7) → latest-wins merge
-    "snapshot_merge" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      Snapshot.mergeSnapshot(Snapshot.baseSnapshot(docs), Snapshot.changeBatch(docs))
-    }),
-    // CDC extraction, the merge's inverse: diff(base, merged) must be
-    // exactly the applied batch's visible effect (updates %10==3 with the
-    // v1 fingerprint, deletes %10==7)
-    "snapshot_diff" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val base = Snapshot.baseSnapshot(docs)
-      Snapshot.diffSnapshots(base,
-        Snapshot.mergeSnapshot(base, Snapshot.changeBatch(docs)))
-    }),
-    // PII scrubbing under the oracle: the corpus has no digits, so the
-    // gate INJECTS deterministic doc_id-derived emails/phones/IPs (same
-    // inject-then-prove pattern as the fmt_* garbage gates), then redacts;
-    // both engines replay injection AND redaction with their own regex
-    // engines, so the fingerprint equality proves the scrub is exact
-    "ta_pii_redact" -> ((s, d) => {
-      val injected = Tables.documents(s, d).select(col("doc_id"),
-        concat(col("text"),
-          expr("repeat(concat(' user', CAST(doc_id AS STRING), '@example.org'), " +
-            "CAST(doc_id % 3 AS INT))"),
-          expr("repeat(concat(' 555-', lpad(CAST(doc_id % 1000 AS STRING), 3, '0'), " +
-            "'-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0')), CAST(doc_id % 2 AS INT))"),
-          expr("repeat(concat(' 10.0.', CAST(doc_id % 256 AS STRING), '.', " +
-            "CAST(doc_id * 7 % 256 AS STRING)), CAST((doc_id + 1) % 2 AS INT))")).as("text"))
-      TextAnalysis.redactPii(injected)
-    }),
-    // deterministic hash-based sampling (training-pipeline reproducibility)
-    "sample_hash10" -> ((s, d) =>
-      Sampling.hashSample(Tables.documents(s, d), "doc_id", 10)
-        .select("doc_id", "lang").orderBy("doc_id")),
-    "sample_stratified" -> ((s, d) =>
-      Sampling.stratifiedHashSample(Tables.documents(s, d), "doc_id", "lang", Map("en" -> 25))
-        .select("doc_id", "lang").orderBy("doc_id")),
-    "sample_per_stratum" -> ((s, d) =>
-      Sampling.perStratumSample(Tables.documents(s, d), "doc_id", "lang", 5)
-        .select("doc_id", "lang").orderBy("doc_id")),
-    "sql_correlated" -> Relational.sqlCorrelatedSubquery,
-    "hof_sampler" -> Relational.hofSampler,
-    "date_arith_sampler" -> Relational.dateArithSampler,
-    // north-star: deduplication
-    "dedup_exact" -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
-    "dedup_minhash_pairs" -> ((s, d) => Dedup.minHashPairs(Tables.documents(s, d))),
-    "dedup_simhash" -> ((s, d) => Dedup.simHash(Tables.documents(s, d))),
-    "dedup_simhash_pairs" -> ((s, d) => Dedup.simHashPairs(Tables.documents(s, d))),
-    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d))),
-    // iterative component resolution; oracle = recursive-CTE transitive closure
-    "dedup_neardup_survivors" -> ((s, d) => Dedup.nearDupSurvivors(Tables.documents(s, d))),
-    // quality-aware survivor policy: same components, keep the argmax-
-    // quality member per component (tie → lower doc_id)
-    "dedup_quality_survivors" -> ((s, d) =>
-      Dedup.nearDupSurvivorsBy(Tables.documents(s, d), TextAnalysis.qualityCol)),
-    // greedy one-pass admission — the batch twin of the streaming
-    // band-taint dedup (StreamOps.streamNearDupAdmitted runs the same rule
-    // with watermark-TTL band state; StreamOpsSpec proves parity)
-    "stream_neardup_admit" -> ((s, d) => Dedup.nearDupAdmit(Tables.documents(s, d))),
-    // exact repeated-span stats (the "exact substring dedup" curation
-    // signal): per-doc count and ratio of positional 8-token spans that
-    // also occur in another document
-    "dedup_span_stats" -> ((s, d) => Dedup.duplicateSpans(Tables.documents(s, d))),
-    // the actionable half of the span signal: the CLEANED corpus with
-    // cross-document repeated spans dropped (first occurrence kept); the
-    // oracle replays span ownership and reconstructs the kept text
-    "dedup_span_rewrite" -> ((s, d) => Dedup.removeDuplicateSpans(Tables.documents(s, d))),
-    // cross-dataset eval-contamination scan: docs with doc_id % 7 == 0
-    // play the benchmark corpus, the rest are training docs scored by
-    // benchmark-overlapping span count
-    "dedup_contamination" -> ((s, d) => {
-      val all = Tables.documents(s, d)
-      Dedup.contaminationStats(
-        all.filter(col("doc_id") % 7 =!= 0), all.filter(col("doc_id") % 7 === 0))
-    }),
-    // the broadcast-outgrown plan: benchmark hashes folded into a Bloom
-    // filter probed scan-side before the exact semi-join — false positives
-    // die in the join, false negatives are impossible, so the result (and
-    // the oracle) is identical to dedup_contamination
-    "dedup_contamination_bloom" -> ((s, d) => {
-      val all = Tables.documents(s, d)
-      Dedup.contaminationStatsBloom(
-        all.filter(col("doc_id") % 7 =!= 0), all.filter(col("doc_id") % 7 === 0))
-    }),
-    // the canonical GPT-3 13-gram rule (the span family's n=8 gate keeps
-    // the cross-operator consistency story; this one runs the cited rule)
-    "dedup_contamination_13" -> ((s, d) => {
-      val all = Tables.documents(s, d)
-      Dedup.contaminationStats(
-        all.filter(col("doc_id") % 7 =!= 0), all.filter(col("doc_id") % 7 === 0),
-        n = 13)
-    }),
-    // streaming decontamination, batch mode: the stream-static admission
-    // plan (StreamOps.streamDecontaminated) over the same %7 split — by
-    // construction equals Dedup.decontaminate's surviving id set; the
-    // MemoryStream twin with real watermarks runs in StreamOpsSpec
-    "stream_decontam_admit" -> ((s, d) => {
-      val all = Tables.documents(s, d)
-      graft.streaming.StreamOps.streamDecontaminated(
-        all.filter(col("doc_id") % 7 =!= 0)
-          .withColumn("ts", timestamp_micros(col("doc_id"))),
-        all.filter(col("doc_id") % 7 === 0))
-        .select("doc_id").orderBy("doc_id")
-    }),
-    // cross-corpus fuzzy join: near-dup pairs BETWEEN the %3-split halves
-    // (train side vs external side) — no intra-corpus pairs
-    "dedup_cross_corpus" -> ((s, d) => {
-      val all = Tables.documents(s, d)
-      Dedup.crossCorpusNearDups(
-        all.filter(col("doc_id") % 3 =!= 0), all.filter(col("doc_id") % 3 === 0))
-    }),
-    // build/query split for the near-dup miner (the MinHash twin of the
-    // BM25/LSH index trio): the corpus side's bands + signatures persisted
-    // ONCE bucketed on the band key, each new crawl batch probes the
-    // stored index — same oracle as dedup_cross_corpus (the index changes
-    // where the corpus bands come from, not the pairs)
-    "dedup_cross_indexed" -> ((s, d) => {
-      val all = Tables.documents(s, d)
-      buildOnce(s"band:$d") {
-        Dedup.buildBandIndex(all.filter(col("doc_id") % 3 =!= 0), "graft_band_idx")
-      }
-      Dedup.nearDupPairsIndexed(s, "graft_band_idx", all.filter(col("doc_id") % 3 === 0))
-    }),
-    // incremental-ingest variant: the corpus side built from one half and
-    // the other half APPENDED into the stored layout — signatures are
-    // per-doc, so the two-batch index is bit-identical to the one-shot
-    // build and shares its oracle
-    "dedup_cross_indexed_incr" -> ((s, d) => {
-      val all = Tables.documents(s, d)
-      buildOnce(s"band_incr:$d") {
-        val corpus = all.filter(col("doc_id") % 3 =!= 0)
-        Dedup.buildBandIndex(corpus.filter(col("doc_id") % 2 === 0), "graft_band_incr")
-        Dedup.appendToBandIndex(corpus.filter(col("doc_id") % 2 =!= 0), "graft_band_incr")
-      }
-      Dedup.nearDupPairsIndexed(s, "graft_band_incr", all.filter(col("doc_id") % 3 === 0))
-    }),
-    // north-star: similarity search. The exact all-pairs miner
-    // (Similarity.embeddingNearDupPairs) is deliberately NOT gated: its n²
-    // cross product is a verification utility (SimilaritySpec uses it as
-    // LSH ground truth), and the benched plan for near-dup mining must be
-    // the banded LSH one — the 100 TB shape. bruteForceTopK stays gated:
-    // broadcast-queries × one corpus scan IS its scale plan for small
-    // query sets.
-    "sim_topk_cosine" -> ((s, d) =>
-      Similarity.bruteForceTopK(Tables.embeddings(s, d), col("vec_id") < 10)),
-    "sim_neardup_lsh" -> ((s, d) =>
-      Similarity.embeddingNearDupPairsLSH(Tables.embeddings(s, d))),
-    "ann_lsh_topk" -> ((s, d) =>
-      Similarity.lshTopK(Tables.embeddings(s, d), col("vec_id") < 10)),
-    // int8 scalar-quantized tier: the corpus scan reads 1 byte/dim (4x
-    // compression) and ranks by the QUANTIZED cosine — exact integer dots
-    // (byte_dot) + one IEEE division, so the ranking has its own exact
-    // DuckDB replay; recall vs the float tier is measured in the spec
-    "ann_sq_topk" -> ((s, d) =>
-      Similarity.sqTopK(Tables.embeddings(s, d), col("vec_id") < 10)),
-    // build/query split for the SQ tier: half the corpus quantized in the
-    // bulk build, half appended (codes are per-vector, so the two-batch
-    // table is bit-identical to a one-shot build); the probe reads STORED
-    // 1-byte codes and never touches the float corpus — same oracle as
-    // ann_sq_topk (the table changes where codes come from, not the answer)
-    "ann_sq_indexed" -> ((s, d) => {
-      buildOnce(s"sq:$d") {
-        val emb = Tables.embeddings(s, d)
-        Similarity.buildSqCodes(emb.filter(col("vec_id") % 2 === 0), "graft_sq_codes")
-        Similarity.appendToSqCodes(emb.filter(col("vec_id") % 2 =!= 0), "graft_sq_codes")
-      }
-      Similarity.sqTopKIndexed(s, "graft_sq_codes", col("vec_id") < 10)
-    }),
-    // build/query split: banded signatures persisted ONCE as a bucketed
-    // table, probe reads the stored index (same oracle as ann_lsh_topk —
-    // the index changes where signatures come from, not the answer).
-    // buildOnce: the gate times the probe after the first run.
-    "ann_lsh_indexed" -> ((s, d) => {
-      buildOnce(s"lsh:$d") { Similarity.buildLshIndex(Tables.embeddings(s, d), "graft_lsh_idx") }
-      Similarity.lshTopKIndexed(s, "graft_lsh_idx", col("vec_id") < 10)
-    }),
-    // incremental-ingest variant: half the corpus bulk-built, the other
-    // half APPENDED into the stored layout — signatures are per-vector,
-    // so the two-batch index is bit-identical to the one-shot build and
-    // shares its oracle
-    "ann_lsh_indexed_incr" -> ((s, d) => {
-      buildOnce(s"lsh_incr:$d") {
-        val emb = Tables.embeddings(s, d)
-        Similarity.buildLshIndex(emb.filter(col("vec_id") % 2 === 0), "graft_lsh_incr")
-        Similarity.appendToLshIndex(emb.filter(col("vec_id") % 2 =!= 0), "graft_lsh_incr")
-      }
-      Similarity.lshTopKIndexed(s, "graft_lsh_incr", col("vec_id") < 10)
-    }),
-    "ann_ivf_topk" -> ((s, d) =>
-      Similarity.ivfTopK(Tables.embeddings(s, d), col("vec_id") < 10)),
-    // product-quantization tier: 16 trained sub-codebooks, 16-byte codes
-    // (16x compression), asymmetric scoring — float queries against
-    // code-reconstructed neighbors; the oracle replays training, encoding,
-    // and the ranking end to end
-    "ann_pq_topk" -> ((s, d) =>
-      Similarity.pqTopK(Tables.embeddings(s, d), col("vec_id") < 10)),
-    // same probe plan over k-means-trained pivots; the oracle replays the
-    // full (deterministic, fixed-point) Lloyd's training loop in DuckDB
-    "ann_ivf_kmeans" -> ((s, d) =>
-      Similarity.ivfTopKKmeans(Tables.embeddings(s, d), col("vec_id") < 10)),
-    // SemDeDup-style cluster-balanced sampling: k-means cells capped at a
-    // deterministic hash-order prefix of 10 vectors each
-    "ann_cluster_sample" -> ((s, d) =>
-      Similarity.clusterBalancedSample(Tables.embeddings(s, d))),
-    // build/query split for the IVF tier: trained pivots + cell assignment
-    // stored once (bucketed on cell), probe reads the index — same oracle
-    // as ann_ivf_kmeans (the index changes where cells come from, not the
-    // answer)
-    "ann_ivf_indexed" -> ((s, d) => {
-      ensureIvfIndex(s, d)
-      Similarity.ivfTopKIndexed(s, "graft_ivf_idx", col("vec_id") < 10)
-    }),
-    // the same stored IVF assignment feeds curation: cluster-balanced
-    // sampling is a pure function of (vec_id, cell), so the indexed
-    // variant reads the index (embedding column pruned from the scan) and
-    // shares ann_cluster_sample's oracle
-    "ann_cluster_sample_indexed" -> ((s, d) => {
-      ensureIvfIndex(s, d)
-      Similarity.clusterBalancedSampleIndexed(s, "graft_ivf_idx")
-    }),
-    // build/query split for the PQ tier: codebooks trained + corpus
-    // encoded once, probe ranks float queries against STORED 16-byte
-    // codes — same oracle as ann_pq_topk (the index changes where codes
-    // come from, not the answer)
-    "ann_pq_indexed" -> ((s, d) => {
-      buildOnce(s"pq:$d") { Similarity.buildPqIndex(Tables.embeddings(s, d), "graft_pq_idx") }
-      Similarity.pqTopKIndexed(s, "graft_pq_idx",
-        Tables.embeddings(s, d).filter(col("vec_id") < 10))
-    }),
-    // incremental-ingest variant: books trained once over the corpus,
-    // codes arrive in two batches encoded against the STORED books —
-    // per-vector given fixed books, so the union equals the one-shot
-    // encode and the gate shares ann_pq_topk's oracle
-    "ann_pq_indexed_incr" -> ((s, d) => {
-      buildOnce(s"pq_incr:$d") {
-        // the appends below have no initial overwrite: drop first so a
-        // retry after a partial failure can't re-append onto survivors
-        Formats.dropManaged(s, "graft_pq_incr")
-        val emb = Tables.embeddings(s, d)
-        Similarity.buildPqBooks(emb, "graft_pq_incr")
-        Similarity.appendToPqIndex(s, emb.filter(col("vec_id") % 2 === 0), "graft_pq_incr")
-        Similarity.appendToPqIndex(s, emb.filter(col("vec_id") % 2 =!= 0), "graft_pq_incr")
-      }
-      Similarity.pqTopKIndexed(s, "graft_pq_incr",
-        Tables.embeddings(s, d).filter(col("vec_id") < 10))
-    }),
-    // the composed production index: IVF's trained coarse cells bound
-    // WHICH rows a query reads (nprobe cell prune), PQ's stored codes
-    // bound the BYTES per row (asymmetric scoring over 16-byte codes,
-    // reconstruction only for probed candidates) — the oracle replays
-    // cell assignment AND PQ ranking end to end
-    "ann_ivfpq_indexed" -> ((s, d) => {
-      buildOnce(s"ivfpq:$d") {
-        Similarity.buildIvfPqIndex(Tables.embeddings(s, d), "graft_ivfpq_idx")
-      }
-      Similarity.ivfPqTopKIndexed(s, "graft_ivfpq_idx",
-        Tables.embeddings(s, d).filter(col("vec_id") < 10))
-    }),
-    // incremental-ingest variant of the IVF split: pivots trained once
-    // over the corpus, then assignments arrive in two batches, each
-    // argmax'd against the STORED pivots and appended — per-vector given
-    // fixed pivots, so the union equals the one-shot assignment and the
-    // gate shares ann_ivf_kmeans's oracle
-    "ann_ivf_indexed_incr" -> ((s, d) => {
-      buildOnce(s"ivf_incr:$d") {
-        // same retry-idempotence rule as pq_incr: appends need a clean slate
-        Formats.dropManaged(s, "graft_ivf_incr")
-        val emb = Tables.embeddings(s, d)
-        Similarity.buildIvfPivots(emb, "graft_ivf_incr")
-        Similarity.appendToIvfIndex(s, emb.filter(col("vec_id") % 2 === 0), "graft_ivf_incr")
-        Similarity.appendToIvfIndex(s, emb.filter(col("vec_id") % 2 =!= 0), "graft_ivf_incr")
-      }
-      Similarity.ivfTopKIndexed(s, "graft_ivf_incr", col("vec_id") < 10)
-    }),
-    // north-star: multimodal binary columns
-    "mm_metadata" -> ((s, d) =>
-      Multimodal.blobMetadata(Multimodal.asBlobTable(Tables.documents(s, d)))),
-    "mm_frames" -> ((s, d) =>
-      Multimodal.sampleFrames(Multimodal.asBlobTable(Tables.documents(s, d)))
-        .select(col("doc_id"), col("byte_len"), col("frame_idx").cast("long").as("frame_idx"),
-          hex(col("frame_bytes")).as("frame_hex"))
-        .orderBy("doc_id", "frame_idx")),
-    // feature vector projected to scalar columns: array-typed result cells
-    // compare unreliably through pandas (same rule as arrayAggStatuses)
-    "mm_decode_features" -> ((s, d) =>
-      Multimodal.decodeStub(Multimodal.asBlobTable(Tables.documents(s, d)))
-        .select(col("doc_id"), col("n_bytes"), col("mean_byte"),
-          element_at(col("feature"), 1).as("f_min"),
-          element_at(col("feature"), 2).as("f_max"),
-          element_at(col("feature"), 3).as("f_mean"),
-          element_at(col("feature"), 4).as("f_n"))
-        .orderBy("doc_id")),
-    // REAL codec path: deterministic grayscale PNGs synthesized ONCE into
-    // a stored blob table (in a real pipeline the media bytes are inputs
-    // on disk, not something the decode query re-encodes), then decoded
-    // with javax.imageio to pixel stats; the oracle replays the
-    // generating formula in SQL — hash equality proves the
-    // encode→PNG→store→decode round trip is exact (decodeStub stays as
-    // the dependency-free stand-in for non-JVM codecs)
-    "mm_decode_png" -> ((s, d) => {
-      buildOnce(s"png_blobs:$d") {
-        graft.sources.Formats.writeManaged(
-          Multimodal.synthesizePng(Tables.documents(s, d)), "graft_png_blobs")
-      }
-      Multimodal.decodePng(s.table("graft_png_blobs")).orderBy("doc_id")
-    }),
-    "mm_decode_wav" -> ((s, d) => {
-      buildOnce(s"wav_blobs:$d") {
-        graft.sources.Formats.writeManaged(
-          Multimodal.synthesizeWav(Tables.documents(s, d)), "graft_wav_blobs")
-      }
-      Multimodal.decodeWav(s.table("graft_wav_blobs")).orderBy("doc_id")
-    }),
-    "mm_downsample" -> ((s, d) =>
-      Multimodal.downsampleBytes(Multimodal.asBlobTable(Tables.documents(s, d)), 4)
-        .select(col("doc_id"), col("byte_len"), col("ds_len"), hex(col("ds_bytes")).as("ds_hex"))
-        .orderBy("doc_id")),
-    // streaming-unified transform run over batch input (same code drives
-    // readStream in StreamOpsSpec's MemoryStream test)
-    "stream_windowed_counts" -> ((s, d) =>
-      graft.streaming.StreamOps.windowedEventCounts(Tables.events(s, d))
-        .orderBy("win_start", "event_type")),
-    "stream_sessions_batch" -> ((s, d) =>
-      graft.streaming.StreamOps.sessionizeBatch(Tables.events(s, d))),
-    // the NATIVE session_window form of the same gap rule — shares the
-    // cumulative form's oracle (no exact-gap ties in the corpus, so the
-    // end-exclusive boundary difference cannot bite; a regen that
-    // introduced one would fail this gate's hash, not drift silently)
-    "stream_sessions_native" -> ((s, d) =>
-      graft.streaming.StreamOps.sessionizeNative(Tables.events(s, d))),
-    // stream-stream interval join run on batch input (StreamOpsSpec drives
-    // the same transform through two MemoryStream sides)
-    "stream_interval_join" -> ((s, d) =>
-      graft.streaming.StreamOps.intervalJoin(Tables.events(s, d))
-        .orderBy("l_id", "r_id")),
-    // exactly-once dedup, same code path the MemoryStream spec drives; the
-    // input injects real duplicates (identical full rows, so the arbitrary
-    // keep-one pick is value-deterministic)
-    "stream_dedup_events" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-        .select("event_id", "user_id", "event_type", "value", "ts")
-      val dupes = ev.filter(col("event_id") % 10 === 0)
-      graft.streaming.StreamOps.dedupEvents(ev.unionAll(dupes))
-        .orderBy("event_id")
-    }),
-    // format surface (SURVEY §2b scans/sources): csv sink→scan roundtrip,
-    // then an aggregate over the re-read data — proves schema'd csv IO
-    // end to end, not just that a file appeared
-    "fmt_csv_roundtrip" -> ((s, d) => {
-      val out = s"$scratchDir/nation_csv"
-      val nation = Tables.nation(s, d)
-      Formats.writeCsv(nation, out)
-      Formats.readCsv(s, nation.schema, out)
-        .groupBy("n_regionkey")
-        .agg(count(lit(1)).as("n_nations"),
-          array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"))
-        .orderBy("n_regionkey")
-    }),
-    // json sink→scan roundtrip with explicit schema on the way back in,
-    // proving doubles survive the text round trip bit-exactly
-    "fmt_json_roundtrip" -> ((s, d) => {
-      val out = s"$scratchDir/supplier_json"
-      val sup = Tables.supplier(s, d)
-      Formats.writeJson(sup, out)
-      Formats.readJson(s, sup.schema, out)
-        .groupBy("s_nationkey")
-        .agg(count(lit(1)).as("n_suppliers"),
-          sum(col("s_acctbal").cast("decimal(18,2)")).cast("double").as("sum_acctbal"))
-        .orderBy("s_nationkey")
-    }),
-    // hive-partitioned sink→scan: the lang predicate prunes directories
-    // (PartitionFilters, asserted in FormatsSpec) — only the en/ files are read
-    "fmt_partitioned_pruning" -> ((s, d) => {
-      val out = s"$scratchDir/docs_by_lang"
-      Formats.writePartitioned(
-        Tables.documents(s, d).select("doc_id", "source", "n_chars", "lang"), out, "lang")
-      s.read.parquet(out)
-        .filter(col("lang") === "en")
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
-        .orderBy("source")
-    }),
-    // the KEEP-the-rejects half of permissive parsing: same
-    // corpus-with-garbage input as fmt_permissive_kv, but malformed lines
-    // land whole in _corrupt_record instead of vanishing — the gate proves
-    // the quarantine split is exact (good rows aggregate like the clean
-    // subset; reject count equals the injected-garbage count)
-    "fmt_quarantine_kv" -> ((s, d) => {
-      val out = s"$scratchDir/kv_text_q"
-      Tables.orders(s, d)
-        .select(concat_ws(" ", col("o_orderkey"),
-          when(col("o_orderkey") % 13 === 0, lit("oops"))
-            .otherwise((col("o_orderkey") % 5).cast("string"))).as("value"))
-        .write.mode("overwrite").text(out)
-      val schema = StructType(Seq(StructField("k", LongType), StructField("v", LongType)))
-      // sum(v) keeps v REFERENCED in the aggregate: Catalyst would
-      // otherwise prune it from the CSV scan, the failing conversion
-      // would never run, and no row would be quarantined — corrupt-record
-      // detection only sees the columns the query actually reads
-      Formats.readCsvQuarantine(s, schema, " ", out)
-        .select(col("k"), col("v"), col("_corrupt_record").isNotNull.as("rejected"))
-        .groupBy("rejected")
-        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), sum("v").as("sum_v"))
-        .orderBy("rejected")
-    }),
-    // small-file compaction under the oracle: fragment the events table
-    // into many tiny files, compact (coalesce — no shuffle), and prove the
-    // compacted dataset still aggregates identically to the source table
-    "fmt_compacted_scan" -> ((s, d) => {
-      val in = s"$scratchDir/events_fragmented"
-      val out = s"$scratchDir/events_compacted"
-      Tables.events(s, d).repartition(16).write.mode("overwrite").parquet(in)
-      Formats.compactParquet(s, in, out)
-      s.read.parquet(out)
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
-          countDistinct(col("user_id")).as("n_users"))
-        .orderBy("event_type")
-    }),
-    // footer-statistics aggregation: count/min/max answered from parquet
-    // metadata via the scoped V2 reader — FormatsSpec asserts the scan
-    // carries PushedAggregation (no row groups read)
-    "fmt_agg_pushdown" -> ((s, d) =>
-      Formats.aggregateFromFooters(s, s"$d/lineitem.parquet", "l_orderkey")),
-    // error-safe SQL surface: try_* functions return NULL instead of
-    // failing the job — the ANSI-mode-compatible behavior a 100 TB batch
-    // job wants for dirty arithmetic (mirrors the permissive-parse story
-    // at the expression level). Bounded to a 15k-row slice: Spark's
-    // TryEval wrapper is CodegenFallback (no whole-stage codegen), so
-    // try_* belongs on the dirty subset of a pipeline, not its hot path —
-    // the bound keeps the gate honest about that contract.
-    "scalar_try_funcs" -> ((s, d) =>
-      Tables.orders(s, d)
-        .filter(col("o_orderkey") <= 15000)
-        .select(
-          col("o_orderkey"),
-          expr("try_divide(o_totalprice, o_orderkey % 3)").as("div_mod3"),
-          expr("try_cast(o_orderpriority AS INT)").as("prio_int"),
-          expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").as("prio_code_int"))
-        .orderBy("o_orderkey")),
-    // orc sink→scan roundtrip (explicit schema back in, filter pushed to
-    // the ORC scan): the oracle reads the PARQUET part table — equality
-    // proves the columnar roundtrip through the second format is lossless
-    "fmt_orc_roundtrip" -> ((s, d) => {
-      val out = s"$scratchDir/part_orc"
-      val part = Tables.part(s, d)
-      Formats.writeOrc(part, out)
-      Formats.readOrc(s, part.schema, out)
-        .filter(col("p_size") >= 25)
-        .groupBy("p_type")
-        .agg(count(lit(1)).as("n_parts"),
-          sum(col("p_retailprice").cast("decimal(18,2)")).cast("double").as("sum_retail"),
-          max("p_size").as("max_size"))
-        .orderBy("p_type")
-    }),
-    // bucketed-table layout under the oracle: both sides pre-shuffled on
-    // the join key, so the join itself plans with ZERO exchanges (the
-    // co-located-join story; FormatsSpec asserts the no-Exchange plan).
-    // Same unsalted SQL oracle as the broadcast/salted twins — three plans,
-    // one result.
-    "fmt_bucketed_join" -> ((s, d) => {
-      Formats.writeBucketed(
-        Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice"),
-        "graft_orders_bkt", "o_custkey", 8)
-      Formats.writeBucketed(
-        Tables.customer(s, d).select("c_custkey", "c_mktsegment"),
-        "graft_customer_bkt", "c_custkey", 8)
-      s.table("graft_orders_bkt")
-        .join(s.table("graft_customer_bkt"), col("o_custkey") === col("c_custkey"))
-        .groupBy("c_mktsegment")
-        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"),
-          count(lit(1)).as("n_orders"))
-        .orderBy("c_mktsegment")
-    }),
-    // the literal subprocess-pipe surface under the oracle: same answer as
-    // the declarative wordcount, via python mapper/reducer processes
-    "piped_wordcount" -> ((s, d) =>
-      PipedMapReduce.pipedWordCount(s, Tables.documents(s, d).select(col("text").as("value")))
-        .orderBy("word")),
-    // permissive-parse surface: the reference reducer silently drops
-    // malformed / non-int lines (src/app/reducer.py:11,21-24); here the
-    // same corpus-with-garbage shape goes through DROPMALFORMED and the
-    // aggregate sees only the well-formed rows
-    "fmt_permissive_kv" -> ((s, d) => {
-      val out = s"$scratchDir/kv_text"
-      Tables.orders(s, d)
-        .select(concat_ws(" ", col("o_orderkey"),
-          when(col("o_orderkey") % 13 === 0, lit("oops"))
-            .otherwise((col("o_orderkey") % 5).cast("string"))).as("value"))
-        .write.mode("overwrite").text(out)
-      val schema = StructType(Seq(StructField("k", LongType), StructField("v", LongType)))
-      Formats.readCsvDropMalformed(s, schema, " ", out)
-        .groupBy("v")
-        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
-        .orderBy("v")
-    }),
-  )
-
-  // ---- DuckDB oracle builders for the hash-based north-star operators ----
-  // Generated from the same constants as the Spark implementations
-  // (Dedup.NumHashes/BandRows, Similarity.planes, TextAnalysis.LangMarkers)
-  // so the two sides cannot drift.
-
-  private val WS = "\\s+"
-
-  // DuckDB mirrors of the Spark-side hashes come from CrossHash itself so
-  // the two sides cannot drift.
-  private def h32Sql(e: String): String = graft.functions.CrossHash.h32Sql(e)
-  private def h60Sql(e: String): String = graft.functions.CrossHash.h60Sql(e)
-
-  private def markerSql(lang: String): String = {
-    val set = TextAnalysis.LangMarkers.toMap.apply(lang)
-    val in = set.map(w => s"'$w'").mkString(", ")
-    s"CAST(len(list_filter(regexp_split_to_array(lower(text), '$WS'), t -> t IN ($in))) AS BIGINT)"
-  }
-
-  /** Shingles → signatures → bands for the subset of `documents` matching
-    * `where`, all CTE names suffixed with `sfx` — the ONE generator behind
-    * every MinHash oracle (intra-corpus with `("", "TRUE")`, each
-    * cross-corpus side with its split predicate), so the banding scheme
-    * can never drift between them. */
-  private def minhashSideCtes(sfx: String, where: String): String = {
-    val sigCols = (0 until Dedup.NumHashes)
-      .map(i => s"min(${Dedup.minHashChunkSql(i)}) AS h$i").mkString(", ")
-    val bands = (0 until Dedup.NumBands).map { b =>
-      val parts = (0 until Dedup.BandRows).map(r => s"h${b * Dedup.BandRows + r}").mkString(", ")
-      s"SELECT doc_id, $b AS band_idx, md5(concat_ws(',', $parts)) AS band_hash FROM sig$sfx"
-    }.mkString(" UNION ALL ")
-    s"""${shingleCtesFor(sfx, where)},
-       |sig$sfx AS (SELECT doc_id, $sigCols FROM sh$sfx GROUP BY doc_id),
-       |banded$sfx AS ($bands)""".stripMargin
-  }
-
-  /** DuckDB mirror of [[Dedup.shingles]] (distinct lowercased word
-    * 3-grams) for the subset of `documents` matching `where`. */
-  private def shingleCtesFor(sfx: String, where: String): String =
-    s"""toks$sfx AS (SELECT doc_id, regexp_split_to_array(lower(text), '$WS') AS ws
-       |  FROM documents WHERE $where),
-       |sh$sfx AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
-       |  FROM toks$sfx, unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS t(i))""".stripMargin
-
-  /** The unsuffixed whole-corpus shingle CTEs (n-gram Jaccard oracle). */
-  private val shingleCte: String = shingleCtesFor("", "TRUE")
-
-  /** The shared component-agreement scoring CASE sum (mirror of
-    * [[Dedup.minHashPairs]]' verification). */
-  private val sigMatchesSql: String = (0 until Dedup.NumHashes)
-    .map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)").mkString(" + ")
-
-  /** The intra-corpus MinHash pipeline's CTE list (one side + ordered
-    * candidate pairs + scores), shared by the pair oracle and the survivor
-    * oracle built on top of it. */
-  private val minhashCtes: String =
-    s"""${minhashSideCtes("", "TRUE")},
-       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM banded a JOIN banded b
-       |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
-       |scored AS (SELECT doc_a, doc_b, CAST($sigMatchesSql AS DOUBLE) / ${Dedup.NumHashes} AS sig_sim
-       |  FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b)""".stripMargin
-
-  private val minhashOracleSql: String =
-    s"""WITH $minhashCtes
-       |SELECT doc_a, doc_b, sig_sim FROM scored WHERE sig_sim >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
-
-  /** DuckDB mirror of [[Dedup.contaminationStats]] over the %7 split at
-    * span length `n`: the benchmark side reduces to its distinct span-hash
-    * set, training spans count hits against it. Parameterized on n so the
-    * n=8 family gates and the 13-gram GPT-3-rule gate share one SQL body. */
-  private def contaminationOracleSql(n: Int): String =
-    s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '$WS') AS ws FROM documents),
-       |sp AS (SELECT doc_id, ${h60Sql(s"array_to_string(ws[i:i+${n - 1}], ' ')")} AS sh
-       |  FROM toks, unnest(generate_series(1, greatest(len(ws) - ${n - 1}, 1))) AS t(i)),
-       |bench AS (SELECT DISTINCT sh FROM sp WHERE doc_id % 7 = 0),
-       |tr AS (SELECT doc_id, sh FROM sp WHERE doc_id % 7 <> 0),
-       |tot AS (SELECT doc_id, count(*) AS n_spans FROM tr GROUP BY 1),
-       |cm AS (SELECT doc_id, count(*) AS c FROM tr
-       |  WHERE sh IN (SELECT sh FROM bench) GROUP BY 1)
-       |SELECT t.doc_id, t.n_spans,
-       |  CAST(coalesce(c.c, 0) AS BIGINT) AS n_contam_spans,
-       |  CAST(coalesce(c.c, 0) AS DOUBLE) / t.n_spans AS contam_ratio
-       |FROM tot t LEFT JOIN cm c ON c.doc_id = t.doc_id
-       |ORDER BY t.doc_id""".stripMargin
-
-  /** DuckDB mirror of [[Dedup.crossCorpusNearDups]] over the %3 split. */
-  private val crossCorpusOracleSql: String =
-    s"""WITH ${minhashSideCtes("A", "doc_id % 3 <> 0")},
-       |${minhashSideCtes("B", "doc_id % 3 = 0")},
-       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |  FROM bandedA x JOIN bandedB y
-       |  ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash),
-       |scored AS (SELECT doc_a, doc_b,
-       |  CAST($sigMatchesSql AS DOUBLE) / ${Dedup.NumHashes} AS sig_sim
-       |  FROM cand JOIN sigA sa ON sa.doc_id = doc_a JOIN sigB sb ON sb.doc_id = doc_b)
-       |SELECT doc_a, doc_b, sig_sim FROM scored WHERE sig_sim >= 0.5
-       |ORDER BY doc_a, doc_b""".stripMargin
-
-  /** DuckDB mirror of [[Dedup.nearDupSurvivors]]: same pairs as the
-    * MinHash oracle, undirected transitive closure via a recursive CTE
-    * (UNION-distinct fixpoint, bounded by component size), survivor = a
-    * doc no smaller doc can reach. */
-  private val survivorsOracleSql: String =
-    s"""WITH RECURSIVE $minhashCtes,
-       |pairs AS (SELECT doc_a, doc_b FROM scored WHERE sig_sim >= 0.5),
-       |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
-       |  UNION SELECT doc_b AS s, doc_a AS d FROM pairs),
-       |reach(s, d) AS (
-       |  SELECT s, d FROM edges
-       |  UNION
-       |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
-       |SELECT doc_id FROM documents dd
-       |WHERE NOT EXISTS (SELECT 1 FROM reach r WHERE r.d = dd.doc_id AND r.s < dd.doc_id)
-       |ORDER BY doc_id""".stripMargin
-
-  /** DuckDB mirror of [[Dedup.nearDupSurvivorsBy]] with the ta_quality
-    * score: same reachability as the survivor oracle, component label =
-    * min reachable id, survivor = the component's max-quality member (tie
-    * → lower doc_id). The quality expression is the ta_quality oracle's,
-    * verbatim, so the two gates cannot drift. */
-  private val qualitySurvivorsOracleSql: String =
-    s"""WITH RECURSIVE $minhashCtes,
-       |pairs AS (SELECT doc_a, doc_b FROM scored WHERE sig_sim >= 0.5),
-       |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
-       |  UNION SELECT doc_b AS s, doc_a AS d FROM pairs),
-       |reach(s, d) AS (
-       |  SELECT s, d FROM edges
-       |  UNION
-       |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
-       |lab AS (SELECT dd.doc_id,
-       |  least(dd.doc_id, coalesce(
-       |    (SELECT min(r.s) FROM reach r WHERE r.d = dd.doc_id), dd.doc_id)) AS label
-       |  FROM documents dd),
-       |qual AS (SELECT doc_id,
-       |  least(CAST(nt AS DOUBLE) / 100.0, 1.0) * 0.2 + CAST(alnum AS DOUBLE) / nt * 0.5
-       |    + least(CAST(stop AS DOUBLE) / nt * 4.0, 1.0) * 0.3 AS score
-       |  FROM (SELECT doc_id,
-       |    CAST(len(regexp_split_to_array(lower(text), '$WS')) AS BIGINT) AS nt,
-       |    CAST(len(list_filter(regexp_split_to_array(lower(text), '$WS'),
-       |      t -> regexp_matches(t, '^[a-z0-9]+$$'))) AS BIGINT) AS alnum,
-       |    ${markerSql("en")} AS stop
-       |  FROM documents))
-       |SELECT doc_id, score FROM (
-       |  SELECT l.doc_id, q.score,
-       |    row_number() OVER (PARTITION BY l.label ORDER BY q.score DESC, l.doc_id) AS rn
-       |  FROM lab l JOIN qual q ON q.doc_id = l.doc_id)
-       |WHERE rn = 1 ORDER BY doc_id""".stripMargin
-
-  /** DuckDB mirror of [[Dedup.nearDupAdmit]]: admit d ⟺ d is the minimum
-    * owner of every LSH band it carries (reuses the MinHash banding CTEs;
-    * the pair/score CTEs in the chain go unreferenced and unevaluated). */
-  private val admitOracleSql: String =
-    s"""WITH $minhashCtes,
-       |own AS (SELECT band_idx, band_hash, min(doc_id) AS owner
-       |  FROM banded GROUP BY 1, 2)
-       |SELECT b.doc_id FROM banded b
-       |JOIN own o ON b.band_idx = o.band_idx AND b.band_hash = o.band_hash
-       |GROUP BY b.doc_id
-       |HAVING max(CASE WHEN o.owner < b.doc_id THEN 1 ELSE 0 END) = 0
-       |ORDER BY doc_id""".stripMargin
-
-  private val simhashCteSql: String = {
-    val votes = (0 until 32)
-      .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j").mkString(", ")
-    val bits = (0 until 32)
-      .map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
-    s"""tk AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '$WS')) AS tok FROM documents),
-       |hh AS (SELECT doc_id, ${h32Sql("tok")} AS h FROM tk),
-       |votes AS (SELECT doc_id, $votes FROM hh GROUP BY doc_id),
-       |shash AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM votes)""".stripMargin
-  }
-
-  /** Shared LSH-signature CTEs (DuckDB mirror of Similarity.bandedSignatures). */
-  private val lshBandedCte: String = {
-    val sig = (0 until Similarity.NumPlanes).map { m =>
-      val arr = Similarity.planes(m).map(w => if (w > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
-      s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), $arr) >= 0 THEN ${1L << m} ELSE 0 END)"
-    }.mkString(" + ")
-    s"""sigt AS (SELECT vec_id, embedding, CAST($sig AS BIGINT) AS sig FROM embeddings),
-       |banded AS (SELECT vec_id, embedding, band_idx, (sig >> (band_idx * 4)) & 15 AS band_val
-       |  FROM sigt, unnest(generate_series(0, ${Similarity.SigBands - 1})) AS t(band_idx))""".stripMargin
-  }
-
-  /** The LSH probe body over a `banded` CTE — shared by the given-table
-    * ANN gates and the hash-embed composition gate. */
-  private val annBodySql: String =
-    s"""cand AS (SELECT DISTINCT q.vec_id AS query_id, q.embedding AS qv,
-       |    n.vec_id AS neighbor_id, n.embedding AS nv
-       |  FROM banded q JOIN banded n
-       |  ON q.band_idx = n.band_idx AND q.band_val = n.band_val
-       |    AND q.vec_id < 10 AND n.vec_id <> q.vec_id),
-       |scored AS (SELECT query_id, neighbor_id,
-       |  list_cosine_similarity(CAST(qv AS DOUBLE[]), CAST(nv AS DOUBLE[])) AS cos FROM cand),
-       |r AS (SELECT query_id, neighbor_id,
-       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn, cos
-       |  FROM scored)
-       |SELECT query_id, neighbor_id, rn, cos FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
-
-  private val annOracleSql: String =
-    s"""WITH $lshBandedCte,
-       |$annBodySql""".stripMargin
-
-  /** DuckDB replay of [[graft.ops.Similarity.sqTopK]]: the same per-vector
-    * int8 quantization (round-half-away matches Spark's round), codes
-    * folded as doubles — every term is an exact integer < 2^21, so the
-    * fold is exact under any order and bit-equal to the Spark side's long
-    * accumulation — and the same `dq / (|q| * |n|)` association. */
-  private val sqTopKOracleSql: String =
-    """WITH ma AS (SELECT vec_id,
-      |    CAST(list_max(list_transform(embedding, e -> abs(e))) AS DOUBLE) AS m
-      |  FROM embeddings),
-      |codes AS (SELECT e.vec_id,
-      |    CASE WHEN ma.m = 0 THEN list_transform(e.embedding, x -> CAST(0 AS DOUBLE))
-      |         ELSE list_transform(e.embedding, x -> round(CAST(x AS DOUBLE) * 127.0 / ma.m)) END AS c
-      |  FROM embeddings e JOIN ma USING (vec_id)),
-      |normed AS (SELECT vec_id, c, sqrt(list_dot_product(c, c)) AS nrm FROM codes),
-      |pairs AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
-      |    list_dot_product(q.c, n.c) / (q.nrm * n.nrm) AS cos_q
-      |  FROM normed q JOIN normed n ON q.vec_id < 10 AND n.vec_id <> q.vec_id),
-      |r AS (SELECT query_id, neighbor_id,
-      |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_q DESC, neighbor_id) AS BIGINT) AS rn, cos_q
-      |  FROM pairs)
-      |SELECT query_id, neighbor_id, rn, cos_q FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
-
-  /** DuckDB replay of [[TextAnalysis.hashEmbed]] as a `hemb` CTE:
-    * (doc_id, dim_idx, weight FLOAT). Exact-integer votes; the only float
-    * ops are sqrt + divide over exact ints (correctly-rounded IEEE, so
-    * bit-identical to the Spark side with no rounding). `vv` is
-    * MATERIALIZED — it feeds both the norm and the output and DuckDB
-    * would otherwise inline (recompute) it per reference. */
-  private val hashEmbedCtes: String = {
-    val dim = Similarity.Dim
-    s"""htk AS (SELECT doc_id, t AS tok FROM documents,
-       |    unnest(list_filter(regexp_split_to_array(lower(text), '$WS'),
-       |      t -> regexp_matches(t, '^[a-z0-9]+$$'))) AS u(t)),
-       |hp AS (SELECT doc_id, ${h60Sql("'he:' || tok")} % $dim AS idx,
-       |    CASE WHEN ${h60Sql("'hs:' || tok")} % 2 = 0 THEN 1 ELSE -1 END AS sgn
-       |  FROM htk),
-       |hsums AS MATERIALIZED (SELECT doc_id, idx, CAST(sum(sgn) AS BIGINT) AS v
-       |  FROM hp GROUP BY 1, 2),
-       |hdims AS (SELECT doc_id, i AS dim_idx FROM documents,
-       |    unnest(generate_series(0, ${dim - 1})) AS g(i)),
-       |vv AS MATERIALIZED (SELECT hdims.doc_id, hdims.dim_idx, coalesce(s.v, 0) AS v
-       |  FROM hdims LEFT JOIN hsums s
-       |  ON s.doc_id = hdims.doc_id AND s.idx = hdims.dim_idx),
-       |nrm AS (SELECT doc_id, sqrt(sum(CAST(v * v AS DOUBLE))) AS norm
-       |  FROM vv GROUP BY 1),
-       |hemb AS (SELECT vv.doc_id, vv.dim_idx,
-       |    CAST(CASE WHEN norm > 0 THEN v / norm ELSE 0 END AS FLOAT) AS weight
-       |  FROM vv JOIN nrm USING (doc_id))""".stripMargin
-  }
-
-  private val hashEmbedOracleSql: String =
-    s"""WITH $hashEmbedCtes
-       |SELECT doc_id, CAST(dim_idx AS BIGINT) AS dim_idx, weight
-       |FROM hemb ORDER BY doc_id, dim_idx""".stripMargin
-
-  /** DuckDB replay of [[graft.ops.TextAnalysis.textRank]]: the word
-    * co-occurrence graph, then every damped PageRank iteration as a
-    * chained CTE. Ranks are fixed-point longs and each edge contribution
-    * is rounded to an integer BEFORE the incoming sum (matching the
-    * engine), so both sides do exact integer aggregation — no float
-    * summation order anywhere. */
-  private def textRankOracleSql(iters: Int, k: Int): String = {
-    val base =
-      s"""WITH f AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '$WS'),
-         |    t -> regexp_matches(t, '^[a-z0-9]+$$')) AS a FROM documents),
-         |bi AS (SELECT a[i] AS w1, a[i + 1] AS w2
-         |  FROM f, unnest(generate_series(1, len(a) - 1)) AS t(i)
-         |  WHERE len(a) >= 2 AND a[i] <> a[i + 1]),
-         |ed AS (SELECT src, dst, count(*) AS w FROM
-         |  (SELECT w1 AS src, w2 AS dst FROM bi UNION ALL SELECT w2, w1 FROM bi)
-         |  GROUP BY 1, 2),
-         |e AS MATERIALIZED (SELECT src, dst, w, sum(w) OVER (PARTITION BY src) AS wsrc FROM ed),
-         |nd AS MATERIALIZED (SELECT DISTINCT unnest(a) AS word FROM f),
-         |nn AS MATERIALIZED (SELECT count(*) AS n FROM nd),
-         |r0 AS MATERIALIZED (SELECT word, CAST(round(1e12 / n) AS BIGINT) AS r FROM nd CROSS JOIN nn)""".stripMargin
-    val rounds = (1 to iters).map { i =>
-      s"""r$i AS MATERIALIZED (SELECT nd.word,
-         |  CAST(round((1.0 - 0.85) * 1e12 / nn.n) AS BIGINT) + coalesce(c.cin, 0) AS r
-         |  FROM nd CROSS JOIN nn LEFT JOIN
-         |    (SELECT e.dst AS word,
-         |       CAST(sum(CAST(round(0.85 * (CAST(e.w AS DOUBLE) / e.wsrc) * p.r) AS BIGINT)) AS BIGINT) AS cin
-         |     FROM e JOIN r${i - 1} p ON p.word = e.src GROUP BY 1) c
-         |    ON c.word = nd.word)""".stripMargin
-    }
-    (base +: rounds).mkString(",\n") +
-      s"\nSELECT word, r AS rank FROM r$iters ORDER BY rank DESC, word LIMIT $k"
-  }
-
-  /** DuckDB replay of [[graft.ops.Classifier.qualityClassifier]]: the
-    * exact feature/label CTE, then every full-batch GD round as a chained
-    * (gradient, weights) CTE pair. Per-example contributions are rounded
-    * to BIGINT before the sums and weight updates round half-away-from-
-    * zero — both matching the engine — so the final weights, probabilities
-    * and predictions must agree bit-for-bit. */
-  private def classifierOracleSql(iters: Int, lr: Double): String = {
-    val base =
-      s"""WITH c AS (SELECT doc_id,
-         |  CAST(len(regexp_split_to_array(lower(text), '$WS')) AS BIGINT) AS nt,
-         |  CAST(len(list_filter(regexp_split_to_array(lower(text), '$WS'),
-         |    t -> regexp_matches(t, '^[a-z0-9]+$$'))) AS BIGINT) AS alnum,
-         |  ${markerSql("en")} AS stop
-         |FROM documents),
-         |ft AS MATERIALIZED (SELECT doc_id, CAST(1.0 AS DOUBLE) AS x0,
-         |  least(CAST(nt AS DOUBLE) / 100.0, 1.0) AS x1,
-         |  CAST(alnum AS DOUBLE) / nt AS x2,
-         |  CAST(stop AS DOUBLE) / nt AS x3,
-         |  CASE WHEN least(CAST(nt AS DOUBLE) / 100.0, 1.0) * 0.2 + CAST(alnum AS DOUBLE) / nt * 0.5
-         |    + least(CAST(stop AS DOUBLE) / nt * 4.0, 1.0) * 0.3 >= ${graft.ops.Classifier.LabelThreshold}
-         |    THEN 1.0 ELSE 0.0 END AS y
-         |FROM c),
-         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ft),
-         |w0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1, CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3)""".stripMargin
-    def z(a: String) = s"(($a.w0 * x0 + $a.w1 * x1 + $a.w2 * x2 + $a.w3 * x3) / 1000000.0)"
-    def p(a: String) = s"(1.0 / (1.0 + exp(-${z(a)})))"
-    // every per-round CTE is MATERIALIZED: w_i references w_{i-1} twice
-    // (directly and through g_i), so inlining would blow up exponentially
-    // in the round count and re-open the parquet scan per reference (the
-    // same reason the BPE oracle materializes its chain)
-    val rounds = (1 to iters).map { i =>
-      val gsel = (0 to 3).map(j =>
-        s"CAST(sum(CAST(round(1000000.0 * (${p("w")} - y) * x$j) AS BIGINT)) AS BIGINT) AS g$j")
-        .mkString(", ")
-      val wsel = (0 to 3).map(j =>
-        s"w.w$j - CAST(round($lr * g.g$j / nn.n) AS BIGINT) AS w$j").mkString(", ")
-      s"""g$i AS MATERIALIZED (SELECT $gsel FROM ft CROSS JOIN w${i - 1} w),
-         |w$i AS MATERIALIZED (SELECT $wsel FROM w${i - 1} w CROSS JOIN g$i g CROSS JOIN nn)""".stripMargin
-    }
-    (base +: rounds).mkString(",\n") +
-      s"""\nSELECT doc_id, round(${p("w")}, 6) AS p,
-         |  CASE WHEN ${p("w")} >= 0.5 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS pred,
-         |  CAST(y AS BIGINT) AS label
-         |FROM ft CROSS JOIN w$iters w ORDER BY doc_id""".stripMargin
-  }
-
-  /** DuckDB mirror of the BM25 scoring shared by the direct and indexed
-    * search gates (avg(dl) here equals the engine's exact
-    * total_dl / n_docs quotient: both are one double division of exact
-    * integer aggregates). */
-  private val bm25OracleSql: String =
-    s"""WITH tk AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '$WS')) AS word FROM documents),
-       |ftk AS (SELECT doc_id, word FROM tk WHERE regexp_matches(word, '^[a-z0-9]+$$')),
-       |dl AS (SELECT doc_id, count(*) AS dl FROM ftk GROUP BY 1),
-       |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
-       |tf AS (SELECT doc_id, word, count(*) AS tf FROM ftk
-       |  WHERE word IN ('spark', 'window', 'join') GROUP BY 1, 2),
-       |dfq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
-       |sc AS (SELECT t.doc_id,
-       |    ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * (t.tf * 2.2) /
-       |      (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)) AS s
-       |  FROM tf t JOIN dfq d USING (word) JOIN dl l USING (doc_id) CROSS JOIN st s)
-       |SELECT doc_id, round(sum(s), 6) AS score FROM sc GROUP BY 1
-       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
-
-  /** Composition replay: the hash-embed CTE chain materializes an
-    * `embeddings` CTE that SHADOWS the parquet table, then the stock LSH
-    * banding + probe body runs unchanged over it. */
-  private val hashEmbedLshOracleSql: String =
-    s"""WITH $hashEmbedCtes,
-       |embeddings AS MATERIALIZED (SELECT doc_id AS vec_id,
-       |    CAST(list(weight ORDER BY dim_idx) AS FLOAT[]) AS embedding
-       |  FROM hemb GROUP BY doc_id),
-       |$lshBandedCte,
-       |$annBodySql""".stripMargin
-
-  /** DuckDB replay of [[graft.ops.TextAnalysis.hybridSearch]] /
-    * [[graft.ops.TextAnalysis.hybridSearchIndexed]], parameterized on the
-    * DENSE candidate CTE chain (must end in `dtop(doc_id, r_dense)`): the
-    * hash-embed chain feeds the dense ranking for query doc 0, the BM25
-    * chain feeds the sparse ranking, and RRF fuses the two capped
-    * candidate lists (fixed expression order — no float aggregation, so no
-    * rounding is needed on the fused score). */
-  private def hybridFusionOracleSql(denseCtes: String): String =
-    s"""WITH $hashEmbedCtes,
-       |embeddings AS MATERIALIZED (SELECT doc_id AS vec_id,
-       |    CAST(list(weight ORDER BY dim_idx) AS FLOAT[]) AS embedding
-       |  FROM hemb GROUP BY doc_id),
-       |$denseCtes,
-       |tk2 AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '$WS')) AS word FROM documents),
-       |ftk2 AS (SELECT doc_id, word FROM tk2 WHERE regexp_matches(word, '^[a-z0-9]+$$')),
-       |dl2 AS (SELECT doc_id, count(*) AS dl FROM ftk2 GROUP BY 1),
-       |st2 AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl2),
-       |tf2 AS (SELECT doc_id, word, count(*) AS tf FROM ftk2
-       |  WHERE word IN ('spark', 'window', 'join') GROUP BY 1, 2),
-       |dfq2 AS (SELECT word, count(*) AS df FROM tf2 GROUP BY 1),
-       |sc2 AS (SELECT t.doc_id,
-       |    ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * (t.tf * 2.2) /
-       |      (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)) AS s
-       |  FROM tf2 t JOIN dfq2 d USING (word) JOIN dl2 l USING (doc_id) CROSS JOIN st2 s),
-       |btop AS (SELECT doc_id, score FROM
-       |  (SELECT doc_id, round(sum(s), 6) AS score FROM sc2 GROUP BY 1
-       |   ORDER BY score DESC, doc_id LIMIT 100)),
-       |srank AS (SELECT doc_id,
-       |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS r_sparse FROM btop)
-       |SELECT coalesce(s.doc_id, d.doc_id) AS doc_id,
-       |  coalesce(1.0 / (60.0 + s.r_sparse), 0.0) + coalesce(1.0 / (60.0 + d.r_dense), 0.0) AS rrf,
-       |  s.r_sparse, d.r_dense
-       |FROM srank s FULL OUTER JOIN dtop d ON s.doc_id = d.doc_id
-       |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
-
-  /** Dense half of the DIRECT hybrid search: exact brute-force cosine
-    * ranking of the whole hash-embed corpus against query doc 0. */
-  private val hybridDenseBruteCtes: String =
-    """dn AS (SELECT e2.vec_id AS doc_id,
-      |    CAST(row_number() OVER (ORDER BY
-      |      list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e2.embedding AS DOUBLE[])) DESC,
-      |      e2.vec_id) AS BIGINT) AS r_dense
-      |  FROM embeddings e2 CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
-      |  WHERE e2.vec_id <> 0),
-      |dtop AS (SELECT doc_id, r_dense FROM dn WHERE r_dense <= 100)""".stripMargin
-
-  /** Dense half of the INDEXED hybrid search: the stock LSH banding over
-    * the hash-embed `embeddings` CTE, candidates = band collisions with
-    * query vec 0, exact-cosine re-rank — the DuckDB replay of
-    * [[graft.ops.Similarity.lshTopKIndexed]]'s probe (the stored index
-    * changes where signatures come from, not their values). */
-  private val hybridDenseLshCtes: String =
-    s"""$lshBandedCte,
-       |dcand AS (SELECT DISTINCT q.embedding AS qv, n.vec_id AS doc_id, n.embedding AS nv
-       |  FROM banded q JOIN banded n
-       |  ON q.band_idx = n.band_idx AND q.band_val = n.band_val
-       |    AND q.vec_id = 0 AND n.vec_id <> 0),
-       |dn AS (SELECT doc_id,
-       |    CAST(row_number() OVER (ORDER BY
-       |      list_cosine_similarity(CAST(qv AS DOUBLE[]), CAST(nv AS DOUBLE[])) DESC,
-       |      doc_id) AS BIGINT) AS r_dense
-       |  FROM dcand),
-       |dtop AS (SELECT doc_id, r_dense FROM dn WHERE r_dense <= 100)""".stripMargin
-
-  private val hybridOracleSql: String = hybridFusionOracleSql(hybridDenseBruteCtes)
-  private val hybridIndexedOracleSql: String = hybridFusionOracleSql(hybridDenseLshCtes)
-
-  /** The fixed workload of the query-many hybrid gate: three queries, each
-    * its own term set, query_id doubling as the dense vec_id. */
-  private val hybridWorkload: Seq[(Long, Seq[String])] = Seq(
-    0L -> Seq("spark", "window"),
-    1L -> Seq("join", "filter"),
-    2L -> Seq("stream", "query"))
-
-  /** DuckDB replay of [[TextAnalysis.bm25SearchManyIndexed]] over
-    * [[hybridWorkload]]: global df + corpus stats, per-query score sums
-    * and top-20 caps. */
-  private val bm25ManyOracleSql: String = {
-    val qtermVals = hybridWorkload
-      .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
-    val words = hybridWorkload.flatMap(_._2).distinct.map(w => s"'$w'").mkString(", ")
-    s"""WITH qterms(query_id, word) AS (VALUES $qtermVals),
-       |tk2 AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '$WS')) AS word FROM documents),
-       |ftk2 AS (SELECT doc_id, word FROM tk2 WHERE regexp_matches(word, '^[a-z0-9]+$$')),
-       |dl2 AS (SELECT doc_id, count(*) AS dl FROM ftk2 GROUP BY 1),
-       |st2 AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl2),
-       |tf2 AS (SELECT doc_id, word, count(*) AS tf FROM ftk2
-       |  WHERE word IN ($words) GROUP BY 1, 2),
-       |dfq2 AS (SELECT word, count(*) AS df FROM tf2 GROUP BY 1),
-       |sc2 AS (SELECT qt.query_id, t.doc_id,
-       |    ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * (t.tf * 2.2) /
-       |      (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)) AS s
-       |  FROM tf2 t JOIN qterms qt USING (word) JOIN dfq2 d USING (word)
-       |  JOIN dl2 l USING (doc_id) CROSS JOIN st2 s),
-       |btop AS (SELECT query_id, doc_id, round(sum(s), 6) AS score
-       |  FROM sc2 GROUP BY 1, 2)
-       |SELECT query_id, doc_id, score FROM (
-       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS r
-       |  FROM btop)
-       |WHERE r <= 20 ORDER BY query_id, score DESC, doc_id""".stripMargin
-  }
-
-  /** DuckDB replay of [[TextAnalysis.hybridSearchManyIndexed]] over
-    * [[hybridWorkload]] — the single-query fusion oracle widened by a
-    * query_id key: per-word df and corpus stats stay GLOBAL (shared across
-    * queries, exactly as the shared posting scan computes them), rankings
-    * and the RRF cap go per-query via PARTITION BY. */
-  private val hybridManyOracleSql: String = {
-    val qtermVals = hybridWorkload
-      .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
-    val qids = hybridWorkload.map(_._1).mkString(", ")
-    val words = hybridWorkload.flatMap(_._2).distinct.map(w => s"'$w'").mkString(", ")
-    s"""WITH $hashEmbedCtes,
-       |embeddings AS MATERIALIZED (SELECT doc_id AS vec_id,
-       |    CAST(list(weight ORDER BY dim_idx) AS FLOAT[]) AS embedding
-       |  FROM hemb GROUP BY doc_id),
-       |$lshBandedCte,
-       |qterms(query_id, word) AS (VALUES $qtermVals),
-       |dcand AS (SELECT DISTINCT q.vec_id AS query_id, q.embedding AS qv,
-       |    n.vec_id AS doc_id, n.embedding AS nv
-       |  FROM banded q JOIN banded n
-       |  ON q.band_idx = n.band_idx AND q.band_val = n.band_val
-       |    AND q.vec_id IN ($qids) AND n.vec_id <> q.vec_id),
-       |dn AS (SELECT query_id, doc_id,
-       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY
-       |      list_cosine_similarity(CAST(qv AS DOUBLE[]), CAST(nv AS DOUBLE[])) DESC,
-       |      doc_id) AS BIGINT) AS r_dense
-       |  FROM dcand),
-       |dtop AS (SELECT query_id, doc_id, r_dense FROM dn WHERE r_dense <= 100),
-       |tk2 AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '$WS')) AS word FROM documents),
-       |ftk2 AS (SELECT doc_id, word FROM tk2 WHERE regexp_matches(word, '^[a-z0-9]+$$')),
-       |dl2 AS (SELECT doc_id, count(*) AS dl FROM ftk2 GROUP BY 1),
-       |st2 AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl2),
-       |tf2 AS (SELECT doc_id, word, count(*) AS tf FROM ftk2
-       |  WHERE word IN ($words) GROUP BY 1, 2),
-       |dfq2 AS (SELECT word, count(*) AS df FROM tf2 GROUP BY 1),
-       |sc2 AS (SELECT qt.query_id, t.doc_id,
-       |    ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * (t.tf * 2.2) /
-       |      (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)) AS s
-       |  FROM tf2 t JOIN qterms qt USING (word) JOIN dfq2 d USING (word)
-       |  JOIN dl2 l USING (doc_id) CROSS JOIN st2 s),
-       |btop AS (SELECT query_id, doc_id, round(sum(s), 6) AS score
-       |  FROM sc2 GROUP BY 1, 2),
-       |srank0 AS (SELECT query_id, doc_id,
-       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS r_sparse
-       |  FROM btop),
-       |srank AS (SELECT query_id, doc_id, r_sparse FROM srank0 WHERE r_sparse <= 100),
-       |fused AS (SELECT coalesce(s.query_id, d.query_id) AS query_id,
-       |  coalesce(s.doc_id, d.doc_id) AS doc_id,
-       |  coalesce(1.0 / (60.0 + s.r_sparse), 0.0) + coalesce(1.0 / (60.0 + d.r_dense), 0.0) AS rrf,
-       |  s.r_sparse, d.r_dense
-       |  FROM srank s FULL OUTER JOIN dtop d
-       |  ON s.query_id = d.query_id AND s.doc_id = d.doc_id)
-       |SELECT query_id, doc_id, rrf, r_sparse, r_dense FROM (
-       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS fr
-       |  FROM fused)
-       |WHERE fr <= 20 ORDER BY query_id, rrf DESC, doc_id""".stripMargin
-  }
-
-  /** DuckDB replay of the bigram-LM train-then-score loop, shared by the
-    * train-per-call gate and its stored-model twin (exact integer count
-    * tables make the two bit-identical). */
-  private val lmScoreOracleSql: String =
-    s"""WITH f AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '$WS'),
-       |    t -> regexp_matches(t, '^[a-z0-9]+$$')) AS a FROM documents),
-       |bi AS (SELECT doc_id, a[i] AS w1, a[i + 1] AS w2
-       |  FROM f, unnest(generate_series(1, len(a) - 1)) AS t(i) WHERE len(a) >= 2),
-       |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
-       |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
-       |v AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(a) AS w FROM f)),
-       |sc AS (SELECT b.doc_id, ln((c.c12 + 1.0) / (u.c1 + v.v)) AS logp
-       |  FROM bi b JOIN c12 c USING (w1, w2) JOIN c1 u USING (w1) CROSS JOIN v)
-       |SELECT doc_id, count(*) AS n_bigrams, round(avg(logp), 6) AS avg_logp
-       |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin
-
-  private val lshNearDupOracleSql: String =
-    s"""WITH $lshBandedCte,
-       |cand AS (SELECT DISTINCT a.vec_id AS id_a, a.embedding AS va,
-       |    b.vec_id AS id_b, b.embedding AS vb
-       |  FROM banded a JOIN banded b
-       |  ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.vec_id < b.vec_id)
-       |SELECT id_a, id_b, cos FROM (
-       |  SELECT id_a, id_b,
-       |    list_cosine_similarity(CAST(va AS DOUBLE[]), CAST(vb AS DOUBLE[])) AS cos FROM cand)
-       |WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin
-
-  /** The IVF probe body (DuckDB mirror of [[Similarity.ivfTopKWith]]) over
-    * a pivot CTE named `piv`: each vector lives in its nearest pivot's
-    * cell (ties to the smaller pid), queries probe their 2 nearest cells,
-    * exact cosine re-ranks. `ranked` is shared between cells and probes —
-    * the probe filter is on the vector id itself, so ranking before or
-    * after the filter is identical (mirrors the Spark side's shared
-    * `scored`). */
-  private val ivfBodySql: String =
-    s"""sc AS (SELECT e.vec_id, e.embedding, p.pid,
-       |  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(p.pv AS DOUBLE[])) AS pcos
-       |  FROM embeddings e CROSS JOIN piv p),
-       |ranked AS (SELECT vec_id, embedding, pid,
-       |  row_number() OVER (PARTITION BY vec_id ORDER BY pcos DESC, pid) AS prn FROM sc),
-       |cells AS (SELECT vec_id AS neighbor_id, embedding AS nv, pid AS cell
-       |  FROM ranked WHERE prn = 1),
-       |probes AS (SELECT vec_id AS query_id, embedding AS qv, pid AS cell
-       |  FROM ranked WHERE vec_id < 10 AND prn <= 2),
-       |cand AS (SELECT DISTINCT query_id, qv, neighbor_id, nv
-       |  FROM probes JOIN cells USING (cell) WHERE neighbor_id <> query_id),
-       |scored AS (SELECT query_id, neighbor_id,
-       |  list_cosine_similarity(CAST(qv AS DOUBLE[]), CAST(nv AS DOUBLE[])) AS cos FROM cand),
-       |r AS (SELECT query_id, neighbor_id,
-       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn, cos
-       |  FROM scored)
-       |SELECT query_id, neighbor_id, rn, cos FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
-
-  /** DuckDB mirror of [[Similarity.ivfTopK]]: `vec_id < NumPivots` pivots. */
-  private val ivfOracleSql: String =
-    s"""WITH piv AS (SELECT vec_id AS pid, embedding AS pv FROM embeddings
-       |  WHERE vec_id < ${Similarity.NumPivots}),
-       |$ivfBodySql""".stripMargin
-
-  /** DuckDB replay of [[graft.ops.Bpe.train]]: the full merge loop as
-    * chained CTEs — pair counting over the symbol strings, the (count DESC,
-    * pair ASC) argmax, and the doubled-boundary greedy replace (expand
-    * SEP→SEPSEP, pad, inner-half literal replace, collapse), one stage
-    * triple per round. `chr(31)` is [[graft.ops.Bpe.Sep]]. */
-  private def bpeCtes(rounds: Int): String = {
-    val sb = new StringBuilder
-    sb ++= s"""w AS (SELECT w AS word, count(*) AS cnt
-       |  FROM (SELECT unnest(regexp_split_to_array(lower(text), '$WS')) AS w FROM documents)
-       |  WHERE regexp_matches(w, '^[a-z0-9]+$$') GROUP BY 1),
-       |s0 AS MATERIALIZED (SELECT word, cnt,
-       |  array_to_string(regexp_extract_all(word, '.'), chr(31)) AS s FROM w)""".stripMargin
-    for (r <- 1 to rounds) {
-      val prev = s"s${r - 1}"
-      sb ++= s""",
-       |p$r AS MATERIALIZED (SELECT a[i] || chr(31) || a[i + 1] AS pair, sum(cnt) AS c
-       |  FROM (SELECT cnt, string_split(s, chr(31)) AS a FROM $prev) q,
-       |    unnest(generate_series(1, len(a) - 1)) AS t(i) GROUP BY 1),
-       |b$r AS MATERIALIZED (SELECT pair, c FROM p$r ORDER BY c DESC, pair LIMIT 1),
-       |s$r AS MATERIALIZED (SELECT word, cnt, trim(replace(replace(
-       |    chr(31) || chr(31) || replace(s, chr(31), chr(31) || chr(31)) || chr(31) || chr(31),
-       |    chr(31) || replace((SELECT pair FROM b$r), chr(31), chr(31) || chr(31)) || chr(31),
-       |    chr(31) || replace((SELECT pair FROM b$r), chr(31), '') || chr(31)),
-       |    chr(31) || chr(31), chr(31)), chr(31)) AS s
-       |  FROM $prev)""".stripMargin
-    }
-    sb.toString
-  }
-
-  private def bpeMergesOracleSql(rounds: Int): String = {
-    val unions = (1 to rounds).map { r =>
-      s"""SELECT $r AS round, replace(pair, chr(31), ' ') AS pair,
-         |  replace(pair, chr(31), '') AS merged, CAST(c AS BIGINT) AS cnt FROM b$r""".stripMargin
-    }.mkString("\n  UNION ALL ")
-    s"WITH ${bpeCtes(rounds)}\nSELECT * FROM (\n  $unions) ORDER BY round"
-  }
-
-  private def bpeSegmentsOracleSql(rounds: Int, k: Int): String =
-    s"""WITH ${bpeCtes(rounds)}
-       |SELECT word, CAST(cnt AS BIGINT) AS cnt, replace(s, chr(31), ' ') AS seg
-       |FROM s$rounds ORDER BY cnt DESC, word LIMIT $k""".stripMargin
-
-  /** DuckDB replay of [[Similarity.trainPivots]]: hash-seeded init, then
-    * [[Similarity.KmeansIters]] Lloyd's rounds. Exactness hinges on the
-    * fixed-point centroid sums — `floor(x * 2^24)` BIGINTs add exactly in
-    * any order, so the Spark-side shuffle layout cannot leak into the
-    * trained centroids and the two engines agree bit-for-bit (see
-    * [[Similarity.QuantScale]]). */
-  private val kmeansPivotCtes: String = {
-    val k = Similarity.NumPivots
-    val q = s"${Similarity.QuantScale}.0"
-    val rounds = (1 to Similarity.KmeansIters).map { i =>
-      val prev = s"c${i - 1}"
-      s"""s$i AS (SELECT e.vec_id, e.embedding, c.pid,
-         |  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.pv AS DOUBLE[])) AS pcos
-         |  FROM embeddings e CROSS JOIN $prev c),
-         |a$i AS (SELECT vec_id, embedding, pid AS cell FROM (
-         |  SELECT vec_id, embedding, pid,
-         |    row_number() OVER (PARTITION BY vec_id ORDER BY pcos DESC, pid) AS r
-         |  FROM s$i) WHERE r = 1),
-         |m$i AS (SELECT cell, d AS pos,
-         |  sum(CAST(floor(CAST(embedding[d] AS DOUBLE) * $q) AS BIGINT)) AS s, count(*) AS n
-         |  FROM a$i, unnest(generate_series(1, ${Similarity.Dim})) AS t(d) GROUP BY cell, d),
-         |g$i AS (SELECT cell AS pid,
-         |  list(CAST(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * $q) AS FLOAT) ORDER BY pos) AS pv
-         |  FROM m$i GROUP BY cell),
-         |c$i AS (SELECT c.pid, coalesce(g.pv, c.pv) AS pv
-         |  FROM $prev c LEFT JOIN g$i g ON c.pid = g.pid)""".stripMargin
-    }.mkString(",\n")
-    s"""kinit AS (SELECT embedding,
-       |  row_number() OVER (ORDER BY ${h32Sql("CAST(vec_id AS VARCHAR)")}, vec_id) AS krn
-       |  FROM embeddings),
-       |c0 AS (SELECT CAST(krn - 1 AS BIGINT) AS pid, embedding AS pv FROM kinit WHERE krn <= $k),
-       |$rounds,
-       |piv AS (SELECT pid, pv FROM c${Similarity.KmeansIters})""".stripMargin
-  }
-
-  private val ivfKmeansOracleSql: String =
-    s"""WITH $kmeansPivotCtes,
-       |$ivfBodySql""".stripMargin
-
-  /** DuckDB replay of [[Similarity.pqTopK]]: per-subspace L2 Lloyd's
-    * training ([[Similarity.PqIters]] rounds over all
-    * [[Similarity.PqSubspaces]] codebooks at once, same fixed-point
-    * centroid sums as the IVF replay), argmin encoding, reconstruction by
-    * subspace-ordered concatenation, and the standard cosine ranking of
-    * float queries against the reconstructions. d2 uses the dot-expansion
-    * `x·x - 2 x·c + c·c` in the exact Spark association so assignment
-    * ties break identically. */
-  /** Gap-based sessionization replay, shared by the cumulative-window and
-    * native session_window gates (identical on a corpus with no exact-gap
-    * ties — see [[graft.streaming.StreamOps.sessionizeNative]]). */
-  private val sessionsOracleSql: String =
-    """WITH base AS (SELECT user_id, event_id, ts, value, epoch_ms(ts) AS ts_ms FROM events),
-      |l AS (SELECT *, lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms FROM base),
-      |f AS (SELECT *, CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS new_session FROM l),
-      |s AS (SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx FROM f)
-      |SELECT user_id, session_idx, min(ts) AS start_ts, max(ts) AS end_ts,
-      |  count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-      |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-
-  /** The PQ training/encoding/reconstruction replay (psub … prec), shared
-    * by the standalone PQ oracle and the composed IVF×PQ oracle: per-
-    * subspace L2 Lloyd's training ([[Similarity.PqIters]] rounds over all
-    * [[Similarity.PqSubspaces]] codebooks at once, same fixed-point
-    * centroid sums as the IVF replay), argmin encoding, reconstruction by
-    * subspace-ordered concatenation. d2 uses the dot-expansion
-    * `x·x - 2 x·c + c·c` in the exact Spark association so assignment
-    * ties break identically. Ends at `prec` = (vec_id, rv). */
-  private val pqTrainCtes: String = {
-    val m = Similarity.PqSubspaces
-    val sd = Similarity.PqSubDim
-    val k = Similarity.PqCodes
-    val q = s"${Similarity.QuantScale}.0"
-    def d2(x: String, c: String): String =
-      s"list_dot_product(CAST($x AS DOUBLE[]), CAST($x AS DOUBLE[])) - " +
-        s"2.0 * list_dot_product(CAST($x AS DOUBLE[]), CAST($c AS DOUBLE[])) + " +
-        s"list_dot_product(CAST($c AS DOUBLE[]), CAST($c AS DOUBLE[]))"
-    val rounds = (1 to Similarity.PqIters).map { i =>
-      val prev = s"pb${i - 1}"
-      s"""ps$i AS (SELECT s.vec_id, s.m, s.sv, c.pid, ${d2("s.sv", "c.cv")} AS d2
-         |  FROM psub s JOIN $prev c ON s.m = c.m),
-         |pa$i AS (SELECT vec_id, m, sv, pid AS cell FROM (
-         |  SELECT vec_id, m, sv, pid,
-         |    row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, pid) AS r
-         |  FROM ps$i) WHERE r = 1),
-         |pm$i AS (SELECT m, cell, d AS pos,
-         |  sum(CAST(floor(CAST(sv[d] AS DOUBLE) * $q) AS BIGINT)) AS s, count(*) AS n
-         |  FROM pa$i, unnest(generate_series(1, $sd)) AS t(d) GROUP BY m, cell, d),
-         |pg$i AS (SELECT m, cell AS pid,
-         |  list(CAST(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * $q) AS FLOAT) ORDER BY pos) AS cv
-         |  FROM pm$i GROUP BY m, cell),
-         |pb$i AS (SELECT c.m, c.pid, coalesce(g.cv, c.cv) AS cv
-         |  FROM $prev c LEFT JOIN pg$i g ON c.m = g.m AND c.pid = g.pid)""".stripMargin
-    }.mkString(",\n")
-    val fin = s"pb${Similarity.PqIters}"
-    s"""psub AS (SELECT vec_id, m,
-       |    list_slice(embedding, m * $sd + 1, m * $sd + $sd) AS sv
-       |  FROM embeddings, unnest(generate_series(0, ${m - 1})) AS t(m)),
-       |pkinit AS (SELECT embedding,
-       |  row_number() OVER (ORDER BY ${h32Sql("CAST(vec_id AS VARCHAR)")}, vec_id) AS krn
-       |  FROM embeddings),
-       |pb0 AS (SELECT m, CAST(krn - 1 AS BIGINT) AS pid,
-       |    list_slice(embedding, m * $sd + 1, m * $sd + $sd) AS cv
-       |  FROM pkinit, unnest(generate_series(0, ${m - 1})) AS t(m) WHERE krn <= $k),
-       |$rounds,
-       |pcode AS (SELECT vec_id, m, cell FROM (
-       |  SELECT s.vec_id, s.m, c.pid AS cell,
-       |    row_number() OVER (PARTITION BY s.vec_id, s.m
-       |      ORDER BY ${d2("s.sv", "c.cv")}, c.pid) AS r
-       |  FROM psub s JOIN $fin c ON s.m = c.m) WHERE r = 1),
-       |prec AS (SELECT p.vec_id, flatten(list(c.cv ORDER BY p.m)) AS rv
-       |  FROM pcode p JOIN $fin c ON p.m = c.m AND p.cell = c.pid
-       |  GROUP BY p.vec_id)""".stripMargin
-  }
-
-  private val pqTopKOracleSql: String =
-    s"""WITH $pqTrainCtes,
-       |pp AS (SELECT qq.vec_id AS query_id, nn.vec_id AS neighbor_id,
-       |    list_cosine_similarity(CAST(qq.embedding AS DOUBLE[]), CAST(nn.rv AS DOUBLE[])) AS cos_pq
-       |  FROM embeddings qq JOIN prec nn ON qq.vec_id < 10 AND nn.vec_id <> qq.vec_id),
-       |pr AS (SELECT query_id, neighbor_id,
-       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_pq DESC, neighbor_id) AS BIGINT) AS rn, cos_pq
-       |  FROM pp)
-       |SELECT query_id, neighbor_id, rn, cos_pq FROM pr WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
-
-  /** DuckDB replay of the composed IVF×PQ probe: k-means pivots + cell
-    * assignment from the IVF replay bound the candidate set (2 probed
-    * cells per query), PQ training + reconstruction from the PQ replay
-    * provide the scoring vectors, and the final ranking is the PQ tier's
-    * `cosine(q, ĉ_n)` over ONLY the probed cells' members — the exact
-    * composition [[Similarity.ivfPqTopKIndexed]] executes off the stored
-    * index. */
-  private val ivfPqOracleSql: String =
-    s"""WITH $kmeansPivotCtes,
-       |$pqTrainCtes,
-       |xsc AS (SELECT e.vec_id, e.embedding, p.pid,
-       |  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(p.pv AS DOUBLE[])) AS pcos
-       |  FROM embeddings e CROSS JOIN piv p),
-       |xranked AS (SELECT vec_id, embedding, pid,
-       |  row_number() OVER (PARTITION BY vec_id ORDER BY pcos DESC, pid) AS prn FROM xsc),
-       |xcells AS (SELECT vec_id AS neighbor_id, pid AS cell
-       |  FROM xranked WHERE prn = 1),
-       |xprobes AS (SELECT vec_id AS query_id, embedding AS qv, pid AS cell
-       |  FROM xranked WHERE vec_id < 10 AND prn <= 2),
-       |xcand AS (SELECT query_id, qv, neighbor_id
-       |  FROM xprobes JOIN xcells USING (cell) WHERE neighbor_id <> query_id),
-       |xscored AS (SELECT c.query_id, c.neighbor_id,
-       |  list_cosine_similarity(CAST(c.qv AS DOUBLE[]), CAST(n.rv AS DOUBLE[])) AS cos_pq
-       |  FROM xcand c JOIN prec n ON c.neighbor_id = n.vec_id),
-       |xr AS (SELECT query_id, neighbor_id,
-       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_pq DESC, neighbor_id) AS BIGINT) AS rn, cos_pq
-       |  FROM xscored)
-       |SELECT query_id, neighbor_id, rn, cos_pq FROM xr WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
-
-  /** DuckDB mirror of [[Similarity.clusterBalancedSample]]: replayed
-    * k-means training, final-centroid argmax assignment, per-cell
-    * hash-order prefix cap. */
-  private val clusterSampleOracleSql: String =
-    s"""WITH $kmeansPivotCtes,
-       |sx AS (SELECT e.vec_id, c.pid,
-       |  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.pv AS DOUBLE[])) AS pcos
-       |  FROM embeddings e CROSS JOIN piv c),
-       |asg AS (SELECT vec_id, pid AS cell FROM (
-       |  SELECT vec_id, pid, row_number() OVER (PARTITION BY vec_id ORDER BY pcos DESC, pid) AS r
-       |  FROM sx) WHERE r = 1),
-       |hh AS (SELECT vec_id, cell,
-       |  ${h60Sql("'cbs:' || CAST(vec_id AS VARCHAR)")} AS h FROM asg),
-       |rk AS (SELECT vec_id, cell,
-       |  CAST(row_number() OVER (PARTITION BY cell ORDER BY h, vec_id) AS BIGINT) AS rn FROM hh)
-       |SELECT vec_id, cell, rn - 1 AS rank_in_cell FROM rk WHERE rn <= 10
-       |ORDER BY vec_id""".stripMargin
-
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
-    "wordcount" ->
-      """SELECT w AS word, count(*) AS cnt
-        |FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS w FROM documents)
-        |WHERE regexp_matches(w, '^[A-Za-z0-9]+$')
-        |GROUP BY w ORDER BY w""".stripMargin,
-    "tokens_per_doc" ->
-      """SELECT doc_id, count(*) AS n_tokens
-        |FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS w FROM documents)
-        |WHERE regexp_matches(w, '^[A-Za-z0-9]+$')
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "q1_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  sum(l_quantity) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
-        |  sum(l_quantity) / count(*) AS avg_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
-        |  count(*) AS count_order
-        |FROM lineitem
-        |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
-    "mapreduce_wordcount" ->
-      """SELECT w AS word, count(*) AS cnt
-        |FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS w FROM documents)
-        |WHERE regexp_matches(w, '^[A-Za-z0-9]+$')
-        |GROUP BY w ORDER BY w""".stripMargin,
-    "filter_project" ->
-      """SELECT doc_id, source, n_chars FROM documents
-        |WHERE lang = 'en' AND n_chars > 200 ORDER BY doc_id""".stripMargin,
-    "partition_hist" ->
-      "SELECT doc_id % 8 AS bucket, count(*) AS cnt FROM documents GROUP BY 1 ORDER BY 1",
-    "sort_topk" ->
-      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
-    "distinct_flags" ->
-      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
-    "join_broadcast_segment" ->
-      """SELECT c_mktsegment,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
-        |  count(*) AS n_orders
-        |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
-    "join_multi_region" ->
-      """SELECT r_name,
-        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal,
-        |  count(*) AS n_customers
-        |FROM customer
-        |JOIN nation ON c_nationkey = n_nationkey
-        |JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY r_name ORDER BY r_name""".stripMargin,
-    "join_semi_customers" ->
-      """SELECT c_custkey, c_name FROM customer c
-        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-        |ORDER BY c_custkey""".stripMargin,
-    "join_anti_customers" ->
-      """SELECT c_custkey, c_name FROM customer c
-        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-        |ORDER BY c_custkey""".stripMargin,
-    "join_asof_last_order" ->
-      """SELECT event_id, max(o.o_orderdate) AS last_order_date
-        |FROM events e JOIN orders o
-        |  ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
-        |GROUP BY event_id ORDER BY event_id""".stripMargin,
-    // same semantics, scalable union-sort-window plan — same oracle
-    "join_asof_union" ->
-      """SELECT event_id, max(o.o_orderdate) AS last_order_date
-        |FROM events e JOIN orders o
-        |  ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
-        |GROUP BY event_id ORDER BY event_id""".stripMargin,
-    "join_range_event_pairs" ->
-      """SELECT e1.user_id, count(*) AS n_pairs
-        |FROM events e1 JOIN events e2
-        |  ON e1.user_id = e2.user_id AND e1.event_id < e2.event_id
-        |  AND abs(date_diff('second', e1.ts, e2.ts)) <= 3600
-        |GROUP BY e1.user_id ORDER BY e1.user_id""".stripMargin,
-    "q3_shipping_priority" ->
-      """SELECT l_orderkey, o_orderdate, revenue FROM (
-        |  SELECT l.l_orderkey, o.o_orderdate,
-        |    CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
-        |      * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
-        |  FROM lineitem l
-        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
-        |  JOIN customer c ON o.o_custkey = c.c_custkey
-        |  WHERE c.c_mktsegment = 'BUILDING'
-        |    AND o.o_orderdate < TIMESTAMP '1995-03-15'
-        |    AND l.l_shipdate > TIMESTAMP '1995-03-15'
-        |  GROUP BY 1, 2)
-        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
-    "q5_local_supplier" ->
-      """SELECT n_name,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        |    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
-        |  count(*) AS n_items
-        |FROM orders o
-        |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-        |JOIN customer c ON o.o_custkey = c.c_custkey
-        |JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
-        |JOIN nation n ON s.s_nationkey = n.n_nationkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q6_forecast_revenue" ->
-      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        |    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
-        |  count(*) AS n
-        |FROM lineitem
-        |WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
-        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
-    "q9_product_profit" ->
-      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
-        |    - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_profit,
-        |  count(*) AS n
-        |FROM lineitem
-        |JOIN part ON p_partkey = l_partkey
-        |JOIN supplier ON s_suppkey = l_suppkey
-        |JOIN orders ON o_orderkey = l_orderkey
-        |JOIN nation ON s_nationkey = n_nationkey
-        |WHERE p_name LIKE '%red%'
-        |GROUP BY 1, 2 ORDER BY 1, 2 DESC""".stripMargin,
-    "q4_order_priority" ->
-      """SELECT o_orderpriority, count(*) AS n_orders
-        |FROM orders o
-        |WHERE EXISTS (SELECT 1 FROM lineitem l
-        |  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
-        |    AND l.l_shipdate > o.o_orderdate)
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q7_volume_shipping" ->
-      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-        |  CAST(year(o_orderdate) AS BIGINT) AS o_year,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        |    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
-        |  count(*) AS n
-        |FROM lineitem
-        |JOIN orders ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |JOIN supplier ON l_suppkey = s_suppkey
-        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
-        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
-        |WHERE n1.n_name <> n2.n_name
-        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
-    "q10_returned_items" ->
-      """SELECT c_custkey, c_name, c_acctbal, n_name, revenue FROM (
-        |  SELECT c_custkey, c_name, c_acctbal, n_name,
-        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        |      * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
-        |  FROM lineitem
-        |  JOIN orders ON l_orderkey = o_orderkey
-        |  JOIN customer ON o_custkey = c_custkey
-        |  JOIN nation ON c_nationkey = n_nationkey
-        |  WHERE l_returnflag = 'R'
-        |  GROUP BY 1, 2, 3, 4)
-        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
-    "q13_order_distribution" ->
-      """SELECT c_count, count(*) AS custdist FROM (
-        |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
-        |  FROM customer c
-        |  LEFT OUTER JOIN orders o
-        |    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
-        |  GROUP BY 1)
-        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
-    "q17_small_qty_revenue" ->
-      """SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
-        |    AS avg_yearly,
-        |  count(*) AS n
-        |FROM lineitem l
-        |JOIN part p ON l.l_partkey = p.p_partkey
-        |JOIN (SELECT l_partkey AS ap_partkey, avg(l_quantity) AS avg_qty
-        |      FROM lineitem JOIN part ON l_partkey = p_partkey
-        |      WHERE p_brand = 'Brand#1' GROUP BY 1) a
-        |  ON l.l_partkey = a.ap_partkey
-        |WHERE p.p_brand = 'Brand#1' AND l.l_quantity < 0.2 * a.avg_qty""".stripMargin,
-    "q18_large_volume" ->
-      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
-        |FROM (
-        |  SELECT l_orderkey AS big_okey,
-        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
-        |  FROM lineitem GROUP BY 1
-        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300) big
-        |JOIN orders ON o_orderkey = big_okey
-        |JOIN customer ON o_custkey = c_custkey
-        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
-    "q19_disjunctive_revenue" ->
-      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        |    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
-        |  count(*) AS n
-        |FROM lineitem JOIN part ON l_partkey = p_partkey
-        |WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11
-        |       AND p_size BETWEEN 1 AND 5)
-        |   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20
-        |       AND p_size BETWEEN 1 AND 10)
-        |   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30
-        |       AND p_size BETWEEN 1 AND 15)""".stripMargin,
-    "q22_idle_customers" ->
-      """WITH pos AS (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2))
-        |    AS sum_pos, count(*) AS n_pos
-        |  FROM customer WHERE c_acctbal > 0)
-        |SELECT c_nationkey, count(*) AS n_custs,
-        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
-        |FROM customer c, pos
-        |WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) * pos.n_pos > pos.sum_pos
-        |  AND NOT EXISTS (SELECT 1 FROM orders o
-        |    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q21_waiting_suppliers" ->
-      """WITH f AS (SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderstatus = 'F'),
-        |late AS (SELECT l_orderkey, l_suppkey FROM lineitem JOIN f ON l_orderkey = o_orderkey
-        |  WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY)
-        |SELECT s_name, count(*) AS numwait
-        |FROM late l1 JOIN supplier ON l1.l_suppkey = s_suppkey
-        |JOIN nation ON s_nationkey = n_nationkey
-        |JOIN region ON n_regionkey = r_regionkey
-        |WHERE r_name = 'EUROPE'
-        |  AND EXISTS (SELECT 1 FROM lineitem l2
-        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
-        |  AND NOT EXISTS (SELECT 1 FROM late l3
-        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
-        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
-    "q2_min_cost_supplier" ->
-      """WITH esupp AS (SELECT s_suppkey, s_name, s_acctbal, n_name FROM supplier
-        |  JOIN nation ON s_nationkey = n_nationkey
-        |  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'),
-        |offers AS (SELECT l_partkey, l_suppkey,
-        |    min(CAST(l_extendedprice AS DOUBLE) / CAST(l_quantity AS DOUBLE)) AS cost
-        |  FROM lineitem JOIN esupp ON l_suppkey = s_suppkey GROUP BY 1, 2),
-        |mc AS (SELECT l_partkey, min(cost) AS min_cost FROM offers GROUP BY 1)
-        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name, o.cost
-        |FROM part JOIN mc ON p_partkey = mc.l_partkey
-        |JOIN offers o ON o.l_partkey = p_partkey AND o.cost = mc.min_cost
-        |JOIN esupp ON o.l_suppkey = s_suppkey
-        |WHERE p_type = 'LARGE' AND p_size <= 10
-        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin,
-    // per-row revenue is exact at scale 4 → carried as ×10^4 BIGINTs so the
-    // HAVING-over-global-scalar threshold is integer cross-multiplication
-    "q11_important_parts" ->
-      """WITH v AS (SELECT l_partkey AS p_partkey,
-        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-        |      * (1 - CAST(l_discount AS DECIMAL(4,2))) * 10000 AS BIGINT)) AS BIGINT) AS v4
-        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-        |  JOIN nation ON s_nationkey = n_nationkey
-        |  WHERE n_name = 'NATION_7' GROUP BY 1),
-        |m AS (SELECT CAST(sum(v4) AS BIGINT) AS t4, count(*) AS n_parts FROM v)
-        |SELECT p_partkey, CAST(v4 AS DOUBLE) / 10000.0 AS value
-        |FROM v CROSS JOIN m WHERE v4 * n_parts * 2 > t4 * 3
-        |ORDER BY value DESC, p_partkey""".stripMargin,
     "q8_market_share" -> Relational.q8MarketShare,
     "q12_ship_priority" -> Relational.q12ShipPriority,
     "q16_supplier_count" -> Relational.q16SupplierCount,

@@ -16,6 +16,14 @@ object Verify {
     val spark = GraftSession.local(cpus.toInt, "graft-verify")
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // pin the shared token projection so the driver's DuckDB gate
+    // correctness-checks the same tokenize-once deployment mode the bench
+    // cold runs measure (the raw-vs-pinned bit-equality itself is pinned
+    // by SharedCorpusSpec)
+    try graft.ops.SharedCorpus.pin(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] SharedCorpus.pin failed: ${e.getMessage}")
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>

@@ -61,13 +61,17 @@ object Classifier {
     * extra columns (e.g. a stream's event-time `ts`) through untouched —
     * the expressions are [[TextAnalysis.qualityScore]]'s own column
     * builders, so the feature values are identical with or without it. */
-  def features(docs: DataFrame, carry: Seq[String] = Nil): DataFrame =
+  def features(docs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
+    val (ws, alnum) = (SharedCorpus.wsOf(docs), SharedCorpus.alnumOf(docs))
+    val nTok = TextAnalysis.nTokensCol(ws)
     docs.select((col("doc_id") +: carry.map(col)) ++ Seq(
       lit(1.0).as("x0"),
-      least(TextAnalysis.nTokensCol.cast("double") / 100.0, lit(1.0)).as("x1"),
-      (TextAnalysis.nAlnumCol.cast("double") / TextAnalysis.nTokensCol).as("x2"),
-      (TextAnalysis.markerHits("en").cast("double") / TextAnalysis.nTokensCol).as("x3"),
-      when(TextAnalysis.qualityCol >= LabelThreshold, 1.0).otherwise(0.0).as("y")): _*)
+      least(nTok.cast("double") / 100.0, lit(1.0)).as("x1"),
+      (TextAnalysis.nAlnumCol(alnum).cast("double") / nTok).as("x2"),
+      (TextAnalysis.markerHits("en", ws).cast("double") / nTok).as("x3"),
+      when(TextAnalysis.qualityColOf(ws, alnum) >= LabelThreshold, 1.0)
+        .otherwise(0.0).as("y")): _*)
+  }
 
   private val FeatureCols = Seq("x0", "x1", "x2", "x3")
 

@@ -106,7 +106,7 @@ object Dedup {
     * document once per shingle position — O(tokens²), measured 7x slower
     * at sf0.1. */
   def shingles(docs: DataFrame, n: Int = 3): DataFrame =
-    docs.select(col("doc_id"), split(lower(col("text")), "\\s+").as("ws"))
+    docs.select(col("doc_id"), SharedCorpus.wsOf(docs).as("ws"))
       .select(col("doc_id"), col("ws"),
         explode(sequence(lit(1), greatest(size(col("ws")) - (n - 1), lit(1)))).as("i"))
       .select(col("doc_id"),
@@ -123,7 +123,7 @@ object Dedup {
     * (the window-row_number form this replaced forced a per-key sort). */
   def exactDedup(docs: DataFrame): DataFrame = {
     val key = CrossHash.h60(
-      array_join(array_sort(array_distinct(split(lower(col("text")), "\\s+"))), " "))
+      array_join(array_sort(array_distinct(SharedCorpus.wsOf(docs))), " "))
     docs.select(col("doc_id"), key.as("dup_key"))
       .groupBy(col("dup_key"))
       .agg(min(col("doc_id")).as("doc_id"))
@@ -319,7 +319,7 @@ object Dedup {
   def simHash(docs: DataFrame): DataFrame = {
     val tokens = docs.select(
       col("doc_id"),
-      explode(split(lower(col("text")), "\\s+")).as("tok"))
+      explode(SharedCorpus.wsOf(docs)).as("tok"))
       .withColumn("h", CrossHash.h32(col("tok")))
     val votes = tokens.groupBy("doc_id").agg(
       sum(expr(s"CASE WHEN (h >> 0) & 1 = 1 THEN 1 ELSE -1 END")).as("s0"),
@@ -567,7 +567,7 @@ object Dedup {
     // every caller shares ONE span-hash formula — the cross-engine parity
     // contract with the DuckDB oracles lives here and nowhere else
     val cs = carry.map(col)
-    docs.select((col("doc_id") +: cs) :+ split(lower(col("text")), "\\s+").as("ws"): _*)
+    docs.select((col("doc_id") +: cs) :+ SharedCorpus.wsOf(docs).as("ws"): _*)
       .select((col("doc_id") +: cs) ++ Seq(col("ws"),
         explode(sequence(lit(1), greatest(size(col("ws")) - (n - 1), lit(1)))).as("i")): _*)
       .select((col("doc_id") +: cs) ++ Seq(col("i"), size(col("ws")).as("nt"),
@@ -709,7 +709,7 @@ object Dedup {
     * row per affected document. The span table feeds three branches and is
     * persisted (caller-clears contract, as for the pair miners). */
   def removeDuplicateSpans(docs: DataFrame, n: Int = 8): DataFrame = {
-    val base = docs.select(col("doc_id"), split(lower(col("text")), "\\s+").as("ws"))
+    val base = docs.select(col("doc_id"), SharedCorpus.wsOf(docs).as("ws"))
     val sp = positionalSpans(docs, n).persist()
     val dupHashes = sp.groupBy("sh")
       .agg(countDistinct(col("doc_id")).as("nd"))

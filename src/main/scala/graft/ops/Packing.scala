@@ -51,6 +51,11 @@ object Packing {
   private def nTokens: Column =
     size(split(lower(col("text")), "\\s+")).cast("long")
 
+  /** [[nTokens]] from the shared token projection when the input carries
+    * it ([[SharedCorpus]]), else the inline split. */
+  private def nTokensOf(docs: DataFrame): Column =
+    size(SharedCorpus.wsOf(docs)).cast("long")
+
   /** Pack documents into fixed-token-budget training sequences,
     * GPT-style concat-then-chunk: documents are laid out end-to-end in
     * deterministic shuffle order within each of `buckets` independent
@@ -70,7 +75,7 @@ object Packing {
       buckets: Int = DefaultBuckets): DataFrame = {
     val w = Window.partitionBy("bucket").orderBy(col("h"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    docs.select(col("doc_id"), nTokens.as("n_tokens"), orderHash.as("h"))
+    docs.select(col("doc_id"), nTokensOf(docs).as("n_tokens"), orderHash.as("h"))
       .withColumn("bucket", (col("h") % buckets).cast("int"))
       .withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
       .select(
@@ -97,7 +102,7 @@ object Packing {
       stride: Int = 48): DataFrame = {
     require(stride > 0 && chunkTokens >= stride,
       s"need 0 < stride <= chunkTokens, got stride=$stride chunk=$chunkTokens")
-    docs.select(col("doc_id"), split(lower(col("text")), "\\s+").as("a"))
+    docs.select(col("doc_id"), SharedCorpus.wsOf(docs).as("a"))
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(0, CAST(floor((size(a) - 1) / $stride) AS INT)), " +
           s"k -> struct(k AS chunk_id, " +
@@ -125,7 +130,7 @@ object Packing {
   def tokenBudgetSample(docs: DataFrame, budgetTokens: Long = 800L): DataFrame = {
     val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    docs.select(col("doc_id"), col("source"), nTokens.as("n_tokens"), orderHash.as("h"))
+    docs.select(col("doc_id"), col("source"), nTokensOf(docs).as("n_tokens"), orderHash.as("h"))
       .withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
       .where(col("cum_before") < budgetTokens)
       .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_before"))
@@ -170,7 +175,7 @@ object Packing {
   def sourceMixSample(docs: DataFrame, totalTokens: Long = 4000L,
       alpha: Double = 0.5): DataFrame = {
     val base = docs.select(col("doc_id"), col("source"),
-      nTokens.as("n_tokens"), orderHash.as("h"))
+      nTokensOf(docs).as("n_tokens"), orderHash.as("h"))
     val totals = base.groupBy("source").agg(sum("n_tokens").as("src_tokens"))
     // the normalizer is a float sum over per-source pow terms — summed as
     // doubles its value would depend on partial-sum order, which is stable
@@ -200,7 +205,7 @@ object Packing {
     val subBudget = budgetTokens / subStrata
     val w = Window.partitionBy("source", "sub").orderBy(col("h"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    docs.select(col("doc_id"), col("source"), nTokens.as("n_tokens"), orderHash.as("h"))
+    docs.select(col("doc_id"), col("source"), nTokensOf(docs).as("n_tokens"), orderHash.as("h"))
       .withColumn("sub", pmod(col("h"), lit(subStrata.toLong)))
       .withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
       .where(col("cum_before") < subBudget)

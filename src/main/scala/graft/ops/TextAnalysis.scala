@@ -37,23 +37,30 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "et", "est"),
     "es" -> Seq("el", "los", "las", "y", "es"))
 
-  private[ops] def markerHits(lang: String): Column = {
+  /** Marker-hit count over a whitespace-token array column — so callers
+    * holding the shared token projection ([[SharedCorpus]]) count hits
+    * without re-splitting the text. */
+  private[ops] def markerHits(lang: String, ws: Column): Column = {
     val set = LangMarkers.toMap.apply(lang)
-    val hits = expr(
-      s"size(filter(split(lower(text), '\\\\s+'), t -> t IN (${set.map("'" + _ + "'").mkString(",")})))")
-    hits.cast("long")
+    size(filter(ws, t => t.isin(set: _*))).cast("long")
   }
 
-  // ---- single-pass column builders (all over a `text` column) ----
+  private[ops] def markerHits(lang: String): Column =
+    markerHits(lang, toks(col("text")))
+
+  // ---- single-pass column builders (all over a `text` column, with
+  // token-array overloads so the shared projection is never re-split) ----
   // Exposed so composite pipelines ([[curationPipeline]]) can compute
   // every signal in ONE scan instead of joining per-signal DataFrames.
 
   /** Whitespace token count. */
-  def nTokensCol: Column = size(toks(col("text"))).cast("long")
+  def nTokensCol: Column = nTokensCol(toks(col("text")))
+  def nTokensCol(ws: Column): Column = size(ws).cast("long")
 
   /** Alnum-token count (lowercased). */
   def nAlnumCol: Column =
     expr("size(filter(split(lower(text), '\\\\s+'), t -> t rlike '^[a-z0-9]+$'))").cast("long")
+  def nAlnumCol(alnum: Column): Column = size(alnum).cast("long")
 
   /** The quality score of [[qualityScore]] as a bare column. */
   def qualityCol: Column = {
@@ -65,10 +72,25 @@ object TextAnalysis {
       least(stop.cast("double") / nTok * 4.0, lit(1.0)) * 0.3
   }
 
+  /** [[qualityCol]] over the shared token-projection columns. The
+    * expression tree is the same fixed operation order, so the score is
+    * bit-identical to the inline form (SharedCorpusSpec pins it). */
+  def qualityColOf(ws: Column, alnum: Column): Column = {
+    val nTok = nTokensCol(ws)
+    val nAl = nAlnumCol(alnum)
+    val stop = markerHits("en", ws)
+    least(nTok.cast("double") / 100.0, lit(1.0)) * 0.2 +
+      (nAl.cast("double") / nTok) * 0.5 +
+      least(stop.cast("double") / nTok * 4.0, lit(1.0)) * 0.3
+  }
+
   /** The predicted language of [[langId]] as a bare column. */
-  def predLangCol: Column = {
+  def predLangCol: Column = predLangColOf(toks(col("text")))
+
+  def predLangColOf(ws: Column): Column = {
     val (en, de, fr, es) =
-      (markerHits("en"), markerHits("de"), markerHits("fr"), markerHits("es"))
+      (markerHits("en", ws), markerHits("de", ws),
+        markerHits("fr", ws), markerHits("es", ws))
     when(en >= de && en >= fr && en >= es && en > 0, "en")
       .when(de >= fr && de >= es && de > 0, "de")
       .when(fr >= es && fr > 0, "fr")
@@ -83,42 +105,47 @@ object TextAnalysis {
   /** Token-count statistics per document: whitespace tokens, BPE-ish
     * subword tokens, alnum tokens, and mean token length. One projection —
     * scales as a pure map over the corpus. */
-  def tokenStats(docs: DataFrame): DataFrame =
+  def tokenStats(docs: DataFrame): DataFrame = {
+    val ws = SharedCorpus.wsOf(docs)
     docs.select(
       col("doc_id"),
-      size(toks(col("text"))).cast("long").as("n_ws_tokens"),
+      size(ws).cast("long").as("n_ws_tokens"),
       size(regexp_extract_all(col("text"), lit(BpeRe), lit(0))).cast("long").as("n_bpe_tokens"),
-      expr("size(filter(split(lower(text), '\\\\s+'), t -> t rlike '^[a-z0-9]+$'))")
-        .cast("long").as("n_alnum_tokens"),
-      (expr("aggregate(transform(split(lower(text), '\\\\s+'), t -> length(t)), 0L, (a, x) -> a + x)")
-        .cast("double") / size(toks(col("text")))).as("mean_tok_len"))
+      size(SharedCorpus.alnumOf(docs)).cast("long").as("n_alnum_tokens"),
+      (aggregate(transform(ws, t => length(t)), lit(0L), (a, x) => a + x)
+        .cast("double") / size(ws)).as("mean_tok_len"))
       .orderBy("doc_id")
+  }
 
   /** Language identification via marker-word scoring: count each language's
     * marker hits, predict the argmax (priority order breaks ties), emit
     * `und` when nothing matches. A real lang-ID model swaps in as a richer
     * marker table — the plan shape (single scan, no shuffle until the
     * optional aggregate) is the production shape. */
-  def langId(docs: DataFrame): DataFrame =
+  def langId(docs: DataFrame): DataFrame = {
+    val ws = SharedCorpus.wsOf(docs)
     docs.select(
       col("doc_id"),
-      predLangCol.as("pred_lang"),
-      greatest(markerHits("en"), markerHits("de"),
-        markerHits("fr"), markerHits("es")).as("n_hits"))
+      predLangColOf(ws).as("pred_lang"),
+      greatest(markerHits("en", ws), markerHits("de", ws),
+        markerHits("fr", ws), markerHits("es", ws)).as("n_hits"))
       .orderBy("doc_id")
+  }
 
   /** Quality scoring: length score, alnum ratio, stopword-density penalty —
     * the standard cheap pre-filter before expensive LLM-data curation.
     * All arithmetic is int-ratio → double in a fixed operation order, so
     * the score is bit-reproducible across engines and partitionings. */
-  def qualityScore(docs: DataFrame): DataFrame =
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val (ws, alnum) = (SharedCorpus.wsOf(docs), SharedCorpus.alnumOf(docs))
     docs.select(
       col("doc_id"),
-      nTokensCol.as("n_tokens"),
-      (nAlnumCol.cast("double") / nTokensCol).as("alnum_ratio"),
-      (markerHits("en").cast("double") / nTokensCol).as("stop_ratio"),
-      qualityCol.as("quality"))
+      nTokensCol(ws).as("n_tokens"),
+      (nAlnumCol(alnum).cast("double") / nTokensCol(ws)).as("alnum_ratio"),
+      (markerHits("en", ws).cast("double") / nTokensCol(ws)).as("stop_ratio"),
+      qualityColOf(ws, alnum).as("quality"))
       .orderBy("doc_id")
+  }
 
   /** Top bigrams across the corpus by frequency (deterministic tiebreak on
     * the bigram text) — the n-gram frequency table feeding vocabulary and
@@ -143,8 +170,7 @@ object TextAnalysis {
   def tfIdf(docs: DataFrame): DataFrame = {
     val toks = docs.select(
       col("doc_id"),
-      explode(split(lower(col("text")), "\\s+")).as("word"))
-      .filter(col("word").rlike("^[a-z0-9]+$"))
+      explode(SharedCorpus.alnumOf(docs)).as("word"))
     val tf = toks.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
@@ -178,8 +204,7 @@ object TextAnalysis {
     require(terms.nonEmpty, "bm25Search needs at least one query term")
     val toks = docs.select(
       col("doc_id"),
-      explode(split(lower(col("text")), "\\s+")).as("word"))
-      .filter(col("word").rlike("^[a-z0-9]+$"))
+      explode(SharedCorpus.alnumOf(docs)).as("word"))
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val tf = toks.filter(col("word").isin(terms: _*))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
@@ -379,8 +404,7 @@ object TextAnalysis {
   private def bm25Postings(docs: DataFrame): DataFrame = {
     val tf = docs.select(
       col("doc_id"),
-      explode(split(lower(col("text")), "\\s+")).as("word"))
-      .filter(col("word").rlike("^[a-z0-9]+$"))
+      explode(SharedCorpus.alnumOf(docs)).as("word"))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
     tf.join(tf.groupBy("doc_id").agg(sum("tf").as("dl")), "doc_id")
   }
@@ -458,8 +482,7 @@ object TextAnalysis {
     * vocab size — the tfIdf plan family. Per-doc mean is the only float
     * aggregate; rounded to 6 places like tfidf for cross-engine stability. */
   def lmScore(docs: DataFrame): DataFrame = {
-    val arr = expr("filter(split(lower(text), '\\\\s+'), t -> t rlike '^[a-z0-9]+$')")
-    val f = docs.select(col("doc_id"), arr.as("a"))
+    val f = docs.select(col("doc_id"), SharedCorpus.alnumOf(docs).as("a"))
     val bi = f.where(size(col("a")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(a) - 2), i -> struct(a[i] AS w1, a[i + 1] AS w2))")).as("b"))
@@ -489,8 +512,7 @@ object TextAnalysis {
     * aggregations run once here; scoring then joins token-scale bigrams
     * against count tables that AQE broadcasts when they fit. */
   def buildLmModel(docs: DataFrame, table: String, numBuckets: Int = 8): Unit = {
-    val arr = expr("filter(split(lower(text), '\\\\s+'), t -> t rlike '^[a-z0-9]+$')")
-    val f = docs.select(col("doc_id"), arr.as("a"))
+    val f = docs.select(col("doc_id"), SharedCorpus.alnumOf(docs).as("a"))
     val bi = f.where(size(col("a")) >= 2)
       .select(explode(expr(
         "transform(sequence(0, size(a) - 2), i -> struct(a[i] AS w1, a[i + 1] AS w2))")).as("b"))
@@ -513,8 +535,7 @@ object TextAnalysis {
     * exactly as they do in the train-per-call form's inner joins. */
   def lmScoreIndexed(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
       table: String): DataFrame = {
-    val arr = expr("filter(split(lower(text), '\\\\s+'), t -> t rlike '^[a-z0-9]+$')")
-    val bi = docs.select(col("doc_id"), arr.as("a"))
+    val bi = docs.select(col("doc_id"), SharedCorpus.alnumOf(docs).as("a"))
       .where(size(col("a")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(a) - 2), i -> struct(a[i] AS w1, a[i + 1] AS w2))")).as("b"))
@@ -555,8 +576,7 @@ object TextAnalysis {
     * (caller-clears contract, as for the pair miners). */
   def textRank(docs: DataFrame, iters: Int = 8, damping: Double = 0.85,
       k: Int = 20): DataFrame = {
-    val arr = expr("filter(split(lower(text), '\\\\s+'), t -> t rlike '^[a-z0-9]+$')")
-    val f = docs.select(col("doc_id"), arr.as("a"))
+    val f = docs.select(col("doc_id"), SharedCorpus.alnumOf(docs).as("a"))
     val bi = f.where(size(col("a")) >= 2)
       .select(explode(expr(
         "filter(transform(sequence(0, size(a) - 2), " +
@@ -607,15 +627,13 @@ object TextAnalysis {
     * shuffle — the sketch is the only thing that crosses the wire. */
   def tokenCountSketch(docs: DataFrame, eps: Double = 1e-4,
       confidence: Double = 0.99): org.apache.spark.util.sketch.CountMinSketch =
-    docs.select(explode(split(lower(col("text")), "\\s+")).as("word"))
-      .filter(col("word").rlike("^[a-z0-9]+$"))
+    docs.select(explode(SharedCorpus.alnumOf(docs)).as("word"))
       .stat.countMinSketch(col("word"), eps, confidence, 42)
 
   def approxDistinctWords(docs: DataFrame): DataFrame = {
     val toks = docs.select(
       col("source"),
-      explode(split(lower(col("text")), "\\s+")).as("word"))
-      .filter(col("word").rlike("^[a-z0-9]+$"))
+      explode(SharedCorpus.alnumOf(docs)).as("word"))
     toks.groupBy("source").agg(
       countDistinct(col("word")).as("n_exact"),
       approx_count_distinct(col("word"), 0.02).as("n_approx"))
@@ -680,7 +698,7 @@ object TextAnalysis {
     // even double 0/0 raises DIVIDE_BY_ZERO instead of yielding NULL
     def frac(num: Column, den: Column): Column =
       when(den > 0, num.cast("double") / den).otherwise(lit(0.0))
-    docs.select(col("doc_id"), split(lower(col("text")), "\\s+").as("a"))
+    docs.select(col("doc_id"), SharedCorpus.wsOf(docs).as("a"))
       .withColumn("g2", expr(gramArr(2)))
       .withColumn("g3", expr(gramArr(3)))
       .select(
@@ -720,8 +738,10 @@ object TextAnalysis {
       when(t2 > 0, (t2 - d2).cast("double") / t2).otherwise(lit(0.0))
     }
     docs
-      .select(col("source"), col("text"), split(lower(col("text")), "\\s+").as("a"))
-      .select(col("source"), qualityCol.as("q"), predLangCol.as("l"), dup2.as("r"))
+      .select(col("source"), SharedCorpus.wsOf(docs).as("a"),
+        SharedCorpus.alnumOf(docs).as("al"))
+      .select(col("source"), qualityColOf(col("a"), col("al")).as("q"),
+        predLangColOf(col("a")).as("l"), dup2.as("r"))
       .groupBy("source").agg(
         count(lit(1)).as("n_docs"),
         count(when(col("q") >= minQuality, 1)).as("n_quality"),
@@ -783,11 +803,12 @@ object TextAnalysis {
     * at 100 TB. */
   def curationPipeline(docs: DataFrame, minQuality: Double = 0.6,
       lang: String = "en"): DataFrame = {
+    val (ws, alnum) = (SharedCorpus.wsOf(docs), SharedCorpus.alnumOf(docs))
     val scored = docs.select(
       col("doc_id"),
-      nTokensCol.as("n_tokens"),
-      qualityCol.as("quality"),
-      predLangCol.as("pred_lang"),
+      nTokensCol(ws).as("n_tokens"),
+      qualityColOf(ws, alnum).as("quality"),
+      predLangColOf(ws).as("pred_lang"),
       fpNormCol.as("fp_norm"))
     val kept = scored.filter(col("quality") >= minQuality && col("pred_lang") === lang)
     kept.groupBy(col("fp_norm"))
@@ -819,9 +840,8 @@ object TextAnalysis {
     * rounding escape hatch. Empty/all-filtered docs get the zero vector
     * (explode_outer keeps them; null-dim votes are dropped at assembly). */
   def hashEmbed(docs: DataFrame, dim: Int = Similarity.Dim): DataFrame = {
-    val alnumToks = filter(toks(col("text")), t => t.rlike("^[a-z0-9]+$"))
     val voted = docs
-      .select(col("doc_id"), explode_outer(alnumToks).as("tok"))
+      .select(col("doc_id"), explode_outer(SharedCorpus.alnumOf(docs)).as("tok"))
       .groupBy(col("doc_id"),
         pmod(CrossHash.h60(concat(lit("he:"), col("tok"))), lit(dim.toLong)).as("idx"))
       .agg(sum(when(
