@@ -683,6 +683,23 @@ object SparkEntry {
       Similarity.ivfPqTopKIndexed(s, "graft_ivfpq_idx",
         Tables.embeddings(s, d).filter(col("vec_id") < 10))
     }),
+    // incremental-ingest variant of the composed index: BOTH model tables
+    // (pivots + codebooks) trained once, then batches are assigned and
+    // encoded against the stored models and appended — per-vector given
+    // fixed models, so the two-batch index equals the one-shot build and
+    // the gate shares ann_ivfpq_indexed's oracle
+    "ann_ivfpq_indexed_incr" -> ((s, d) => {
+      buildOnce(s"ivfpq_incr:$d") {
+        // same retry-idempotence rule as pq_incr: appends need a clean slate
+        Formats.dropManaged(s, "graft_ivfpq_incr")
+        val emb = Tables.embeddings(s, d)
+        Similarity.buildIvfPqModels(emb, "graft_ivfpq_incr")
+        Similarity.appendToIvfPqIndex(s, emb.filter(col("vec_id") % 2 === 0), "graft_ivfpq_incr")
+        Similarity.appendToIvfPqIndex(s, emb.filter(col("vec_id") % 2 =!= 0), "graft_ivfpq_incr")
+      }
+      Similarity.ivfPqTopKIndexed(s, "graft_ivfpq_incr",
+        Tables.embeddings(s, d).filter(col("vec_id") < 10))
+    }),
     // incremental-ingest variant of the IVF split: pivots trained once
     // over the corpus, then assignments arrive in two batches, each
     // argmax'd against the STORED pivots and appended — per-vector given
@@ -2361,6 +2378,9 @@ object SparkEntry {
     "ann_sq_indexed" -> sqTopKOracleSql,
     "ann_pq_topk" -> pqTopKOracleSql,
     "ann_ivfpq_indexed" -> ivfPqOracleSql,
+    // two-batch model-stored append == one-shot build (per-vector given
+    // fixed pivots + books) → same replayed oracle
+    "ann_ivfpq_indexed_incr" -> ivfPqOracleSql,
     "ann_pq_indexed" -> pqTopKOracleSql,
     "ann_pq_indexed_incr" -> pqTopKOracleSql,
     "ta_hash_embed" -> hashEmbedOracleSql,

@@ -737,6 +737,41 @@ object Similarity {
       table, Seq("cell"), numBuckets)
   }
 
+  /** Train and store ONLY the two model tables of the IVF×PQ index — the
+    * starting point of its incremental-ingest path, mirroring
+    * [[buildIvfPivots]]/[[buildPqBooks]]: pivots and codebooks are trained
+    * once over the (historical) corpus, then batches are assigned AND
+    * encoded against the stored models as they arrive
+    * ([[appendToIvfPqIndex]]) without retraining either tier. Model drift
+    * under sustained ingest is handled by periodic retrain + rebuild (a
+    * fresh [[buildIvfPqIndex]]). */
+  def buildIvfPqModels(emb: DataFrame, table: String, kClusters: Int = NumPivots,
+      iters: Int = KmeansIters): Unit = {
+    graft.sources.Formats.writeBucketed(
+      trainPivots(emb, kClusters, iters), s"${table}_pivots", Seq("pid"), 1)
+    graft.sources.Formats.writeBucketed(
+      trainPqCodebooks(emb), s"${table}_books", Seq("m"), 1)
+  }
+
+  /** Incremental-ingest half of the composed index: the new batch is
+    * argmax-assigned against the STORED pivots and encoded against the
+    * STORED books, then appended into the bucketed cell layout. Both
+    * derivations are per-vector independent given fixed models, so N
+    * appended batches equal one bulk build over their union — the
+    * two-batch gate shares [[ivfPqTopKIndexed]]'s oracle. The plan reads
+    * only the batch and the two tiny model tables (broadcast); the
+    * accumulated code table is never rewritten. */
+  def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession, newEmb: DataFrame,
+      table: String, numBuckets: Int = 8): Unit = {
+    val piv = spark.table(s"${table}_pivots")
+    val books = spark.table(s"${table}_books")
+    graft.sources.Formats.writeBucketedAppend(
+      assignCells(newEmb, piv).select(col("vec_id"), col("cell"))
+        .join(pqEncode(newEmb, books), Seq("vec_id"))
+        .select(col("vec_id"), col("cell"), col("codes")),
+      table, Seq("cell"), numBuckets)
+  }
+
   /** Query half of the IVF×PQ index: nprobe coarse-cell prune, then
     * asymmetric PQ scoring over ONLY the probed cells' stored codes.
     * The probe recomputes pivot cosines for the |queries|×k probe ranking

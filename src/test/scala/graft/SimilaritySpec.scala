@@ -326,6 +326,32 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("incremental IVF×PQ index: two model-stored appends equal the one-shot build") {
+    try {
+      Similarity.buildIvfPqIndex(emb, "graft_ivfpq_one")
+      Similarity.buildIvfPqModels(emb, "graft_ivfpq_two")
+      Similarity.appendToIvfPqIndex(spark, emb.filter(col("vec_id") % 2 === 0),
+        "graft_ivfpq_two")
+      Similarity.appendToIvfPqIndex(spark, emb.filter(col("vec_id") % 2 =!= 0),
+        "graft_ivfpq_two")
+      // assignment and encoding are per-vector given fixed models, so the
+      // accumulated two-batch table must be ROW-identical to the one-shot
+      // corpus pass, and the probe answers must match bit-for-bit
+      val one = spark.table("graft_ivfpq_one").orderBy("vec_id").collect().toSeq
+      val two = spark.table("graft_ivfpq_two").orderBy("vec_id").collect().toSeq
+      assert(one === two)
+      val qa = Similarity.ivfPqTopKIndexed(spark, "graft_ivfpq_one",
+        emb.filter(col("vec_id") < 5)).collect().toSeq
+      val qb = Similarity.ivfPqTopKIndexed(spark, "graft_ivfpq_two",
+        emb.filter(col("vec_id") < 5)).collect().toSeq
+      assert(qa === qb)
+    } finally {
+      Seq("graft_ivfpq_one", "graft_ivfpq_one_pivots", "graft_ivfpq_one_books",
+        "graft_ivfpq_two", "graft_ivfpq_two_pivots", "graft_ivfpq_two_books")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("incremental LSH index: append equals one-shot build, touches only the new batch") {
     try {
       val oldBatch = emb.filter(col("vec_id") % 2 === 0)
