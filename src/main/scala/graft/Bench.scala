@@ -54,6 +54,14 @@ object Bench {
       graft.ops.Dedup.minHashPairs(
         spark.range(64).selectExpr("id AS doc_id",
           "concat('w', CAST(id % 7 AS STRING), ' a b c d e f') AS text")).collect()
+      // warm the JVM's media-codec registries: javax.imageio and
+      // javax.sound scan their provider registries on first use (~1-3 s
+      // of one-time classloading the r10 cold map attributed to
+      // mm_decode_png) — one 1-row synthesize→decode per codec absorbs it
+      val oneDoc = spark.range(1).selectExpr("id AS doc_id",
+        "'w' AS text", "'en' AS lang", "'s' AS source", "1 AS n_chars")
+      graft.ops.Multimodal.decodePng(graft.ops.Multimodal.synthesizePng(oneDoc)).collect()
+      graft.ops.Multimodal.decodeWav(graft.ops.Multimodal.synthesizeWav(oneDoc)).collect()
       // drop the warmup's persisted signature table before timing starts
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       spark.catalog.clearCache()

@@ -80,6 +80,26 @@ object SparkEntry {
       Similarity.buildIvfIndex(Tables.embeddings(s, d), "graft_ivf_idx")
     }
 
+  private def ensurePqIndex(s: SparkSession, d: String): Unit =
+    buildOnce(s"pq:$d") {
+      Similarity.buildPqIndex(Tables.embeddings(s, d), "graft_pq_idx")
+    }
+
+  private def ensureIvfPqIndex(s: SparkSession, d: String): Unit =
+    buildOnce(s"ivfpq:$d") {
+      Similarity.buildIvfPqIndex(Tables.embeddings(s, d), "graft_ivfpq_idx")
+    }
+
+  /** Copy a stored model side table (pivots / codebooks) into another
+    * index's namespace, preserving its bucketed layout. The trainings are
+    * deterministic functions of the corpus, so the one-shot index's
+    * stored models ARE the incremental pipeline's models — one training
+    * serves both, which is the production contract (an ingest path never
+    * retrains per batch; it reads the published model artifact). */
+  private def copyModel(s: SparkSession, src: String, dst: String,
+      key: String): Unit =
+    Formats.writeBucketed(s.table(src), dst, Seq(key), 1)
+
   /** BPE MERGES memoized per (session, sf dir) — the training-loop
     * analogue of [[buildOnce]]: the three ta_bpe_* gates share one
     * training. Keyed on the session OBJECT via a WeakHashMap (ADVICE r6):
@@ -398,6 +418,10 @@ object SparkEntry {
     // packing into fixed-token sequences (per-bucket independence), and a
     // per-source token-budget cut — both integer-exact cross-engine
     "pack_sequences" -> ((s, d) => Packing.packSequences(SharedCorpus.docsTok(s, d))),
+    // NO-SPLIT packing (greedy next-fit per salted bucket): a document
+    // never straddles a sequence boundary — the fine-tuning contract; the
+    // oracle replays the whole per-bucket walk as a recursive CTE
+    "pack_greedy" -> ((s, d) => Packing.packGreedy(SharedCorpus.docsTok(s, d))),
     "pack_token_budget" -> ((s, d) => Packing.tokenBudgetSample(SharedCorpus.docsTok(s, d))),
     // production form: hot source salted into 8 sub-strata with sub-budgets
     "pack_token_budget_salted" -> ((s, d) =>
@@ -650,21 +674,25 @@ object SparkEntry {
     // codes — same oracle as ann_pq_topk (the index changes where codes
     // come from, not the answer)
     "ann_pq_indexed" -> ((s, d) => {
-      buildOnce(s"pq:$d") { Similarity.buildPqIndex(Tables.embeddings(s, d), "graft_pq_idx") }
+      ensurePqIndex(s, d)
       Similarity.pqTopKIndexed(s, "graft_pq_idx",
         Tables.embeddings(s, d).filter(col("vec_id") < 10))
     }),
-    // incremental-ingest variant: books trained once over the corpus,
-    // codes arrive in two batches encoded against the STORED books —
-    // per-vector given fixed books, so the union equals the one-shot
-    // encode and the gate shares ann_pq_topk's oracle
+    // incremental-ingest variant: the ingest path READS the one-shot
+    // index's published codebooks (training is a deterministic function
+    // of the corpus, so they ARE this pipeline's books — no per-batch
+    // retrain, the production model-artifact contract); codes arrive in
+    // two batches encoded against those stored books — per-vector given
+    // fixed books, so the union equals the one-shot encode and the gate
+    // shares ann_pq_topk's oracle
     "ann_pq_indexed_incr" -> ((s, d) => {
       buildOnce(s"pq_incr:$d") {
+        ensurePqIndex(s, d)
         // the appends below have no initial overwrite: drop first so a
         // retry after a partial failure can't re-append onto survivors
         Formats.dropManaged(s, "graft_pq_incr")
+        copyModel(s, "graft_pq_idx_books", "graft_pq_incr_books", "m")
         val emb = Tables.embeddings(s, d)
-        Similarity.buildPqBooks(emb, "graft_pq_incr")
         Similarity.appendToPqIndex(s, emb.filter(col("vec_id") % 2 === 0), "graft_pq_incr")
         Similarity.appendToPqIndex(s, emb.filter(col("vec_id") % 2 =!= 0), "graft_pq_incr")
       }
@@ -677,40 +705,43 @@ object SparkEntry {
     // reconstruction only for probed candidates) — the oracle replays
     // cell assignment AND PQ ranking end to end
     "ann_ivfpq_indexed" -> ((s, d) => {
-      buildOnce(s"ivfpq:$d") {
-        Similarity.buildIvfPqIndex(Tables.embeddings(s, d), "graft_ivfpq_idx")
-      }
+      ensureIvfPqIndex(s, d)
       Similarity.ivfPqTopKIndexed(s, "graft_ivfpq_idx",
         Tables.embeddings(s, d).filter(col("vec_id") < 10))
     }),
-    // incremental-ingest variant of the composed index: BOTH model tables
-    // (pivots + codebooks) trained once, then batches are assigned and
-    // encoded against the stored models and appended — per-vector given
+    // incremental-ingest variant of the composed index: the ingest path
+    // READS the one-shot index's published pivots + codebooks (the same
+    // stored-model-reuse contract as pq_incr), then batches are assigned
+    // and encoded against those models and appended — per-vector given
     // fixed models, so the two-batch index equals the one-shot build and
     // the gate shares ann_ivfpq_indexed's oracle
     "ann_ivfpq_indexed_incr" -> ((s, d) => {
       buildOnce(s"ivfpq_incr:$d") {
+        ensureIvfPqIndex(s, d)
         // same retry-idempotence rule as pq_incr: appends need a clean slate
         Formats.dropManaged(s, "graft_ivfpq_incr")
+        copyModel(s, "graft_ivfpq_idx_pivots", "graft_ivfpq_incr_pivots", "pid")
+        copyModel(s, "graft_ivfpq_idx_books", "graft_ivfpq_incr_books", "m")
         val emb = Tables.embeddings(s, d)
-        Similarity.buildIvfPqModels(emb, "graft_ivfpq_incr")
         Similarity.appendToIvfPqIndex(s, emb.filter(col("vec_id") % 2 === 0), "graft_ivfpq_incr")
         Similarity.appendToIvfPqIndex(s, emb.filter(col("vec_id") % 2 =!= 0), "graft_ivfpq_incr")
       }
       Similarity.ivfPqTopKIndexed(s, "graft_ivfpq_incr",
         Tables.embeddings(s, d).filter(col("vec_id") < 10))
     }),
-    // incremental-ingest variant of the IVF split: pivots trained once
-    // over the corpus, then assignments arrive in two batches, each
-    // argmax'd against the STORED pivots and appended — per-vector given
-    // fixed pivots, so the union equals the one-shot assignment and the
-    // gate shares ann_ivf_kmeans's oracle
+    // incremental-ingest variant of the IVF split: the ingest path READS
+    // the one-shot index's published pivots (stored-model reuse, as for
+    // pq_incr), then assignments arrive in two batches, each argmax'd
+    // against those stored pivots and appended — per-vector given fixed
+    // pivots, so the union equals the one-shot assignment and the gate
+    // shares ann_ivf_kmeans's oracle
     "ann_ivf_indexed_incr" -> ((s, d) => {
       buildOnce(s"ivf_incr:$d") {
+        ensureIvfIndex(s, d)
         // same retry-idempotence rule as pq_incr: appends need a clean slate
         Formats.dropManaged(s, "graft_ivf_incr")
+        copyModel(s, "graft_ivf_idx_pivots", "graft_ivf_incr_pivots", "pid")
         val emb = Tables.embeddings(s, d)
-        Similarity.buildIvfPivots(emb, "graft_ivf_incr")
         Similarity.appendToIvfIndex(s, emb.filter(col("vec_id") % 2 === 0), "graft_ivf_incr")
         Similarity.appendToIvfIndex(s, emb.filter(col("vec_id") % 2 =!= 0), "graft_ivf_incr")
       }
@@ -2497,6 +2528,31 @@ object SparkEntry {
          |  CAST(floor(cum_before / 256.0) AS BIGINT) AS seq_id,
          |  CAST(cum_before % 256 AS BIGINT) AS seq_offset, n_tokens
          |FROM c ORDER BY doc_id""".stripMargin,
+    // the recursive CTE replays the greedy next-fit walk: fill is always
+    // > 0 in the recursive step (every document has >= 1 token), so the
+    // reset condition is just fill + n > budget; the base case is each
+    // bucket's first document, which never resets even when oversized
+    "pack_greedy" ->
+      s"""WITH RECURSIVE base AS (SELECT doc_id,
+         |    CAST(len(regexp_split_to_array(lower(text), '$WS')) AS BIGINT) AS n_tokens,
+         |    ${Packing.orderHashSql} AS h FROM documents),
+         |d AS (SELECT doc_id, n_tokens, CAST(h % 16 AS BIGINT) AS bucket,
+         |    row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id) AS rn
+         |  FROM base),
+         |walk AS (
+         |  SELECT bucket, rn, doc_id, n_tokens,
+         |    CAST(1 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS seq_offset,
+         |    n_tokens AS fill
+         |  FROM d WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d.bucket, d.rn, d.doc_id, d.n_tokens,
+         |    CASE WHEN w.fill + d.n_tokens > 256 THEN w.seq_id + 1 ELSE w.seq_id END,
+         |    CASE WHEN w.fill + d.n_tokens > 256 THEN CAST(0 AS BIGINT) ELSE w.fill END,
+         |    CASE WHEN w.fill + d.n_tokens > 256 THEN d.n_tokens
+         |      ELSE w.fill + d.n_tokens END
+         |  FROM walk w JOIN d ON d.bucket = w.bucket AND d.rn = w.rn + 1)
+         |SELECT doc_id, bucket, seq_id, seq_offset, n_tokens
+         |FROM walk ORDER BY doc_id""".stripMargin,
     // overlapping 64/48 token windows: positions are integer arithmetic,
     // content equality rides the md5 fingerprint
     "pack_chunks" ->

@@ -86,6 +86,56 @@ object Packing {
       .orderBy("doc_id")
   }
 
+  /** NO-SPLIT sequence packing (greedy next-fit) — the sample-level twin
+    * of [[packSequences]]: documents are walked in deterministic shuffle
+    * order within each of `buckets` independent shards and packed into
+    * sequences of at most `budgetTokens` tokens, but a document NEVER
+    * straddles a sequence boundary (the fine-tuning/packed-SFT contract,
+    * where an example must stay contiguous). When the next document does
+    * not fit, a new sequence starts; a document longer than the whole
+    * budget becomes its own singleton sequence. Output per document:
+    * `bucket`, `seq_id` (1-based within the bucket), `seq_offset` (token
+    * offset inside its sequence), `n_tokens`.
+    *
+    * Scale shape: the walk is inherently sequential — each placement
+    * depends on the running fill — so the parallelism unit is the BUCKET
+    * (the [[tokenBudgetSampleSalted]] discipline: more buckets = more
+    * parallelism, same within-bucket layout). One projection, one hash
+    * partition on `bucket`, one within-partition sort, then a single
+    * `mapPartitions` fold that resets at bucket changes — the sanctioned
+    * per-partition imperative shape for a fold no window function
+    * expresses (running sum WITH conditional reset). All state is three
+    * longs per in-flight bucket; nothing driver-side. The DuckDB oracle
+    * replays the walk as a recursive CTE. */
+  def packGreedy(docs: DataFrame, budgetTokens: Long = DefaultBudget,
+      buckets: Int = DefaultBuckets): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs
+      .select(col("doc_id"), nTokensOf(docs).as("n_tokens"), orderHash.as("h"))
+      .withColumn("bucket", (col("h") % buckets).cast("long"))
+      // all rows of a bucket must land in ONE partition (the fold is
+      // per-bucket); multiple buckets per partition are fine — the walk
+      // resets when the bucket changes
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("h"), col("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("bucket"))
+      .as[(Long, Long, Long)]
+    base.mapPartitions { it =>
+      var curBucket = Long.MinValue
+      var seqId = 0L
+      var fill = 0L
+      it.map { case (docId, n, bucket) =>
+        if (bucket != curBucket) { curBucket = bucket; seqId = 1L; fill = 0L }
+        if (fill > 0 && fill + n > budgetTokens) { seqId += 1L; fill = 0L }
+        val offset = fill
+        fill += n
+        (docId, bucket, seqId, offset, n)
+      }
+    }.toDF("doc_id", "bucket", "seq_id", "seq_offset", "n_tokens")
+      .orderBy("doc_id")
+  }
+
   /** Split every document into overlapping fixed-size token windows —
     * RAG/retrieval-style chunking (chunk of `chunkTokens`, hop of
     * `stride`, so consecutive chunks overlap by `chunkTokens - stride`).

@@ -12,6 +12,45 @@ class PackingSpec extends SparkTestBase {
 
   private def docs = Tables.documents(spark, sfDir)
 
+  test("packGreedy: no document split, gapless next-fit layout, matches driver replay") {
+    val budget = 64L
+    val out = Packing.packGreedy(docs, budgetTokens = budget, buckets = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.length.toLong === docs.count())
+    assert(out.map(_._1).distinct.length === out.length)
+    // per (bucket, seq): offsets are the exact running sum (gapless,
+    // overlap-free) and a sequence only exceeds the budget when it is a
+    // single oversized document — the no-split contract
+    out.groupBy(t => (t._2, t._3)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.head._4 === 0L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._4 === a._4 + a._5)
+        case _ =>
+      }
+      val fill = sorted.last._4 + sorted.last._5
+      assert(fill <= budget || sorted.length === 1,
+        s"multi-doc sequence over budget: $sorted")
+    }
+    // independent driver-side replay of the whole greedy walk
+    val base = docs
+      .select(col("doc_id"), size(graft.ops.SharedCorpus.wsOf(docs)).cast("long"),
+        Packing.orderHash)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expect = base.map { case (id, n, h) => (h % 4, h, id, n) }.sortBy(t => (t._1, t._2, t._3))
+      .foldLeft((Map.empty[Long, (Long, Long)], Vector.empty[(Long, Long, Long, Long, Long)])) {
+        case ((state, acc), (bucket, _, id, n)) =>
+          val (seq, fill) = state.getOrElse(bucket, (1L, 0L))
+          val (nSeq, nOff) = if (fill > 0 && fill + n > budget) (seq + 1, 0L) else (seq, fill)
+          (state.updated(bucket, (nSeq, nOff + n)), acc :+ ((id, bucket, nSeq, nOff, n)))
+      }._2
+    assert(out.sortBy(_._1).toVector === expect.sortBy(_._1))
+    // layout invariance: the walk depends only on (bucket, h, doc_id)
+    val re = Packing.packGreedy(docs.repartition(7), budgetTokens = budget, buckets = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(re.sortBy(_._1).toSeq === out.sortBy(_._1).toSeq)
+  }
+
   test("packSequences lays documents end-to-end with no gaps or overlaps per bucket") {
     val budget = 64L
     val out = Packing.packSequences(docs, budgetTokens = budget, buckets = 4)
