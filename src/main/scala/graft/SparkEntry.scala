@@ -669,6 +669,14 @@ object SparkEntry {
       ensureIvfIndex(s, d)
       Similarity.clusterBalancedSampleIndexed(s, "graft_ivf_idx")
     }),
+    // SemDeDup semantic deduplication off the SAME stored IVF index:
+    // within-cell cosine >= tau pairs, lowest id survives — candidate
+    // generation is one equi-join on the stored cell key (Σ|cell|² pairs,
+    // never all-pairs); training + assignment are read, not recomputed
+    "dedup_semantic" -> ((s, d) => {
+      ensureIvfIndex(s, d)
+      Similarity.semanticDedupIndexed(s, "graft_ivf_idx")
+    }),
     // build/query split for the PQ tier: codebooks trained + corpus
     // encoded once, probe ranks float queries against STORED 16-byte
     // codes — same oracle as ann_pq_topk (the index changes where codes
@@ -1770,6 +1778,26 @@ object SparkEntry {
        |SELECT vec_id, cell, rn - 1 AS rank_in_cell FROM rk WHERE rn <= 10
        |ORDER BY vec_id""".stripMargin
 
+  /** DuckDB mirror of [[Similarity.semanticDedupIndexed]]: replayed
+    * k-means training, final-centroid argmax assignment (the same `asg`
+    * recipe as the cluster-sample oracle), then the within-cell pair rule
+    * — drop b when a lower-id cell-mate a has cosine(a, b) >= 0.4. */
+  private val semanticDedupOracleSql: String =
+    s"""WITH $kmeansPivotCtes,
+       |sx AS (SELECT e.vec_id, e.embedding, c.pid,
+       |  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.pv AS DOUBLE[])) AS pcos
+       |  FROM embeddings e CROSS JOIN piv c),
+       |asg AS (SELECT vec_id, embedding, pid AS cell FROM (
+       |  SELECT vec_id, embedding, pid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY pcos DESC, pid) AS r
+       |  FROM sx) WHERE r = 1),
+       |dom AS (SELECT DISTINCT b.vec_id FROM asg a JOIN asg b
+       |  ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+       |    CAST(b.embedding AS DOUBLE[])) >= 0.4)
+       |SELECT vec_id, cell FROM asg WHERE vec_id NOT IN (SELECT vec_id FROM dom)
+       |ORDER BY vec_id""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
@@ -2132,6 +2160,7 @@ object SparkEntry {
     "ann_ivf_kmeans" -> ivfKmeansOracleSql,
     "ann_cluster_sample" -> clusterSampleOracleSql,
     "ann_cluster_sample_indexed" -> clusterSampleOracleSql,
+    "dedup_semantic" -> semanticDedupOracleSql,
     "ann_ivf_indexed" -> ivfKmeansOracleSql,
     "ann_ivf_indexed_incr" -> ivfKmeansOracleSql,
     "fmt_bucketed_join" ->

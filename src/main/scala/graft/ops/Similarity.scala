@@ -409,6 +409,38 @@ object Similarity {
       table: String, perCell: Int = 10, subCells: Int = 32): DataFrame =
     sampleCells(spark.table(table).select("vec_id", "cell"), perCell, subCells)
 
+  /** SemDeDup semantic deduplication (Abbas et al. 2023) off the stored
+    * IVF index: within each coarse cell, drop every vector that has a
+    * LOWER-id cell-mate with cosine >= `tau` — the "keep one
+    * representative of each semantic duplicate pair" rule, with the
+    * deterministic first-wins tiebreak the MinHash admission twin
+    * ([[graft.ops.Dedup.nearDupAdmit]]) uses. Returns the surviving
+    * (vec_id, cell).
+    *
+    * Scale shape — the whole point of running this off the index: the
+    * candidate pairs are the WITHIN-CELL pairs only (one equi-join on the
+    * stored cell key, never an all-pairs product), so the cost is
+    * Σ|cell|², bounded by the k-means granularity, exactly the SemDeDup
+    * paper's approximation. Training and assignment are READ from the
+    * index; the only compute is the pruned pair cosines. Cross-cell
+    * near-duplicates are invisible by construction — the documented
+    * recall trade every IVF-bucketed miner in this engine makes. */
+  def semanticDedupIndexed(spark: org.apache.spark.sql.SparkSession,
+      table: String, tau: Double = 0.4): DataFrame = {
+    graft.functions.FloatDot.register(spark)
+    val idx = spark.table(table).select(col("vec_id"), col("embedding"), col("cell"))
+    val a = idx.select(col("cell"), col("vec_id").as("a_id"), col("embedding").as("av"))
+    val b = idx.select(col("cell"), col("vec_id").as("b_id"), col("embedding").as("bv"))
+    val dominated = a.join(b, Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(cosine("av", "bv") >= tau)
+      .select(col("b_id").as("vec_id"))
+      .distinct()
+    idx.select("vec_id", "cell")
+      .join(dominated, Seq("vec_id"), "left_anti")
+      .orderBy("vec_id")
+  }
+
   /** Shared sampling policy of the direct and indexed paths: the per-cell
     * deterministic hash-order prefix, two-level so no single task sorts a
     * whole cell. */

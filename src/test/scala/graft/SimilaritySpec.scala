@@ -326,6 +326,39 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("semanticDedupIndexed: drop rule exact against a driver-side replay") {
+    try {
+      Similarity.buildIvfIndex(emb, "graft_sem_spec")
+      val tau = 0.4
+      val out = Similarity.semanticDedupIndexed(spark, "graft_sem_spec", tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      // replay: read the stored assignment, compute all within-cell pair
+      // cosines on the driver, apply the lower-id-survives rule
+      val asg = spark.table("graft_sem_spec")
+        .select("vec_id", "cell", "embedding").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Float](2).toArray))
+      def cos(x: Array[Float], y: Array[Float]): Double = {
+        var (d, nx, ny, i) = (0.0, 0.0, 0.0, 0)
+        while (i < x.length) {
+          d += x(i).toDouble * y(i); nx += x(i).toDouble * x(i)
+          ny += y(i).toDouble * y(i); i += 1
+        }
+        d / (math.sqrt(nx) * math.sqrt(ny))
+      }
+      val dominated = (for {
+        a <- asg; b <- asg
+        if a._2 == b._2 && a._1 < b._1 && cos(a._3, b._3) >= tau
+      } yield b._1).toSet
+      val expect = asg.filterNot(t => dominated(t._1)).map(t => (t._1, t._2)).sortBy(_._1)
+      assert(out.sortBy(_._1).toSeq === expect.toSeq)
+      // the rule must actually bind on this corpus — some vector dropped
+      assert(dominated.nonEmpty, "tau never binds: dedup_semantic is vacuous")
+    } finally {
+      Seq("graft_sem_spec", "graft_sem_spec_pivots")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("incremental IVF×PQ index: two model-stored appends equal the one-shot build") {
     try {
       Similarity.buildIvfPqIndex(emb, "graft_ivfpq_one")
