@@ -268,6 +268,13 @@ object SparkEntry {
     "ta_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
     "ta_tfidf" -> ((s, d) => TextAnalysis.tfIdf(SharedCorpus.docsTok(s, d))),
     "ta_approx_distinct" -> ((s, d) => TextAnalysis.approxDistinctWords(SharedCorpus.docsTok(s, d))),
+    // corpus drift monitor: top words by exact cross-multiplied relative-
+    // frequency movement between the %2 corpus halves
+    "ta_dist_drift" -> ((s, d) => {
+      val all = SharedCorpus.docsTok(s, d)
+      TextAnalysis.distributionDrift(
+        all.filter(col("doc_id") % 2 === 0), all.filter(col("doc_id") % 2 =!= 0))
+    }),
     "ta_curation_pipeline" -> ((s, d) => TextAnalysis.curationPipeline(SharedCorpus.docsTok(s, d))),
     // hashing-trick text→vector featurization (signed feature hashing):
     // exact-integer votes, one IEEE normalize — gate is the long form
@@ -2458,6 +2465,25 @@ object SparkEntry {
          |  round(CAST(t.tf AS DOUBLE) * ln((n.n_docs + 1.0) / (d.df + 1.0)), 6) AS tfidf
          |FROM tf t JOIN dfq d USING (word) CROSS JOIN nq n
          |ORDER BY doc_id, word""".stripMargin,
+    // drift ranked by the exact common-denominator integer form; the two
+    // one-row totals cross join, ties break on the word
+    "ta_dist_drift" ->
+      s"""WITH tk AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '$WS')) AS word FROM documents),
+         |ftk AS (SELECT doc_id, word FROM tk WHERE regexp_matches(word, '^[a-z0-9]+$$')),
+         |ca AS (SELECT word, count(*) AS cnt_a FROM ftk WHERE doc_id % 2 = 0 GROUP BY 1),
+         |cb AS (SELECT word, count(*) AS cnt_b FROM ftk WHERE doc_id % 2 <> 0 GROUP BY 1),
+         |na AS (SELECT CAST(sum(cnt_a) AS BIGINT) AS total_a FROM ca),
+         |nb AS (SELECT CAST(sum(cnt_b) AS BIGINT) AS total_b FROM cb),
+         |j AS (SELECT coalesce(a.word, b.word) AS word,
+         |    coalesce(cnt_a, 0) AS cnt_a, coalesce(cnt_b, 0) AS cnt_b
+         |  FROM ca a FULL OUTER JOIN cb b ON a.word = b.word)
+         |SELECT word, cnt_a, cnt_b,
+         |  CAST(cnt_a AS DOUBLE) / total_a AS freq_a,
+         |  CAST(cnt_b AS DOUBLE) / total_b AS freq_b,
+         |  CAST(abs(CAST(cnt_a AS DECIMAL(18,0)) * total_b
+         |    - CAST(cnt_b AS DECIMAL(18,0)) * total_a) AS BIGINT) AS drift
+         |FROM j CROSS JOIN na CROSS JOIN nb
+         |ORDER BY drift DESC, word LIMIT 20""".stripMargin,
     // DuckDB mirror of TextAnalysis.bm25Search: same Robertson/Okapi
     // formula, same operation order, same 6-decimal rounding; k1 = 1.2,
     // b = 0.75, query = {spark, window, join}. The indexed gates share it:

@@ -640,6 +640,47 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Corpus distribution-drift report — the pipeline monitor a training
+    * team reads when a new crawl lands: the k words whose relative
+    * frequency moved most between corpus A and corpus B. Drift is ranked
+    * by the EXACT integer cross-multiplication
+    * `|cnt_a·total_b − cnt_b·total_a|` (the common-denominator form of
+    * `|freq_a − freq_b|`), computed in DECIMAL so the ordering — the part
+    * boundary ties would corrupt — never touches a float; the per-side
+    * relative frequencies are emitted as single exact-long divisions for
+    * the human reader. Words present on only one side count 0 on the
+    * other (full-outer + coalesce).
+    *
+    * Scale shape: one token explode + word-keyed count per side (map-side
+    * combined), a full-outer word join of the two vocab-sized count
+    * tables, two one-row total scalars broadcast, one top-k sort on the
+    * exact key. At real scale the drift product stays in DECIMAL end to
+    * end; the gate surfaces it as a LONG (exact for any corpus whose
+    * token total squares under 2^63). */
+  def distributionDrift(a: DataFrame, b: DataFrame, k: Int = 20): DataFrame = {
+    def counts(df: DataFrame, cName: String) =
+      df.select(explode(SharedCorpus.alnumOf(df)).as("word"))
+        .groupBy("word").agg(count(lit(1)).as(cName))
+    val ca = counts(a, "cnt_a")
+    val cb = counts(b, "cnt_b")
+    val totals = ca.agg(sum("cnt_a").as("total_a"))
+      .crossJoin(cb.agg(sum("cnt_b").as("total_b")))
+    val dec = "decimal(18,0)"
+    ca.join(cb, Seq("word"), "full_outer")
+      .na.fill(0L, Seq("cnt_a", "cnt_b"))
+      .crossJoin(broadcast(totals))
+      .withColumn("drift_x",
+        abs(col("cnt_a").cast(dec) * col("total_b") -
+          col("cnt_b").cast(dec) * col("total_a")))
+      .select(
+        col("word"), col("cnt_a"), col("cnt_b"),
+        (col("cnt_a").cast("double") / col("total_a")).as("freq_a"),
+        (col("cnt_b").cast("double") / col("total_b")).as("freq_b"),
+        col("drift_x").cast("long").as("drift"))
+      .orderBy(col("drift").desc, col("word"))
+      .limit(k)
+  }
+
   /** Unicode NFC normalization audit — the canonicalization pass a
     * multilingual corpus runs before fingerprinting/dedup, so visually
     * identical strings with different codepoint sequences (`é` precomposed

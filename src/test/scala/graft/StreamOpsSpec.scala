@@ -237,6 +237,52 @@ class StreamOpsSpec extends SparkTestBase {
     }
   }
 
+  test("staged stream batches absorb into the composed IVF×PQ index") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val outDir = java.nio.file.Files.createTempDirectory("graft-ivfpq-ing").resolve("stage").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-ivfpq-ing-ck").toString
+    val stream = MemoryStream[(Long, Seq[Float])]
+    try {
+      // the production lifecycle end to end: models published once, the
+      // stream staged exactly-once, the maintenance job assigning AND
+      // encoding each batch against the published models
+      graft.ops.Similarity.buildIvfPqModels(emb, "graft_ivfpq_ing")
+      val rows = emb.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq
+      val (b1, b2) = rows.partition(_._1 % 2 == 0)
+      val q = StreamOps.startExactlyOnceFileSink(
+        stream.toDF().toDF("vec_id", "embedding"), outDir, ckDir)
+      try {
+        stream.addData(b1); q.processAllAvailable()
+        stream.addData(b2); q.processAllAvailable()
+      } finally q.stop()
+      def appendBatch(df: org.apache.spark.sql.DataFrame): Unit =
+        graft.ops.Similarity.appendToIvfPqIndex(spark,
+          df.select(col("vec_id"), col("embedding").cast("array<float>").as("embedding")),
+          "graft_ivfpq_ing")
+      val absorbed = StreamOps.absorbStagedBatches(
+        spark, outDir, "graft_ivfpq_ing_ledger")(appendBatch)
+      assert(absorbed.size === 2)
+      assert(StreamOps.absorbStagedBatches(
+        spark, outDir, "graft_ivfpq_ing_ledger")(appendBatch).isEmpty)
+      // the streamed-ingest composed index answers exactly like a one-shot
+      // build (training is deterministic, so the models coincide)
+      graft.ops.Similarity.buildIvfPqIndex(emb, "graft_ivfpq_ing_ref")
+      val qdf = emb.filter(col("vec_id") < 5)
+      val viaStream = graft.ops.Similarity
+        .ivfPqTopKIndexed(spark, "graft_ivfpq_ing", qdf).collect().toSeq
+      val oneShot = graft.ops.Similarity
+        .ivfPqTopKIndexed(spark, "graft_ivfpq_ing_ref", qdf).collect().toSeq
+      assert(viaStream === oneShot)
+    } finally {
+      Seq("graft_ivfpq_ing", "graft_ivfpq_ing_pivots", "graft_ivfpq_ing_books",
+        "graft_ivfpq_ing_ledger", "graft_ivfpq_ing_ref",
+        "graft_ivfpq_ing_ref_pivots", "graft_ivfpq_ing_ref_books")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("streaming near-dup admission: batch parity and TTL state eviction") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

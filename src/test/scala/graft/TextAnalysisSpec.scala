@@ -43,6 +43,24 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out.filter(col("alnum_ratio") < 0 || col("alnum_ratio") > 1).count() === 0)
   }
 
+  test("distributionDrift: exact cross-multiplied ranking on a crafted split") {
+    import spark.implicits._
+    // A: 4 tokens (x x y z), B: 2 tokens (y y) — hand drift with
+    // totals (4, 2): x |2*2-0*4|=4, y |1*2-2*4|=6, z |1*2-0*4|=2
+    val a = Seq((1L, "x x y z", "en", "s", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val b = Seq((2L, "y y", "en", "s", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.distributionDrift(a, b)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(5)))
+    assert(out.toSeq === Seq(("y", 1L, 2L, 6L), ("x", 2L, 0L, 4L), ("z", 1L, 0L, 2L)))
+    // corpus run: k rows, drift non-increasing, a one-sided word surfaces
+    val corpus = TextAnalysis.distributionDrift(
+      docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 =!= 0))
+      .collect().map(_.getLong(5))
+    assert(corpus.length === 20 && corpus.sameElements(corpus.sortBy(-_)))
+  }
+
   test("tfIdf: rare terms outscore ubiquitous ones, tf weighted") {
     val out = TextAnalysis.tfIdf(docs).cache()
     assert(out.count() > 0)
