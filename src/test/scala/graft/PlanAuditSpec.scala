@@ -77,6 +77,39 @@ class PlanAuditSpec extends SparkTestBase {
       s"Q15's one-row max must broadcast:\n$q15")
   }
 
+  test("round-10 pipeline operators plan their intended shapes") {
+    val d = "/root/testdata/sf0.001"
+    // packGreedy: exactly ONE exchange (the bucket repartition) — the
+    // within-partition sort and the fold must not add shuffles
+    val pg = graft.ops.Packing.packGreedy(graft.sources.Tables.documents(spark, d))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(pg.split("== Initial Plan ==").head).length
+    // the final orderBy adds a range exchange; the walk itself gets one
+    assert(exchanges <= 2, s"packGreedy must shuffle once for the walk:\n$pg")
+    // semanticDedup: candidate generation must be an equi-join on the
+    // stored cell key, never a cartesian/BNLJ pair product
+    try {
+      graft.ops.Similarity.buildIvfIndex(graft.sources.Tables.embeddings(spark, d), "graft_sem_audit")
+      val sd = graft.ops.Similarity.semanticDedupIndexed(spark, "graft_sem_audit")
+        .queryExecution.executedPlan.toString
+      assert(sd.contains("graft_sem_audit"), s"must read the stored index:\n$sd")
+      assert(!sd.contains("CartesianProduct") &&
+        "BroadcastNestedLoopJoin".r.findAllIn(sd).isEmpty,
+        s"within-cell candidates must ride an equi join on cell:\n$sd")
+    } finally {
+      Seq("graft_sem_audit", "graft_sem_audit_pivots")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+    // drift: the two one-row totals must broadcast into the vocab join
+    val docs = graft.sources.Tables.documents(spark, d)
+    val dr = graft.ops.TextAnalysis.distributionDrift(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0),
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 =!= 0))
+      .queryExecution.executedPlan.toString
+    assert(dr.contains("BroadcastNestedLoopJoin") || dr.contains("BroadcastExchange"),
+      s"drift totals must broadcast:\n$dr")
+  }
+
   test("fourth TPC-H wave plans the join shapes the queries are about") {
     val d = "/root/testdata/sf0.001"
     import graft.ops.Relational
