@@ -436,6 +436,9 @@ object SparkEntry {
     // RAG-style overlapping chunking (64-token windows, 48-token hop):
     // chunk positions + content fingerprints, one map pass
     "pack_chunks" -> ((s, d) => Packing.chunkDocuments(SharedCorpus.docsTok(s, d))),
+    // epoch repeats under a 30k-token per-source budget: full epochs by
+    // integer div, the fractional epoch as the hash-order prefix
+    "pack_repeat_epochs" -> ((s, d) => Packing.repeatEpochs(SharedCorpus.docsTok(s, d))),
     // temperature-scaled source mixing (alpha = 0.5): per-source budgets
     // ∝ sqrt(source tokens), quantized at the source level, then the same
     // deterministic hash-order budget walk as pack_token_budget
@@ -832,6 +835,23 @@ object SparkEntry {
       val dupes = ev.filter(col("event_id") % 10 === 0)
       graft.streaming.StreamOps.dedupEvents(ev.unionAll(dupes))
         .orderBy("event_id")
+    }),
+    // schema evolution: a v1 write without c_acctbal, a v2 append WITH it,
+    // read back under mergeSchema — v1 rows surface null balances and the
+    // unified schema aggregates correctly (the add-a-column lifecycle
+    // every long-lived parquet dataset goes through)
+    "fmt_schema_evolution" -> ((s, d) => {
+      val out = s"$scratchDir/cust_evolve"
+      val c = Tables.customer(s, d)
+      c.filter(col("c_custkey") % 2 === 0).select("c_custkey", "c_name")
+        .write.mode("overwrite").parquet(out)
+      c.filter(col("c_custkey") % 2 =!= 0).select("c_custkey", "c_name", "c_acctbal")
+        .write.mode("append").parquet(out)
+      s.read.option("mergeSchema", "true").parquet(out)
+        .groupBy(col("c_acctbal").isNotNull.as("has_bal"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(c_acctbal AS DECIMAL(18,2))")).cast("double").as("total_bal"))
+        .orderBy("has_bal")
     }),
     // format surface (SURVEY §2b scans/sources): csv sink→scan roundtrip,
     // then an aggregate over the re-read data — proves schema'd csv IO
@@ -2643,6 +2663,21 @@ object SparkEntry {
          |  FROM d)
          |SELECT doc_id, source, n_tokens, CAST(cum_before AS BIGINT) AS cum_before
          |FROM c WHERE cum_before < 800 ORDER BY doc_id""".stripMargin,
+    // epoch repeats: 30000 div total full epochs per source, +1 for the
+    // remainder prefix (cum_before < 30000 % total)
+    "pack_repeat_epochs" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |    CAST(len(regexp_split_to_array(lower(text), '$WS')) AS BIGINT) AS n_tokens,
+         |    ${Packing.orderHashSql} AS h FROM documents),
+         |t AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS total FROM d GROUP BY 1),
+         |c AS (SELECT doc_id, source, n_tokens,
+         |    coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |  FROM d)
+         |SELECT c.doc_id, c.source, c.n_tokens,
+         |  CAST(30000 // total + CASE WHEN cum_before < 30000 % total THEN 1 ELSE 0 END
+         |    AS BIGINT) AS n_repeats
+         |FROM c JOIN t ON c.source = t.source ORDER BY c.doc_id""".stripMargin,
     // salted sub-strata walk: budget 800 split across 8 sub-strata of 100,
     // sub = h % 8 (content-deterministic), each sub-stratum its own prefix
     "pack_token_budget_salted" ->
@@ -2898,6 +2933,14 @@ object SparkEntry {
         |    UNION ALL
         |    SELECT event_id, user_id, event_type, value, ts FROM events WHERE event_id % 10 = 0))
         |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    // oracle derives both schema generations from the source table: the
+    // even half never wrote a balance, so its sum is NULL — equality
+    // proves mergeSchema surfaced v1 rows with null, not dropped them
+    "fmt_schema_evolution" ->
+      """SELECT (c_custkey % 2 <> 0) AS has_bal, count(*) AS n,
+        |  CAST(sum(CASE WHEN c_custkey % 2 <> 0
+        |    THEN CAST(c_acctbal AS DECIMAL(18,2)) END) AS DOUBLE) AS total_bal
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
     // oracle reads the PARQUET nation — equality proves the csv sink→scan
     // roundtrip in the Spark query was lossless
     "fmt_csv_roundtrip" ->

@@ -167,6 +167,34 @@ object Packing {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** Epoch-repeat assignment under a per-source token budget — the data
+    * recipe for budgets LARGER than a source ("train 2.3 epochs of this
+    * domain"): every document of the source repeats `budget div total`
+    * times, and the fractional epoch is the deterministic hash-order
+    * PREFIX whose members repeat once more (the [[tokenBudgetSample]]
+    * walk reused as the remainder rule, so re-ingestion keeps exactly the
+    * same extra-repeat set). Output per document: `n_repeats` plus the
+    * walk's evidence columns. All arithmetic is exact integer div/mod on
+    * longs; at 100 TB this is one projection, one per-source window walk
+    * and one broadcast join of the per-source totals — the same plan
+    * family as the budget cut. */
+  def repeatEpochs(docs: DataFrame, budgetTokens: Long = 30000L): DataFrame = {
+    val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val base = docs.select(col("doc_id"), col("source"),
+      nTokensOf(docs).as("n_tokens"), orderHash.as("h"))
+    val totals = base.groupBy("source").agg(sum("n_tokens").as("total"))
+    base
+      .withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .join(broadcast(totals), Seq("source"))
+      .select(
+        col("doc_id"), col("source"), col("n_tokens"),
+        (expr(s"$budgetTokens div total") +
+          when(col("cum_before") < expr(s"$budgetTokens % total"), 1L)
+            .otherwise(0L)).as("n_repeats"))
+      .orderBy("doc_id")
+  }
+
   /** Cut a fixed token budget per stratum ("2 B tokens of each domain"):
     * walk each `source`'s documents in deterministic shuffle order and keep
     * documents until the budget fills — the kept set is the unique hash-order

@@ -12,6 +12,33 @@ class PackingSpec extends SparkTestBase {
 
   private def docs = Tables.documents(spark, sfDir)
 
+  test("repeatEpochs: per-source token delivery lands in [budget, budget + max_doc)") {
+    val budget = 5000L
+    val out = Packing.repeatEpochs(docs, budgetTokens = budget)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.length.toLong === docs.count())
+    out.groupBy(_._2).foreach { case (src, rows) =>
+      val total = rows.map(_._3).sum
+      val full = budget / total
+      // every doc repeats full or full+1 times; the +1 set is non-empty
+      // iff the budget has a remainder
+      assert(rows.forall(r => r._4 == full || r._4 == full + 1), s"$src: $rows")
+      val extra = rows.filter(_._4 == full + 1)
+      if (budget % total == 0) assert(extra.isEmpty)
+      else assert(extra.nonEmpty, s"$src: remainder prefix empty")
+      // delivered tokens cover the budget and overshoot by less than the
+      // largest prefix document (whole-document granularity)
+      val delivered = rows.map(r => r._4 * r._3).sum
+      val maxDoc = rows.map(_._3).max
+      assert(delivered >= budget && delivered < budget + maxDoc,
+        s"$src delivered $delivered for budget $budget")
+    }
+    // layout invariance
+    val re = Packing.repeatEpochs(docs.repartition(7), budgetTokens = budget)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(re.sortBy(_._1).toSeq === out.sortBy(_._1).toSeq)
+  }
+
   test("packGreedy: no document split, gapless next-fit layout, matches driver replay") {
     val budget = 64L
     val out = Packing.packGreedy(docs, budgetTokens = budget, buckets = 4)
