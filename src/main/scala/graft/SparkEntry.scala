@@ -260,6 +260,9 @@ object SparkEntry {
     // scalar / temporal / JSON function surface
     "scalar_sampler" -> Relational.scalarSampler,
     "json_extract_events" -> Relational.jsonExtractEvents,
+    // the VARIANT twin: parse once into the binary encoding, typed path
+    // gets after — plus the try_variant_get missing-path NULL contract
+    "json_variant_events" -> Relational.jsonVariantEvents,
     "orders_per_month" -> Relational.ordersPerMonth,
     // north-star: text analysis (SURVEY §2c)
     "ta_token_stats" -> ((s, d) => TextAnalysis.tokenStats(SharedCorpus.docsTok(s, d))),
@@ -2306,6 +2309,15 @@ object SparkEntry {
         |  CAST(CAST(json_extract_string(props, '$.k') AS INT) % 10 AS BIGINT) AS k_mod,
         |  count(*) AS n,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the variant twin adds the missing-path NULL count (always 0 — the
+    // point is that it is NULL-counted, not an error)
+    "json_variant_events" ->
+      """SELECT event_type,
+        |  CAST(CAST(json_extract_string(props, '$.k') AS INT) % 10 AS BIGINT) AS k_mod,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+        |  count(json_extract_string(props, '$.missing')) AS n_missing
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "orders_per_month" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS y,

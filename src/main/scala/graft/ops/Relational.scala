@@ -334,6 +334,25 @@ object Relational {
       .agg(count(lit(1)).as("n"), sum(col("k_val")).as("sum_k"))
       .orderBy(col("event_type"), col("k_mod"))
 
+  /** The same JSON extraction through Spark 4's VARIANT type: `props` is
+    * parsed ONCE into the binary variant encoding, then every access is a
+    * typed `variant_get` path lookup — at 100 TB this is the difference
+    * between one parse per row and one parse per ACCESS (the string-JSON
+    * form re-parses for every extracted field). `try_variant_get` on a
+    * missing path yields NULL, not an error, and the gate counts it to
+    * pin that semantics; results are identical to the string-JSON twin,
+    * so the two share oracle logic. */
+  def jsonVariantEvents(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"), expr("parse_json(props)").as("v"))
+      .select(col("event_type"),
+        expr("variant_get(v, '$.k', 'long')").as("k"),
+        expr("try_variant_get(v, '$.missing', 'long')").as("miss"))
+      .groupBy(col("event_type"), (col("k") % 10).cast("long").as("k_mod"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).cast("long").as("sum_k"),
+        count(col("miss")).as("n_missing"))
+      .orderBy(col("event_type"), col("k_mod"))
+
   /** TPC-H Q3-shaped shipping-priority query: 3-way join with selective
     * filters on both join inputs, revenue aggregation, top-10. The filters
     * reach the parquet scans (PushedFilters), customer broadcasts, and the
