@@ -279,6 +279,10 @@ object SparkEntry {
         all.filter(col("doc_id") % 2 === 0), all.filter(col("doc_id") % 2 =!= 0))
     }),
     "ta_curation_pipeline" -> ((s, d) => TextAnalysis.curationPipeline(SharedCorpus.docsTok(s, d))),
+    // one-pass audit counters: the curation filter's input/survivor/token
+    // metrics ride the SAME pass via the Observation API — no second scan
+    "audit_observe" -> ((s, d) =>
+      TextAnalysis.observedCurationCounters(SharedCorpus.docsTok(s, d))),
     // hashing-trick text→vector featurization (signed feature hashing):
     // exact-integer votes, one IEEE normalize — gate is the long form
     // (doc, dim, weight) so every float crosses the oracle bit-compared
@@ -2497,6 +2501,20 @@ object SparkEntry {
          |  round(CAST(t.tf AS DOUBLE) * ln((n.n_docs + 1.0) / (d.df + 1.0)), 6) AS tfidf
          |FROM tf t JOIN dfq d USING (word) CROSS JOIN nq n
          |ORDER BY doc_id, word""".stripMargin,
+    // the observed metrics are exact integers over the same quality rule
+    // the other curation oracles replay
+    "audit_observe" ->
+      s"""WITH c AS (SELECT doc_id,
+         |  CAST(len(regexp_split_to_array(lower(text), '$WS')) AS BIGINT) AS nt,
+         |  CAST(len(list_filter(regexp_split_to_array(lower(text), '$WS'),
+         |    t -> regexp_matches(t, '^[a-z0-9]+$$'))) AS BIGINT) AS alnum,
+         |  ${markerSql("en")} AS stop
+         |FROM documents),
+         |q AS (SELECT nt,
+         |  least(CAST(nt AS DOUBLE) / 100.0, 1.0) * 0.2 + CAST(alnum AS DOUBLE) / nt * 0.5
+         |    + least(CAST(stop AS DOUBLE) / nt * 4.0, 1.0) * 0.3 AS q FROM c)
+         |SELECT count(*) AS n_in, CAST(sum(nt) AS BIGINT) AS tokens_in,
+         |  count(CASE WHEN q >= 0.6 THEN 1 END) AS n_kept FROM q""".stripMargin,
     // drift ranked by the exact common-denominator integer form; the two
     // one-row totals cross join, ties break on the word
     "ta_dist_drift" ->

@@ -640,6 +640,36 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** One-pass pipeline audit counters via Spark's `Observation` API: the
+    * curation filter runs ONCE and its input count, input token total and
+    * survivor count ride the SAME pass as accumulator-backed observed
+    * metrics — no second scan, which at 100 TB is the difference between
+    * auditing a pipeline and doubling its cost. EAGER by design (the
+    * metrics only exist after an action); returns the one-row counter
+    * table the audit log would persist. The counters are exact integers,
+    * so the oracle is a plain re-aggregation. */
+  def observedCurationCounters(docs: DataFrame, minQuality: Double = 0.6): DataFrame = {
+    val spark = docs.sparkSession
+    val (ws, alnum) = (SharedCorpus.wsOf(docs), SharedCorpus.alnumOf(docs))
+    val scored = docs.select(col("doc_id"),
+      nTokensCol(ws).as("n_tokens"), qualityColOf(ws, alnum).as("q"))
+    val obs = org.apache.spark.sql.Observation()
+    // the observe node sits ABOVE the scoring projection and BELOW the
+    // filter, so the metrics see every input row while the action drives
+    // only the survivors
+    scored.observe(obs,
+      count(lit(1)).as("n_in"),
+      sum(col("n_tokens")).as("tokens_in"),
+      count(when(col("q") >= minQuality, 1)).as("n_kept"))
+      .filter(col("q") >= minQuality)
+      .count()
+    val m = obs.get
+    import spark.implicits._
+    Seq((m("n_in").asInstanceOf[Long], m("tokens_in").asInstanceOf[Long],
+      m("n_kept").asInstanceOf[Long]))
+      .toDF("n_in", "tokens_in", "n_kept")
+  }
+
   /** Corpus distribution-drift report — the pipeline monitor a training
     * team reads when a new crawl lands: the k words whose relative
     * frequency moved most between corpus A and corpus B. Drift is ranked
