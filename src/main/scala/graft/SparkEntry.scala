@@ -271,6 +271,10 @@ object SparkEntry {
     "ta_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
     "ta_tfidf" -> ((s, d) => TextAnalysis.tfIdf(SharedCorpus.docsTok(s, d))),
     "ta_approx_distinct" -> ((s, d) => TextAnalysis.approxDistinctWords(SharedCorpus.docsTok(s, d))),
+    // adjacency-exact phrase matching — the retrieval primitive
+    // bag-of-terms BM25 cannot express; zero-shuffle position scan
+    "ta_phrase_search" -> ((s, d) =>
+      TextAnalysis.phraseSearch(SharedCorpus.docsTok(s, d), Seq("table", "hash"))),
     // corpus drift monitor: top words by exact cross-multiplied relative-
     // frequency movement between the %2 corpus halves
     "ta_dist_drift" -> ((s, d) => {
@@ -2501,6 +2505,14 @@ object SparkEntry {
          |  round(CAST(t.tf AS DOUBLE) * ln((n.n_docs + 1.0) / (d.df + 1.0)), 6) AS tfidf
          |FROM tf t JOIN dfq d USING (word) CROSS JOIN nq n
          |ORDER BY doc_id, word""".stripMargin,
+    // phrase hits replayed as a per-row position scan; DuckDB's
+    // generate_series(1, 0) is empty so no guard is needed there
+    "ta_phrase_search" ->
+      s"""WITH tk AS (SELECT doc_id, regexp_split_to_array(lower(text), '$WS') AS a FROM documents),
+         |m AS (SELECT doc_id, len(list_filter(generate_series(1, len(a) - 1),
+         |    i -> a[i] = 'table' AND a[i + 1] = 'hash')) AS n_matches FROM tk)
+         |SELECT doc_id, CAST(n_matches AS BIGINT) AS n_matches FROM m
+         |WHERE n_matches > 0 ORDER BY n_matches DESC, doc_id LIMIT 20""".stripMargin,
     // the observed metrics are exact integers over the same quality rule
     // the other curation oracles replay
     "audit_observe" ->

@@ -216,6 +216,36 @@ object TextAnalysis {
         .select(col("doc_id"), bm25ScoreCol(k1, b).as("s")), k)
   }
 
+  /** Exact phrase search — adjacency-exact multi-word matching, the
+    * retrieval primitive BM25's bag-of-terms scoring cannot express: a
+    * document matches at position i iff tokens i..i+n-1 equal the phrase
+    * verbatim. Returns the top-k documents by match count (doc_id
+    * tiebreak).
+    *
+    * Scale shape: a ZERO-SHUFFLE projection until the final top-k — the
+    * candidate positions are a per-row `sequence` scan over the token
+    * array, so the cost is one corpus pass with no joins (the indexed
+    * upgrade stores positional postings and intersects the phrase terms'
+    * position lists; this scan form is the semantics anchor and the
+    * baseline). The `size >= n` guard matters: Spark's `sequence(1, 0)`
+    * DESCENDS instead of yielding empty, which would probe position 0. */
+  def phraseSearch(docs: DataFrame, phrase: Seq[String], k: Int = 20): DataFrame = {
+    require(phrase.nonEmpty, "phraseSearch needs a non-empty phrase")
+    val n = phrase.length
+    val hit = (i: Column) => phrase.zipWithIndex
+      .map { case (w, j) => element_at(col("a"), i + lit(j)) === w }
+      .reduce(_ && _)
+    docs.select(col("doc_id"), SharedCorpus.wsOf(docs).as("a"))
+      .select(col("doc_id"),
+        when(size(col("a")) >= n,
+          size(filter(transform(sequence(lit(1), size(col("a")) - (n - 1)),
+            i => hit(i)), b => b)))
+          .otherwise(0).cast("long").as("n_matches"))
+      .filter(col("n_matches") > 0)
+      .orderBy(col("n_matches").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** HYBRID retrieval — reciprocal-rank fusion of the engine's two
     * retrieval halves over the same corpus (the modern default for search
     * over a document store): the sparse ranking is [[bm25Search]]'s

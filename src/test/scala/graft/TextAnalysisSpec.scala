@@ -43,6 +43,28 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out.filter(col("alnum_ratio") < 0 || col("alnum_ratio") > 1).count() === 0)
   }
 
+  test("phraseSearch: adjacency-exact matches incl. overlaps and short docs") {
+    import spark.implicits._
+    val crafted = Seq(
+      (1L, "a a a b", "en", "s", 7L),        // "a a" overlaps: 2 matches
+      (2L, "a b a b", "en", "s", 7L),        // no adjacent "a a"
+      (3L, "x a a y a a", "en", "s", 11L),   // 2 separated matches
+      (4L, "a", "en", "s", 1L))              // shorter than the phrase
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.phraseSearch(crafted, Seq("a", "a"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === Seq((1L, 2L), (3L, 2L)))
+    // corpus: ranked non-increasing, each hit doc really contains the phrase
+    val hits = TextAnalysis.phraseSearch(docs, Seq("table", "hash")).collect()
+    assert(hits.nonEmpty)
+    val counts = hits.map(_.getLong(1))
+    assert(counts.sameElements(counts.sortBy(-_)))
+    val ids = hits.map(_.getLong(0)).toSet
+    val really = docs.filter(lower(col("text")).contains("table hash"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(really))
+  }
+
   test("distributionDrift: exact cross-multiplied ranking on a crafted split") {
     import spark.implicits._
     // A: 4 tokens (x x y z), B: 2 tokens (y y) — hand drift with
