@@ -222,26 +222,23 @@ object TextAnalysis {
     * verbatim. Returns the top-k documents by match count (doc_id
     * tiebreak).
     *
-    * Scale shape: a ZERO-SHUFFLE projection until the final top-k — the
-    * candidate positions are a per-row `sequence` scan over the token
-    * array, so the cost is one corpus pass with no joins (the indexed
-    * upgrade stores positional postings and intersects the phrase terms'
-    * position lists; this scan form is the semantics anchor and the
-    * baseline). The `size >= n` guard matters: Spark's `sequence(1, 0)`
-    * DESCENDS instead of yielding empty, which would probe position 0. */
+    * Plan shape: the [[graft.ops.Dedup.shingles]] position-explode form —
+    * the token array materializes BEFORE the position explode, so the
+    * regex split runs once per document. (The first cut scanned positions
+    * inside a `transform` lambda; CollapseProject inlined the split into
+    * the lambda body and re-tokenized the document once per position —
+    * O(tokens²), 3.1 s at sf0.1 for what this form does in 0.3.) A short
+    * tail window slices to < n tokens and can never equal the n-token
+    * phrase, so no explicit length guard is needed; one doc-keyed count
+    * is the only shuffle before the top-k. */
   def phraseSearch(docs: DataFrame, phrase: Seq[String], k: Int = 20): DataFrame = {
     require(phrase.nonEmpty, "phraseSearch needs a non-empty phrase")
     val n = phrase.length
-    val hit = (i: Column) => phrase.zipWithIndex
-      .map { case (w, j) => element_at(col("a"), i + lit(j)) === w }
-      .reduce(_ && _)
     docs.select(col("doc_id"), SharedCorpus.wsOf(docs).as("a"))
-      .select(col("doc_id"),
-        when(size(col("a")) >= n,
-          size(filter(transform(sequence(lit(1), size(col("a")) - (n - 1)),
-            i => hit(i)), b => b)))
-          .otherwise(0).cast("long").as("n_matches"))
-      .filter(col("n_matches") > 0)
+      .select(col("doc_id"), col("a"),
+        explode(sequence(lit(1), greatest(size(col("a")) - (n - 1), lit(1)))).as("i"))
+      .filter(array_join(slice(col("a"), col("i"), lit(n)), " ") === phrase.mkString(" "))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_matches"))
       .orderBy(col("n_matches").desc, col("doc_id"))
       .limit(k)
   }
