@@ -36,6 +36,10 @@ object Bench {
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_last.json")
     val spark = GraftSession.local(cpus.toInt, "graft-bench")
     spark.sparkContext.setLogLevel("WARN")
+    // pin state for the shared-projection runs; a pin failure must be
+    // VISIBLE (ADVICE r10: a silent skip would flip the shared map's
+    // semantics with no diagnostic), so it gets its own try/catch below
+    var pinOk = false
     // Warm up the JVM/codegen/parquet-footer paths once so the first timed
     // query doesn't absorb session start-up cost (measured ~6 s of one-time
     // Jackson/from_json + legacy-nanos-read initialization otherwise).
@@ -65,14 +69,17 @@ object Bench {
       // drop the warmup's persisted signature table before timing starts
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       spark.catalog.clearCache()
-      // materialize + pin the shared token projection (SharedCorpus) now,
-      // UNTIMED: the deployment mode it models tokenizes the corpus once
-      // for the whole suite, so its one-time cost belongs to the session,
-      // not to whichever ta_/dedup_ gate happens to run first. Cold runs
-      // are served the pinned copy (below); steady runs recompute from raw
-      // parquet exactly as in previous rounds.
-      graft.ops.SharedCorpus.pin(spark, sfDir)
     } catch { case _: Throwable => () }
+    // materialize + pin the shared token projection (SharedCorpus) now,
+    // UNTIMED: the deployment mode it models tokenizes the corpus once for
+    // the whole suite, so its one-time cost belongs to the session, not to
+    // whichever ta_/dedup_ gate happens to run first. Its OWN try/catch
+    // (ADVICE r10): a warmup failure above must not silently skip the pin
+    // and quietly turn every "shared" measurement into a raw re-run.
+    try { graft.ops.SharedCorpus.pin(spark, sfDir); pinOk = true }
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] SharedCorpus.pin FAILED - shared map omitted: ${e.getMessage}")
+    }
     // stable alphabetical order so per-query timings compare across rounds;
     // each query runs SPARK_GRAFT_BENCH_RUNS times (default 3: with min AND
     // median reported, 3 runs is the cheapest config where the two can
@@ -87,23 +94,35 @@ object Bench {
       if (sorted.size % 2 == 1) sorted(sorted.size / 2)
       else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2.0
     def isNoisy(mn: Double, md: Double): Boolean = md > 2.0 * mn + 0.25
-    // sharedCold: serve the pinned SharedCorpus projection to run 1 (the
-    // cold run — modeling the tokenize-once deployment mode) and the raw
-    // recompute path to every later run, so steady-state numbers measure
-    // the same standalone plan as previous rounds. Re-runs at the end of
-    // the sweep are steady re-measurements and never see the pinned copy.
-    def timeRuns(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
-        n: Int, sharedCold: Boolean = true): Seq[(Double, Boolean)] = {
-      val ts = (1 to n).map { i =>
-        graft.ops.SharedCorpus.serveShared = sharedCold && i == 1
-        val t0 = System.nanoTime()
-        // toRdd.count() executes the FULL physical plan (final projections,
-        // sorts, formatting included); a DataFrame count() would let
-        // Catalyst prune output-side work and under-measure the query
-        val ok = try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
+    // Run semantics (ADVICE r10 restored r9's contract): ALL numbered runs
+    // execute the RAW recompute path (SharedCorpus.withMode(false)), so
+    // "cold" (run 1) and the steady min/median are raw-mode numbers
+    // directly comparable with every pre-r10 artifact. The tokenize-once
+    // deployment mode is measured SEPARATELY: one extra pinned-projection
+    // run per gate that actually consults docsTok (the touched probe —
+    // relational gates never do, and re-timing their identical plan would
+    // be noise), reported in its own "shared" map, never mixed into
+    // cold/steady. Returns (raw runs, optional shared-mode run).
+    def timeOne(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+        shared: Boolean): (Double, Boolean) = {
+      val t0 = System.nanoTime()
+      // toRdd.count() executes the FULL physical plan (final projections,
+      // sorts, formatting included); a DataFrame count() would let
+      // Catalyst prune output-side work and under-measure the query
+      val ok = graft.ops.SharedCorpus.withMode(shared) {
+        try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
         catch { case _: Throwable => false }
-        ((System.nanoTime() - t0) / 1e9, ok)
       }
+      ((System.nanoTime() - t0) / 1e9, ok)
+    }
+    def timeRuns(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+        n: Int, withShared: Boolean = true): (Seq[(Double, Boolean)], Option[(Double, Boolean)]) = {
+      graft.ops.SharedCorpus.resetTouched()
+      val ts = (1 to n).map(_ => timeOne(fn, shared = false))
+      val sharedRun =
+        if (withShared && pinOk && graft.ops.SharedCorpus.wasTouched)
+          Some(timeOne(fn, shared = true))
+        else None
       // drop this query's persisted intermediates before the next query:
       // without this, ~30 queries of cached dedup/similarity tables pile up
       // and later queries' timings become order- and memory-pressure-
@@ -118,7 +137,7 @@ object Bench {
         .filterNot(r => graft.ops.SharedCorpus.isPinnedRdd(r.id))
         .foreach(_.unpersist(blocking = true))
       spark.catalog.clearCache()
-      ts
+      (ts, sharedRun)
     }
     // Previous committed artifact's steady-state per-query map, read BEFORE
     // this run overwrites the file (VERDICT r6: q1/q14 swung 2-4x on
@@ -136,16 +155,13 @@ object Bench {
     def isSwung(name: String, mn: Double): Boolean =
       prior.get(name).exists(p => mn > 2.0 * p + 0.25)
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      (name, fn, timeRuns(fn, runs))
+      val (ts, sharedRun) = timeRuns(fn, runs)
+      (name, fn, ts, sharedRun)
     }
-    // run 1 is the cold run and (since this round) is served the pinned
-    // shared token projection — a different deployment mode than the
-    // standalone recompute the steady numbers have always measured. Steady
-    // min/median therefore draw from runs 2..n (+ any re-runs, which are
-    // all raw-mode); with runs=3 that is a min of >=2 raw measurements.
-    // Run 1 keeps feeding ONLY the "cold" field.
-    def steadyOf(ts: Seq[(Double, Boolean)]): Seq[(Double, Boolean)] =
-      if (ts.size > 1) ts.tail else ts
+    // every numbered run is raw-mode (r9 semantics restored — ADVICE r10),
+    // so steady min/median draw from ALL `runs` samples again: 3 raw
+    // samples by default, and "cold" (run 1) is cross-round comparable.
+    def steadyOf(ts: Seq[(Double, Boolean)]): Seq[(Double, Boolean)] = ts
     // Adaptive re-run (VERDICT r5): a min ≪ median spread means some runs
     // were inflated by ambient machine load. The harness can't avoid shared
     // load, but it can re-measure: flagged queries get `runs` more attempts
@@ -155,50 +171,62 @@ object Bench {
     // Cross-round swings (vs the prior committed artifact) re-run the same
     // way (VERDICT r6).
     val rerun = firstPass.collect {
-      case (name, fn, ts) if ts.forall(_._2) && {
+      case (name, fn, ts, _) if ts.forall(_._2) && {
           val s = steadyOf(ts).map(_._1).sorted
           isNoisy(s.head, medianOf(s)) || isSwung(name, s.head)
         } =>
-        name -> timeRuns(fn, runs, sharedCold = false)
+        name -> timeRuns(fn, runs, withShared = false)._1
     }.toMap
-    val results = firstPass.map { case (name, _, ts) =>
+    val results = firstPass.map { case (name, _, ts, sharedRun) =>
       val all = steadyOf(ts) ++ rerun.getOrElse(name, Nil)
       val ok = (ts ++ rerun.getOrElse(name, Nil)).forall(_._2)
       val sorted = all.map(_._1).sorted
       // cold stays the very first run of the sweep (build/JIT costs land there)
-      (name, sorted.head, medianOf(sorted), ts.head._1, ok)
+      (name, sorted.head, medianOf(sorted), ts.head._1, ok, sharedRun)
     }
     // failed queries are reported as -1 (a failure's elapsed time is not a
     // timing — recording it would masquerade as a speedup) and listed in
     // "errors" so regressions are loud in round-over-round comparison
-    def jmap(f: ((String, Double, Double, Double, Boolean)) => Double): String =
-      results.map { case r @ (k, _, _, _, ok) => s"\"" + k + "\":" + (if (ok) r3(f(r)) else -1.0) }
+    def jmap(f: ((String, Double, Double, Double, Boolean, Option[(Double, Boolean)])) => Double): String =
+      results.map { case r @ (k, _, _, _, ok, _) => s"\"" + k + "\":" + (if (ok) r3(f(r)) else -1.0) }
         .mkString("{", ",", "}")
-    val errors = results.collect { case (k, _, _, _, false) => "\"" + k + "\"" }
+    val errors = results.collect { case (k, _, _, _, false, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     // still-noisy AFTER the adaptive re-run: the spread reproduced across
     // two separated measurement windows — read those numbers with suspicion
     val noisy = results.collect {
-      case (k, mn, md, _, true) if isNoisy(mn, md) => s"\"" + k + "\""
+      case (k, mn, md, _, true, _) if isNoisy(mn, md) => s"\"" + k + "\""
     }.mkString("[", ",", "]")
     // still >2x the prior committed artifact AFTER the merged re-run: a
     // reproduced cross-round regression (or a real plan change) — the list
     // a round-over-round reader should audit first
     val swung = results.collect {
-      case (k, mn, _, _, true) if isSwung(k, mn) => s"\"" + k + "\""
+      case (k, mn, _, _, true, _) if isSwung(k, mn) => s"\"" + k + "\""
     }.mkString("[", ",", "]")
     val rerunList = rerun.keys.toSeq.sorted.map(k => s"\"" + k + "\"")
       .mkString("[", ",", "]")
-    val total = r3(results.collect { case (_, v, _, _, true) => v }.sum)
-    val totalMedian = r3(results.collect { case (_, _, m, _, true) => m }.sum)
+    val total = r3(results.collect { case (_, v, _, _, true, _) => v }.sum)
+    val totalMedian = r3(results.collect { case (_, _, m, _, true, _) => m }.sum)
     // "value" is the steady-state total (min of N runs per query); the
     // explicit "total_cold" keeps the first-run map from being misread as
     // the steady number (r2 artifact confusion)
-    val totalCold = r3(results.collect { case (_, _, _, c, true) => c }.sum)
+    val totalCold = r3(results.collect { case (_, _, _, c, true, _) => c }.sum)
+    // the tokenize-once deployment mode's numbers live in their OWN map:
+    // one pinned-projection run per corpus-consuming gate (warm — it runs
+    // after the raw runs), so cold/steady semantics stay raw and
+    // cross-round comparable while the shared mode is still measured
+    val sharedMap = results.collect {
+      case (k, _, _, _, _, Some((t, sok))) =>
+        s"\"" + k + "\":" + (if (sok) r3(t) else -1.0)
+    }.mkString("{", ",", "}")
+    val totalShared = r3(results.collect {
+      case (_, _, _, _, _, Some((t, true))) => t }.sum)
     // totals FIRST within the line, so even a head-truncated capture of the
-    // full artifact still reads the headline numbers
-    val totals = s""""metric":"total","value":$total,"unit":"sec","total_median":$totalMedian,"total_cold":$totalCold,"runs":$runs,"noisy":$noisy,"swung":$swung,"rerun":$rerunList,"errors":$errors,"sf":"$sfDir""""
-    val full = s"""{$totals,"queries":${jmap(_._2)},"median":${jmap(_._3)},"cold":${jmap(_._4)}}"""
+    // full artifact still reads the headline numbers. cold_mode records the
+    // run-1 semantics ("raw" since r11; r10's artifact was pinned-mode) so
+    // cross-round cold comparisons can't be misread.
+    val totals = s""""metric":"total","value":$total,"unit":"sec","total_median":$totalMedian,"total_cold":$totalCold,"cold_mode":"raw","total_shared":$totalShared,"runs":$runs,"noisy":$noisy,"swung":$swung,"rerun":$rerunList,"errors":$errors,"sf":"$sfDir""""
+    val full = s"""{$totals,"queries":${jmap(_._2)},"median":${jmap(_._3)},"cold":${jmap(_._4)},"shared":$sharedMap}"""
     // the full artifact also goes to a FILE — the r4 artifact survived only
     // as a 2 KB stdout tail with the per-query map lost; a file cannot be
     // truncated by a log capture
@@ -210,6 +238,7 @@ object Bench {
     // ...and a compact totals-only line LAST, so a tail-truncated capture
     // still parses the headline numbers
     println(s"""{$totals,"bench_file":"$outFile"}""")
+    graft.ops.SharedCorpus.unpinAll(spark)
     spark.stop()
   }
 }

@@ -20,24 +20,57 @@ import org.apache.spark.storage.StorageLevel
   *   - [[pin]] materializes the projection ONCE into a persisted row RDD
   *     (outside Spark's `CacheManager`, so a harness `clearCache()` between
   *     queries cannot evict it) and [[docsTok]] then serves every caller
-  *     the pinned copy while [[serveShared]] is on.
+  *     the pinned copy while the serving mode is on.
   *
   * Operators opt in by consulting [[wsOf]]/[[alnumOf]]: if the input
   * carries the projection columns they are used, otherwise the identical
   * inline expression is planned — so the same operator code runs both the
   * shared-projection deployment mode and the standalone recompute mode,
   * and SharedCorpusSpec pins the two bit-equal.
+  *
+  * Lifecycle (ADVICE r10): pinned copies are keyed on the session via a
+  * `WeakHashMap` (a dropped session's entry becomes collectable instead of
+  * living for the JVM — the same convention as SparkEntry's model caches),
+  * [[unpin]]/[[unpinAll]] release the persisted RDD explicitly, and the
+  * serving mode is a scoped per-thread [[withMode]] rather than a
+  * process-global mutable flag — concurrent consumers (parallel test
+  * suites sharing the JVM) can no longer flip each other's mode mid-plan.
   */
 object SharedCorpus {
 
+  /** session → (dir → (pinned frame, backing RDD)). Weak keys: the map
+    * must not be the thing that keeps a stopped SparkSession alive. All
+    * access is under `pinned.synchronized`. */
   private val pinned =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private val rddIds = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row])]]()
 
-  /** When off, [[docsTok]] ignores any pinned copy and serves the lazy
-    * derivation — the harness uses this to time steady-state runs under
-    * the same standalone-recompute semantics as previous rounds. */
-  @volatile var serveShared: Boolean = true
+  /** Per-thread serving mode, scoped by [[withMode]]. Defaults to ON: a
+    * deployment that pinned the projection wants it served; a caller that
+    * never pins sees the lazy derivation either way. InheritableThreadLocal
+    * semantics (DynamicVariable) mean a harness thread's scope covers the
+    * plan construction it performs — and another thread's scope never
+    * leaks into it. */
+  private val mode = new scala.util.DynamicVariable[Boolean](true)
+
+  /** Run `body` with the pinned-projection serving mode forced on or off
+    * for THIS thread only — the harness hook for timing raw-recompute vs
+    * tokenize-once deployment modes without global state. */
+  def withMode[T](serveShared: Boolean)(body: => T): T =
+    mode.withValue(serveShared)(body)
+
+  /** Current serving mode (thread-scoped). */
+  def servingShared: Boolean = mode.value
+
+  /** Harness introspection: [[docsTok]] flips this thread-local when
+    * consulted, so a bench can tell whether a gate's plan construction
+    * touched the documents projection at all (relational gates don't — a
+    * pinned-mode re-run of those would time the identical plan twice). */
+  private val touched = new ThreadLocal[Boolean] {
+    override def initialValue: Boolean = false
+  }
+  def resetTouched(): Unit = touched.set(false)
+  def wasTouched: Boolean = touched.get
 
   /** The lowercased whitespace token array of `text`, from the shared
     * projection when the input carries it. */
@@ -63,25 +96,49 @@ object SharedCorpus {
     * benchmark harness clears between queries, and a pinned projection
     * that silently vanishes mid-sweep would turn "shared" back into
     * "recompute per gate". Idempotent per key. */
-  def pin(s: SparkSession, d: String): Unit = synchronized {
-    if (!pinned.containsKey((s, d))) {
+  def pin(s: SparkSession, d: String): Unit = pinned.synchronized {
+    val perDir = pinned.computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
+    if (!perDir.contains(d)) {
       val base = derive(graft.sources.Tables.documents(s, d))
       val rdd = base.rdd.persist(StorageLevel.MEMORY_AND_DISK)
       rdd.count()
-      rddIds.add(rdd.id)
-      pinned.put((s, d), s.createDataFrame(rdd, base.schema))
+      perDir.put(d, (s.createDataFrame(rdd, base.schema), rdd))
+    }
+  }
+
+  /** Release one pinned projection: blocking-unpersist the backing RDD and
+    * drop the map entry. Safe to call for a never-pinned key. */
+  def unpin(s: SparkSession, d: String): Unit = pinned.synchronized {
+    Option(pinned.get(s)).foreach { perDir =>
+      perDir.remove(d).foreach { case (_, rdd) => rdd.unpersist(blocking = true) }
+    }
+  }
+
+  /** Release every projection pinned under this session — harness
+    * teardown. */
+  def unpinAll(s: SparkSession): Unit = pinned.synchronized {
+    Option(pinned.remove(s)).foreach {
+      _.values.foreach { case (_, rdd) => rdd.unpersist(blocking = true) }
     }
   }
 
   /** Is this persisted RDD one of ours? (The bench's per-query cleanup
     * unpersists every cached RDD EXCEPT pinned projections.) */
-  def isPinnedRdd(id: Int): Boolean = rddIds.contains(id)
+  def isPinnedRdd(id: Int): Boolean = pinned.synchronized {
+    import scala.jdk.CollectionConverters._
+    pinned.values.asScala.exists(_.values.exists(_._2.id == id))
+  }
 
   /** The documents table with the token projection attached: the pinned
-    * materialized copy when available and [[serveShared]] is on, else the
+    * materialized copy when available and the serving mode is on, else the
     * lazy derivation over the raw parquet scan. */
   def docsTok(s: SparkSession, d: String): DataFrame = {
-    val p = if (serveShared) pinned.get((s, d)) else null
+    touched.set(true)
+    val p =
+      if (mode.value) pinned.synchronized {
+        Option(pinned.get(s)).flatMap(_.get(d)).map(_._1).orNull
+      }
+      else null
     if (p != null) p else derive(graft.sources.Tables.documents(s, d))
   }
 }

@@ -1,33 +1,36 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 import graft.ops.{Classifier, Dedup, Packing, SharedCorpus, TextAnalysis}
 import graft.sources.Tables
 
 /** The shared token projection must be a pure transport optimization:
   * every operator fed the pinned projection answers bit-identically to the
-  * same operator fed the raw parquet table. */
+  * same operator fed the raw parquet table. The Verify sweep pins the
+  * projection (so every DuckDB oracle exercises the pinned deployment
+  * mode); this spec is what keeps the RAW recompute path — the mode the
+  * bench's steady-state timings execute — equivalent, so coverage here
+  * must include every operator family that consults wsOf/alnumOf
+  * (ADVICE r10: the round's new operators had no raw-mode equality
+  * coverage). */
 class SharedCorpusSpec extends SparkTestBase {
 
   private def raw = Tables.documents(spark, sfDir)
 
-  // pin once for the suite; serveShared is restored after each check so
-  // other suites (which expect the raw path) are unaffected
+  // pin once for the suite; the serving mode is scoped per assertion via
+  // SharedCorpus.withMode so other suites (which expect the raw path and
+  // may run concurrently in this JVM) are unaffected
   private def pinnedDocs: DataFrame = {
     SharedCorpus.pin(spark, sfDir)
-    SharedCorpus.serveShared = true
-    SharedCorpus.docsTok(spark, sfDir)
+    SharedCorpus.withMode(true)(SharedCorpus.docsTok(spark, sfDir))
   }
 
   private def assertSame(f: DataFrame => DataFrame): Unit = {
-    val p = pinnedDocs
-    try {
-      val shared = f(p).collect().toSeq
-      SharedCorpus.serveShared = false
-      val plain = f(raw).collect().toSeq
-      assert(shared === plain)
-    } finally SharedCorpus.serveShared = true
+    val shared = f(pinnedDocs).collect().toSeq
+    val plain = SharedCorpus.withMode(false)(f(raw).collect().toSeq)
+    assert(shared === plain)
   }
 
   test("pinned projection rows equal the lazy derivation") {
@@ -45,6 +48,60 @@ class SharedCorpusSpec extends SparkTestBase {
     val ws = raw.select(SharedCorpus.wsOf(raw)).collect()
     val al = raw.select(SharedCorpus.alnumOf(raw)).collect()
     assert(ws.length === al.length)
+  }
+
+  test("withMode scopes the serving mode per thread and restores on exit") {
+    SharedCorpus.pin(spark, sfDir)
+    assert(SharedCorpus.servingShared) // default ON
+    // an INDEPENDENT thread (started outside any scope — sbt's parallel
+    // suites are this shape) must be unaffected by this thread's scope;
+    // the latches make it read the mode while we are inside withMode(false)
+    @volatile var other = false
+    val ready = new java.util.concurrent.CountDownLatch(1)
+    val done = new java.util.concurrent.CountDownLatch(1)
+    val t = new Thread(() => {
+      ready.await(); other = SharedCorpus.servingShared; done.countDown()
+    })
+    t.start()
+    SharedCorpus.withMode(false) {
+      assert(!SharedCorpus.servingShared)
+      // raw mode: docsTok must NOT serve the pinned copy — its plan scans
+      // parquet rather than an ExistingRDD
+      val plan = SharedCorpus.docsTok(spark, sfDir)
+        .queryExecution.optimizedPlan.toString
+      assert(!plan.contains("ExistingRDD") && !plan.contains("LogicalRDD"))
+      ready.countDown(); done.await()
+    }
+    t.join()
+    assert(other)
+    assert(SharedCorpus.servingShared)
+    val plan = SharedCorpus.withMode(true)(
+      SharedCorpus.docsTok(spark, sfDir).queryExecution.optimizedPlan.toString)
+    assert(plan.contains("RDD")) // pinned copy = LogicalRDD scan
+  }
+
+  test("docsTok records consultation for the bench's touched probe") {
+    SharedCorpus.resetTouched()
+    assert(!SharedCorpus.wasTouched)
+    SharedCorpus.docsTok(spark, sfDir)
+    assert(SharedCorpus.wasTouched)
+    SharedCorpus.resetTouched()
+    assert(!SharedCorpus.wasTouched)
+  }
+
+  test("unpin releases the persisted RDD; re-pin works after") {
+    val dir2 = "/root/testdata/sf0.001" // same dir, separate pin lifecycle
+    SharedCorpus.pin(spark, dir2)
+    val pinnedIds = spark.sparkContext.getPersistentRDDs.keys
+      .filter(SharedCorpus.isPinnedRdd).toSet
+    assert(pinnedIds.nonEmpty)
+    SharedCorpus.unpinAll(spark)
+    // no pinned RDD survives teardown (VERDICT r10 item 5)
+    assert(!spark.sparkContext.getPersistentRDDs.keys.exists(SharedCorpus.isPinnedRdd))
+    assert(pinnedIds.forall(id => !spark.sparkContext.getPersistentRDDs.contains(id)))
+    // and the map entry is gone: re-pin materializes a fresh copy
+    SharedCorpus.pin(spark, dir2)
+    assert(spark.sparkContext.getPersistentRDDs.keys.exists(SharedCorpus.isPinnedRdd))
   }
 
   test("token stats identical under shared projection") {
@@ -74,5 +131,33 @@ class SharedCorpusSpec extends SparkTestBase {
   test("packing + classifier features identical under shared projection") {
     assertSame(d => Packing.packSequences(d))
     assertSame(d => Classifier.features(d))
+  }
+
+  // ---- round-11 coverage: every r10-new or rewritten consumer ----------
+
+  test("search family identical under shared projection") {
+    // same terms/phrase as the ta_bm25_search / ta_phrase_search gates
+    assertSame(d => TextAnalysis.bm25Search(d, Seq("spark", "window", "join")))
+    assertSame(d => TextAnalysis.phraseSearch(d, Seq("table", "hash")))
+    assertSame(d => TextAnalysis.topBigrams(d))
+  }
+
+  test("drift + audit counters identical under shared projection") {
+    assertSame(d => TextAnalysis.distributionDrift(
+      d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 =!= 0)))
+    assertSame(d => TextAnalysis.observedCurationCounters(d))
+    assertSame(d => TextAnalysis.approxDistinctWords(d))
+  }
+
+  test("repetition + normalize + rank identical under shared projection") {
+    assertSame(TextAnalysis.repetitionStats)
+    assertSame(TextAnalysis.normalizeText)
+    assertSame(d => TextAnalysis.textRank(d))
+  }
+
+  test("greedy/chunk/epoch packing identical under shared projection") {
+    assertSame(d => Packing.packGreedy(d))
+    assertSame(d => Packing.chunkDocuments(d))
+    assertSame(d => Packing.repeatEpochs(d))
   }
 }
