@@ -192,6 +192,25 @@ object Formats {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Test-only failure injection for the maintenance paths (VERDICT r10
+    * item 3): when set to a window name, the operation throws AT that
+    * window, so specs can kill mid-swap/mid-absorb and assert the
+    * recovery contract instead of trusting the doc comments. Windows:
+    * `compact.after_stage`, `compact.after_swap`,
+    * `absorb.after_append`. Empty in production — one volatile read per
+    * window. */
+  @volatile private[graft] var failpoint: String = ""
+  private[graft] def failIf(point: String): Unit =
+    if (failpoint == point)
+      throw new RuntimeException(s"graft failpoint: $point")
+
+  /** Scheme-normalized path of a location URI/string, for comparing a
+    * catalog-reported location against a constructed one. */
+  private def qualified(spark: SparkSession, loc: String): org.apache.hadoop.fs.Path = {
+    val p = new org.apache.hadoop.fs.Path(loc)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).makeQualified(p)
+  }
+
   /** Compact a bucketed table back to ONE file per bucket, preserving the
     * bucketed + per-bucket-sorted layout — the maintenance half of the
     * append-based index lifecycle (build → append xN → compact → probe).
@@ -203,15 +222,25 @@ object Formats {
     * each task holds exactly one bucket's rows and the bucketed write
     * emits exactly one file per non-empty bucket (without the repartition,
     * a T-task write can emit up to T x buckets files — the bucketed-write
-    * small-file trap). Rewritten via a staging table, with the visibility
-    * switch a SINGLE `ALTER TABLE SET LOCATION` on the live table — a
-    * concurrent reader resolving the name at any instant sees a complete
-    * table (old files before the alter, compacted files after); the
-    * previous drop→rename sequence had a window where the name resolved
-    * to nothing. The staging entry is then re-pointed at the ORPHANED old
-    * location before being dropped, so the managed-table drop deletes
-    * exactly the superseded files. (In-flight scans that already resolved
-    * old file paths can still race that delete — the standard
+    * small-file trap).
+    *
+    * Crash-safe shape (rebuilt this round — the failure-injection specs
+    * found the previous staging scheme deleted LIVE data on a re-run):
+    * the rewrite lands at an explicit ping-pong location (the live table
+    * alternates between `<loc>` and `<loc>__pong` across compactions, so
+    * the target is never the directory being read), registered as an
+    * EXTERNAL staging entry (dropping it never deletes data); visibility
+    * switches with a SINGLE `ALTER TABLE SET LOCATION` on the live name —
+    * a concurrent reader resolving the name at any instant sees a
+    * complete table; cleanup then drops the staging entry and explicitly
+    * deletes the superseded files. Every crash window recovers by
+    * RE-RUNNING compaction: die before the swap and the live table never
+    * moved (the re-run clears the partial rewrite); die after the swap
+    * and the live table is already complete at the new location (the
+    * re-run's target IS the orphaned old directory, so the leak
+    * self-heals). Both windows are proven in FormatsSpec via
+    * [[failpoint]]. (In-flight scans that already resolved old file paths
+    * can still race the final delete — the standard
     * non-transactional-catalog caveat; a transactional table format is
     * the production upgrade.) Probes answer identically before and after
     * (same rows, same layout contract — the compacted gate shares its
@@ -220,7 +249,27 @@ object Formats {
   def compactBucketed(spark: SparkSession, table: String, bucketCols: Seq[String],
       numBuckets: Int): Int = {
     val staging = table + "__compacting"
-    dropForOverwrite(spark, staging)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val oldLoc = qualified(spark, tableLocation(spark, table))
+    // recover any staging ENTRY a crashed predecessor left: never a
+    // managed drop (its location may BE the live data after a post-swap
+    // crash) — external entries drop without touching files, and any
+    // stale managed entry is neutralized by re-pointing at a void dir
+    if (spark.catalog.tableExists(staging)) {
+      spark.sql(s"ALTER TABLE `$staging` SET LOCATION '${oldLoc}__void'")
+      spark.sql(s"DROP TABLE `$staging`")
+    }
+    // ping-pong target: never rewrite into the directory being read
+    val base = qualified(spark,
+      new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase).toString)
+    val pong = qualified(spark, s"${base}__pong")
+    val newLoc = if (oldLoc.toUri.getPath == base.toUri.getPath) pong else base
+    // the target must start empty: it is either a crashed attempt's
+    // partial rewrite or (after a post-swap crash) the orphaned previous
+    // generation — both are superseded data, reclaimed here
+    val fs = newLoc.getFileSystem(conf)
+    if (fs.exists(newLoc)) fs.delete(newLoc, true)
     // read the table's FILES as plain parquet, not `spark.table`: the
     // bucketed scan advertises HashPartitioning(numBuckets), so Catalyst
     // would elide the repartition as redundant — and then the
@@ -229,21 +278,143 @@ object Formats {
     // splits, producing one file per (task x bucket) instead of one per
     // bucket. A raw file scan carries no partitioning claim, so the
     // shuffle survives and every task holds exactly one bucket's rows.
-    val oldLoc = tableLocation(spark, table)
-    spark.read.parquet(oldLoc)
+    spark.read.parquet(oldLoc.toString)
       .repartition(numBuckets, bucketCols.map(col): _*)
       .write.mode(SaveMode.Overwrite)
+      .option("path", newLoc.toString) // external: drops never delete data
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
       .saveAsTable(staging)
-    val newLoc = tableLocation(spark, staging)
+    failIf("compact.after_stage")
     spark.sql(s"ALTER TABLE `$table` SET LOCATION '$newLoc'")
     spark.catalog.refreshTable(table)
-    spark.sql(s"ALTER TABLE `$staging` SET LOCATION '$oldLoc'")
+    failIf("compact.after_swap")
     spark.sql(s"DROP TABLE `$staging`")
+    fs.delete(oldLoc, true)
     bucketedFileCount(spark, table)
   }
+
+  // ---- Build manifests: index/model lifecycle metadata -----------------
+  //
+  // Every build*Index/build*Model family stores derived state (codes,
+  // bands, postings, pivots, books, stats) whose validity is relative to
+  // ONE corpus generation and ONE parameter set — but the tables
+  // themselves carry neither (VERDICT r10 item 2: a reader cannot tell
+  // which generation an index was trained on, so a stale or
+  // foreign-parameter index ranks garbage silently). The manifest is the
+  // one-row `<table>_meta` answer: corpus row count + order-independent
+  // fingerprint, the build's parameter string, an append counter, and the
+  // build wall-clock. Contract split by cost:
+  //   - builds WRITE it (one extra single-column aggregate per build);
+  //   - appends REQUIRE param compatibility and FOLD the batch's stamp in
+  //     (xor/add — no corpus reread, using the same batch-disjointness
+  //     the appends already demand);
+  //   - probes run [[requireBuilt]] — a catalog existence check only
+  //     (no job, no scan), so the per-query overhead is nil;
+  //   - [[isStaleFor]] is the opt-in deep check (one corpus scan) for
+  //     maintenance jobs and specs.
+
+  /** Manifest table of a stored index/model family. */
+  def metaTable(table: String): String = table + "_meta"
+
+  /** (row count, order-independent fingerprint) over an id column — the
+    * corpus-generation stamp a manifest records. `bit_xor` of the 60-bit
+    * id hash is commutative/associative, so the stamp is partition- and
+    * order-invariant, and a disjoint batch folds in WITHOUT rereading the
+    * corpus: stamp(union) = (n_a + n_b, fp_a XOR fp_b). */
+  def corpusStamp(df: DataFrame, idCol: String): (Long, Long) = {
+    val h = graft.functions.CrossHash.h60(col(idCol).cast("string"))
+    val r = df.select(h.as("h"))
+      .agg(count(lit(1)).as("n"), org.apache.spark.sql.functions.expr("bit_xor(h)").as("fp"))
+      .head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  /** Write the family's one-row manifest (build side). */
+  def writeBuildMeta(spark: SparkSession, table: String, params: String,
+      corpusN: Long, corpusFp: Long): Unit = {
+    import spark.implicits._
+    writeManaged(
+      Seq((corpusN, corpusFp, params, 0L, System.currentTimeMillis()))
+        .toDF("corpus_n", "corpus_fp", "params", "appends", "built_at_ms"),
+      metaTable(table))
+  }
+
+  /** The manifest row — (corpus_n, corpus_fp, params, appends) — if the
+    * family has one. */
+  def readBuildMeta(spark: SparkSession, table: String): Option[(Long, Long, String, Long)] =
+    if (!spark.catalog.tableExists(metaTable(table))) None
+    else spark.table(metaTable(table))
+      .select("corpus_n", "corpus_fp", "params", "appends")
+      .collect().headOption
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+
+  /** `k=v` fields conflict only when BOTH sides declare the same key with
+    * different values. Each side declares exactly what it knows — an
+    * append typically knows its layout params (`buckets`) but not the
+    * build's training params (`k`, `iters`), and a models-only build may
+    * not have recorded layout params at all — so unilateral fields pass,
+    * while any restated field that DIFFERS (the corruption case:
+    * appending with a different bucket spec or a different kind) fails
+    * loudly. */
+  private[graft] def paramsCompatible(built: String, declared: String): Boolean = {
+    def fields(s: String): Map[String, String] =
+      s.split(",").iterator.map(_.trim).filter(_.nonEmpty)
+        .map { f => val i = f.indexOf('='); (f.take(i), f.drop(i + 1)) }.toMap
+    val b = fields(built)
+    fields(declared).forall { case (k, v) => b.get(k).forall(_ == v) }
+  }
+
+  /** Append-side gate + stamp fold: requires the manifest exists and the
+    * append's declared params are compatible with the build's, then
+    * rewrites the row with the batch's stamp folded in.
+    *
+    * `bootstrap` covers the one legitimate manifest-less append: families
+    * whose derivation is stateless per document (SQ codes, LSH bands,
+    * MinHash bands) may START by appending — the first append creates
+    * the table, so it also creates the manifest from (0, 0). Callers pass
+    * bootstrap = "the main table did not exist before this append";
+    * a missing manifest NEXT TO an existing table stays a loud failure
+    * (that is the partially-deleted / foreign-index case). */
+  def foldBuildMeta(spark: SparkSession, table: String, params: String,
+      batchN: Long, batchFp: Long, bootstrap: Boolean = false): Unit = {
+    val (n, fp, built, appends) = readBuildMeta(spark, table).getOrElse {
+      if (bootstrap) (0L, 0L, params, -1L) // -1: the +1 below counts this append
+      else throw new IllegalStateException(
+        s"index '$table' has no build manifest ('${metaTable(table)}'): " +
+          "built by an incompatible version or partially deleted — rebuild before appending")
+    }
+    require(paramsCompatible(built, params),
+      s"append params '$params' are incompatible with '$table' build params " +
+        s"'$built' — appending with a different spec would silently corrupt the index")
+    import spark.implicits._
+    writeManaged(
+      Seq((n + batchN, fp ^ batchFp, built, appends + 1, System.currentTimeMillis()))
+        .toDF("corpus_n", "corpus_fp", "params", "appends", "built_at_ms"),
+      metaTable(table))
+  }
+
+  /** Probe-side gate: the family must have a build manifest. A catalog
+    * existence check only — no Spark job — so probes stay cheap; the
+    * loud failure replaces "silently rank against an unknown
+    * generation". */
+  def requireBuilt(spark: SparkSession, table: String): Unit =
+    require(spark.catalog.tableExists(metaTable(table)),
+      s"index '$table' has no build manifest ('${metaTable(table)}'): " +
+        "not built, built by an incompatible version, or partially deleted — " +
+        "rebuild before probing")
+
+  /** Deep generation check (opt-in — one corpus scan): does the stored
+    * stamp still describe `corpus`? True when the manifest is missing or
+    * the stamp differs — i.e. the index was NOT built (plus appended)
+    * from exactly this corpus. */
+  def isStaleFor(spark: SparkSession, table: String, corpus: DataFrame,
+      idCol: String): Boolean =
+    readBuildMeta(spark, table) match {
+      case None => true
+      case Some((n, fp, _, _)) => corpusStamp(corpus, idCol) != ((n, fp))
+    }
 
   private def tableLocation(spark: SparkSession, table: String): String =
     spark.sql(s"DESCRIBE TABLE EXTENDED `$table`")

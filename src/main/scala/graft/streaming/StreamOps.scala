@@ -141,6 +141,10 @@ object StreamOps {
       else staged.sorted
     pending.foreach { id =>
       append(spark.read.parquet(s"$stagingDir/batch_id=$id"))
+      // the crash window between append and ledger commit (at-least-once
+      // replay of exactly this batch) — injectable so StreamOpsSpec can
+      // prove the documented recovery instead of asserting it on paper
+      graft.sources.Formats.failIf("absorb.after_append")
       Seq(id).toDF("batch_id").write.mode(org.apache.spark.sql.SaveMode.Append)
         .format("parquet").saveAsTable(ledgerTable)
     }

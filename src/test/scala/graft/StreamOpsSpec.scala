@@ -517,4 +517,42 @@ class StreamOpsSpec extends SparkTestBase {
     assert(corpus.agg(sum("n_events")).collect()(0).getLong(0) ===
       Tables.events(spark, sfDir).count())
   }
+
+  test("absorb crash window: at-least-once replay, ledger never double-commits") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-absorb-fip").toString
+    val ledger = "t_absorb_fip_ledger"
+    try {
+      // two staged exactly-once batches, written directly (the sink's
+      // layout contract — batch_id=N dirs — is all absorb consumes)
+      Seq(10L, 11L).toDF("doc_id").write.parquet(s"$dir/batch_id=0")
+      Seq(12L).toDF("doc_id").write.parquet(s"$dir/batch_id=1")
+      var appends = 0
+      def append(df: org.apache.spark.sql.DataFrame): Unit = { appends += 1; df.count() }
+      // die between batch 0's append and its ledger commit — the
+      // documented at-least-once window (StreamOps.scala)
+      graft.sources.Formats.failpoint = "absorb.after_append"
+      intercept[RuntimeException](
+        StreamOps.absorbStagedBatches(spark, dir, ledger)(append(_)))
+      graft.sources.Formats.failpoint = ""
+      assert(appends === 1, "crash fired after exactly one append")
+      assert(!spark.catalog.tableExists(ledger),
+        "nothing may be ledger-committed before its append completed")
+      // recovery = re-run: the crashed batch REPLAYS (at-least-once, as
+      // documented), batch 1 absorbs once, and the ledger converges with
+      // each id exactly once
+      val ids = StreamOps.absorbStagedBatches(spark, dir, ledger)(append(_))
+      assert(ids === Seq(0L, 1L))
+      assert(appends === 3, s"batch 0 twice (replay) + batch 1 once, got $appends")
+      val committed = spark.table(ledger).collect().map(_.getLong(0)).sorted
+      assert(committed.toSeq === Seq(0L, 1L), "ledger holds each id exactly once")
+      // converged: a further run is a no-op
+      assert(StreamOps.absorbStagedBatches(spark, dir, ledger)(append(_)).isEmpty)
+      assert(appends === 3)
+    } finally {
+      graft.sources.Formats.failpoint = ""
+      spark.sql(s"DROP TABLE IF EXISTS $ledger")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
 }
