@@ -243,8 +243,9 @@ object SparkEntry {
     // salted-join twin of join_broadcast_segment — same oracle, skew-safe plan
     "skew_salted_revenue" -> Relational.saltedRevenueBySegment,
     "percentiles_qty" -> Relational.percentilesQty,
-    // sketch quantiles: rows-only by contract (engine-specific sketch, like
-    // ta_approx_distinct); SketchSpec bounds it against the exact version
+    // sketch quantiles: the VALUES are engine-specific, so the gate hashes
+    // the error-bound booleans instead (oracle asserts literal 1s);
+    // SketchSpec additionally bounds it against the exact version
     "agg_approx_quantiles" -> Relational.approxQuantilesQty,
     "pivot_status" -> Relational.pivotStatusByPriority,
     "unpivot_measures" -> Relational.unpivotOrderMeasures,
@@ -721,6 +722,9 @@ object SparkEntry {
         // retry after a partial failure can't re-append onto survivors
         Formats.dropManaged(s, "graft_pq_incr")
         copyModel(s, "graft_pq_idx_books", "graft_pq_incr_books", "m")
+        // publishing stored models to a new ingest family starts its
+        // lifecycle: a models-only manifest, exactly like buildPqBooks
+        Formats.writeBuildMeta(s, "graft_pq_incr", "kind=pq", 0L, 0L)
         val emb = Tables.embeddings(s, d)
         Similarity.appendToPqIndex(s, emb.filter(col("vec_id") % 2 === 0), "graft_pq_incr")
         Similarity.appendToPqIndex(s, emb.filter(col("vec_id") % 2 =!= 0), "graft_pq_incr")
@@ -751,6 +755,7 @@ object SparkEntry {
         Formats.dropManaged(s, "graft_ivfpq_incr")
         copyModel(s, "graft_ivfpq_idx_pivots", "graft_ivfpq_incr_pivots", "pid")
         copyModel(s, "graft_ivfpq_idx_books", "graft_ivfpq_incr_books", "m")
+        Formats.writeBuildMeta(s, "graft_ivfpq_incr", "kind=ivfpq", 0L, 0L)
         val emb = Tables.embeddings(s, d)
         Similarity.appendToIvfPqIndex(s, emb.filter(col("vec_id") % 2 === 0), "graft_ivfpq_incr")
         Similarity.appendToIvfPqIndex(s, emb.filter(col("vec_id") % 2 =!= 0), "graft_ivfpq_incr")
@@ -770,6 +775,7 @@ object SparkEntry {
         // same retry-idempotence rule as pq_incr: appends need a clean slate
         Formats.dropManaged(s, "graft_ivf_incr")
         copyModel(s, "graft_ivf_idx_pivots", "graft_ivf_incr_pivots", "pid")
+        Formats.writeBuildMeta(s, "graft_ivf_incr", "kind=ivf", 0L, 0L)
         val emb = Tables.embeddings(s, d)
         Similarity.appendToIvfIndex(s, emb.filter(col("vec_id") % 2 === 0), "graft_ivf_incr")
         Similarity.appendToIvfIndex(s, emb.filter(col("vec_id") % 2 =!= 0), "graft_ivf_incr")
@@ -2783,8 +2789,19 @@ object SparkEntry {
          |    OVER (PARTITION BY doc_id ORDER BY version DESC) AS rn FROM u) WHERE rn = 1)
          |SELECT doc_id, version, fp FROM latest WHERE op = 'upsert'
          |ORDER BY doc_id""".stripMargin,
-    // ta_approx_distinct: HLL sketch internals differ per engine; rows-only check
-    //   (TextAnalysisSpec bounds the approx error against the exact count).
+    // ta_approx_distinct: the HLL sketch VALUE differs per engine, so the
+    // Spark side emits its error bound as a 0/1 column; the oracle
+    // hash-checks the exact per-source distinct count AND asserts the
+    // bound held (literal 1) — TextAnalysisSpec additionally bounds the
+    // approx value against the exact count.
+    "ta_approx_distinct" ->
+      s"""WITH tk AS (SELECT source,
+         |    unnest(list_filter(regexp_split_to_array(lower(text), '$WS'),
+         |      t -> regexp_matches(t, '^[a-z0-9]+$$'))) AS word
+         |  FROM documents)
+         |SELECT source, CAST(count(DISTINCT word) AS BIGINT) AS n_exact,
+         |  1 AS ok
+         |FROM tk GROUP BY source ORDER BY source""".stripMargin,
     "ta_curation_pipeline" ->
       s"""WITH c AS (SELECT doc_id,
          |  CAST(len(regexp_split_to_array(lower(text), '$WS')) AS BIGINT) AS nt,
@@ -3048,6 +3065,14 @@ object SparkEntry {
         |  quantile_cont(l_quantity, 0.25) AS p25,
         |  quantile_cont(l_quantity, 0.5) AS median,
         |  quantile_cont(l_quantity, 0.75) AS p75,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // sketch quantiles: the Spark side emits |approx − exact| <= eps as
+    // 0/1 columns; the oracle asserts the contract holds (literal 1s) plus
+    // the exact group counts — deterministic hash pass/fail without
+    // comparing engine-specific sketch internals (VERDICT r10 item 8)
+    "agg_approx_quantiles" ->
+      """SELECT l_returnflag, 1 AS ok25, 1 AS ok50, 1 AS ok75,
         |  count(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "window_navigation" ->

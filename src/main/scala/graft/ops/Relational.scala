@@ -956,21 +956,35 @@ object Relational {
   /** Sketch-based per-group quantiles (`percentile_approx`):
     * bounded-memory, single-pass, mergeable across partitions — the scale
     * path when the exact interpolated percentile's per-group sort is too
-    * expensive. Not oracle-able (sketch internals are engine-specific —
-    * the same contract as HLL approx-distinct); SketchSpec bounds it
-    * against the exact [[percentilesQty]]. */
-  def approxQuantilesQty(s: SparkSession, dir: String): DataFrame =
+    * expensive. The sketch values are engine-specific, so the gate
+    * oracle-checks the ERROR BOUND (below) rather than the values;
+    * SketchSpec additionally bounds it against the exact
+    * [[percentilesQty]]. */
+  def approxQuantilesQty(s: SparkSession, dir: String): DataFrame = {
+    // The sketch VALUES are engine-specific (a DuckDB replay is impossible
+    // by construction), but the sketch's accuracy CONTRACT is not: emit
+    // `|approx − exact| <= eps` as 0/1 columns and let the oracle assert
+    // literal 1s — the gate becomes deterministic hash pass/fail without
+    // comparing sketch internals (VERDICT r10 item 8). eps = 1.5 covers
+    // the exact quantile's interpolation step (adjacent l_quantity values
+    // are 1 apart) plus the <= n/accuracy rank error of the KLL-style
+    // sketch at every test SF (rank error ~60 rows vs ~4000 rows/value at
+    // sf0.1). Both percentile variants ride ONE partial-agg pass.
+    val eps = 1.5
+    def okCol(i: Int, name: String) =
+      (abs(element_at(col("q"), i) - element_at(col("e"), i)) <= eps)
+        .cast("int").as(name)
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
       .agg(
         expr("percentile_approx(l_quantity, array(0.25D, 0.5D, 0.75D), 10000)").as("q"),
+        expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").as("e"),
         count(lit(1)).as("n"))
       .select(col("l_returnflag"),
-        element_at(col("q"), 1).as("ap25"),
-        element_at(col("q"), 2).as("ap50"),
-        element_at(col("q"), 3).as("ap75"),
+        okCol(1, "ok25"), okCol(2, "ok50"), okCol(3, "ok75"),
         col("n"))
       .orderBy("l_returnflag")
+  }
 
   /** Navigation + ranking window sampler: lag/lead, dense_rank, ntile,
     * first value over an explicit ROWS frame — the window-function surface

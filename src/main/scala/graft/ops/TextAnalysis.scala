@@ -327,6 +327,7 @@ object TextAnalysis {
       k1: Double, b: Double): DataFrame = {
     require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
       "a BM25 workload needs at least one query, each with terms")
+    graft.sources.Formats.requireBuilt(spark, table)
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val words = queries.flatMap(_._2).distinct
@@ -450,6 +451,9 @@ object TextAnalysis {
       docs.sparkSession.table(table).select("doc_id", "dl").distinct()
         .agg(count(lit(1)).as("n_docs"), sum("dl").as("total_dl")),
       table + "_stats")
+    val (n, fp) = graft.sources.Formats.corpusStamp(docs, "doc_id")
+    graft.sources.Formats.writeBuildMeta(docs.sparkSession, table,
+      s"kind=bm25,buckets=$numBuckets", n, fp)
   }
 
   /** Incremental-ingest half: posting rows of the NEW batch appended into
@@ -471,6 +475,9 @@ object TextAnalysis {
       Seq((old.getLong(0) + add.getLong(0), old.getLong(1) + add.getLong(1)))
         .toDF("n_docs", "total_dl"),
       table + "_stats")
+    val (bn, bfp) = graft.sources.Formats.corpusStamp(newDocs, "doc_id")
+    graft.sources.Formats.foldBuildMeta(spark, table,
+      s"kind=bm25,buckets=$numBuckets", bn, bfp)
   }
 
   /** Query-many half: [[bm25Search]] semantics (and the same oracle)
@@ -482,6 +489,7 @@ object TextAnalysis {
   def bm25SearchIndexed(spark: org.apache.spark.sql.SparkSession, table: String,
       terms: Seq[String], k: Int = 20, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25SearchIndexed needs at least one query term")
+    graft.sources.Formats.requireBuilt(spark, table)
     val p = spark.table(table).filter(col("word").isin(terms: _*))
     val dfq = p.groupBy("word").agg(count(lit(1)).as("df"))
     val stats = spark.table(table + "_stats")
@@ -553,6 +561,9 @@ object TextAnalysis {
     graft.sources.Formats.writeManaged(
       f.select(explode(col("a")).as("w")).agg(count_distinct(col("w")).as("v")),
       s"${table}_stats")
+    val (n, fp) = graft.sources.Formats.corpusStamp(docs, "doc_id")
+    graft.sources.Formats.writeBuildMeta(docs.sparkSession, table,
+      s"kind=lm2,buckets=$numBuckets", n, fp)
   }
 
   /** Score half: [[lmScore]] semantics (same oracle) against a stored
@@ -562,6 +573,7 @@ object TextAnalysis {
     * exactly as they do in the train-per-call form's inner joins. */
   def lmScoreIndexed(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
       table: String): DataFrame = {
+    graft.sources.Formats.requireBuilt(spark, table)
     val bi = docs.select(col("doc_id"), SharedCorpus.alnumOf(docs).as("a"))
       .where(size(col("a")) >= 2)
       .select(col("doc_id"), explode(expr(
@@ -657,6 +669,14 @@ object TextAnalysis {
     docs.select(explode(SharedCorpus.alnumOf(docs)).as("word"))
       .stat.countMinSketch(col("word"), eps, confidence, 42)
 
+  /** Per-source distinct-word counts: HLL++ sketch next to the exact
+    * count. The sketch VALUE is engine-specific (un-oracle-able by
+    * construction), but its accuracy contract is not: `ok` asserts
+    * `|approx − exact| <= max(16, 5·rsd·exact)` — five relative standard
+    * deviations at rsd = 0.02, with an absolute floor for tiny sources —
+    * so the DuckDB gate hash-checks the exact count AND the bound as
+    * deterministic values (VERDICT r10 item 8) instead of a rows-only
+    * pass. */
   def approxDistinctWords(docs: DataFrame): DataFrame = {
     val toks = docs.select(
       col("source"),
@@ -664,6 +684,10 @@ object TextAnalysis {
     toks.groupBy("source").agg(
       countDistinct(col("word")).as("n_exact"),
       approx_count_distinct(col("word"), 0.02).as("n_approx"))
+      .select(col("source"), col("n_exact"),
+        (abs(col("n_approx") - col("n_exact")).cast("double") <=
+          greatest(lit(16.0), lit(5.0 * 0.02) * col("n_exact")))
+          .cast("int").as("ok"))
       .orderBy("source")
   }
 

@@ -216,6 +216,80 @@ class FormatsSpec extends SparkTestBase {
     }
   }
 
+  test("compactBucketed: repeated compactions never touch live data (ping-pong)") {
+    // regression for the data-loss bug the failure-injection work found:
+    // after one compaction the live table sits at the staging-named
+    // location, and the OLD scheme's next run deleted that directory
+    // before reading it
+    val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+    try {
+      Formats.writeBucketed(o.filter(col("o_orderkey") % 2 === 0), "orders_rpt", Seq("o_custkey"), 4)
+      Formats.writeBucketedAppend(o.filter(col("o_orderkey") % 2 === 1), "orders_rpt", Seq("o_custkey"), 4)
+      val rows = spark.table("orders_rpt").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      (1 to 3).foreach { i =>
+        val files = Formats.compactBucketed(spark, "orders_rpt", Seq("o_custkey"), 4)
+        assert(files <= 4, s"round $i: $files files")
+        val now = spark.table("orders_rpt").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+        assert(now === rows, s"round $i lost or duplicated rows")
+      }
+    } finally {
+      Seq("orders_rpt", "orders_rpt__compacting")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
+  test("compactBucketed: crash windows recover by re-running (failpoints)") {
+    val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+    def rowsOf = spark.table("orders_fip").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    try {
+      Formats.writeBucketed(o.filter(col("o_orderkey") % 2 === 0), "orders_fip", Seq("o_custkey"), 4)
+      Formats.writeBucketedAppend(o.filter(col("o_orderkey") % 2 === 1), "orders_fip", Seq("o_custkey"), 4)
+      val expected = rowsOf
+
+      // window 1: die AFTER the rewrite, BEFORE the visibility swap —
+      // the live table must still serve the old complete generation
+      Formats.failpoint = "compact.after_stage"
+      intercept[RuntimeException](
+        Formats.compactBucketed(spark, "orders_fip", Seq("o_custkey"), 4))
+      Formats.failpoint = ""
+      assert(rowsOf === expected, "pre-swap crash must leave live data untouched")
+      // ...and a plain re-run converges to the compacted layout
+      assert(Formats.compactBucketed(spark, "orders_fip", Seq("o_custkey"), 4) <= 4)
+      assert(rowsOf === expected)
+
+      // window 2: die AFTER the swap, BEFORE cleanup — the live table is
+      // already complete at the new location; the old generation is the
+      // documented orphan
+      Formats.writeBucketedAppend(o.limit(0), "orders_fip", Seq("o_custkey"), 4)
+      Formats.failpoint = "compact.after_swap"
+      intercept[RuntimeException](
+        Formats.compactBucketed(spark, "orders_fip", Seq("o_custkey"), 4))
+      Formats.failpoint = ""
+      assert(rowsOf === expected, "post-swap crash must leave the table complete")
+      assert(spark.catalog.tableExists("orders_fip__compacting"),
+        "post-swap crash leaves the staging entry (recovered on re-run)")
+      // the re-run reclaims the orphan and converges; afterwards exactly
+      // ONE of the ping-pong directories exists (no leaked generation)
+      assert(Formats.compactBucketed(spark, "orders_fip", Seq("o_custkey"), 4) <= 4)
+      assert(rowsOf === expected)
+      assert(!spark.catalog.tableExists("orders_fip__compacting"))
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val fs = new org.apache.hadoop.fs.Path(wh)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val gens = Seq("orders_fip", "orders_fip__pong")
+        .map(d => new org.apache.hadoop.fs.Path(wh, d))
+        .count(fs.exists)
+      assert(gens === 1, s"exactly one generation directory must remain, found $gens")
+    } finally {
+      Formats.failpoint = ""
+      Seq("orders_fip", "orders_fip__compacting")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("bucketed tables join with zero exchanges") {
     val wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
     val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey", "o_totalprice")
@@ -235,6 +309,84 @@ class FormatsSpec extends SparkTestBase {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
       spark.sql("DROP TABLE IF EXISTS orders_b")
       spark.sql("DROP TABLE IF EXISTS customer_b")
+    }
+  }
+
+  test("params compatibility: only restated fields may conflict") {
+    assert(Formats.paramsCompatible("kind=ivf,k=16,iters=8,buckets=8", "kind=ivf,buckets=8"))
+    assert(Formats.paramsCompatible("kind=sq", "kind=sq"))
+    // a field only ONE side declares cannot conflict (models-only builds
+    // don't record layout params; appends don't know training params)
+    assert(Formats.paramsCompatible("kind=ivfpq,k=16,iters=2", "kind=ivfpq,buckets=8"))
+    assert(Formats.paramsCompatible("kind=lsh,buckets=8", "kind=lsh,extra=1"))
+    // ...but any restated field that differs is the corruption case
+    assert(!Formats.paramsCompatible("kind=ivf,buckets=8", "kind=ivf,buckets=4"))
+    assert(!Formats.paramsCompatible("kind=lsh,buckets=8", "kind=ivf"))
+  }
+
+  test("build manifest lifecycle: stamp, fold on append, gates, staleness") {
+    import graft.ops.Similarity
+    val emb = Tables.embeddings(spark, sfDir)
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    val rest = emb.filter(col("vec_id") % 2 =!= 0)
+    try {
+      Similarity.buildLshIndex(half, "t_meta_spec")
+      // build wrote the stamp of exactly the indexed rows + its params
+      val Some((n0, fp0, params0, a0)) = Formats.readBuildMeta(spark, "t_meta_spec")
+      assert(n0 === half.count())
+      assert(params0 === "kind=lsh,buckets=8")
+      assert(a0 === 0L)
+      // generation check: current for the built half, stale for the union
+      assert(!Formats.isStaleFor(spark, "t_meta_spec", half, "vec_id"))
+      assert(Formats.isStaleFor(spark, "t_meta_spec", emb, "vec_id"))
+      // append folds the batch stamp WITHOUT rereading the corpus: the
+      // folded stamp equals a one-shot stamp of the union (disjoint xor)
+      Similarity.appendToLshIndex(rest, "t_meta_spec")
+      val Some((n1, fp1, _, a1)) = Formats.readBuildMeta(spark, "t_meta_spec")
+      assert(n1 === emb.count())
+      assert((n1, fp1) === Formats.corpusStamp(emb, "vec_id"))
+      assert(a1 === 1L)
+      assert(!Formats.isStaleFor(spark, "t_meta_spec", emb, "vec_id"))
+      // appending with a DIFFERENT bucket spec: Spark's own bucketed-append
+      // enforcement rejects the main-table write before our gate runs
+      intercept[org.apache.spark.sql.AnalysisException] {
+        Similarity.appendToLshIndex(rest, "t_meta_spec", numBuckets = 4)
+      }
+      // ... and the manifest gate covers the specs Spark CANNOT see (model
+      // params, index kind): declaring a different kind fails loudly
+      val ex = intercept[IllegalArgumentException] {
+        Formats.foldBuildMeta(spark, "t_meta_spec", "kind=ivf", 1L, 1L)
+      }
+      assert(ex.getMessage.contains("incompatible"))
+      // probe gate: fine with the manifest, loud without it
+      Similarity.lshTopKIndexed(spark, "t_meta_spec", col("vec_id") < 4)
+      spark.sql("DROP TABLE t_meta_spec_meta")
+      val ex2 = intercept[IllegalArgumentException] {
+        Similarity.lshTopKIndexed(spark, "t_meta_spec", col("vec_id") < 4)
+      }
+      assert(ex2.getMessage.contains("manifest"))
+      // manifest missing NEXT TO an existing table: appends fail loudly too
+      // (only a genuinely fresh family may bootstrap via append)
+      intercept[IllegalStateException] {
+        Similarity.appendToLshIndex(rest, "t_meta_spec")
+      }
+    } finally {
+      Seq("t_meta_spec", "t_meta_spec_meta")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
+  test("build manifest: fresh stateless family bootstraps via append") {
+    import graft.ops.Similarity
+    val emb = Tables.embeddings(spark, sfDir)
+    try {
+      Similarity.appendToSqCodes(emb, "t_meta_boot")
+      val Some((n, fp, params, _)) = Formats.readBuildMeta(spark, "t_meta_boot")
+      assert((n, fp) === Formats.corpusStamp(emb, "vec_id"))
+      assert(params === "kind=sq")
+    } finally {
+      Seq("t_meta_boot", "t_meta_boot_meta")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
 }

@@ -32,20 +32,20 @@ class SketchSpec extends SparkTestBase {
     }
   }
 
-  test("approx quantiles land within one exact-percentile bracket") {
+  test("approx quantiles: in-operator error bounds hold, counts exact") {
+    // the operator emits the |approx − exact| <= eps contract as 0/1
+    // columns (this is what the DuckDB gate hashes); every group must
+    // report the bound held, and the exact group counts must agree with
+    // the exact-percentile twin
     val approx = Relational.approxQuantilesQty(spark, sfDir).collect()
-      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+      .map(r => r.getString(0) -> (r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4))).toMap
     val exact = Relational.percentilesQty(spark, sfDir).collect()
-      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
     assert(approx.keySet === exact.keySet)
-    // percentile_approx returns an actual data value; with integral
-    // quantities the sketch answer must sit within 1 of the interpolated
-    // exact percentile at this accuracy
-    for ((flag, (a25, a50, a75)) <- approx) {
-      val (e25, e50, e75) = exact(flag)
-      assert(math.abs(a25 - e25) <= 1.0, s"$flag p25: $a25 vs $e25")
-      assert(math.abs(a50 - e50) <= 1.0, s"$flag p50: $a50 vs $e50")
-      assert(math.abs(a75 - e75) <= 1.0, s"$flag p75: $a75 vs $e75")
+    for ((flag, (ok25, ok50, ok75, n)) <- approx) {
+      assert(ok25 == 1 && ok50 == 1 && ok75 == 1,
+        s"$flag: sketch bound violated ($ok25, $ok50, $ok75)")
+      assert(n === exact(flag), s"$flag: group count $n vs ${exact(flag)}")
     }
   }
 }
