@@ -857,6 +857,19 @@ object SparkEntry {
     // read back under mergeSchema — v1 rows surface null balances and the
     // unified schema aggregates correctly (the add-a-column lifecycle
     // every long-lived parquet dataset goes through)
+    // index/model lifecycle metadata (r11): the stored LSH index's build
+    // manifest — corpus row count + order-independent bit_xor fingerprint
+    // + append counter — plus the deep generation check against the live
+    // corpus. The stamp arithmetic is CrossHash-based, so DuckDB replays
+    // it exactly: the manifest a probe trusts is itself oracle-verified.
+    "fmt_index_manifest" -> ((s, d) => {
+      buildOnce(s"lsh:$d") { Similarity.buildLshIndex(Tables.embeddings(s, d), "graft_lsh_idx") }
+      val (n, fp, _, appends) = Formats.readBuildMeta(s, "graft_lsh_idx").get
+      val fresh =
+        if (Formats.isStaleFor(s, "graft_lsh_idx", Tables.embeddings(s, d), "vec_id")) 0 else 1
+      import s.implicits._
+      Seq((n, fp, appends, fresh)).toDF("corpus_n", "corpus_fp", "appends", "fresh")
+    }),
     "fmt_schema_evolution" -> ((s, d) => {
       val out = s"$scratchDir/cust_evolve"
       val c = Tables.customer(s, d)
@@ -2992,6 +3005,15 @@ object SparkEntry {
         |    UNION ALL
         |    SELECT event_id, user_id, event_type, value, ts FROM events WHERE event_id % 10 = 0))
         |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    // the build manifest's corpus stamp replayed from the source table:
+    // count + commutative bit_xor of the h60 id hash (order-invariant on
+    // both engines); appends = 0 for the one-shot build, fresh = 1 since
+    // the index WAS built from exactly this corpus
+    "fmt_index_manifest" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS corpus_n,
+         |  CAST(bit_xor(${h60Sql("CAST(vec_id AS VARCHAR)")}) AS BIGINT) AS corpus_fp,
+         |  CAST(0 AS BIGINT) AS appends, 1 AS fresh
+         |FROM embeddings""".stripMargin,
     // oracle derives both schema generations from the source table: the
     // even half never wrote a balance, so its sum is NULL — equality
     // proves mergeSchema surfaced v1 rows with null, not dropped them
