@@ -416,6 +416,25 @@ object Formats {
       case Some((n, fp, _, _)) => corpusStamp(corpus, idCol) != ((n, fp))
     }
 
+  /** The maintenance composition that makes [[isStaleFor]] actionable:
+    * run `build` (which must write a fresh manifest — every build* in
+    * this engine does) iff the stored index no longer describes
+    * `corpus`. The fresh path costs ONE single-column stamp scan; the
+    * rebuild cost is paid only when the corpus generation actually
+    * moved. Returns whether a rebuild ran — the signal a scheduled
+    * maintenance job logs. */
+  def rebuildIfStale(spark: SparkSession, table: String, corpus: DataFrame,
+      idCol: String)(build: => Unit): Boolean = {
+    val stale = isStaleFor(spark, table, corpus, idCol)
+    if (stale) {
+      build
+      require(!isStaleFor(spark, table, corpus, idCol),
+        s"rebuild of '$table' did not produce a manifest matching the corpus — " +
+          "the build must writeBuildMeta with the stamp of exactly what it indexed")
+    }
+    stale
+  }
+
   private def tableLocation(spark: SparkSession, table: String): String =
     spark.sql(s"DESCRIBE TABLE EXTENDED `$table`")
       .filter(col("col_name") === "Location").select("data_type")

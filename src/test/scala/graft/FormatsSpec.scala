@@ -376,6 +376,31 @@ class FormatsSpec extends SparkTestBase {
     }
   }
 
+  test("rebuildIfStale: no-op when current, rebuilds when the corpus moved") {
+    import graft.ops.Similarity
+    val emb = Tables.embeddings(spark, sfDir)
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    try {
+      var builds = 0
+      def build(corpus: org.apache.spark.sql.DataFrame): Unit = {
+        builds += 1; Similarity.buildLshIndex(corpus, "t_meta_fresh")
+      }
+      // first call: no index at all -> builds
+      assert(Formats.rebuildIfStale(spark, "t_meta_fresh", half, "vec_id")(build(half)))
+      assert(builds === 1)
+      // same corpus: fresh -> no-op (one stamp scan, no build)
+      assert(!Formats.rebuildIfStale(spark, "t_meta_fresh", half, "vec_id")(build(half)))
+      assert(builds === 1)
+      // the corpus moved: stale -> rebuilds against the new generation
+      assert(Formats.rebuildIfStale(spark, "t_meta_fresh", emb, "vec_id")(build(emb)))
+      assert(builds === 2)
+      assert(!Formats.isStaleFor(spark, "t_meta_fresh", emb, "vec_id"))
+    } finally {
+      Seq("t_meta_fresh", "t_meta_fresh_meta")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("build manifest: fresh stateless family bootstraps via append") {
     import graft.ops.Similarity
     val emb = Tables.embeddings(spark, sfDir)
