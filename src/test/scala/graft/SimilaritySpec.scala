@@ -412,6 +412,34 @@ class SimilaritySpec extends SparkTestBase {
     } finally pairs.unpersist()
   }
 
+  test("hot-cell block decomposition is exact-once across random shapes") {
+    // the guard must hold for ANY (cell sizes, cap) shape, not just the
+    // crafted hot cell: cells of size 0/1/cap-boundary/cap+1, caps that
+    // divide and don't divide, single-shard degenerate cells
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("cell", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val rnd = new scala.util.Random(13)
+    for ((sizes, cap) <- Seq(
+        (Seq(1, 2, 3), 2), (Seq(17, 4, 1), 4), (Seq(33, 32, 31), 16),
+        (Seq(64), 8), (Seq(5, 5, 5, 5), 100))) {
+      var id = 0L
+      val rows = sizes.zipWithIndex.flatMap { case (n, c) =>
+        (0 until n).map { _ => id += 1; Row(id, c.toLong, Seq.fill(4)(rnd.nextFloat())) }
+      }
+      val idx = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+      val pairs = Similarity.semanticBlockPairs(idx, cap)
+        .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      val expect = sizes.map(n => n.toLong * (n - 1) / 2).sum
+      assert(pairs.length.toLong === expect,
+        s"sizes=$sizes cap=$cap: ${pairs.length} pairs, expected $expect")
+      assert(pairs.distinct.length === pairs.length,
+        s"sizes=$sizes cap=$cap: duplicate pair enumerated")
+      assert(pairs.forall { case (a, b) => a < b })
+    }
+  }
+
   test("incremental IVF×PQ index: two model-stored appends equal the one-shot build") {
     try {
       Similarity.buildIvfPqIndex(emb, "graft_ivfpq_one")
