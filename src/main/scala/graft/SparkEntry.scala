@@ -433,6 +433,17 @@ object SparkEntry {
     // training memoized per (session, dir), the oracle replays every round
     "ta_quality_classifier" -> ((s, d) =>
       graft.ops.Classifier.scores(SharedCorpus.docsTok(s, d), classifierWeights(s, d))),
+    // build/score split of the classifier (r11 — the LM/BM25/ANN lifecycle
+    // applied to the last trained-model family without it): the GD sweep
+    // persists once as a one-row weight table + build manifest; the gate
+    // times scoring under the STORED model and shares the train-per-call
+    // twin's oracle (same weights, same scores)
+    "ta_clf_indexed" -> ((s, d) => {
+      buildOnce(s"clf_model:$d") {
+        graft.ops.Classifier.buildClassifierModel(SharedCorpus.docsTok(s, d), "graft_clf_model")
+      }
+      graft.ops.Classifier.scoresIndexed(s, SharedCorpus.docsTok(s, d), "graft_clf_model")
+    }),
     // training-batch assembly: deterministic-shuffle concat-then-chunk
     // packing into fixed-token sequences (per-bucket independence), and a
     // per-source token-budget cut — both integer-exact cross-engine
@@ -2648,6 +2659,9 @@ object SparkEntry {
     "ta_textrank" -> textRankOracleSql(8, 20),
     // the full 32-round logistic GD replayed as chained CTEs
     "ta_quality_classifier" -> classifierOracleSql(
+      graft.ops.Classifier.DefaultIters, graft.ops.Classifier.DefaultLr),
+    // stored-model scoring is weight-identical to train-per-call
+    "ta_clf_indexed" -> classifierOracleSql(
       graft.ops.Classifier.DefaultIters, graft.ops.Classifier.DefaultLr),
     // concat-then-chunk sequence packing: per-bucket running token sums in
     // deterministic (salted-hash, doc_id) order — all-integer outputs

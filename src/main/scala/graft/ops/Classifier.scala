@@ -124,4 +124,37 @@ object Classifier {
   def qualityClassifier(docs: DataFrame, iters: Int = DefaultIters,
       lr: Double = DefaultLr): DataFrame =
     scores(docs, train(docs, iters, lr).last)
+
+  /** Build-once half of the classifier train/score split — the LM/BM25/
+    * ANN lifecycle applied to the last trained-model family that lacked
+    * it: the 32-round GD sweep runs once and the final fixed-point weight
+    * vector persists as a one-row model table (k longs — the smallest
+    * model artifact in the engine), stamped with the training corpus's
+    * build manifest. At 100 TB training is a 32-pass corpus job you
+    * schedule, not something a scorer re-runs; every downstream scorer
+    * (batch or the streaming twin) then reads the published artifact. */
+  def buildClassifierModel(docs: DataFrame, table: String,
+      iters: Int = DefaultIters, lr: Double = DefaultLr): Unit = {
+    val w = train(docs, iters, lr).last
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.sources.Formats.writeManaged(
+      w.zipWithIndex.map { case (v, j) => (j, v) }.toDF("j", "w"), table)
+    val (n, fp) = graft.sources.Formats.corpusStamp(docs, "doc_id")
+    graft.sources.Formats.writeBuildMeta(spark, table,
+      s"kind=clf,iters=$iters,lr=$lr", n, fp)
+  }
+
+  /** Read the stored weight vector (index-ordered). */
+  def storedWeights(spark: org.apache.spark.sql.SparkSession, table: String): Seq[Long] = {
+    graft.sources.Formats.requireBuilt(spark, table)
+    spark.table(table).orderBy("j").collect().map(_.getLong(1)).toSeq
+  }
+
+  /** Score half: [[scores]] semantics (same oracle) under the STORED
+    * model — training is read (one k-row collect), never re-run; the
+    * scored docs' feature projection is the only corpus-scale pass. */
+  def scoresIndexed(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
+      table: String): DataFrame =
+    scores(docs, storedWeights(spark, table))
 }

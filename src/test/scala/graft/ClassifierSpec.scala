@@ -42,6 +42,31 @@ class ClassifierSpec extends SparkTestBase {
       "every round's fixed-point weights must match the replay exactly")
   }
 
+  test("stored model: build/score split equals train-per-call, manifest stamped") {
+    import graft.sources.Formats
+    try {
+      Classifier.buildClassifierModel(docs, "t_clf_model_spec")
+      // the stored vector IS the final training round
+      val stored = Classifier.storedWeights(spark, "t_clf_model_spec")
+      assert(stored === Classifier.train(docs).last)
+      // scoring under the stored model is row-identical to train-per-call
+      val indexed = Classifier.scoresIndexed(spark, docs, "t_clf_model_spec").collect().toSeq
+      val direct = Classifier.qualityClassifier(docs).collect().toSeq
+      assert(indexed === direct)
+      // the manifest stamps exactly the training corpus + params
+      val Some((n, fp, params, _)) = Formats.readBuildMeta(spark, "t_clf_model_spec")
+      assert((n, fp) === Formats.corpusStamp(docs, "doc_id"))
+      assert(params === s"kind=clf,iters=${Classifier.DefaultIters},lr=${Classifier.DefaultLr}")
+      // a missing manifest makes scoring refuse loudly
+      spark.sql("DROP TABLE t_clf_model_spec_meta")
+      intercept[IllegalArgumentException](
+        Classifier.scoresIndexed(spark, docs, "t_clf_model_spec"))
+    } finally {
+      Seq("t_clf_model_spec", "t_clf_model_spec_meta")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("the learned model discriminates: beats nothing-learned, predicts both classes") {
     val out = Classifier.qualityClassifier(docs).cache()
     val n = out.count().toDouble
