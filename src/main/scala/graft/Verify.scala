@@ -16,19 +16,26 @@ object Verify {
     val spark = GraftSession.local(cpus.toInt, "graft-verify")
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // pin the shared token projection so the driver's DuckDB gate
-    // correctness-checks the same tokenize-once deployment mode the bench
-    // cold runs measure (the raw-vs-pinned bit-equality itself is pinned
-    // by SharedCorpusSpec)
-    try graft.ops.SharedCorpus.pin(spark, sfDir)
-    catch { case e: Throwable =>
-      System.err.println(s"[verify] SharedCorpus.pin failed: ${e.getMessage}")
-    }
+    // Deployment mode under test: by default pin the shared token
+    // projection, so the driver's DuckDB gate correctness-checks the
+    // tokenize-once mode; SPARK_GRAFT_VERIFY_RAW=1 skips the pin and
+    // forces the raw-recompute path instead — the mode the bench's
+    // steady-state timings execute — so BOTH modes can be oracle-verified
+    // end-to-end (ADVICE r10; the per-operator raw-vs-pinned bit-equality
+    // is additionally pinned by SharedCorpusSpec).
+    val rawMode = sys.env.get("SPARK_GRAFT_VERIFY_RAW").contains("1")
+    if (!rawMode)
+      try graft.ops.SharedCorpus.pin(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] SharedCorpus.pin failed: ${e.getMessage}")
+      }
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try graft.ops.SharedCorpus.withMode(!rawMode) {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

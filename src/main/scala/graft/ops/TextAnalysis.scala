@@ -462,7 +462,15 @@ object TextAnalysis {
     * by pure integer addition from a one-row read. Batches must be
     * doc-disjoint (same contract as the ANN index appends); because df is
     * probe-derived and the stats math is exact integer sums, a two-batch
-    * index answers bit-identically to a one-shot build of the union. */
+    * index answers bit-identically to a one-shot build of the union.
+    *
+    * Crash contract: the append is NOT atomic across (postings, stats
+    * row, manifest) — a mid-append crash leaves the family inconsistent,
+    * and naively re-running would double-append the postings half.
+    * Recovery is a rebuild, or routing ingest through the ledgered
+    * [[graft.streaming.StreamOps.absorbStagedBatches]] path, whose
+    * batch-granular ledger makes the replay window explicit (and whose
+    * crash recovery is failpoint-proven in StreamOpsSpec). */
   def appendToBm25Index(newDocs: DataFrame, table: String, numBuckets: Int = 8): Unit = {
     val spark = newDocs.sparkSession
     val p = bm25Postings(newDocs)

@@ -197,9 +197,12 @@ class FormatsSpec extends SparkTestBase {
           } catch {
             // a scan that resolved OLD file paths just before the cleanup
             // delete is the documented in-flight caveat, not the bug under
-            // test (the name failing to resolve at all)
+            // test (the name failing to resolve at all): Spark surfaces
+            // the race as FILE_NOT_EXIST or, when the delete lands
+            // mid-read, as the generic FAILED_READ_FILE wrapper
             case e: Throwable if e.toString.contains("FileNotFoundException")
-              || e.toString.contains("FILE_NOT_EXIST") => ()
+              || e.toString.contains("FILE_NOT_EXIST")
+              || e.toString.contains("FAILED_READ_FILE") => ()
             case e: Throwable => failures.add(e.toString)
           }
         }
