@@ -327,4 +327,54 @@ class DedupSpec extends SparkTestBase {
     val exactHigh = exact.filter(col("jaccard") >= 0.9).select("doc_a", "doc_b")
     assert(exactHigh.join(capped, Seq("doc_a", "doc_b"), "left_anti").count() === 0)
   }
+
+  test("hot band bucket: AQE splits the saturated self-join partition (audit proof)") {
+    import spark.implicits._
+    // a duplicate-saturated crawl: every document identical, so every band
+    // bucket holds the WHOLE corpus — the quadratic-output corner the
+    // minHashPairs audit note claims AQE's skew split handles. Thresholds
+    // are scaled down so this corpus trips the same machinery a 100 TB hot
+    // bucket would; broadcast is disabled to force the shuffled join shape.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.shuffle.partitions")
+      .map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      // thresholds sized for COMPRESSED map-output bytes (what AQE's
+      // skew stats measure — a saturated bucket's repeated band hashes
+      // compress to near-nothing, only the distinct doc_ids remain)
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+      // enough partitions that the saturated class's band buckets stand
+      // out against the median partition (skew = max >> median, so the
+      // hot class must NOT be the whole corpus)
+      conf.set("spark.sql.shuffle.partitions", "64")
+      val sat = (1L to 600L).map(i => (i, "alpha beta gamma delta epsilon zeta")) ++
+        (1001L to 1400L).map(i => (i, s"unique$i text$i tail$i quux$i nonce$i end$i"))
+      val out = Dedup.minHashPairs(sat.toDF("doc_id", "text"))
+      // execute THIS QueryExecution (not a separate count() plan), then
+      // inspect the final adaptive plan: the duplicate class yields its
+      // full C(300,2) pair set, and the saturated candidate join must
+      // carry the skew-split marker
+      val n = out.queryExecution.toRdd.count()
+      assert(n >= 600L * 599 / 2)
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true") || plan.contains("skewed"),
+        s"saturated band join did not take the AQE skew split:\n$plan")
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => conf.set(k, v)
+        case (k, None)    => conf.unset(k)
+      }
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+  }
 }
