@@ -26,6 +26,8 @@ BUILD_PATTERNS = [
     r"^ta_bpe_",               # shared one-shot BPE training
     r"^ta_textrank$",          # stores the rank table once
     r"^ta_quality_classifier$",  # trains + memoizes weights
+    r"^ta_clf_indexed$",       # one-time stored-model build (buildOnce)
+    r"^fmt_index_manifest$",   # shares the LSH index buildOnce
     r"^dedup_cross_indexed",   # stored MinHash band index
     r"^dedup_semantic$",       # reads the stored IVF index (built once)
     r"^stream_absorb",         # stages + absorbs + ledger setup
