@@ -416,6 +416,21 @@ object SparkEntry {
       }
       TextAnalysis.lmScoreIndexed(s, SharedCorpus.docsTok(s, d), "graft_lm_model")
     }),
+    // incremental-ingest variant: half the corpus bulk-built, the other
+    // half APPENDED as count DELTAS that the probe folds exchange-free
+    // per bucket — within-doc bigram counts are exactly additive across
+    // doc-disjoint batches and the vocab is a stored SET, so the
+    // two-batch model scores bit-identically to the one-shot build and
+    // shares its oracle (r11 — the last build/score family without an
+    // append path)
+    "ta_lm_indexed_incr" -> ((s, d) => {
+      buildOnce(s"lm_incr:$d") {
+        val all = SharedCorpus.docsTok(s, d)
+        TextAnalysis.buildLmModel(all.filter(col("doc_id") % 2 === 0), "graft_lm_incr")
+        TextAnalysis.appendToLmModel(all.filter(col("doc_id") % 2 =!= 0), "graft_lm_incr")
+      }
+      TextAnalysis.lmScoreIndexed(s, SharedCorpus.docsTok(s, d), "graft_lm_incr")
+    }),
     // TextRank keyword extraction: fixed-point PageRank over the word
     // co-occurrence graph, 8 damped iterations, fully distributed rank
     // state; the oracle replays every iteration as chained CTEs. The rank
@@ -2655,6 +2670,8 @@ object SparkEntry {
     // the indexed twin scores against STORED exact-integer count tables, so
     // it is bit-identical to the train-per-call form and shares its oracle
     "ta_lm_indexed" -> lmScoreOracleSql,
+    // delta-fold append == one-shot model, bit for bit
+    "ta_lm_indexed_incr" -> lmScoreOracleSql,
     // fixed-point PageRank over the word graph, all 8 iterations replayed
     "ta_textrank" -> textRankOracleSql(8, 20),
     // the full 32-round logistic GD replayed as chained CTEs

@@ -543,34 +543,75 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** The (w1, w2) adjacent-bigram projection of a corpus — the shared
+    * extraction of the LM build, append, and score paths. */
+  private def lmBigrams(docs: DataFrame): DataFrame =
+    docs.select(SharedCorpus.alnumOf(docs).as("a"))
+      .where(size(col("a")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(a) - 2), i -> struct(a[i] AS w1, a[i + 1] AS w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+
   /** Build-once half of the LM build/score split, mirroring
     * [[buildBm25Index]]: persist the bigram model [[lmScore]] retrains on
     * every call — `<table>` = (w1, w2, c12) bucketed + sorted on `w1`,
     * `<table>_c1` = (w1, c1) bucketed on `w1` (the exact integer row sums
-    * of c12, stored so a probe never re-aggregates the bigram table), and
-    * a one-row `<table>_stats` holding the distinct-unigram vocab size.
-    * All three are exact integer statistics, so scoring against the
-    * stored model is bit-identical to [[lmScore]]'s train-per-call — the
-    * indexed gate shares its oracle. At 100 TB the corpus-scale training
-    * aggregations run once here; scoring then joins token-scale bigrams
-    * against count tables that AQE broadcasts when they fit. */
+    * of c12), and `<table>_vocab` = the distinct unigrams bucketed on
+    * `w` (the vocab SIZE is a probe-side count over it — a distinct
+    * count is NOT batch-additive, so the model stores the distinct SET,
+    * which unions trivially under append). All statistics are exact
+    * integers, so scoring against the stored model is bit-identical to
+    * [[lmScore]]'s train-per-call — the indexed gate shares its oracle.
+    * At 100 TB the corpus-scale training aggregations run once here;
+    * scoring then joins token-scale bigrams against count tables that
+    * AQE broadcasts when they fit.
+    *
+    * Incremental contract (the delta-table design every warehouse uses
+    * for additive models): the stored rows are batch DELTAS — a probe
+    * folds them with an EXCHANGE-FREE per-bucket aggregation (the tables
+    * are bucketed on the fold key, so hash(w1) already clusters every
+    * delta of a key in one task) — and [[appendToLmModel]] lands a new
+    * batch's deltas without reading or rewriting the accumulated model.
+    * Within-doc bigram counts are exactly additive across doc-disjoint
+    * batches, so an N-batch model folds to the one-shot build's numbers
+    * bit-for-bit. [[graft.sources.Formats.compactBucketed]]-style
+    * maintenance (aggregate + rewrite) applies when the delta count
+    * grows. */
   def buildLmModel(docs: DataFrame, table: String, numBuckets: Int = 8): Unit = {
-    val f = docs.select(col("doc_id"), SharedCorpus.alnumOf(docs).as("a"))
-    val bi = f.where(size(col("a")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(0, size(a) - 2), i -> struct(a[i] AS w1, a[i + 1] AS w2))")).as("b"))
-      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c12 = lmBigrams(docs).groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     graft.sources.Formats.writeBucketed(c12, table, Seq("w1"), numBuckets)
     val spark = docs.sparkSession
     graft.sources.Formats.writeBucketed(
       spark.table(table).groupBy("w1").agg(sum("c12").as("c1")),
       s"${table}_c1", Seq("w1"), numBuckets)
-    graft.sources.Formats.writeManaged(
-      f.select(explode(col("a")).as("w")).agg(count_distinct(col("w")).as("v")),
-      s"${table}_stats")
+    graft.sources.Formats.writeBucketed(
+      docs.select(SharedCorpus.alnumOf(docs).as("a"))
+        .select(explode(col("a")).as("w")).distinct(),
+      s"${table}_vocab", Seq("w"), numBuckets)
     val (n, fp) = graft.sources.Formats.corpusStamp(docs, "doc_id")
     graft.sources.Formats.writeBuildMeta(docs.sparkSession, table,
+      s"kind=lm2,buckets=$numBuckets", n, fp)
+  }
+
+  /** Incremental-ingest half: the NEW batch's count deltas and distinct
+    * unigrams appended into the bucketed layouts — the accumulated model
+    * is neither read nor rewritten (Spark bucketing is per-file), and the
+    * probe's per-bucket fold makes an N-batch model answer bit-identically
+    * to a one-shot build of the union (same oracle). Batches must be
+    * doc-disjoint, the family-wide append contract. */
+  def appendToLmModel(newDocs: DataFrame, table: String, numBuckets: Int = 8): Unit = {
+    val bi = lmBigrams(newDocs)
+    val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    graft.sources.Formats.writeBucketedAppend(c12, table, Seq("w1"), numBuckets)
+    graft.sources.Formats.writeBucketedAppend(
+      c12.groupBy("w1").agg(sum("c12").as("c1")),
+      s"${table}_c1", Seq("w1"), numBuckets)
+    graft.sources.Formats.writeBucketedAppend(
+      newDocs.select(SharedCorpus.alnumOf(newDocs).as("a"))
+        .select(explode(col("a")).as("w")).distinct(),
+      s"${table}_vocab", Seq("w"), numBuckets)
+    val (n, fp) = graft.sources.Formats.corpusStamp(newDocs, "doc_id")
+    graft.sources.Formats.foldBuildMeta(newDocs.sparkSession, table,
       s"kind=lm2,buckets=$numBuckets", n, fp)
   }
 
@@ -587,9 +628,18 @@ object TextAnalysis {
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(a) - 2), i -> struct(a[i] AS w1, a[i + 1] AS w2))")).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    bi.join(spark.table(table), Seq("w1", "w2"))
-      .join(spark.table(s"${table}_c1"), Seq("w1"))
-      .crossJoin(broadcast(spark.table(s"${table}_stats")))
+    // fold the batch DELTAS into totals: both count tables are bucketed
+    // on the fold key, so these aggregations plan with NO exchange (a
+    // one-shot build has one delta per key and folds to itself); the
+    // vocab size is a distinct count over the stored unigram SET — the
+    // one statistic that cannot be stored as an additive scalar
+    val c12 = spark.table(table).groupBy("w1", "w2").agg(sum("c12").as("c12"))
+    val c1 = spark.table(s"${table}_c1").groupBy("w1").agg(sum("c1").as("c1"))
+    val stats = spark.table(s"${table}_vocab")
+      .agg(count_distinct(col("w")).as("v"))
+    bi.join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(stats))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_bigrams"),

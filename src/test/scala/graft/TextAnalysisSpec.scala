@@ -374,9 +374,39 @@ class TextAnalysisSpec extends SparkTestBase {
       assert(plan.contains("t_lm_spec["),
         s"probe must read the stored count table:\n$plan")
     } finally {
-      spark.sql("DROP TABLE IF EXISTS t_lm_spec")
-      spark.sql("DROP TABLE IF EXISTS t_lm_spec_c1")
-      spark.sql("DROP TABLE IF EXISTS t_lm_spec_stats")
+      Seq("t_lm_spec", "t_lm_spec_c1", "t_lm_spec_vocab", "t_lm_spec_meta")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
+  test("lm model: delta append equals one-shot build; probe fold is exchange-free") {
+    try {
+      // doc-disjoint halves: bulk build + delta append
+      TextAnalysis.buildLmModel(docs.filter(col("doc_id") % 2 === 0), "t_lm_incr_spec")
+      TextAnalysis.appendToLmModel(docs.filter(col("doc_id") % 2 =!= 0), "t_lm_incr_spec")
+      TextAnalysis.buildLmModel(docs, "t_lm_one_spec")
+      val incr = TextAnalysis.lmScoreIndexed(spark, docs, "t_lm_incr_spec")
+      val one = TextAnalysis.lmScoreIndexed(spark, docs, "t_lm_one_spec")
+      // within-doc bigram counts are exactly additive across disjoint
+      // batches and the vocab set unions — bit parity with the one-shot
+      assert(incr.collect().toSeq === one.collect().toSeq)
+      // ...and with the train-per-call form (transitively the oracle)
+      assert(incr.collect().toSeq === TextAnalysis.lmScore(docs).collect().toSeq)
+      // the append landed DELTAS: duplicate (w1, w2) keys across batches
+      val t = spark.table("t_lm_incr_spec")
+      assert(t.count() > t.select("w1", "w2").distinct().count(),
+        "append must land per-batch delta rows, not rewrite the model")
+      // the probe's delta fold must ride the bucketed layout: no shuffle
+      // between the count-table scans and their aggregations
+      val foldPlan = spark.table("t_lm_incr_spec")
+        .groupBy("w1", "w2").agg(sum("c12"))
+        .queryExecution.executedPlan.toString
+      assert(!foldPlan.contains("ShuffleExchange") && !foldPlan.contains("Exchange hashpartitioning"),
+        s"delta fold must be exchange-free on the bucketed table:\n$foldPlan")
+    } finally {
+      Seq("t_lm_incr_spec", "t_lm_incr_spec_c1", "t_lm_incr_spec_vocab", "t_lm_incr_spec_meta",
+        "t_lm_one_spec", "t_lm_one_spec_c1", "t_lm_one_spec_vocab", "t_lm_one_spec_meta")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
 
