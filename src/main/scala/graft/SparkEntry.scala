@@ -431,6 +431,19 @@ object SparkEntry {
       }
       TextAnalysis.lmScoreIndexed(s, SharedCorpus.docsTok(s, d), "graft_lm_incr")
     }),
+    // maintenance variant: build + delta-append + MERGING compaction (the
+    // fold materialized once, one file per bucket) — scores identical, so
+    // the gate shares the family oracle; the probe it times folds a
+    // single aggregated delta per key
+    "ta_lm_compacted" -> ((s, d) => {
+      buildOnce(s"lm_cpt:$d") {
+        val all = SharedCorpus.docsTok(s, d)
+        TextAnalysis.buildLmModel(all.filter(col("doc_id") % 2 === 0), "graft_lm_cpt")
+        TextAnalysis.appendToLmModel(all.filter(col("doc_id") % 2 =!= 0), "graft_lm_cpt")
+        TextAnalysis.compactLmModel(s, "graft_lm_cpt")
+      }
+      TextAnalysis.lmScoreIndexed(s, SharedCorpus.docsTok(s, d), "graft_lm_cpt")
+    }),
     // TextRank keyword extraction: fixed-point PageRank over the word
     // co-occurrence graph, 8 damped iterations, fully distributed rank
     // state; the oracle replays every iteration as chained CTEs. The rank
@@ -2672,6 +2685,8 @@ object SparkEntry {
     "ta_lm_indexed" -> lmScoreOracleSql,
     // delta-fold append == one-shot model, bit for bit
     "ta_lm_indexed_incr" -> lmScoreOracleSql,
+    // merging compaction preserves the fold's totals exactly
+    "ta_lm_compacted" -> lmScoreOracleSql,
     // fixed-point PageRank over the word graph, all 8 iterations replayed
     "ta_textrank" -> textRankOracleSql(8, 20),
     // the full 32-round logistic GD replayed as chained CTEs

@@ -615,6 +615,24 @@ object TextAnalysis {
       s"kind=lm2,buckets=$numBuckets", n, fp)
   }
 
+  /** Maintenance half of the LM delta design: fold the accumulated
+    * per-batch delta rows back to one aggregated row per key (and the
+    * vocab back to one distinct set) and one file per bucket — what
+    * bounds both a probe's fold work and its file count after sustained
+    * ingest. Runs through the crash-safe rewrite
+    * ([[graft.sources.Formats.compactDeltaTable]]), so every crash
+    * window recovers by re-running; scores are identical before and
+    * after (the probe's fold is exactly what this materializes once). */
+  def compactLmModel(spark: org.apache.spark.sql.SparkSession, table: String,
+      numBuckets: Int = 8): Unit = {
+    graft.sources.Formats.compactDeltaTable(spark, table,
+      Seq("w1", "w2"), Seq("c12"), Seq("w1"), numBuckets)
+    graft.sources.Formats.compactDeltaTable(spark, s"${table}_c1",
+      Seq("w1"), Seq("c1"), Seq("w1"), numBuckets)
+    graft.sources.Formats.compactDeltaTable(spark, s"${table}_vocab",
+      Seq("w"), Seq.empty, Seq("w"), numBuckets)
+  }
+
   /** Score half: [[lmScore]] semantics (same oracle) against a stored
     * [[buildLmModel]] table triple. The scored docs' bigram projection is
     * the only corpus-scale pass — counts and vocab are read, not

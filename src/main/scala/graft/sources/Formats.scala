@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{col, count, lit, max, min}
+import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
 import org.apache.spark.sql.types.StructType
 
 /** Source/sink format surface beyond the reference's text blobs (SURVEY
@@ -247,7 +247,34 @@ object Formats {
     * uncompacted twin's oracle). Returns the table's parquet file count
     * after compaction. */
   def compactBucketed(spark: SparkSession, table: String, bucketCols: Seq[String],
-      numBuckets: Int): Int = {
+      numBuckets: Int): Int =
+    rewriteBucketed(spark, table, bucketCols, numBuckets)(identity)
+
+  /** Merging compaction for DELTA tables (the LM count-model design):
+    * fold the accumulated per-batch delta rows back to ONE aggregated row
+    * per `keyCols` tuple (summing `sumCols`; with no sum columns the fold
+    * is a distinct — the stored-set case), rewritten through the same
+    * crash-safe ping-pong swap as [[compactBucketed]], so the bucketed
+    * layout, the single-file-per-bucket bound, AND the failpoint-proven
+    * recovery contract all carry over. Probes answer identically before
+    * and after — the fold they run per query is exactly the fold this
+    * materializes once. */
+  def compactDeltaTable(spark: SparkSession, table: String, keyCols: Seq[String],
+      sumCols: Seq[String], bucketCols: Seq[String], numBuckets: Int): Int =
+    rewriteBucketed(spark, table, bucketCols, numBuckets) { df =>
+      if (sumCols.isEmpty) df.select(keyCols.map(col): _*).distinct()
+      else df.groupBy(keyCols.map(col): _*)
+        .agg(sum(sumCols.head).as(sumCols.head),
+          sumCols.tail.map(c => sum(c).as(c)): _*)
+    }
+
+  /** Shared crash-safe rewrite core of [[compactBucketed]] /
+    * [[compactDeltaTable]]: read the table's files, apply `xform`,
+    * rewrite into the ping-pong location, swap visibility with one ALTER.
+    * See [[compactBucketed]] for the full recovery-contract rationale. */
+  private def rewriteBucketed(spark: SparkSession, table: String,
+      bucketCols: Seq[String], numBuckets: Int)(
+      xform: DataFrame => DataFrame): Int = {
     val staging = table + "__compacting"
     val conf = spark.sparkContext.hadoopConfiguration
     val oldLoc = qualified(spark, tableLocation(spark, table))
@@ -278,7 +305,7 @@ object Formats {
     // splits, producing one file per (task x bucket) instead of one per
     // bucket. A raw file scan carries no partitioning claim, so the
     // shuffle survives and every task holds exactly one bucket's rows.
-    spark.read.parquet(oldLoc.toString)
+    xform(spark.read.parquet(oldLoc.toString))
       .repartition(numBuckets, bucketCols.map(col): _*)
       .write.mode(SaveMode.Overwrite)
       .option("path", newLoc.toString) // external: drops never delete data

@@ -410,6 +410,33 @@ class TextAnalysisSpec extends SparkTestBase {
     }
   }
 
+  test("lm model: merging compaction collapses deltas, scores unchanged") {
+    import graft.sources.Formats
+    try {
+      TextAnalysis.buildLmModel(docs.filter(col("doc_id") % 2 === 0), "t_lm_cpt_spec")
+      TextAnalysis.appendToLmModel(docs.filter(col("doc_id") % 2 =!= 0), "t_lm_cpt_spec")
+      val before = TextAnalysis.lmScoreIndexed(spark, docs, "t_lm_cpt_spec").collect().toSeq
+      val t = spark.table("t_lm_cpt_spec")
+      assert(t.count() > t.select("w1", "w2").distinct().count(),
+        "precondition: the appended model carries delta rows")
+      TextAnalysis.compactLmModel(spark, "t_lm_cpt_spec")
+      // deltas collapsed: one row per key in every member table, one file
+      // per bucket, and the fold's totals — hence the scores — unchanged
+      val tc = spark.table("t_lm_cpt_spec")
+      assert(tc.count() === tc.select("w1", "w2").distinct().count())
+      val v = spark.table("t_lm_cpt_spec_vocab")
+      assert(v.count() === v.distinct().count())
+      assert(Formats.bucketedFileCount(spark, "t_lm_cpt_spec") <= 8)
+      val after = TextAnalysis.lmScoreIndexed(spark, docs, "t_lm_cpt_spec").collect().toSeq
+      assert(after === before, "compaction must not move a single score bit")
+    } finally {
+      Seq("t_lm_cpt_spec", "t_lm_cpt_spec_c1", "t_lm_cpt_spec_vocab", "t_lm_cpt_spec_meta",
+        "t_lm_cpt_spec__compacting", "t_lm_cpt_spec_c1__compacting",
+        "t_lm_cpt_spec_vocab__compacting")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("normalizeText: decomposed and precomposed spellings collapse to one fingerprint") {
     import spark.implicits._
     val docs = Seq(
