@@ -22,7 +22,7 @@ BUILD_PATTERNS = [
     r"^ann_pq_topk$",          # trains codebooks per run by design
     r"^ta_bm25_(indexed|compacted|many)",
     r"^ta_hybrid_(indexed|many)",
-    r"^ta_lm_indexed$",
+    r"^ta_lm_(indexed|compacted)",  # buildOnce model builds incl. _incr
     r"^ta_bpe_",               # shared one-shot BPE training
     r"^ta_textrank$",          # stores the rank table once
     r"^ta_quality_classifier$",  # trains + memoizes weights
