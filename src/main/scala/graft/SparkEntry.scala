@@ -396,6 +396,16 @@ object SparkEntry {
     "ta_bpe_segments" -> ((s, d) => Bpe.segmentsOf(bpeModel(s, d)._2)),
     "ta_bpe_tokenize" -> ((s, d) =>
       Bpe.tokenizeWithVocabOf(Tables.documents(s, d), bpeModel(s, d)._2)),
+    // cross-process persisted BPE model (r11): the merge table published
+    // once with its build manifest, tokenization replayed from the STORED
+    // merges — the classifier/LM publish-the-artifact lifecycle applied
+    // to the BPE trainer; shares the train-per-call twin's oracle
+    "ta_bpe_indexed" -> ((s, d) => {
+      buildOnce(s"bpe_model:$d") {
+        Bpe.buildBpeModel(Tables.documents(s, d), "graft_bpe_model")
+      }
+      Bpe.tokenizeWithStoredVocab(s, Tables.documents(s, d), "graft_bpe_model")
+    }),
     // per-source curation funnel: survivors of each successive filter
     // stage (quality ≥ 0.6 → lang = en → dup-2-gram ≤ 0.05), exact counts
     "ta_filter_funnel" -> ((s, d) => TextAnalysis.filterFunnel(SharedCorpus.docsTok(s, d))),
@@ -2620,6 +2630,16 @@ object SparkEntry {
     // two-pass padded replace, 8 rounds of chained CTEs)
     "ta_bpe_merges" -> bpeMergesOracleSql(graft.ops.Bpe.DefaultRounds),
     "ta_bpe_segments" -> bpeSegmentsOracleSql(graft.ops.Bpe.DefaultRounds, 100),
+    // stored-model tokenization replays identically to train-per-call
+    "ta_bpe_indexed" ->
+      s"""WITH ${bpeCtes(graft.ops.Bpe.DefaultRounds)},
+         |tok AS (SELECT doc_id, w AS word
+         |  FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '$WS')) AS w FROM documents)
+         |  WHERE regexp_matches(w, '^[a-z0-9]+$$')),
+         |v AS (SELECT word, len(string_split(s, chr(31))) AS n_syms
+         |  FROM s${graft.ops.Bpe.DefaultRounds})
+         |SELECT doc_id, count(*) AS n_words, CAST(sum(n_syms) AS BIGINT) AS n_subwords
+         |FROM tok JOIN v USING (word) GROUP BY 1 ORDER BY 1""".stripMargin,
     // learned vocab applied corpus-wide: per-doc word + subword counts via
     // the replayed final segmentation table
     "ta_bpe_tokenize" ->

@@ -156,6 +156,43 @@ object Bpe {
     out
   }
 
+  /** Build-once half of the BPE train/apply split that PERSISTS across
+    * processes (the session memo in SparkEntry shares one training per
+    * JVM; this is the artifact a production pipeline publishes): the
+    * learned merge table stored with the training corpus's build
+    * manifest. The model is tiny (`rounds` rows), the training sweep is
+    * the expensive half — exactly the classifier/LM lifecycle. */
+  def buildBpeModel(docs: DataFrame, table: String,
+      rounds: Int = DefaultRounds): Unit = {
+    val (merges, state) = train(docs, rounds)
+    state.unpersist()
+    require(merges.size == rounds,
+      s"BPE training exhausted after ${merges.size} of $rounds rounds — " +
+        "a fixed-round replay (the oracle's CTE chain) would diverge")
+    graft.sources.Formats.writeManaged(
+      mergeTableOf(docs.sparkSession, merges), table)
+    val (n, fp) = graft.sources.Formats.corpusStamp(docs, "doc_id")
+    graft.sources.Formats.writeBuildMeta(docs.sparkSession, table,
+      s"kind=bpe,rounds=$rounds", n, fp)
+  }
+
+  /** The stored merge sequence, round-ordered. */
+  def storedMerges(spark: org.apache.spark.sql.SparkSession,
+      table: String): Seq[Merge] = {
+    graft.sources.Formats.requireBuilt(spark, table)
+    spark.table(table).orderBy("round").collect()
+      .map(r => Merge(r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+  }
+
+  /** Apply the STORED vocabulary: rebuild the segmentation state for
+    * `docs`' words from the published merges (plan construction only —
+    * the merges are embedded literal replaces, no training action) and
+    * tokenize. Same oracle as the train-per-call twin. */
+  def tokenizeWithStoredVocab(spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, table: String): DataFrame =
+    tokenizeWithVocabOf(docs, stateOf(docs, storedMerges(spark, table)))
+
   /** [[tokenizeWithVocab]] against an already-trained segmentation state
     * (the build-once / apply-many split, like the persisted ANN indexes). */
   def tokenizeWithVocabOf(docs: DataFrame, state: DataFrame): DataFrame = {

@@ -63,4 +63,32 @@ class BpeSpec extends SparkTestBase {
     assert(a === b)
     assert(a.size === Bpe.DefaultRounds)
   }
+
+  test("stored model: published merges replay tokenization bit-identically") {
+    import graft.sources.Formats
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    try {
+      Bpe.buildBpeModel(docs, "t_bpe_model_spec")
+      // the stored sequence IS the training output, round-ordered
+      val stored = Bpe.storedMerges(spark, "t_bpe_model_spec")
+      val (fresh, st) = Bpe.train(docs)
+      st.unpersist()
+      assert(stored === fresh)
+      // tokenizing under the stored model equals train-per-call
+      val indexed = Bpe.tokenizeWithStoredVocab(spark, docs, "t_bpe_model_spec")
+        .collect().toSeq
+      val direct = Bpe.tokenizeWithVocab(docs).collect().toSeq
+      assert(indexed === direct)
+      // manifest stamps the training corpus; missing manifest refuses loudly
+      val Some((n, fp, params, _)) = Formats.readBuildMeta(spark, "t_bpe_model_spec")
+      assert((n, fp) === Formats.corpusStamp(docs, "doc_id"))
+      assert(params === s"kind=bpe,rounds=${Bpe.DefaultRounds}")
+      spark.sql("DROP TABLE t_bpe_model_spec_meta")
+      intercept[IllegalArgumentException](
+        Bpe.tokenizeWithStoredVocab(spark, docs, "t_bpe_model_spec"))
+    } finally {
+      Seq("t_bpe_model_spec", "t_bpe_model_spec_meta")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
 }
