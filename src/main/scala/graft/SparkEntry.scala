@@ -466,6 +466,22 @@ object SparkEntry {
       }
       s.table("graft_textrank").orderBy(col("rank").desc, col("word"))
     }),
+    // incremental graph ingest for TextRank (r11): the co-occurrence edge
+    // DELTAS + node set built from one half and APPENDED from the other —
+    // adjacency counts are within-doc additive, so the folded graph (and
+    // hence the ranked fixed point, re-iterated over the vocab-scale
+    // stored graph with NO corpus rescan) is bit-identical to the
+    // one-shot extraction and shares ta_textrank's oracle
+    "ta_textrank_incr" -> ((s, d) => {
+      buildOnce(s"textrank_incr:$d") {
+        val all = SharedCorpus.docsTok(s, d)
+        TextAnalysis.buildTextRankEdges(all.filter(col("doc_id") % 2 === 0), "graft_tr_edges")
+        TextAnalysis.appendToTextRankEdges(all.filter(col("doc_id") % 2 =!= 0), "graft_tr_edges")
+        Formats.writeManaged(
+          TextAnalysis.textRankIndexed(s, "graft_tr_edges"), "graft_textrank_incr")
+      }
+      s.table("graft_textrank_incr").orderBy(col("rank").desc, col("word"))
+    }),
     // trained quality classifier (GPT-3/WebText pattern): 32 rounds of
     // fixed-point full-batch logistic GD, labels from the quality rule;
     // training memoized per (session, dir), the oracle replays every round
@@ -2709,6 +2725,8 @@ object SparkEntry {
     "ta_lm_compacted" -> lmScoreOracleSql,
     // fixed-point PageRank over the word graph, all 8 iterations replayed
     "ta_textrank" -> textRankOracleSql(8, 20),
+    // delta-fold graph == one-shot extraction, rank loop identical
+    "ta_textrank_incr" -> textRankOracleSql(8, 20),
     // the full 32-round logistic GD replayed as chained CTEs
     "ta_quality_classifier" -> classifierOracleSql(
       graft.ops.Classifier.DefaultIters, graft.ops.Classifier.DefaultLr),

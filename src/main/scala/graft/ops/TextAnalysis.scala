@@ -691,17 +691,37 @@ object TextAnalysis {
     * (caller-clears contract, as for the pair miners). */
   def textRank(docs: DataFrame, iters: Int = 8, damping: Double = 0.85,
       k: Int = 20): DataFrame = {
-    val f = docs.select(col("doc_id"), SharedCorpus.alnumOf(docs).as("a"))
-    val bi = f.where(size(col("a")) >= 2)
+    val edges = textRankEdgeDeltas(docs)
+    val nodes = docs.select(SharedCorpus.alnumOf(docs).as("a"))
+      .select(explode(col("a")).as("word")).distinct()
+    rankLoop(edges, nodes, iters, damping, k)
+  }
+
+  /** The undirected weighted co-occurrence edge counts of a corpus — the
+    * corpus-scale half of [[textRank]], and the DELTA rows
+    * [[buildTextRankEdges]] stores (adjacency counts are within-doc, so
+    * they are exactly additive across doc-disjoint batches). */
+  private def textRankEdgeDeltas(docs: DataFrame): DataFrame = {
+    val bi = docs.select(SharedCorpus.alnumOf(docs).as("a"))
+      .where(size(col("a")) >= 2)
       .select(explode(expr(
         "filter(transform(sequence(0, size(a) - 2), " +
           "i -> struct(a[i] AS w1, a[i + 1] AS w2)), p -> p.w1 != p.w2)")).as("b"))
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val edges = bi.select(col("w1").as("src"), col("w2").as("dst"))
+    bi.select(col("w1").as("src"), col("w2").as("dst"))
       .unionAll(bi.select(col("w2").as("src"), col("w1").as("dst")))
       .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+  }
+
+  /** The shared fixed-point PageRank loop of the direct and
+    * edge-table-stored paths. `edges` must carry the FOLDED (src, dst, w)
+    * totals; `nodes` the full word set INCLUDING isolated words — they
+    * carry teleport-only rank, and the vocab count n sets the teleport
+    * mass, so dropping them would move every rank. */
+  private def rankLoop(edges: DataFrame, nodes0: DataFrame, iters: Int,
+      damping: Double, k: Int): DataFrame = {
     val e = edges.join(edges.groupBy("src").agg(sum("w").as("wsrc")), "src").persist()
-    val nodes = f.select(explode(col("a")).as("word")).distinct().persist()
+    val nodes = nodes0.persist()
     val n = nodes.count() // vocab count — the loop's only driver traffic
     val scale = 1e12
     val init = math.round(scale / n)
@@ -726,6 +746,55 @@ object TextAnalysis {
     }
     r.orderBy(col("r").desc, col("word")).limit(k)
       .select(col("word"), col("r").as("rank"))
+  }
+
+  /** Build-once half of the TextRank graph lifecycle: the co-occurrence
+    * edge DELTAS bucketed on `src` plus the full node set (the LM vocab
+    * pattern — a distinct set unions under append where a count scalar
+    * would not), stamped with the build manifest. The corpus-scale bigram
+    * extraction runs here; ranking then iterates over the vocab-scale
+    * graph without ever rescanning the corpus. */
+  def buildTextRankEdges(docs: DataFrame, table: String, numBuckets: Int = 8): Unit = {
+    graft.sources.Formats.writeBucketed(
+      textRankEdgeDeltas(docs), table, Seq("src"), numBuckets)
+    graft.sources.Formats.writeBucketed(
+      docs.select(SharedCorpus.alnumOf(docs).as("a"))
+        .select(explode(col("a")).as("word")).distinct(),
+      s"${table}_nodes", Seq("word"), numBuckets)
+    val (n, fp) = graft.sources.Formats.corpusStamp(docs, "doc_id")
+    graft.sources.Formats.writeBuildMeta(docs.sparkSession, table,
+      s"kind=textrank_edges,buckets=$numBuckets", n, fp)
+  }
+
+  /** Incremental-ingest half: the NEW batch's edge deltas and node rows
+    * appended — the accumulated graph is neither read nor rewritten, and
+    * within-doc adjacency counts are exactly additive across doc-disjoint
+    * batches, so N appended batches fold to the one-shot extraction
+    * bit-for-bit (the gate shares [[textRank]]'s oracle). */
+  def appendToTextRankEdges(newDocs: DataFrame, table: String,
+      numBuckets: Int = 8): Unit = {
+    graft.sources.Formats.writeBucketedAppend(
+      textRankEdgeDeltas(newDocs), table, Seq("src"), numBuckets)
+    graft.sources.Formats.writeBucketedAppend(
+      newDocs.select(SharedCorpus.alnumOf(newDocs).as("a"))
+        .select(explode(col("a")).as("word")).distinct(),
+      s"${table}_nodes", Seq("word"), numBuckets)
+    val (n, fp) = graft.sources.Formats.corpusStamp(newDocs, "doc_id")
+    graft.sources.Formats.foldBuildMeta(newDocs.sparkSession, table,
+      s"kind=textrank_edges,buckets=$numBuckets", n, fp)
+  }
+
+  /** Rank from the STORED graph: fold the edge deltas (exchange-free on
+    * the bucketed src key), distinct the node set, and run the same
+    * fixed-point loop — the corpus is never rescanned, so a re-rank after
+    * ingest costs vocab-scale work only. Bit-identical to [[textRank]]
+    * over the same corpus (same oracle). */
+  def textRankIndexed(spark: org.apache.spark.sql.SparkSession, table: String,
+      iters: Int = 8, damping: Double = 0.85, k: Int = 20): DataFrame = {
+    graft.sources.Formats.requireBuilt(spark, table)
+    val edges = spark.table(table).groupBy("src", "dst").agg(sum("w").as("w"))
+    val nodes = spark.table(s"${table}_nodes").select("word").distinct()
+    rankLoop(edges, nodes, iters, damping, k)
   }
 
   /** Approximate distinct-term counts per source (HyperLogLog++) next to

@@ -437,6 +437,30 @@ class TextAnalysisSpec extends SparkTestBase {
     }
   }
 
+  test("textrank edges: delta-append graph ranks identically to the direct loop") {
+    try {
+      TextAnalysis.buildTextRankEdges(docs.filter(col("doc_id") % 2 === 0), "t_tr_spec")
+      TextAnalysis.appendToTextRankEdges(docs.filter(col("doc_id") % 2 =!= 0), "t_tr_spec")
+      val indexed = TextAnalysis.textRankIndexed(spark, "t_tr_spec").collect().toSeq
+      val direct = TextAnalysis.textRank(docs).collect().toSeq
+      // within-doc adjacency counts fold exactly and the node set unions,
+      // so the fixed point is bit-identical
+      assert(indexed === direct)
+      // the appended graph carries delta rows (the probe folds them)
+      val t = spark.table("t_tr_spec")
+      assert(t.count() > t.select("src", "dst").distinct().count())
+      // the re-rank never rescans the corpus: only stored tables in plan
+      val plan = TextAnalysis.textRankIndexed(spark, "t_tr_spec")
+        .queryExecution.optimizedPlan.toString
+      assert(!plan.contains("documents.parquet"),
+        s"indexed rank must not rescan the corpus:\n$plan")
+    } finally {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      Seq("t_tr_spec", "t_tr_spec_nodes", "t_tr_spec_meta")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("normalizeText: decomposed and precomposed spellings collapse to one fingerprint") {
     import spark.implicits._
     val docs = Seq(
