@@ -24,7 +24,7 @@ BUILD_PATTERNS = [
     r"^ta_hybrid_(indexed|many)",
     r"^ta_lm_(indexed|compacted)",  # buildOnce model builds incl. _incr
     r"^ta_bpe_",               # shared one-shot BPE training
-    r"^ta_textrank$",          # stores the rank table once
+    r"^ta_textrank",           # stores the rank table once (incl. _incr)
     r"^ta_quality_classifier$",  # trains + memoizes weights
     r"^ta_clf_indexed$",       # one-time stored-model build (buildOnce)
     r"^fmt_index_manifest$",   # shares the LSH index buildOnce
