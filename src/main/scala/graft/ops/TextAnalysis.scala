@@ -784,6 +784,18 @@ object TextAnalysis {
       s"kind=textrank_edges,buckets=$numBuckets", n, fp)
   }
 
+  /** Maintenance: fold the accumulated edge deltas back to one row per
+    * (src, dst) and the node set to one row per word — same crash-safe
+    * merging rewrite and same rationale as [[compactLmModel]]; ranks are
+    * identical before and after. */
+  def compactTextRankEdges(spark: org.apache.spark.sql.SparkSession,
+      table: String, numBuckets: Int = 8): Unit = {
+    graft.sources.Formats.compactDeltaTable(spark, table,
+      Seq("src", "dst"), Seq("w"), Seq("src"), numBuckets)
+    graft.sources.Formats.compactDeltaTable(spark, s"${table}_nodes",
+      Seq("word"), Seq.empty, Seq("word"), numBuckets)
+  }
+
   /** Rank from the STORED graph: fold the edge deltas (exchange-free on
     * the bucketed src key), distinct the node set, and run the same
     * fixed-point loop — the corpus is never rescanned, so a re-rank after

@@ -454,6 +454,11 @@ class TextAnalysisSpec extends SparkTestBase {
         .queryExecution.optimizedPlan.toString
       assert(!plan.contains("documents.parquet"),
         s"indexed rank must not rescan the corpus:\n$plan")
+      // merging compaction collapses the deltas; ranks bit-unchanged
+      TextAnalysis.compactTextRankEdges(spark, "t_tr_spec")
+      val tc = spark.table("t_tr_spec")
+      assert(tc.count() === tc.select("src", "dst").distinct().count())
+      assert(TextAnalysis.textRankIndexed(spark, "t_tr_spec").collect().toSeq === direct)
     } finally {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       Seq("t_tr_spec", "t_tr_spec_nodes", "t_tr_spec_meta")
