@@ -129,12 +129,10 @@ object Bench {
       // sensitive. BLOCKING unpersist of the backing RDDs first (ADVICE r4:
       // clearCache's async eviction can overlap the next query's first timed
       // run), then clearCache() to drop the now-empty plan-cache entries.
-      // The pinned SharedCorpus projection is exempt — it IS the suite-wide
-      // shared state this cleanup otherwise exists to prevent, deliberately
-      // alive for every gate's cold run (and invisible to clearCache: it is
-      // a plain persisted RDD, not a CacheManager entry).
+      // The pinned SharedCorpus projection needs no exemption since r12: it
+      // is a parquet snapshot on disk (columnar, real stats), not executor
+      // block-manager state — neither sweep below can touch it.
       spark.sparkContext.getPersistentRDDs.values
-        .filterNot(r => graft.ops.SharedCorpus.isPinnedRdd(r.id))
         .foreach(_.unpersist(blocking = true))
       spark.catalog.clearCache()
       (ts, sharedRun)
@@ -154,10 +152,20 @@ object Bench {
     // queries' scheduling jitter from flagging phantom swings
     def isSwung(name: String, mn: Double): Boolean =
       prior.get(name).exists(p => mn > 2.0 * p + 0.25)
-    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (ts, sharedRun) = timeRuns(fn, runs)
-      (name, fn, ts, sharedRun)
-    }
+    // optional gate filter (comma-separated names) for targeted sweeps —
+    // e.g. the sf1 scaling run times headline gates only; unknown names
+    // fail loudly like Verify's targeted mode
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty, s"unknown query name(s): ${unknown.mkString(", ")}")
+    val firstPass = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .sortBy(_._1).map { case (name, fn) =>
+        val (ts, sharedRun) = timeRuns(fn, runs)
+        (name, fn, ts, sharedRun)
+      }
     // every numbered run is raw-mode (r9 semantics restored — ADVICE r10),
     // so steady min/median draw from ALL `runs` samples again: 3 raw
     // samples by default, and "cold" (run 1) is cross-round comparable.

@@ -50,6 +50,12 @@ object SparkEntry {
     * gate that needs the artifact (e.g. ta_bm25_indexed AND
     * ta_hybrid_indexed both probe `graft_bm25_idx`) pays for exactly one
     * build regardless of gate execution order. */
+  private def ensurePngBlobs(s: SparkSession, d: String): Unit =
+    buildOnce(s"png_blobs:$d") {
+      graft.sources.Formats.writeManaged(
+        Multimodal.synthesizePng(Tables.documents(s, d)), "graft_png_blobs")
+    }
+
   private def ensureBm25Index(s: SparkSession, d: String): Unit =
     buildOnce(s"bm25:$d") {
       TextAnalysis.buildBm25Index(SharedCorpus.docsTok(s, d), "graft_bm25_idx")
@@ -506,6 +512,16 @@ object SparkEntry {
     // never straddles a sequence boundary — the fine-tuning contract; the
     // oracle replays the whole per-bucket walk as a recursive CTE
     "pack_greedy" -> ((s, d) => Packing.packGreedy(SharedCorpus.docsTok(s, d))),
+    // the same no-split walk budgeted by the PUBLISHED BPE model's subword
+    // counts (VERDICT r11 missing 1: training batches are measured in
+    // tokenizer tokens) — stored-vocab tokenization composed with the
+    // per-bucket walk; the oracle replays BOTH proven recipes end to end
+    "pack_bpe_greedy" -> ((s, d) => {
+      buildOnce(s"bpe_model:$d") {
+        Bpe.buildBpeModel(Tables.documents(s, d), "graft_bpe_model")
+      }
+      Packing.packGreedyBpe(s, SharedCorpus.docsTok(s, d), "graft_bpe_model")
+    }),
     "pack_token_budget" -> ((s, d) => Packing.tokenBudgetSample(SharedCorpus.docsTok(s, d))),
     // production form: hot source salted into 8 sub-strata with sub-budgets
     "pack_token_budget_salted" -> ((s, d) =>
@@ -639,6 +655,18 @@ object SparkEntry {
           .withColumn("ts", timestamp_micros(col("doc_id"))),
         all.filter(col("doc_id") % 7 === 0))
         .select("doc_id").orderBy("doc_id")
+    }),
+    // the daily-batch curation COMPOSITE (VERDICT r11 missing 3): today's
+    // crawl (%4==1) decided against the accumulated corpus's STORED band
+    // index — quality/lang/repetition signals, indexed near-dup rejection,
+    // benchmark decontamination, survivor packing — as one audit ledger
+    // whose every verdict and packing coordinate the oracle replays
+    "pipeline_daily_batch" -> ((s, d) => {
+      val all = SharedCorpus.docsTok(s, d)
+      buildOnce(s"band_daily:$d") {
+        Dedup.buildBandIndex(graft.ops.Curation.corpusOf(all), "graft_band_daily")
+      }
+      graft.ops.Curation.dailyBatch(s, all, "graft_band_daily")
     }),
     // cross-corpus fuzzy join: near-dup pairs BETWEEN the %3-split halves
     // (train side vs external side) — no intra-corpus pairs
@@ -807,6 +835,17 @@ object SparkEntry {
       Similarity.ivfPqTopKIndexed(s, "graft_ivfpq_idx",
         Tables.embeddings(s, d).filter(col("vec_id") < 10))
     }),
+    // query-MANY serving path (VERDICT r11 item 8): a 4x-larger workload
+    // through the SAME one-plan probe — the distinct probed-cell literal
+    // is bounded by kClusters however many queries arrive (cells collapse
+    // across queries), so the code-table scan count stays 1 and only the
+    // broadcast probe set grows; each query's ranking replays the
+    // single-query oracle over its slice
+    "ann_ivfpq_many" -> ((s, d) => {
+      ensureIvfPqIndex(s, d)
+      Similarity.ivfPqTopKIndexed(s, "graft_ivfpq_idx",
+        Tables.embeddings(s, d).filter(col("vec_id") < 40))
+    }),
     // incremental-ingest variant of the composed index: the ingest path
     // READS the one-shot index's published pivots + codebooks (the same
     // stored-model-reuse contract as pq_incr), then batches are assigned
@@ -873,11 +912,20 @@ object SparkEntry {
     // encode→PNG→store→decode round trip is exact (decodeStub stays as
     // the dependency-free stand-in for non-JVM codecs)
     "mm_decode_png" -> ((s, d) => {
-      buildOnce(s"png_blobs:$d") {
-        graft.sources.Formats.writeManaged(
-          Multimodal.synthesizePng(Tables.documents(s, d)), "graft_png_blobs")
-      }
+      ensurePngBlobs(s, d)
       Multimodal.decodePng(s.table("graft_png_blobs")).orderBy("doc_id")
+    }),
+    // perceptual hashes over the REAL-decoded pixel grid (the media dedup
+    // tier, VERDICT r11 missing 2): 56-bit dHash codes, then banded-join
+    // near-duplicate pair mining — the simHashPairs discipline applied to
+    // images. The oracle replays the sampled-pixel formula decoder-free.
+    "mm_phash" -> ((s, d) => {
+      ensurePngBlobs(s, d)
+      Multimodal.dHash(s.table("graft_png_blobs")).orderBy("doc_id")
+    }),
+    "mm_phash_pairs" -> ((s, d) => {
+      ensurePngBlobs(s, d)
+      Multimodal.pHashPairs(s.table("graft_png_blobs"))
     }),
     "mm_decode_wav" -> ((s, d) => {
       buildOnce(s"wav_blobs:$d") {
@@ -1199,6 +1247,74 @@ object SparkEntry {
        |  FROM cand JOIN sigA sa ON sa.doc_id = doc_a JOIN sigB sb ON sb.doc_id = doc_b)
        |SELECT doc_a, doc_b, sig_sim FROM scored WHERE sig_sim >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** DuckDB replay of [[graft.ops.Curation.dailyBatch]] — the whole daily
+    * funnel end to end: the ta_filter_funnel signal formulas on the batch
+    * (%4==1), cross-corpus MinHash rejection vs the %4<>1 side (the same
+    * banding CTEs as every MinHash oracle), 8-token-span benchmark
+    * overlap vs %7==0, the verdict conjunction, and the pack_greedy
+    * recursive walk over the survivors. */
+  private val dailyBatchOracleSql: String =
+    s"""WITH RECURSIVE ${minhashSideCtes("A", "doc_id % 4 <> 1")},
+       |${minhashSideCtes("B", "doc_id % 4 = 1")},
+       |ndcand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bandedA x JOIN bandedB y
+       |  ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash),
+       |nd AS (SELECT DISTINCT doc_b AS doc_id FROM ndcand
+       |  JOIN sigA sa ON sa.doc_id = doc_a JOIN sigB sb ON sb.doc_id = doc_b
+       |  WHERE CAST($sigMatchesSql AS DOUBLE) / ${Dedup.NumHashes} >= 0.5),
+       |ctoks AS (SELECT doc_id, regexp_split_to_array(lower(text), '$WS') AS ws
+       |  FROM documents WHERE doc_id % 4 = 1 OR doc_id % 7 = 0),
+       |csp AS (SELECT doc_id, ${h60Sql("array_to_string(ws[i:i+7], ' ')")} AS sh
+       |  FROM ctoks, unnest(generate_series(1, greatest(len(ws) - 7, 1))) AS t(i)),
+       |cbench AS (SELECT DISTINCT sh FROM csp WHERE doc_id % 7 = 0),
+       |ccon AS (SELECT DISTINCT doc_id FROM csp
+       |  WHERE doc_id % 4 = 1 AND sh IN (SELECT sh FROM cbench)),
+       |fc AS (SELECT doc_id,
+       |  regexp_split_to_array(lower(text), '$WS') AS a,
+       |  CAST(len(regexp_split_to_array(lower(text), '$WS')) AS BIGINT) AS nt,
+       |  CAST(len(list_filter(regexp_split_to_array(lower(text), '$WS'),
+       |    t -> regexp_matches(t, '^[a-z0-9]+$$'))) AS BIGINT) AS alnum,
+       |  ${markerSql("en")} AS en, ${markerSql("de")} AS de,
+       |  ${markerSql("fr")} AS fr, ${markerSql("es")} AS es
+       |FROM documents WHERE doc_id % 4 = 1),
+       |fg2 AS (SELECT doc_id, count(*) AS t2, count(DISTINCT g) AS d2 FROM (
+       |  SELECT doc_id, array_to_string(a[i:i+1], ' ') AS g
+       |  FROM fc, unnest(generate_series(1, len(a) - 1)) AS t(i)) GROUP BY 1),
+       |fl AS (SELECT fc.doc_id, nt AS n_tokens,
+       |  (least(CAST(nt AS DOUBLE) / 100.0, 1.0) * 0.2 + CAST(alnum AS DOUBLE) / nt * 0.5
+       |    + least(CAST(en AS DOUBLE) / nt * 4.0, 1.0) * 0.3) >= 0.6 AS q_ok,
+       |  (CASE WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+       |       WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+       |       WHEN fr >= es AND fr > 0 THEN 'fr'
+       |       WHEN es > 0 THEN 'es'
+       |       ELSE 'und' END) = 'en' AS lang_ok,
+       |  coalesce(CAST(fg2.t2 - fg2.d2 AS DOUBLE) / nullif(fg2.t2, 0), 0.0) <= 0.05 AS rep_ok,
+       |  fc.doc_id NOT IN (SELECT doc_id FROM nd) AS dedup_ok,
+       |  fc.doc_id NOT IN (SELECT doc_id FROM ccon) AS clean_ok
+       |  FROM fc LEFT JOIN fg2 ON fg2.doc_id = fc.doc_id),
+       |fs AS (SELECT *, q_ok AND lang_ok AND rep_ok AND dedup_ok AND clean_ok AS survived
+       |  FROM fl),
+       |pd AS (SELECT doc_id, n_tokens, CAST(h % 16 AS BIGINT) AS bucket,
+       |    row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id) AS rn
+       |  FROM (SELECT doc_id, n_tokens, ${Packing.orderHashSql} AS h
+       |    FROM fs WHERE survived)),
+       |walk AS (
+       |  SELECT bucket, rn, doc_id, n_tokens,
+       |    CAST(1 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS seq_offset,
+       |    n_tokens AS fill
+       |  FROM pd WHERE rn = 1
+       |  UNION ALL
+       |  SELECT d.bucket, d.rn, d.doc_id, d.n_tokens,
+       |    CASE WHEN w.fill + d.n_tokens > 256 THEN w.seq_id + 1 ELSE w.seq_id END,
+       |    CASE WHEN w.fill + d.n_tokens > 256 THEN CAST(0 AS BIGINT) ELSE w.fill END,
+       |    CASE WHEN w.fill + d.n_tokens > 256 THEN d.n_tokens
+       |      ELSE w.fill + d.n_tokens END
+       |  FROM walk w JOIN pd d ON d.bucket = w.bucket AND d.rn = w.rn + 1)
+       |SELECT f.doc_id, f.n_tokens, f.q_ok, f.lang_ok, f.rep_ok, f.dedup_ok,
+       |  f.clean_ok, f.survived, w.bucket, w.seq_id, w.seq_offset
+       |FROM fs f LEFT JOIN walk w ON w.doc_id = f.doc_id
+       |ORDER BY f.doc_id""".stripMargin
 
   /** DuckDB mirror of [[Dedup.nearDupSurvivors]]: same pairs as the
     * MinHash oracle, undirected transitive closure via a recursive CTE
@@ -1691,6 +1807,29 @@ object SparkEntry {
     * pair ASC) argmax, and the doubled-boundary greedy replace (expand
     * SEP→SEPSEP, pad, inner-half literal replace, collapse), one stage
     * triple per round. `chr(31)` is [[graft.ops.Bpe.Sep]]. */
+  /** DuckDB replay of [[Multimodal.dHash]]: nearest-neighbor 8×8 grid
+    * coordinates (exact integer div), sampled pixels from the
+    * [[Multimodal.synthesizePng]] generating formula (no decoder), one
+    * bit per left-to-right brightening comparison → the 56-bit code. */
+  private val phashCtes: String =
+    """g AS (SELECT doc_id,
+      |    CAST(doc_id % 16 + 8 AS BIGINT) AS w,
+      |    CAST(doc_id % 12 + 8 AS BIGINT) AS h
+      |  FROM documents),
+      |co AS (SELECT doc_id, gx, gy,
+      |    (gx * w) // 8 AS x1, ((gx + 1) * w) // 8 AS x2, (gy * h) // 8 AS sy
+      |  FROM g,
+      |    unnest(generate_series(0, 7)) AS ty(gy),
+      |    unnest(generate_series(0, 6)) AS tx(gx)),
+      |bits AS (SELECT doc_id,
+      |    CASE WHEN (doc_id * 31 + x2 * 7 + sy * 13 + (doc_id % 9 + 1) * x2 * sy) % 256
+      |            > (doc_id * 31 + x1 * 7 + sy * 13 + (doc_id % 9 + 1) * x1 * sy) % 256
+      |      THEN CAST(1 AS BIGINT) << CAST(gy * 7 + gx AS INT)
+      |      ELSE CAST(0 AS BIGINT) END AS bit
+      |  FROM co),
+      |ph AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS phash
+      |  FROM bits GROUP BY doc_id)""".stripMargin
+
   private def bpeCtes(rounds: Int): String = {
     val sb = new StringBuilder
     sb ++= s"""w AS (SELECT w AS word, count(*) AS cnt
@@ -1860,7 +1999,12 @@ object SparkEntry {
     * `cosine(q, ĉ_n)` over ONLY the probed cells' members — the exact
     * composition [[Similarity.ivfPqTopKIndexed]] executes off the stored
     * index. */
-  private val ivfPqOracleSql: String =
+  private val ivfPqOracleSql: String = ivfPqOracleSqlFor("vec_id < 10")
+
+  /** [[ivfPqOracleSql]] parameterized on the query-set predicate — the
+    * query-many gate replays the same composed pipeline over its larger
+    * workload slice. */
+  private def ivfPqOracleSqlFor(queryPred: String): String =
     s"""WITH $kmeansPivotCtes,
        |$pqTrainCtes,
        |xsc AS (SELECT e.vec_id, e.embedding, p.pid,
@@ -1871,7 +2015,7 @@ object SparkEntry {
        |xcells AS (SELECT vec_id AS neighbor_id, pid AS cell
        |  FROM xranked WHERE prn = 1),
        |xprobes AS (SELECT vec_id AS query_id, embedding AS qv, pid AS cell
-       |  FROM xranked WHERE vec_id < 10 AND prn <= 2),
+       |  FROM xranked WHERE ($queryPred) AND prn <= 2),
        |xcand AS (SELECT query_id, qv, neighbor_id
        |  FROM xprobes JOIN xcells USING (cell) WHERE neighbor_id <> query_id),
        |xscored AS (SELECT c.query_id, c.neighbor_id,
@@ -2464,6 +2608,7 @@ object SparkEntry {
          |  SELECT doc_id, dup_key, row_number() OVER (PARTITION BY dup_key ORDER BY doc_id) AS rn FROM k)
          |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "dedup_minhash_pairs" -> minhashOracleSql,
+    "pipeline_daily_batch" -> dailyBatchOracleSql,
     "dedup_cross_corpus" -> crossCorpusOracleSql,
     "dedup_cross_indexed" -> crossCorpusOracleSql,
     "dedup_cross_indexed_incr" -> crossCorpusOracleSql,
@@ -2569,6 +2714,7 @@ object SparkEntry {
     "ann_sq_indexed" -> sqTopKOracleSql,
     "ann_pq_topk" -> pqTopKOracleSql,
     "ann_ivfpq_indexed" -> ivfPqOracleSql,
+    "ann_ivfpq_many" -> ivfPqOracleSqlFor("vec_id < 40"),
     // two-batch model-stored append == one-shot build (per-vector given
     // fixed pivots + books) → same replayed oracle
     "ann_ivfpq_indexed_incr" -> ivfPqOracleSql,
@@ -2773,6 +2919,41 @@ object SparkEntry {
          |  FROM walk w JOIN d ON d.bucket = w.bucket AND d.rn = w.rn + 1)
          |SELECT doc_id, bucket, seq_id, seq_offset, n_tokens
          |FROM walk ORDER BY doc_id""".stripMargin,
+    // stored-BPE-budgeted packing: the replayed 8-round training chain
+    // feeds per-doc subword counts (0 for no-alnum-word docs, kept via the
+    // LEFT JOIN) into the same recursive greedy walk; the walk's reset
+    // guard carries the explicit fill > 0 because BPE counts CAN be zero
+    "pack_bpe_greedy" ->
+      s"""WITH RECURSIVE ${bpeCtes(graft.ops.Bpe.DefaultRounds)},
+         |tok AS (SELECT doc_id, w AS word
+         |  FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '$WS')) AS w FROM documents)
+         |  WHERE regexp_matches(w, '^[a-z0-9]+$$')),
+         |v AS (SELECT word, len(string_split(s, chr(31))) AS n_syms
+         |  FROM s${graft.ops.Bpe.DefaultRounds}),
+         |cnt AS (SELECT doc_id, CAST(sum(n_syms) AS BIGINT) AS n
+         |  FROM tok JOIN v USING (word) GROUP BY 1),
+         |base AS (SELECT doc_id, coalesce(cnt.n, 0) AS n_tokens,
+         |    ${Packing.orderHashSql} AS h
+         |  FROM documents LEFT JOIN cnt USING (doc_id)),
+         |d AS (SELECT doc_id, n_tokens, CAST(h % 16 AS BIGINT) AS bucket,
+         |    row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id) AS rn
+         |  FROM base),
+         |walk AS (
+         |  SELECT bucket, rn, doc_id, n_tokens,
+         |    CAST(1 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS seq_offset,
+         |    n_tokens AS fill
+         |  FROM d WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d.bucket, d.rn, d.doc_id, d.n_tokens,
+         |    CASE WHEN w.fill > 0 AND w.fill + d.n_tokens > ${Packing.DefaultBpeBudget}
+         |      THEN w.seq_id + 1 ELSE w.seq_id END,
+         |    CASE WHEN w.fill > 0 AND w.fill + d.n_tokens > ${Packing.DefaultBpeBudget}
+         |      THEN CAST(0 AS BIGINT) ELSE w.fill END,
+         |    CASE WHEN w.fill > 0 AND w.fill + d.n_tokens > ${Packing.DefaultBpeBudget}
+         |      THEN d.n_tokens ELSE w.fill + d.n_tokens END
+         |  FROM walk w JOIN d ON d.bucket = w.bucket AND d.rn = w.rn + 1)
+         |SELECT doc_id, bucket, seq_id, seq_offset, n_tokens
+         |FROM walk ORDER BY doc_id""".stripMargin,
     // overlapping 64/48 token windows: positions are integer arithmetic,
     // content equality rides the md5 fingerprint
     "pack_chunks" ->
@@ -2959,7 +3140,7 @@ object SparkEntry {
     // makes the real ImageIO decode gate checkable
     "mm_decode_png" ->
       """WITH px AS (SELECT doc_id,
-        |  (doc_id * 31 + x * 7 + y * 13) % 256 AS v
+        |  (doc_id * 31 + x * 7 + y * 13 + (doc_id % 9 + 1) * x * y) % 256 AS v
         |  FROM documents,
         |    unnest(generate_series(0, CAST(doc_id % 16 + 7 AS INT))) AS tx(x),
         |    unnest(generate_series(0, CAST(doc_id % 12 + 7 AS INT))) AS ty(y))
@@ -2970,6 +3151,26 @@ object SparkEntry {
         |  CAST(min(v) AS BIGINT) AS min_px,
         |  CAST(max(v) AS BIGINT) AS max_px
         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // replays the dHash sampled-pixel formula (nearest-neighbor 8×8 grid
+    // over the synthesizePng generating formula — exact integer div, no
+    // decoder): bit gy*7+gx set iff the grid brightens left-to-right
+    "mm_phash" ->
+      s"""WITH $phashCtes
+        |SELECT doc_id, phash FROM ph ORDER BY doc_id""".stripMargin,
+    // banded pair mining replayed on the same codes: 4 × 14-bit band
+    // collisions, exact bit_count(xor) Hamming verification at radius 3
+    "mm_phash_pairs" ->
+      s"""WITH $phashCtes,
+        |bands AS (SELECT doc_id, phash, b AS band_idx,
+        |    (phash >> CAST(b * 14 AS INT)) & 16383 AS band_val
+        |  FROM ph, unnest(generate_series(0, 3)) AS tb(b))
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+        |FROM bands a JOIN bands b
+        |  ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+        |  AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // replays Multimodal.synthesizeWav's generating formula: sample
     // i = ((doc_id*37 + i*17) mod 65536) - 32768 over doc_id%400+100
     // samples — PCM is lossless, so the real javax.sound decode must

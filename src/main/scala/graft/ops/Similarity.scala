@@ -913,11 +913,17 @@ object Similarity {
     * The probe recomputes pivot cosines for the |queries|×k probe ranking
     * alone; the corpus-wide argmax and the corpus encode are READ.
     *
-    * The probed cell ids — |queries| × nprobe longs, the ONE sanctioned
-    * driver-side collect — come back as literals so the code-table scan is
-    * BUCKET-PRUNED (`cell` is the bucket key and `isin` over literals
-    * prunes buckets at planning time): unprobed cells are never read off
-    * disk, not merely filtered after a full scan. Each surviving
+    * The probed cell ids — DISTINCT across the whole workload, so at most
+    * `min(|queries| × nprobe, kClusters)` longs however many queries
+    * arrive (the ONE sanctioned driver-side collect; a 10k-query batch
+    * still collects ≤ kClusters cell ids) — come back as literals so the
+    * code-table scan is BUCKET-PRUNED (`cell` is the bucket key and
+    * `isin` over literals prunes buckets at planning time): unprobed
+    * cells are never read off disk, not merely filtered after a full
+    * scan. This is therefore already the query-MANY serving plan (the
+    * `hybridSearchManyIndexed` discipline): N queries share one pruned
+    * cell scan and one broadcast probe join — gate `ann_ivfpq_many` runs
+    * a 4x workload through it against per-query-replayed oracles. Each surviving
     * candidate's code array is reconstructed once through the broadcast
     * codebooks (carrying its cell), and the candidate join broadcasts the
     * tiny probe set against the pruned reconstruction. Per-query top-k

@@ -1005,17 +1005,21 @@ object TextAnalysis {
     * comparison is trivial, and the columns are monotone non-increasing by
     * construction (spec-pinned). At 100 TB this is one map-side-combined
     * aggregation keyed by source. */
+  /** Duplicate-2-gram occurrence fraction of the ws token-array column
+    * named `a` — [[repetitionStats]]'s zero-shuffle form, shared by
+    * [[filterFunnel]] and [[graft.ops.Curation.dailyBatch]] so the two
+    * funnels cannot drift. */
+  private[ops] def dup2FracOfA: Column = {
+    val t2 = greatest(size(col("a")) - 1, lit(0)).cast("long")
+    val d2 = size(array_distinct(expr(
+      "CASE WHEN size(a) >= 2 THEN transform(sequence(0, size(a) - 2), " +
+        "i -> concat_ws(' ', a[i], a[i + 1])) ELSE array() END"))).cast("long")
+    when(t2 > 0, (t2 - d2).cast("double") / t2).otherwise(lit(0.0))
+  }
+
   def filterFunnel(docs: DataFrame, minQuality: Double = 0.6,
       lang: String = "en", maxDup2: Double = 0.05): DataFrame = {
-    val dup2 = {
-      // duplicate-2-gram occurrence fraction, inlined from
-      // [[repetitionStats]]'s zero-shuffle form
-      val t2 = greatest(size(col("a")) - 1, lit(0)).cast("long")
-      val d2 = size(array_distinct(expr(
-        "CASE WHEN size(a) >= 2 THEN transform(sequence(0, size(a) - 2), " +
-          "i -> concat_ws(' ', a[i], a[i + 1])) ELSE array() END"))).cast("long")
-      when(t2 > 0, (t2 - d2).cast("double") / t2).otherwise(lit(0.0))
-    }
+    val dup2 = dup2FracOfA
     docs
       .select(col("source"), SharedCorpus.wsOf(docs).as("a"),
         SharedCorpus.alnumOf(docs).as("al"))

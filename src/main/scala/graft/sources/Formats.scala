@@ -197,8 +197,9 @@ object Formats {
     * window, so specs can kill mid-swap/mid-absorb and assert the
     * recovery contract instead of trusting the doc comments. Windows:
     * `compact.after_stage`, `compact.after_swap`,
-    * `absorb.after_append`. Empty in production — one volatile read per
-    * window. */
+    * `absorb.after_append`, `daily.after_index_append` (fired from
+    * [[graft.ops.Curation.commitDailyBatch]]). Empty in production — one
+    * volatile read per window. */
   @volatile private[graft] var failpoint: String = ""
   private[graft] def failIf(point: String): Unit =
     if (failpoint == point)
@@ -286,12 +287,16 @@ object Formats {
       spark.sql(s"ALTER TABLE `$staging` SET LOCATION '${oldLoc}__void'")
       spark.sql(s"DROP TABLE `$staging`")
     }
-    // ping-pong target: never rewrite into the directory being read
-    val base = qualified(spark,
-      new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase).toString)
-    val pong = qualified(spark, s"${base}__pong")
-    val newLoc = if (oldLoc.toUri.getPath == base.toUri.getPath) pong else base
+    // ping-pong target: never rewrite into the directory being read. The
+    // pair is derived from the table's ACTUAL catalog location — strip or
+    // append a `__pong` suffix on it (ADVICE r11: reconstructing the
+    // default managed path `warehouse/<table>` here would silently
+    // relocate — and then delete — a table living anywhere else, e.g. in
+    // a non-default database or at an explicit external location)
+    val oldStr = oldLoc.toString
+    val newLoc = qualified(spark,
+      if (oldStr.endsWith("__pong")) oldStr.stripSuffix("__pong")
+      else s"${oldStr}__pong")
     // the target must start empty: it is either a crashed attempt's
     // partial rewrite or (after a post-swap crash) the orphaned previous
     // generation — both are superseded data, reclaimed here
@@ -349,7 +354,17 @@ object Formats {
     * corpus-generation stamp a manifest records. `bit_xor` of the 60-bit
     * id hash is commutative/associative, so the stamp is partition- and
     * order-invariant, and a disjoint batch folds in WITHOUT rereading the
-    * corpus: stamp(union) = (n_a + n_b, fp_a XOR fp_b). */
+    * corpus: stamp(union) = (n_a + n_b, fp_a XOR fp_b).
+    *
+    * Batch DISJOINTNESS is a correctness precondition, not just a
+    * performance contract (ADVICE r11): xor is self-cancelling, so a
+    * batch that overlaps the indexed corpus folds the duplicate ids
+    * AWAY — the stamp can then equal that of a smaller corpus and
+    * [[isStaleFor]] would vouch for a silently corrupted index. The
+    * count component catches any overlap that changes cardinality
+    * expectations, and FormatsSpec spot-checks the hazard explicitly;
+    * production appenders must enforce id-disjointness upstream (all of
+    * this engine's appenders derive batches from disjoint id splits). */
   def corpusStamp(df: DataFrame, idCol: String): (Long, Long) = {
     val h = graft.functions.CrossHash.h60(col(idCol).cast("string"))
     val r = df.select(h.as("h"))
@@ -396,6 +411,19 @@ object Formats {
   /** Append-side gate + stamp fold: requires the manifest exists and the
     * append's declared params are compatible with the build's, then
     * rewrites the row with the batch's stamp folded in.
+    *
+    * HARD CONTRACT — single writer, crash means rebuild (ADVICE r11):
+    * this is a non-atomic read-modify-write of the one-row meta table,
+    * and every append* path runs it AFTER its data append. A crash in
+    * the window between the two leaves index rows committed with no
+    * stamp folded (the manifest understates the corpus), and two
+    * concurrent appenders can lose one batch's stamp entirely — in both
+    * cases `corpus_n`/`corpus_fp` disagree with the stored rows while
+    * [[requireBuilt]] still passes. Run at most one appender per index
+    * family at a time, and treat any append that crashed mid-way as
+    * index corruption: rebuild (the same recovery the bucketed-append
+    * data path itself requires — Spark's `SaveMode.Append` is not
+    * transactional either).
     *
     * `bootstrap` covers the one legitimate manifest-less append: families
     * whose derivation is stateless per document (SQ codes, LSH bands,

@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Curation, Dedup, SharedCorpus}
+import graft.sources.{Formats, Tables}
+
+/** The daily-batch composite: decision-table invariants, the commit
+  * lifecycle (index append + snapshot merge equal their one-shot twins),
+  * and the failpoint-proven crash recovery between the two commit steps. */
+class CurationSpec extends SparkTestBase {
+
+  private def all = Tables.documents(spark, sfDir)
+
+  private def withBandIndex[T](table: String)(body: => T): T =
+    try {
+      Dedup.buildBandIndex(Curation.corpusOf(all), table)
+      body
+    } finally {
+      Seq(table, table + "_sigs", table + "_meta")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+
+  test("decision table: verdict conjunction and packing coordinates") {
+    withBandIndex("graft_daily_spec") {
+      val d = Curation.dailyBatch(spark, all, "graft_daily_spec").cache()
+      // one row per batch doc, nothing else
+      assert(d.count() === Curation.batchOf(all).count())
+      // survived is exactly the conjunction of the five stage verdicts
+      assert(d.filter(col("survived") =!= (col("q_ok") && col("lang_ok") &&
+        col("rep_ok") && col("dedup_ok") && col("clean_ok"))).count() === 0)
+      // packing coordinates present iff survived
+      assert(d.filter(col("survived") && col("seq_id").isNull).count() === 0)
+      assert(d.filter(!col("survived") && col("seq_id").isNotNull).count() === 0)
+      // the packed survivors are exactly packGreedy over the survivor set
+      val surv = Curation.batchOf(all)
+        .join(d.filter(col("survived")).select("doc_id"), Seq("doc_id"), "left_semi")
+      val expected = graft.ops.Packing.packGreedy(surv)
+        .select("doc_id", "bucket", "seq_id", "seq_offset")
+        .orderBy("doc_id").collect().toSeq
+      val got = d.filter(col("survived"))
+        .select("doc_id", "bucket", "seq_id", "seq_offset")
+        .orderBy("doc_id").collect().toSeq
+      assert(got === expected)
+      // the funnel is non-trivial on the gate corpus: at least one doc
+      // rejected at some stage and at least one survivor
+      assert(d.filter(col("survived")).count() > 0)
+      assert(d.filter(!col("survived")).count() > 0)
+      d.unpersist()
+    }
+  }
+
+  test("decision table identical under shared projection") {
+    withBandIndex("graft_daily_spec2") {
+      SharedCorpus.pin(spark, sfDir)
+      try {
+        val shared = SharedCorpus.withMode(true)(
+          Curation.dailyBatch(spark, SharedCorpus.docsTok(spark, sfDir),
+            "graft_daily_spec2").collect().toSeq)
+        val raw = SharedCorpus.withMode(false)(
+          Curation.dailyBatch(spark, all, "graft_daily_spec2").collect().toSeq)
+        assert(shared === raw)
+      } finally SharedCorpus.unpin(spark, sfDir)
+    }
+  }
+
+  test("commit: index + snapshot equal their one-shot twins; crash between steps recovers") {
+    def tableRows(t: String): Seq[String] =
+      spark.table(t).collect().map(_.toString).toSeq.sorted
+    def dropAll(ts: String*): Unit = ts.foreach { t =>
+      Seq(t, t + "_sigs", t + "_meta").foreach(x =>
+        spark.sql(s"DROP TABLE IF EXISTS $x"))
+    }
+    try {
+      // ---- uncrashed run -------------------------------------------------
+      Dedup.buildBandIndex(Curation.corpusOf(all), "graft_daily_ok")
+      Curation.commitDailyBatch(spark, all, "graft_daily_ok",
+        prevSnap = None, outSnap = "graft_daily_snap_ok")
+      val okBands = tableRows("graft_daily_ok")
+      val okSigs = tableRows("graft_daily_ok_sigs")
+      val okSnap = tableRows("graft_daily_snap_ok")
+      // committed index == one-shot build over corpus ∪ survivors
+      val surv = Curation.batchOf(all).join(
+        spark.table("graft_daily_snap_ok").filter(col("version") === 1)
+          .select("doc_id"), Seq("doc_id"), "left_semi")
+      Dedup.buildBandIndex(Curation.corpusOf(all).unionByName(surv), "graft_daily_oneshot")
+      assert(okBands === tableRows("graft_daily_oneshot"))
+      assert(okSigs === tableRows("graft_daily_oneshot_sigs"))
+      // snapshot: every corpus doc at version 0 plus every survivor at 1
+      val snap = spark.table("graft_daily_snap_ok")
+      assert(snap.filter(col("version") === 0).count() ===
+        Curation.corpusOf(all).count())
+      assert(snap.filter(col("version") === 1).count() === surv.count())
+
+      // ---- crashed run: failpoint between index append and snapshot -----
+      Dedup.buildBandIndex(Curation.corpusOf(all), "graft_daily_cr")
+      Formats.failpoint = "daily.after_index_append"
+      val crash = intercept[RuntimeException] {
+        Curation.commitDailyBatch(spark, all, "graft_daily_cr",
+          prevSnap = None, outSnap = "graft_daily_snap_cr")
+      }
+      Formats.failpoint = ""
+      assert(crash.getMessage.contains("daily.after_index_append"))
+      // the crash window left the published ledger, a valid index
+      // (survivors in) and NO snapshot
+      assert(spark.catalog.tableExists("graft_daily_snap_cr_ledger"))
+      assert(!spark.catalog.tableExists("graft_daily_snap_cr"))
+      assert(tableRows("graft_daily_cr") === okBands)
+      // recovery = step 2 alone from the stored ledger
+      Curation.commitSnapshotOnly(spark, all,
+        spark.table("graft_daily_snap_cr_ledger"),
+        prevSnap = None, outSnap = "graft_daily_snap_cr")
+      assert(tableRows("graft_daily_snap_cr") === okSnap)
+      assert(tableRows("graft_daily_cr_sigs") === okSigs)
+    } finally {
+      Formats.failpoint = ""
+      dropAll("graft_daily_ok", "graft_daily_oneshot", "graft_daily_cr")
+      Seq("graft_daily_snap_ok", "graft_daily_snap_cr",
+          "graft_daily_snap_ok_ledger", "graft_daily_snap_cr_ledger")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+}

@@ -404,6 +404,27 @@ class FormatsSpec extends SparkTestBase {
     }
   }
 
+  test("corpusStamp: overlapping batches self-cancel — disjointness is a precondition") {
+    // ADVICE r11: xor is self-cancelling, so folding a batch that OVERLAPS
+    // the indexed corpus cancels the duplicate ids out of the fingerprint
+    // — this spec pins the hazard the corpusStamp doc warns about, so the
+    // disjointness precondition can never be silently dropped
+    val emb = Tables.embeddings(spark, sfDir)
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    val (nH, fpH) = Formats.corpusStamp(half, "vec_id")
+    val (nA, fpA) = Formats.corpusStamp(emb, "vec_id")
+    // folding the SAME half twice onto the full stamp cancels it away:
+    // the count moves but the fingerprint returns to the disjoint value
+    assert((fpA ^ fpH ^ fpH) === fpA)
+    // and folding an overlapping "batch" (the full set onto the half)
+    // yields the stamp of the SYMMETRIC DIFFERENCE, not the union —
+    // exactly the other half here, i.e. a smaller corpus vouched for
+    val rest = emb.filter(col("vec_id") % 2 =!= 0)
+    val (nR, fpR) = Formats.corpusStamp(rest, "vec_id")
+    assert((fpH ^ fpA) === fpR)
+    assert(nH + nA !== nR) // the count component DOES flag this overlap
+  }
+
   test("build manifest: fresh stateless family bootstraps via append") {
     import graft.ops.Similarity
     val emb = Tables.embeddings(spark, sfDir)

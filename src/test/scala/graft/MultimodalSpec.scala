@@ -60,7 +60,7 @@ class MultimodalSpec extends SparkTestBase {
       val id = r.getLong(0)
       val (w, h) = ((id % 16 + 8).toInt, (id % 12 + 8).toInt)
       val pix = for (y <- 0 until h; x <- 0 until w)
-        yield ((id * 31 + x * 7 + y * 13) % 256).toInt
+        yield ((id * 31 + x * 7 + y * 13 + (id % 9 + 1) * x * y) % 256).toInt
       assert(r.getLong(1) === w.toLong && r.getLong(2) === h.toLong)
       assert(r.getDouble(3) === pix.map(_.toLong).sum.toDouble / pix.size,
         s"mean pixel mismatch for doc $id — PNG round trip must be lossless")
@@ -90,6 +90,47 @@ class MultimodalSpec extends SparkTestBase {
         s"mean sample mismatch for doc $id — PCM round trip must be lossless")
       assert(r.getLong(4) === smp.min.toLong && r.getLong(5) === smp.max.toLong)
     }
+  }
+
+  test("dHash matches a driver replay of the sampled-pixel formula") {
+    val docs = Tables.documents(spark, sfDir).limit(50)
+    val codes = Multimodal.dHash(Multimodal.synthesizePng(docs))
+    codes.orderBy("doc_id").limit(10).collect().foreach { r =>
+      val id = r.getLong(0)
+      val (w, h) = (id % 16 + 8, id % 12 + 8)
+      def v(x: Long, y: Long) = (id * 31 + x * 7 + y * 13 + (id % 9 + 1) * x * y) % 256
+      var expected = 0L
+      for (gy <- 0 until 8; gx <- 0 until 7) {
+        val sy = gy * h / 8
+        if (v((gx + 1) * w / 8, sy) > v(gx * w / 8, sy))
+          expected |= 1L << (gy * 7 + gx)
+      }
+      assert(r.getLong(1) === expected, s"dHash mismatch for doc $id")
+    }
+  }
+
+  test("pHashPairs mines crafted near-identical images, not distinct ones") {
+    // three hand-built 16×16 grayscale PNGs: B is A with ONE pixel nudged
+    // (perceptually identical), C is an unrelated checkerboard
+    def pngOf(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        16, 16, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until 16; x <- 0 until 16)
+        img.getRaster.setSample(x, y, 0, f(x, y) & 0xFF)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val a = pngOf((x, y) => x * 13 + y * 29)
+    val b = pngOf((x, y) => if (x == 5 && y == 5) 0 else x * 13 + y * 29)
+    val c = pngOf((x, y) => if ((x + y) % 2 == 0) 255 else 0)
+    import spark.implicits._
+    val blobs = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "bytes")
+    val pairs = Multimodal.pHashPairs(blobs).collect()
+    // the near-identical pair is found (one nudged pixel flips ≤3 of the
+    // 56 comparisons), and the checkerboard pairs with neither
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+    assert(!pairs.exists(r => r.getLong(1) == 3L || r.getLong(0) == 3L))
   }
 
   test("decodeStub: schema contract and deterministic byte statistics") {

@@ -78,6 +78,33 @@ class PackingSpec extends SparkTestBase {
     assert(re.sortBy(_._1).toSeq === out.sortBy(_._1).toSeq)
   }
 
+  test("packGreedyBpe budgets by STORED-vocab subword counts, every doc packed") {
+    import graft.ops.Bpe
+    try {
+      Bpe.buildBpeModel(docs, "graft_bpe_pack_spec")
+      val out = Packing.packGreedyBpe(spark, docs, "graft_bpe_pack_spec").cache()
+      // every document gets a slot (zero-alnum docs pack with n_tokens 0)
+      assert(out.count() === docs.count())
+      // n_tokens equals the stored-vocab tokenizer's n_subwords, with the
+      // 0 default for documents the word-level tokenizer drops
+      val bpe = Bpe.tokenizeWithStoredVocab(spark, docs, "graft_bpe_pack_spec")
+        .select(col("doc_id"), col("n_subwords"))
+      val mismatch = out.join(bpe, Seq("doc_id"), "left")
+        .filter(col("n_tokens") =!= coalesce(col("n_subwords"), lit(0L)))
+      assert(mismatch.count() === 0)
+      // no-split contract under the BPE budget: a doc fits inside its
+      // sequence unless it alone exceeds the whole budget at offset 0
+      val over = out.filter(
+        col("seq_offset") + col("n_tokens") > Packing.DefaultBpeBudget &&
+          !(col("seq_offset") === 0))
+      assert(over.count() === 0)
+      out.unpersist()
+    } finally {
+      Seq("graft_bpe_pack_spec", "graft_bpe_pack_spec_meta")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("packSequences lays documents end-to-end with no gaps or overlaps per bucket") {
     val budget = 64L
     val out = Packing.packSequences(docs, budgetTokens = budget, buckets = 4)

@@ -110,6 +110,47 @@ class PlanAuditSpec extends SparkTestBase {
       s"drift totals must broadcast:\n$dr")
   }
 
+  test("shared-projection mode keeps the broadcasts raw mode gets") {
+    // VERDICT r11 item 1: the r11 row-RDD pin had no stats, so every
+    // auto-broadcast in the MinHash family silently degraded to a
+    // sort-merge join under the tokenize-once serving mode (2-20x slower
+    // than raw). The r12 columnar snapshot must plan the SAME join shapes:
+    // at least as many broadcast joins, no extra sort-merge joins.
+    val d = "/root/testdata/sf0.001"
+    import graft.ops.{Dedup, SharedCorpus}
+    import org.apache.spark.sql.functions.col
+    def shapes(shared: Boolean): (Int, Int) = SharedCorpus.withMode(shared) {
+      val all = SharedCorpus.docsTok(spark, d)
+      val plan = Dedup.crossCorpusNearDups(
+        all.filter(col("doc_id") % 3 =!= 0), all.filter(col("doc_id") % 3 === 0))
+        .queryExecution.executedPlan.toString
+      ("BroadcastHashJoin".r.findAllIn(plan).length,
+        "SortMergeJoin".r.findAllIn(plan).length)
+    }
+    SharedCorpus.pin(spark, d)
+    try {
+      val (rawB, rawS) = shapes(shared = false)
+      val (shB, shS) = shapes(shared = true)
+      assert(shB >= rawB,
+        s"shared mode lost broadcasts: raw=$rawB shared=$shB")
+      assert(shS <= rawS,
+        s"shared mode grew sort-merge joins: raw=$rawS shared=$shS")
+      // and the snapshot scan must column-prune: the miner names only
+      // doc_id+ws, so the pinned scan must not read `text`/`toks_alnum`
+      val sharedPlan = SharedCorpus.withMode(true) {
+        Dedup.minHashPairs(SharedCorpus.docsTok(spark, d))
+          .queryExecution.executedPlan.toString
+      }
+      val scanSchemas = "ReadSchema: [^\n]+".r.findAllIn(sharedPlan).toList
+        .filter(_.contains("toks_ws"))
+      assert(scanSchemas.nonEmpty, s"no snapshot scan found:\n$sharedPlan")
+      scanSchemas.foreach { rs =>
+        assert(!rs.contains("text") && !rs.contains("toks_alnum"),
+          s"pinned scan reads unpruned columns: $rs")
+      }
+    } finally SharedCorpus.unpin(spark, d)
+  }
+
   test("fourth TPC-H wave plans the join shapes the queries are about") {
     val d = "/root/testdata/sf0.001"
     import graft.ops.Relational

@@ -65,19 +65,21 @@ class SharedCorpusSpec extends SparkTestBase {
     t.start()
     SharedCorpus.withMode(false) {
       assert(!SharedCorpus.servingShared)
-      // raw mode: docsTok must NOT serve the pinned copy — its plan scans
-      // parquet rather than an ExistingRDD
-      val plan = SharedCorpus.docsTok(spark, sfDir)
-        .queryExecution.optimizedPlan.toString
-      assert(!plan.contains("ExistingRDD") && !plan.contains("LogicalRDD"))
+      // raw mode: docsTok must NOT serve the pinned snapshot — its scan
+      // reads the source documents.parquet, not the warehouse snapshot
+      val files = SharedCorpus.docsTok(spark, sfDir).inputFiles
+      assert(files.nonEmpty && files.forall(_.contains(sfDir)))
+      assert(!files.exists(_.contains("graft_pinned_tok")))
       ready.countDown(); done.await()
     }
     t.join()
     assert(other)
     assert(SharedCorpus.servingShared)
-    val plan = SharedCorpus.withMode(true)(
-      SharedCorpus.docsTok(spark, sfDir).queryExecution.optimizedPlan.toString)
-    assert(plan.contains("RDD")) // pinned copy = LogicalRDD scan
+    // pinned mode = a columnar scan of the snapshot (VERDICT r11: a
+    // LogicalRDD pin lost pruning + stats; the snapshot is a file relation)
+    val files = SharedCorpus.withMode(true)(
+      SharedCorpus.docsTok(spark, sfDir).inputFiles)
+    assert(files.nonEmpty && files.forall(_.contains("graft_pinned_tok")))
   }
 
   test("docsTok records consultation for the bench's touched probe") {
@@ -89,19 +91,23 @@ class SharedCorpusSpec extends SparkTestBase {
     assert(!SharedCorpus.wasTouched)
   }
 
-  test("unpin releases the persisted RDD; re-pin works after") {
+  test("unpin deletes the snapshot; re-pin materializes a fresh one") {
     val dir2 = "/root/testdata/sf0.001" // same dir, separate pin lifecycle
     SharedCorpus.pin(spark, dir2)
-    val pinnedIds = spark.sparkContext.getPersistentRDDs.keys
-      .filter(SharedCorpus.isPinnedRdd).toSet
-    assert(pinnedIds.nonEmpty)
+    val path = SharedCorpus.pinnedPath(spark, dir2)
+    assert(path.nonEmpty)
+    assert(new java.io.File(path.get).isDirectory)
     SharedCorpus.unpinAll(spark)
-    // no pinned RDD survives teardown (VERDICT r10 item 5)
-    assert(!spark.sparkContext.getPersistentRDDs.keys.exists(SharedCorpus.isPinnedRdd))
-    assert(pinnedIds.forall(id => !spark.sparkContext.getPersistentRDDs.contains(id)))
-    // and the map entry is gone: re-pin materializes a fresh copy
+    // no snapshot survives teardown (VERDICT r10 item 5): registry entry
+    // gone AND the on-disk directory deleted
+    assert(SharedCorpus.pinnedPath(spark, dir2).isEmpty)
+    assert(!new java.io.File(path.get).exists)
+    // and re-pin materializes a fresh copy, served again by docsTok
     SharedCorpus.pin(spark, dir2)
-    assert(spark.sparkContext.getPersistentRDDs.keys.exists(SharedCorpus.isPinnedRdd))
+    assert(SharedCorpus.pinnedPath(spark, dir2).nonEmpty)
+    assert(new java.io.File(path.get).isDirectory)
+    SharedCorpus.unpin(spark, dir2)
+    assert(!new java.io.File(path.get).exists)
   }
 
   test("token stats identical under shared projection") {
