@@ -119,9 +119,21 @@ object Bench {
         n: Int, withShared: Boolean = true): (Seq[(Double, Boolean)], Option[(Double, Boolean)]) = {
       graft.ops.SharedCorpus.resetTouched()
       val ts = (1 to n).map(_ => timeOne(fn, shared = false))
+      // shared map = STEADY-STATE of the tokenize-once mode, min of 2 runs
+      // — symmetric with the raw steady's min-of-n semantics. Cleanup runs
+      // only BETWEEN queries, so raw runs 2..n reuse run 1's persisted
+      // intermediates (each operator's internal persist() hits the
+      // CacheManager by plan equality); the shared-mode plan reads the
+      // snapshot instead of the raw scan, so it can never hit those
+      // entries — a single shared run would time an honest cold run
+      // against a cache-warm raw min (r12: that asymmetry, not the data
+      // path, was most of the residual "shared slower than raw" after the
+      // columnar pin fix — shared COLD ≈ raw COLD on every gate).
       val sharedRun =
-        if (withShared && pinOk && graft.ops.SharedCorpus.wasTouched)
-          Some(timeOne(fn, shared = true))
+        if (withShared && pinOk && graft.ops.SharedCorpus.wasTouched) {
+          val runs2 = (1 to 2).map(_ => timeOne(fn, shared = true))
+          Some((runs2.map(_._1).min, runs2.forall(_._2)))
+        }
         else None
       // drop this query's persisted intermediates before the next query:
       // without this, ~30 queries of cached dedup/similarity tables pile up

@@ -522,6 +522,14 @@ object SparkEntry {
       }
       Packing.packGreedyBpe(s, SharedCorpus.docsTok(s, d), "graft_bpe_model")
     }),
+    // the concat-chunk sibling under the same stored-BPE counts (the
+    // pretraining layout; greedy above is the no-split SFT layout)
+    "pack_bpe_sequences" -> ((s, d) => {
+      buildOnce(s"bpe_model:$d") {
+        Bpe.buildBpeModel(Tables.documents(s, d), "graft_bpe_model")
+      }
+      Packing.packSequencesBpe(s, SharedCorpus.docsTok(s, d), "graft_bpe_model")
+    }),
     "pack_token_budget" -> ((s, d) => Packing.tokenBudgetSample(SharedCorpus.docsTok(s, d))),
     // production form: hot source salted into 8 sub-strata with sub-budgets
     "pack_token_budget_salted" -> ((s, d) =>
@@ -667,6 +675,16 @@ object SparkEntry {
         Dedup.buildBandIndex(graft.ops.Curation.corpusOf(all), "graft_band_daily")
       }
       graft.ops.Curation.dailyBatch(s, all, "graft_band_daily")
+    }),
+    // the same composite with the Bloom-pruned decontamination stage (the
+    // broadcast-outgrown regime) — result-identical by the Bloom path's
+    // no-false-negatives contract, so it shares the composite's oracle
+    "pipeline_daily_bloom" -> ((s, d) => {
+      val all = SharedCorpus.docsTok(s, d)
+      buildOnce(s"band_daily:$d") {
+        Dedup.buildBandIndex(graft.ops.Curation.corpusOf(all), "graft_band_daily")
+      }
+      graft.ops.Curation.dailyBatch(s, all, "graft_band_daily", bloomDecontam = true)
     }),
     // cross-corpus fuzzy join: near-dup pairs BETWEEN the %3-split halves
     // (train side vs external side) — no intra-corpus pairs
@@ -926,6 +944,32 @@ object SparkEntry {
     "mm_phash_pairs" -> ((s, d) => {
       ensurePngBlobs(s, d)
       Multimodal.pHashPairs(s.table("graft_png_blobs"))
+    }),
+    // build/query split for the media dedup tier (the phash twin of
+    // dedup_cross_indexed): the corpus side's codes + bands persisted
+    // ONCE bucketed on the band key — each new crawl batch is the only
+    // thing decoded; the incr variant builds half and APPENDS half
+    // (dHash is per-image, so two-batch == one-shot bit-identically)
+    "mm_phash_indexed" -> ((s, d) => {
+      ensurePngBlobs(s, d)
+      buildOnce(s"phash_idx:$d") {
+        Multimodal.buildPhashIndex(
+          s.table("graft_png_blobs").filter(col("doc_id") % 3 =!= 0), "graft_phash_idx")
+      }
+      Multimodal.phashPairsIndexed(s, "graft_phash_idx",
+        s.table("graft_png_blobs").filter(col("doc_id") % 3 === 0))
+    }),
+    "mm_phash_indexed_incr" -> ((s, d) => {
+      ensurePngBlobs(s, d)
+      buildOnce(s"phash_incr:$d") {
+        val corpus = s.table("graft_png_blobs").filter(col("doc_id") % 3 =!= 0)
+        Multimodal.buildPhashIndex(
+          corpus.filter(col("doc_id") % 2 === 0), "graft_phash_incr")
+        Multimodal.appendToPhashIndex(
+          corpus.filter(col("doc_id") % 2 =!= 0), "graft_phash_incr")
+      }
+      Multimodal.phashPairsIndexed(s, "graft_phash_incr",
+        s.table("graft_png_blobs").filter(col("doc_id") % 3 === 0))
     }),
     "mm_decode_wav" -> ((s, d) => {
       buildOnce(s"wav_blobs:$d") {
@@ -1830,6 +1874,26 @@ object SparkEntry {
       |ph AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS phash
       |  FROM bits GROUP BY doc_id)""".stripMargin
 
+  /** DuckDB mirror of [[Multimodal.phashPairsIndexed]] over the %3 split:
+    * band collisions BETWEEN the stored-corpus side and the batch side,
+    * then the exact Hamming rule. */
+  private val phashCrossOracleSql: String =
+    s"""WITH $phashCtes,
+       |bndA AS (SELECT doc_id, phash, b AS band_idx,
+       |    (phash >> CAST(b * 14 AS INT)) & 16383 AS band_val
+       |  FROM ph, unnest(generate_series(0, 3)) AS tb(b) WHERE doc_id % 3 <> 0),
+       |bndB AS (SELECT doc_id, phash, b AS band_idx,
+       |    (phash >> CAST(b * 14 AS INT)) & 16383 AS band_val
+       |  FROM ph, unnest(generate_series(0, 3)) AS tb(b) WHERE doc_id % 3 = 0),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bndA a JOIN bndB b
+       |  ON a.band_idx = b.band_idx AND a.band_val = b.band_val)
+       |SELECT doc_a, doc_b,
+       |  CAST(bit_count(xor(pa.phash, pb.phash)) AS BIGINT) AS hamming
+       |FROM cand JOIN ph pa ON pa.doc_id = doc_a JOIN ph pb ON pb.doc_id = doc_b
+       |WHERE bit_count(xor(pa.phash, pb.phash)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   private def bpeCtes(rounds: Int): String = {
     val sb = new StringBuilder
     sb ++= s"""w AS (SELECT w AS word, count(*) AS cnt
@@ -2609,6 +2673,7 @@ object SparkEntry {
          |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "dedup_minhash_pairs" -> minhashOracleSql,
     "pipeline_daily_batch" -> dailyBatchOracleSql,
+    "pipeline_daily_bloom" -> dailyBatchOracleSql,
     "dedup_cross_corpus" -> crossCorpusOracleSql,
     "dedup_cross_indexed" -> crossCorpusOracleSql,
     "dedup_cross_indexed_incr" -> crossCorpusOracleSql,
@@ -2954,6 +3019,29 @@ object SparkEntry {
          |  FROM walk w JOIN d ON d.bucket = w.bucket AND d.rn = w.rn + 1)
          |SELECT doc_id, bucket, seq_id, seq_offset, n_tokens
          |FROM walk ORDER BY doc_id""".stripMargin,
+    // concat-chunk under the replayed stored-BPE counts: the same
+    // window cumsum as pack_sequences over the BPE count table
+    "pack_bpe_sequences" ->
+      s"""WITH ${bpeCtes(graft.ops.Bpe.DefaultRounds)},
+         |tok AS (SELECT doc_id, w AS word
+         |  FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '$WS')) AS w FROM documents)
+         |  WHERE regexp_matches(w, '^[a-z0-9]+$$')),
+         |v AS (SELECT word, len(string_split(s, chr(31))) AS n_syms
+         |  FROM s${graft.ops.Bpe.DefaultRounds}),
+         |cnt AS (SELECT doc_id, CAST(sum(n_syms) AS BIGINT) AS n
+         |  FROM tok JOIN v USING (word) GROUP BY 1),
+         |base AS (SELECT doc_id, coalesce(cnt.n, 0) AS n_tokens,
+         |    ${Packing.orderHashSql} AS h
+         |  FROM documents LEFT JOIN cnt USING (doc_id)),
+         |b AS (SELECT *, CAST(h % 16 AS INTEGER) AS bucket FROM base),
+         |c AS (SELECT doc_id, bucket, n_tokens,
+         |    coalesce(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |  FROM b)
+         |SELECT doc_id, bucket,
+         |  CAST(floor(cum_before / ${Packing.DefaultBpeBudget}.0) AS BIGINT) AS seq_id,
+         |  CAST(cum_before % ${Packing.DefaultBpeBudget} AS BIGINT) AS seq_offset, n_tokens
+         |FROM c ORDER BY doc_id""".stripMargin,
     // overlapping 64/48 token windows: positions are integer arithmetic,
     // content equality rides the md5 fingerprint
     "pack_chunks" ->
@@ -3171,6 +3259,11 @@ object SparkEntry {
         |  AND a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.phash, b.phash)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // cross-side banded mining on the replayed codes: stored-corpus side
+    // (%3<>0) vs batch side (%3=0), exact Hamming verification — the
+    // index changes where the corpus codes come from, not the pairs
+    "mm_phash_indexed" -> phashCrossOracleSql,
+    "mm_phash_indexed_incr" -> phashCrossOracleSql,
     // replays Multimodal.synthesizeWav's generating formula: sample
     // i = ((doc_id*37 + i*17) mod 65536) - 32768 over doc_id%400+100
     // samples — PCM is lossless, so the real javax.sound decode must

@@ -67,7 +67,7 @@ object Curation {
     * exactly this reason. */
   def dailyBatch(spark: SparkSession, all: DataFrame, bandTable: String,
       minQuality: Double = 0.6, lang: String = "en", maxDup2: Double = 0.05,
-      nSpan: Int = 8): DataFrame = {
+      nSpan: Int = 8, bloomDecontam: Boolean = false): DataFrame = {
     val batch = batchOf(all)
     val scored = batch
       .select(col("doc_id"), SharedCorpus.wsOf(batch).as("a"),
@@ -80,8 +80,15 @@ object Curation {
     val ndup = Dedup.nearDupPairsIndexed(spark, bandTable, batch)
       .select(col("doc_b").as("doc_id")).distinct()
       .withColumn("nd", lit(true))
-    val contam = Dedup.contaminationStats(batch, benchOf(all), nSpan)
-      .select(col("doc_id"), (col("n_contam_spans") === 0L).as("cl"))
+    // decontamination stage: the direct broadcast semi-join by default, or
+    // the Bloom-pruned scan for the broadcast-outgrown regime — RESULT-
+    // IDENTICAL by the Bloom path's no-false-negatives contract, so both
+    // composite forms share one oracle (same rule as the dedup_contamination
+    // gate pair)
+    val stats =
+      if (bloomDecontam) Dedup.contaminationStatsBloom(batch, benchOf(all), nSpan)
+      else Dedup.contaminationStats(batch, benchOf(all), nSpan)
+    val contam = stats.select(col("doc_id"), (col("n_contam_spans") === 0L).as("cl"))
     val flags = scored
       .join(ndup, Seq("doc_id"), "left")
       .join(contam, Seq("doc_id"), "left")

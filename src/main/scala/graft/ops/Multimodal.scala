@@ -247,13 +247,7 @@ object Multimodal {
     * handles for the text miners. */
   def pHashPairs(blobs: DataFrame, maxHamming: Int = DefaultMaxHammingPx): DataFrame = {
     val codes = dHash(blobs).persist() // one 2-long row per image; feeds both join sides
-    val bandBits = (DHashGrid - 1) * DHashGrid / PHashBands
-    val banded = codes.select(
-      col("doc_id"), col("phash"),
-      posexplode(array((0 until PHashBands).map(b =>
-        shiftright(col("phash"), b * bandBits)
-          .bitwiseAND((1L << bandBits) - 1).cast("long")): _*))
-        .as(Seq("band_idx", "band_val")))
+    val banded = phashBands(codes)
     banded.as("a")
       .join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -262,6 +256,83 @@ object Multimodal {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).cast("long").as("hamming"))
       .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** The band rows of a [[dHash]] code table — ONE banding scheme for the
+    * direct miner and the stored index, so they cannot drift. */
+  private def phashBands(codes: DataFrame): DataFrame = {
+    val bandBits = (DHashGrid - 1) * DHashGrid / PHashBands
+    codes.select(
+      col("doc_id"), col("phash"),
+      posexplode(array((0 until PHashBands).map(b =>
+        shiftright(col("phash"), b * bandBits)
+          .bitwiseAND((1L << bandBits) - 1).cast("long")): _*))
+        .as(Seq("band_idx", "band_val")))
+  }
+
+  /** Build-once half of the perceptual-hash build/query split — the media
+    * twin of [[Dedup.buildBandIndex]]: the accumulated image corpus is
+    * decoded ONCE, its band rows stored bucketed + sorted on the probe key
+    * `(band_idx, band_val)` plus a `<table>_codes` side table (one 2-long
+    * code row per image, bucketed on `doc_id`) for Hamming verification.
+    * At 100 TB the full-decode pass is the corpus-scale job you run once;
+    * every new crawl batch probes the stored 8-byte codes. */
+  def buildPhashIndex(blobs: DataFrame, table: String, numBuckets: Int = 8): Unit = {
+    val codes = dHash(blobs).persist()
+    try {
+      graft.sources.Formats.writeBucketed(
+        phashBands(codes), table, Seq("band_idx", "band_val"), numBuckets)
+      graft.sources.Formats.writeBucketed(codes, table + "_codes", Seq("doc_id"), numBuckets)
+    } finally codes.unpersist()
+    val (n, fp) = graft.sources.Formats.corpusStamp(blobs, "doc_id")
+    graft.sources.Formats.writeBuildMeta(blobs.sparkSession, table,
+      s"kind=phash_bands,buckets=$numBuckets", n, fp)
+  }
+
+  /** Incremental-ingest half: the new batch decoded and its band + code
+    * rows appended. dHash is per-image independent, so the stored corpus
+    * is neither decoded nor rewritten, and a two-batch index answers
+    * bit-identically to a one-shot build of the union (MultimodalSpec).
+    * Batches must be doc-disjoint — the standard append contract. */
+  def appendToPhashIndex(newBlobs: DataFrame, table: String, numBuckets: Int = 8): Unit = {
+    val fresh = !newBlobs.sparkSession.catalog.tableExists(table)
+    val codes = dHash(newBlobs).persist()
+    try {
+      graft.sources.Formats.writeBucketedAppend(
+        phashBands(codes), table, Seq("band_idx", "band_val"), numBuckets)
+      graft.sources.Formats.writeBucketedAppend(
+        codes, table + "_codes", Seq("doc_id"), numBuckets)
+    } finally codes.unpersist()
+    val (n, fp) = graft.sources.Formats.corpusStamp(newBlobs, "doc_id")
+    graft.sources.Formats.foldBuildMeta(newBlobs.sparkSession, table,
+      s"kind=phash_bands,buckets=$numBuckets", n, fp, bootstrap = fresh)
+  }
+
+  /** Query-many half: near-duplicate image pairs BETWEEN the stored
+    * corpus index (`doc_a`) and a new batch (`doc_b`) — only the BATCH is
+    * decoded; the corpus's bands and codes are read pre-hashed on the
+    * band key, so the per-crawl cost is one decode pass over the batch
+    * plus the band-collision join (shuffling or broadcasting only the
+    * batch side). Verification joins the collision-sized candidate list
+    * against the stored `_codes` table on its bucketed key. */
+  def phashPairsIndexed(spark: SparkSession, table: String, newBlobs: DataFrame,
+      maxHamming: Int = DefaultMaxHammingPx): DataFrame = {
+    graft.sources.Formats.requireBuilt(spark, table)
+    val codes = dHash(newBlobs).persist()
+    val candidates = spark.table(table).as("x")
+      .join(phashBands(codes).as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val ca = spark.table(table + "_codes")
+      .select(col("doc_id").as("doc_a"), col("phash").as("ph_a"))
+    val cb = codes.select(col("doc_id").as("doc_b"), col("phash").as("ph_b"))
+    candidates.join(ca, "doc_a").join(cb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .orderBy("doc_a", "doc_b")
   }

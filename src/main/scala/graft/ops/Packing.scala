@@ -72,10 +72,27 @@ object Packing {
     * running sum window is `ROWS UNBOUNDED PRECEDING TO 1 PRECEDING` over
     * longs — exact integer arithmetic, no float accumulation. */
   def packSequences(docs: DataFrame, budgetTokens: Long = DefaultBudget,
-      buckets: Int = DefaultBuckets): DataFrame = {
+      buckets: Int = DefaultBuckets): DataFrame =
+    sequenceWalk(docs.select(col("doc_id"), nTokensOf(docs).as("n_tokens")),
+      budgetTokens, buckets)
+
+  /** [[packSequences]] under STORED-BPE token budgets — the concat-chunk
+    * sibling of [[packGreedyBpe]] (pretraining's GPT-style layout under
+    * real tokenizer counts; the greedy form is the no-split SFT layout).
+    * Same plan shape: broadcast vocab join for the counts, one window
+    * walk — zero extra exchanges. */
+  def packSequencesBpe(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
+      bpeTable: String, budgetTokens: Long = DefaultBpeBudget,
+      buckets: Int = DefaultBuckets): DataFrame =
+    sequenceWalk(bpeTokenCounts(spark, docs, bpeTable), budgetTokens, buckets)
+
+  /** The shared concat-then-chunk layout over a pre-computed per-document
+    * token-count table `(doc_id, n_tokens)` — see [[packSequences]]. */
+  private def sequenceWalk(counts: DataFrame, budgetTokens: Long,
+      buckets: Int): DataFrame = {
     val w = Window.partitionBy("bucket").orderBy(col("h"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    docs.select(col("doc_id"), nTokensOf(docs).as("n_tokens"), orderHash.as("h"))
+    counts.select(col("doc_id"), col("n_tokens"), orderHash.as("h"))
       .withColumn("bucket", (col("h") % buckets).cast("int"))
       .withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
       .select(
@@ -84,6 +101,21 @@ object Packing {
         (col("cum_before") % budgetTokens).as("seq_offset"),
         col("n_tokens"))
       .orderBy("doc_id")
+  }
+
+  /** Per-document subword counts under a STORED BPE model — the count
+    * table both BPE-budgeted packers walk (zero for documents with no
+    * alnum words, kept via `explode_outer`). */
+  private def bpeTokenCounts(spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, bpeTable: String): DataFrame = {
+    val state = Bpe.stateOf(docs, Bpe.storedMerges(spark, bpeTable))
+    val vocab = state.select(col("word"),
+      size(split(col("s"), Bpe.Sep)).cast("long").as("n_syms"))
+    docs
+      .select(col("doc_id"), explode_outer(SharedCorpus.alnumOf(docs)).as("word"))
+      .join(broadcast(vocab), Seq("word"), "left")
+      .groupBy("doc_id")
+      .agg(coalesce(sum("n_syms"), lit(0L)).as("n_tokens"))
   }
 
   /** NO-SPLIT sequence packing (greedy next-fit) — the sample-level twin
@@ -133,19 +165,8 @@ object Packing {
     * exchanges over the whitespace packer. */
   def packGreedyBpe(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
       bpeTable: String, budgetTokens: Long = DefaultBpeBudget,
-      buckets: Int = DefaultBuckets): DataFrame = {
-    val state = Bpe.stateOf(docs, Bpe.storedMerges(spark, bpeTable))
-    val vocab = state.select(col("word"),
-      size(split(col("s"), Bpe.Sep)).cast("long").as("n_syms"))
-    // explode_outer keeps zero-alnum-word documents (null word row → null
-    // n_syms → coalesce 0): every document must appear in the packing
-    val counts = docs
-      .select(col("doc_id"), explode_outer(SharedCorpus.alnumOf(docs)).as("word"))
-      .join(broadcast(vocab), Seq("word"), "left")
-      .groupBy("doc_id")
-      .agg(coalesce(sum("n_syms"), lit(0L)).as("n_tokens"))
-    greedyWalk(counts, budgetTokens, buckets)
-  }
+      buckets: Int = DefaultBuckets): DataFrame =
+    greedyWalk(bpeTokenCounts(spark, docs, bpeTable), budgetTokens, buckets)
 
   /** The shared greedy next-fit walk over a pre-computed per-document
     * token-count table `(doc_id, n_tokens)` — see [[packGreedy]] for the

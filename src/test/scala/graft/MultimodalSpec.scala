@@ -133,6 +133,45 @@ class MultimodalSpec extends SparkTestBase {
     assert(!pairs.exists(r => r.getLong(1) == 3L || r.getLong(0) == 3L))
   }
 
+  test("phash index: append equals one-shot build; indexed probe equals direct cross pairs") {
+    val blobs = Multimodal.synthesizePng(Tables.documents(spark, sfDir)).cache()
+    val corpus = blobs.filter(col("doc_id") % 3 =!= 0)
+    val batch = blobs.filter(col("doc_id") % 3 === 0)
+    def rows(t: String): Seq[String] =
+      spark.table(t).collect().map(_.toString).toSeq.sorted
+    def drop(ts: String*): Unit = ts.foreach { t =>
+      Seq(t, t + "_codes", t + "_meta").foreach(x =>
+        spark.sql(s"DROP TABLE IF EXISTS $x"))
+    }
+    try {
+      Multimodal.buildPhashIndex(corpus, "t_ph_one")
+      Multimodal.buildPhashIndex(corpus.filter(col("doc_id") % 2 === 0), "t_ph_incr")
+      Multimodal.appendToPhashIndex(corpus.filter(col("doc_id") % 2 =!= 0), "t_ph_incr")
+      // dHash is per-image: the two-batch index is bit-identical
+      assert(rows("t_ph_one") === rows("t_ph_incr"))
+      assert(rows("t_ph_one_codes") === rows("t_ph_incr_codes"))
+      // indexed probe == a direct cross mining of the same sides: every
+      // (corpus, batch) band collision at Hamming <= 3, nothing else
+      val indexed = Multimodal.phashPairsIndexed(spark, "t_ph_one", batch)
+        .collect().map(_.toString).toSeq
+      val codesAll = Multimodal.dHash(blobs)
+      val ca = codesAll.filter(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id").as("doc_a"), col("phash").as("ph_a"))
+      val cb = codesAll.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("doc_b"), col("phash").as("ph_b"))
+      // small corpus: exact reference via full cross product (test-only)
+      val direct = ca.crossJoin(cb)
+        .select(col("doc_a"), col("doc_b"),
+          bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("long").as("hamming"))
+        .filter(col("hamming") <= 3)
+        .orderBy("doc_a", "doc_b").collect().map(_.toString).toSeq
+      assert(indexed === direct) // banding is pigeonhole-lossless at radius 3
+    } finally {
+      drop("t_ph_one", "t_ph_incr")
+      blobs.unpersist()
+    }
+  }
+
   test("decodeStub: schema contract and deterministic byte statistics") {
     val out = Multimodal.decodeStub(blobs).cache()
     assert(out.schema === Multimodal.decodedSchema)

@@ -98,6 +98,14 @@ class PackingSpec extends SparkTestBase {
         col("seq_offset") + col("n_tokens") > Packing.DefaultBpeBudget &&
           !(col("seq_offset") === 0))
       assert(over.count() === 0)
+      // the concat-chunk sibling walks the same counts: every doc packed,
+      // offsets inside the budget, and per-doc counts identical
+      val seq = Packing.packSequencesBpe(spark, docs, "graft_bpe_pack_spec").cache()
+      assert(seq.count() === docs.count())
+      assert(seq.filter(col("seq_offset") >= Packing.DefaultBpeBudget).count() === 0)
+      assert(seq.select("doc_id", "n_tokens").except(
+        out.select("doc_id", "n_tokens")).count() === 0)
+      seq.unpersist()
       out.unpersist()
     } finally {
       Seq("graft_bpe_pack_spec", "graft_bpe_pack_spec_meta")

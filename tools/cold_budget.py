@@ -31,6 +31,11 @@ BUILD_PATTERNS = [
     r"^dedup_cross_indexed",   # stored MinHash band index
     r"^dedup_semantic$",       # reads the stored IVF index (built once)
     r"^stream_absorb",         # stages + absorbs + ledger setup
+    # r12 additions
+    r"^pipeline_daily_batch$", # buildOnce of the daily band index
+    r"^mm_phash_indexed",      # stored phash band+code index (incl. _incr)
+    r"^pack_bpe_greedy$",      # alphabetically first payer of the shared
+                               # one-shot BPE training (before ta_bpe_*)
 ]
 build_re = re.compile("|".join(BUILD_PATTERNS))
 
