@@ -619,6 +619,14 @@ object SparkEntry {
     // band-taint dedup (StreamOps.streamNearDupAdmitted runs the same rule
     // with watermark-TTL band state; StreamOpsSpec proves parity)
     "stream_neardup_admit" -> ((s, d) => Dedup.nearDupAdmit(SharedCorpus.docsTok(s, d))),
+    // quality-gated admission: the stateless quality/lang/repetition gate
+    // (row-local, hence streaming-safe with NO state) composed with the
+    // same band-taint rule — "admit only quality docs, dedup as they
+    // arrive". The taint owners change (bands of rejected docs never
+    // claim), so this is NOT a post-filter of the ungated admission;
+    // StreamOpsSpec proves MemoryStream parity for the composition
+    "stream_curation_admit" -> ((s, d) =>
+      Dedup.nearDupAdmit(graft.ops.Curation.qualityGate(SharedCorpus.docsTok(s, d)))),
     // exact repeated-span stats (the "exact substring dedup" curation
     // signal): per-doc count and ratio of positional 8-token spans that
     // also occur in another document
@@ -1418,6 +1426,41 @@ object SparkEntry {
        |own AS (SELECT band_idx, band_hash, min(doc_id) AS owner
        |  FROM banded GROUP BY 1, 2)
        |SELECT b.doc_id FROM banded b
+       |JOIN own o ON b.band_idx = o.band_idx AND b.band_hash = o.band_hash
+       |GROUP BY b.doc_id
+       |HAVING max(CASE WHEN o.owner < b.doc_id THEN 1 ELSE 0 END) = 0
+       |ORDER BY doc_id""".stripMargin
+
+  /** DuckDB mirror of `nearDupAdmit ∘ Curation.qualityGate`: the
+    * ta_filter_funnel signal formulas select the surviving ids, the
+    * MinHash banding CTEs run over exactly that subset, and the band-taint
+    * owner rule admits — the composition, not a post-filter (owners
+    * change when rejected docs stop claiming bands). */
+  private val curationAdmitOracleSql: String =
+    s"""WITH qc AS (SELECT doc_id,
+       |  regexp_split_to_array(lower(text), '$WS') AS a,
+       |  CAST(len(regexp_split_to_array(lower(text), '$WS')) AS BIGINT) AS nt,
+       |  CAST(len(list_filter(regexp_split_to_array(lower(text), '$WS'),
+       |    t -> regexp_matches(t, '^[a-z0-9]+$$'))) AS BIGINT) AS alnum,
+       |  ${markerSql("en")} AS en, ${markerSql("de")} AS de,
+       |  ${markerSql("fr")} AS fr, ${markerSql("es")} AS es
+       |FROM documents),
+       |qg2 AS (SELECT doc_id, count(*) AS t2, count(DISTINCT g) AS d2 FROM (
+       |  SELECT doc_id, array_to_string(a[i:i+1], ' ') AS g
+       |  FROM qc, unnest(generate_series(1, len(a) - 1)) AS t(i)) GROUP BY 1),
+       |qd AS (SELECT qc.doc_id FROM qc LEFT JOIN qg2 ON qg2.doc_id = qc.doc_id
+       |  WHERE (least(CAST(nt AS DOUBLE) / 100.0, 1.0) * 0.2 + CAST(alnum AS DOUBLE) / nt * 0.5
+       |      + least(CAST(en AS DOUBLE) / nt * 4.0, 1.0) * 0.3) >= 0.6
+       |    AND (CASE WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+       |       WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+       |       WHEN fr >= es AND fr > 0 THEN 'fr'
+       |       WHEN es > 0 THEN 'es'
+       |       ELSE 'und' END) = 'en'
+       |    AND coalesce(CAST(qg2.t2 - qg2.d2 AS DOUBLE) / nullif(qg2.t2, 0), 0.0) <= 0.05),
+       |${minhashSideCtes("Q", "doc_id IN (SELECT doc_id FROM qd)")},
+       |own AS (SELECT band_idx, band_hash, min(doc_id) AS owner
+       |  FROM bandedQ GROUP BY 1, 2)
+       |SELECT b.doc_id FROM bandedQ b
        |JOIN own o ON b.band_idx = o.band_idx AND b.band_hash = o.band_hash
        |GROUP BY b.doc_id
        |HAVING max(CASE WHEN o.owner < b.doc_id THEN 1 ELSE 0 END) = 0
@@ -2680,6 +2723,7 @@ object SparkEntry {
     "dedup_neardup_survivors" -> survivorsOracleSql,
     "dedup_quality_survivors" -> qualitySurvivorsOracleSql,
     "stream_neardup_admit" -> admitOracleSql,
+    "stream_curation_admit" -> curationAdmitOracleSql,
     // DuckDB mirror of Dedup.duplicateSpans: positional (non-distinct)
     // 8-token span hashes, duplicated = hash seen in >= 2 distinct docs
     "dedup_span_stats" ->

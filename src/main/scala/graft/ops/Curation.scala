@@ -53,6 +53,27 @@ object Curation {
   def corpusOf(all: DataFrame): DataFrame = all.filter(col("doc_id") % 4 =!= 1)
   def benchOf(all: DataFrame): DataFrame = all.filter(col("doc_id") % 7 === 0)
 
+  /** The stateless per-document admission gate — [[dailyBatch]]'s first
+    * three stages (quality floor, language, repetition cap) as a reusable
+    * FILTER that keeps the input's columns. Every verdict is a row-local
+    * expression (no join, no aggregation, no state), so the same gate
+    * applies unchanged to a STREAM: the streaming curation admission is
+    * this filter feeding the band-taint admission
+    * ([[graft.streaming.StreamOps.streamNearDupAdmitted]]), and batch
+    * mode of that composition is gate `stream_curation_admit`. */
+  def qualityGate(docs: DataFrame, minQuality: Double = 0.6, lang: String = "en",
+      maxDup2: Double = 0.05): DataFrame = {
+    val keep = docs.columns.toSeq
+    docs
+      .withColumn("a", SharedCorpus.wsOf(docs))
+      .withColumn("al", SharedCorpus.alnumOf(docs))
+      .filter(
+        TextAnalysis.qualityColOf(col("a"), col("al")) >= minQuality &&
+          TextAnalysis.predLangColOf(col("a")) === lang &&
+          TextAnalysis.dup2FracOfA <= maxDup2)
+      .select(keep.map(col): _*)
+  }
+
   /** The decision table: per batch document, each stage's verdict
     * (`q_ok`/`lang_ok`/`rep_ok` from the one-scan signals, `dedup_ok`
     * from the stored band index probe, `clean_ok` from benchmark span

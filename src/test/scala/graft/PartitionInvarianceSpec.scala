@@ -181,4 +181,41 @@ class PartitionInvarianceSpec extends SparkTestBase {
     assert(sortedRows(narrow) === sortedRows(wide),
       "clusterBalancedSample is layout-sensitive")
   }
+
+  test("BPE-budget packers are partition-count invariant (r12)") {
+    // broadcast-vocab counts + the per-bucket walks: the stored-model
+    // lookups and the integer walk must not see the input layout
+    import graft.ops.Bpe
+    try {
+      Bpe.buildBpeModel(docs, "graft_bpe_inv_spec")
+      invariant("packGreedyBpe")(d =>
+        Packing.packGreedyBpe(spark, d, "graft_bpe_inv_spec"))
+      invariant("packSequencesBpe")(d =>
+        Packing.packSequencesBpe(spark, d, "graft_bpe_inv_spec"))
+    } finally {
+      Seq("graft_bpe_inv_spec", "graft_bpe_inv_spec_meta")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
+  test("perceptual-hash pairs are partition-count invariant (r12)") {
+    def blobs = graft.ops.Multimodal.synthesizePng(docs)
+    val narrow = graft.ops.Multimodal.pHashPairs(blobs.repartition(1))
+    val wide = graft.ops.Multimodal.pHashPairs(blobs.repartition(13))
+    assert(sortedRows(narrow) === sortedRows(wide), "pHashPairs is layout-sensitive")
+  }
+
+  test("daily-batch decision table is partition-count invariant (r12)") {
+    // the whole composite — signal scan, indexed near-dup probe,
+    // decontamination semi-join, survivor walk — under relaid input
+    import graft.ops.{Curation, Dedup}
+    try {
+      Dedup.buildBandIndex(Curation.corpusOf(docs), "graft_daily_inv")
+      invariant("dailyBatch")(d =>
+        Curation.dailyBatch(spark, d, "graft_daily_inv"))
+    } finally {
+      Seq("graft_daily_inv", "graft_daily_inv_sigs", "graft_daily_inv_meta")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
 }

@@ -8,13 +8,12 @@ import graft.sources.Tables
 
 /** The shared token projection must be a pure transport optimization:
   * every operator fed the pinned projection answers bit-identically to the
-  * same operator fed the raw parquet table. The Verify sweep pins the
-  * projection (so every DuckDB oracle exercises the pinned deployment
-  * mode); this spec is what keeps the RAW recompute path — the mode the
-  * bench's steady-state timings execute — equivalent, so coverage here
-  * must include every operator family that consults wsOf/alnumOf
-  * (ADVICE r10: the round's new operators had no raw-mode equality
-  * coverage). */
+  * same operator fed the raw parquet table. Since r12 the Verify sweep
+  * itself bit-compares BOTH modes per corpus gate (raw_parity.json), so
+  * every oracle hash attests both; this spec remains the fast per-family
+  * equality net that runs without a driver sweep, so coverage here must
+  * include every operator family that consults wsOf/alnumOf (ADVICE r10:
+  * the round's new operators had no raw-mode equality coverage). */
 class SharedCorpusSpec extends SparkTestBase {
 
   private def raw = Tables.documents(spark, sfDir)

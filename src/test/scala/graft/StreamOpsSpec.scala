@@ -354,6 +354,56 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("quality-gated admission: gate is stateless/stream-safe; composition has MemoryStream parity") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamOps.DocBand
+    val docs = Tables.documents(spark, sfDir)
+    // the quality gate is a pure row-local filter: applied to a STREAMING
+    // frame it plans without any stateful operator (no watermark needed)
+    val docStream = MemoryStream[(Long, String)]
+    val streamingDocs = docStream.toDF().toDF("doc_id", "text")
+    val gatedStream = graft.ops.Curation.qualityGate(streamingDocs)
+    assert(gatedStream.isStreaming, "gate must preserve streaming-ness")
+    assert(gatedStream.columns.toSeq === Seq("doc_id", "text"))
+    // batch twin of the composition (the stream_curation_admit gate)
+    val gated = graft.ops.Curation.qualityGate(docs)
+    val expected = graft.ops.Dedup.nearDupAdmit(gated)
+      .collect().map(_.getLong(0)).toSet
+    // the composition is NOT a post-filter of the ungated admission:
+    // dropping low-quality band owners must admit at least one doc the
+    // ungated rule rejected (otherwise this gate tests nothing new)
+    val ungated = graft.ops.Dedup.nearDupAdmit(docs)
+      .collect().map(_.getLong(0)).toSet
+    val gatedIds = gated.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(expected !== (ungated & gatedIds),
+      "composition must differ from post-filtering the ungated admission")
+    // streaming path: gated docs banded upstream (the DocBand wire format),
+    // one ordered batch + a flush record to push the watermark
+    val bands = graft.ops.Dedup.bandedMinHash(gated)
+      .withColumn("ts", expr("timestamp_seconds(1700000000 + doc_id)"))
+      .select("doc_id", "ts", "band_idx", "band_hash").as[DocBand]
+    val inputs = bands.orderBy("doc_id").collect().toSeq
+    val stream = MemoryStream[DocBand]
+    val q = StreamOps.withChainedStateGuardBypassed(spark) {
+      graft.streaming.StreamOps
+        .streamNearDupAdmitted(stream.toDS(), delay = "1 second")
+        .writeStream.format("memory").queryName("qadmit_out")
+        .outputMode("append").start()
+    }
+    try {
+      stream.addData(inputs: _*)
+      q.processAllAvailable()
+      val farTs = 1700000000000L + 100L * 24 * 3600 * 1000
+      stream.addData(DocBand(900201L, new Timestamp(farTs), 0, "flush-q"))
+      q.processAllAvailable()
+      val streamed = spark.table("qadmit_out")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert((streamed - 900201L) === expected,
+        "streamed quality-gated admission must equal the batch composition")
+    } finally q.stop()
+  }
+
   test("streaming decontamination: batch parity with decontaminate, watermark emission") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
