@@ -56,6 +56,12 @@ object SparkEntry {
         Multimodal.synthesizePng(Tables.documents(s, d)), "graft_png_blobs")
     }
 
+  private def ensureWavBlobs(s: SparkSession, d: String): Unit =
+    buildOnce(s"wav_blobs:$d") {
+      graft.sources.Formats.writeManaged(
+        Multimodal.synthesizeWav(Tables.documents(s, d)), "graft_wav_blobs")
+    }
+
   private def ensureBm25Index(s: SparkSession, d: String): Unit =
     buildOnce(s"bm25:$d") {
       TextAnalysis.buildBm25Index(SharedCorpus.docsTok(s, d), "graft_bm25_idx")
@@ -278,6 +284,11 @@ object SparkEntry {
     "ta_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
     "ta_tfidf" -> ((s, d) => TextAnalysis.tfIdf(SharedCorpus.docsTok(s, d))),
     "ta_approx_distinct" -> ((s, d) => TextAnalysis.approxDistinctWords(SharedCorpus.docsTok(s, d))),
+    // count-min-sketch heavy hitters: exact top-50 words hash-compared,
+    // the mergeable sketch's never-underestimates + <= exact + 2εN
+    // accuracy contract as deterministic booleans (the third sketch
+    // family next to HLL distinct and KLL quantiles)
+    "ta_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHittersCms(SharedCorpus.docsTok(s, d))),
     // adjacency-exact phrase matching — the retrieval primitive
     // bag-of-terms BM25 cannot express; zero-shuffle position scan
     "ta_phrase_search" -> ((s, d) =>
@@ -872,6 +883,18 @@ object SparkEntry {
       Similarity.ivfPqTopKIndexed(s, "graft_ivfpq_idx",
         Tables.embeddings(s, d).filter(col("vec_id") < 40))
     }),
+    // two-stage retrieval (refine-after-compress, the production serving
+    // shape): PQ-approximate 20-candidate shortlist through the composed
+    // probe, then exact-cosine re-rank from the id-bucketed full-precision
+    // vector store — quantization error affects the shortlist only
+    "ann_ivfpq_refine" -> ((s, d) => {
+      ensureIvfPqIndex(s, d)
+      buildOnce(s"vecstore:$d") {
+        Similarity.buildVectorStore(Tables.embeddings(s, d), "graft_vec_store")
+      }
+      Similarity.ivfPqRefineTopKIndexed(s, "graft_ivfpq_idx", "graft_vec_store",
+        Tables.embeddings(s, d).filter(col("vec_id") < 10))
+    }),
     // incremental-ingest variant of the composed index: the ingest path
     // READS the one-shot index's published pivots + codebooks (the same
     // stored-model-reuse contract as pq_incr), then batches are assigned
@@ -980,11 +1003,20 @@ object SparkEntry {
         s.table("graft_png_blobs").filter(col("doc_id") % 3 === 0))
     }),
     "mm_decode_wav" -> ((s, d) => {
-      buildOnce(s"wav_blobs:$d") {
-        graft.sources.Formats.writeManaged(
-          Multimodal.synthesizeWav(Tables.documents(s, d)), "graft_wav_blobs")
-      }
+      ensureWavBlobs(s, d)
       Multimodal.decodeWav(s.table("graft_wav_blobs")).orderBy("doc_id")
+    }),
+    // perceptual AUDIO fingerprints over the REAL javax.sound decode (the
+    // WAV twin of mm_phash): 32-bit windowed-loudness codes, then the
+    // banded near-dup pair mining — media dedup now covers both
+    // modalities; oracles replay the sampled-window sums decoder-free
+    "mm_ahash" -> ((s, d) => {
+      ensureWavBlobs(s, d)
+      Multimodal.aHash(s.table("graft_wav_blobs")).orderBy("doc_id")
+    }),
+    "mm_ahash_pairs" -> ((s, d) => {
+      ensureWavBlobs(s, d)
+      Multimodal.aHashPairs(s.table("graft_wav_blobs"))
     }),
     "mm_downsample" -> ((s, d) =>
       Multimodal.downsampleBytes(Multimodal.asBlobTable(Tables.documents(s, d)), 4)
@@ -1937,6 +1969,25 @@ object SparkEntry {
        |WHERE bit_count(xor(pa.phash, pb.phash)) <= 3
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** DuckDB replay of [[Multimodal.aHash]]: windowed sample sums from the
+    * synthesizeWav generating formula (no decoder), one bit per
+    * louder-than-previous-window comparison (exact cross-multiplication —
+    * window sizes differ by one sample). */
+  private val ahashCtes: String =
+    """wd AS (SELECT doc_id, CAST(doc_id % 400 + 100 AS BIGINT) AS n FROM documents),
+      |wsm AS (SELECT doc_id,
+      |    (doc_id * 37 + i * i * 17 + (doc_id % 13 + 1) * i) % 65536 - 32768 AS v,
+      |    (i * 33) // n AS w
+      |  FROM wd, unnest(generate_series(0, CAST(n - 1 AS INT))) AS g(i)),
+      |wws AS (SELECT doc_id, w, CAST(sum(v) AS BIGINT) AS s, count(*) AS c
+      |  FROM wsm GROUP BY 1, 2),
+      |wbits AS (SELECT a.doc_id,
+      |    CASE WHEN b.s * a.c > a.s * b.c
+      |      THEN CAST(1 AS BIGINT) << CAST(a.w AS INT) ELSE CAST(0 AS BIGINT) END AS bit
+      |  FROM wws a JOIN wws b ON b.doc_id = a.doc_id AND b.w = a.w + 1),
+      |ah AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS ahash
+      |  FROM wbits GROUP BY doc_id)""".stripMargin
+
   private def bpeCtes(rounds: Int): String = {
     val sb = new StringBuilder
     sb ++= s"""w AS (SELECT w AS word, count(*) AS cnt
@@ -2108,11 +2159,11 @@ object SparkEntry {
     * index. */
   private val ivfPqOracleSql: String = ivfPqOracleSqlFor("vec_id < 10")
 
-  /** [[ivfPqOracleSql]] parameterized on the query-set predicate — the
-    * query-many gate replays the same composed pipeline over its larger
-    * workload slice. */
-  private def ivfPqOracleSqlFor(queryPred: String): String =
-    s"""WITH $kmeansPivotCtes,
+  /** CTE chain of the composed IVF×PQ probe, through the PQ-ranked `xr`,
+    * parameterized on the query-set predicate — shared by the top-k, the
+    * query-many, and the refine oracles. */
+  private def ivfPqCtesFor(queryPred: String): String =
+    s"""$kmeansPivotCtes,
        |$pqTrainCtes,
        |xsc AS (SELECT e.vec_id, e.embedding, p.pid,
        |  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(p.pv AS DOUBLE[])) AS pcos
@@ -2130,8 +2181,32 @@ object SparkEntry {
        |  FROM xcand c JOIN prec n ON c.neighbor_id = n.vec_id),
        |xr AS (SELECT query_id, neighbor_id,
        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_pq DESC, neighbor_id) AS BIGINT) AS rn, cos_pq
-       |  FROM xscored)
+       |  FROM xscored)""".stripMargin
+
+  /** [[ivfPqOracleSql]] parameterized on the query-set predicate — the
+    * query-many gate replays the same composed pipeline over its larger
+    * workload slice. */
+  private def ivfPqOracleSqlFor(queryPred: String): String =
+    s"""WITH ${ivfPqCtesFor(queryPred)}
        |SELECT query_id, neighbor_id, rn, cos_pq FROM xr WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
+
+  /** DuckDB mirror of [[Similarity.ivfPqRefineTopKIndexed]]: the PQ-ranked
+    * shortlist capped at the candidate budget, exact-cosine re-rank from
+    * the full-precision vectors, refined top-k. */
+  private val ivfPqRefineOracleSql: String =
+    s"""WITH ${ivfPqCtesFor("vec_id < 10")},
+       |shortlist AS (SELECT query_id, neighbor_id FROM xr WHERE rn <= 20),
+       |rer AS (SELECT s.query_id, s.neighbor_id,
+       |  list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])) AS cos_exact
+       |  FROM shortlist s
+       |  JOIN embeddings q ON q.vec_id = s.query_id
+       |  JOIN embeddings n ON n.vec_id = s.neighbor_id),
+       |rr AS (SELECT query_id, neighbor_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_exact DESC, neighbor_id) AS BIGINT) AS rn,
+       |  cos_exact
+       |  FROM rer)
+       |SELECT query_id, neighbor_id, rn, cos_exact FROM rr WHERE rn <= 5
+       |ORDER BY query_id, rn""".stripMargin
 
   /** DuckDB mirror of [[Similarity.clusterBalancedSample]]: replayed
     * k-means training, final-centroid argmax assignment, per-cell
@@ -2824,6 +2899,7 @@ object SparkEntry {
     "ann_pq_topk" -> pqTopKOracleSql,
     "ann_ivfpq_indexed" -> ivfPqOracleSql,
     "ann_ivfpq_many" -> ivfPqOracleSqlFor("vec_id < 40"),
+    "ann_ivfpq_refine" -> ivfPqRefineOracleSql,
     // two-batch model-stored append == one-shot build (per-vector given
     // fixed pivots + books) → same replayed oracle
     "ann_ivfpq_indexed_incr" -> ivfPqOracleSql,
@@ -3212,6 +3288,14 @@ object SparkEntry {
          |SELECT source, CAST(count(DISTINCT word) AS BIGINT) AS n_exact,
          |  1 AS ok
          |FROM tk GROUP BY source ORDER BY source""".stripMargin,
+    "ta_heavy_hitters" ->
+      s"""WITH tk AS (SELECT
+         |    unnest(list_filter(regexp_split_to_array(lower(text), '$WS'),
+         |      t -> regexp_matches(t, '^[a-z0-9]+$$'))) AS word
+         |  FROM documents)
+         |SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+         |  1 AS ok_lower, 1 AS ok_upper
+         |FROM tk GROUP BY word ORDER BY cnt DESC, word LIMIT 50""".stripMargin,
     "ta_curation_pipeline" ->
       s"""WITH c AS (SELECT doc_id,
          |  CAST(len(regexp_split_to_array(lower(text), '$WS')) AS BIGINT) AS nt,
@@ -3309,12 +3393,12 @@ object SparkEntry {
     "mm_phash_indexed" -> phashCrossOracleSql,
     "mm_phash_indexed_incr" -> phashCrossOracleSql,
     // replays Multimodal.synthesizeWav's generating formula: sample
-    // i = ((doc_id*37 + i*17) mod 65536) - 32768 over doc_id%400+100
-    // samples — PCM is lossless, so the real javax.sound decode must
-    // reproduce these statistics exactly
+    // i = ((doc_id*37 + i²*17 + (doc_id%13+1)*i) mod 65536) - 32768 over
+    // doc_id%400+100 samples — PCM is lossless, so the real javax.sound
+    // decode must reproduce these statistics exactly
     "mm_decode_wav" ->
       """WITH sm AS (SELECT doc_id,
-        |  (doc_id * 37 + i * 17) % 65536 - 32768 AS v
+        |  (doc_id * 37 + i * i * 17 + (doc_id % 13 + 1) * i) % 65536 - 32768 AS v
         |  FROM documents,
         |    unnest(generate_series(0, CAST(doc_id % 400 + 99 AS INT))) AS g(i))
         |SELECT doc_id,
@@ -3324,6 +3408,21 @@ object SparkEntry {
         |  CAST(min(v) AS BIGINT) AS min_s,
         |  CAST(max(v) AS BIGINT) AS max_s
         |FROM sm GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "mm_ahash" ->
+      s"""WITH $ahashCtes
+        |SELECT doc_id, ahash FROM ah ORDER BY doc_id""".stripMargin,
+    "mm_ahash_pairs" ->
+      s"""WITH $ahashCtes,
+        |abands AS (SELECT doc_id, ahash, b AS band_idx,
+        |    (ahash >> CAST(b * 8 AS INT)) & 255 AS band_val
+        |  FROM ah, unnest(generate_series(0, 3)) AS tb(b))
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+        |FROM abands a JOIN abands b
+        |  ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+        |  AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // byte_stride mirrored as a char-stride over the ASCII payload
     "mm_downsample" ->
       """SELECT doc_id,

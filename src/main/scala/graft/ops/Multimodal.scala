@@ -346,9 +346,16 @@ object Multimodal {
 
   /** Deterministic synthetic WAV corpus — the audio twin of
     * [[synthesizePng]]: one real 16-bit mono PCM WAV per document,
-    * sample `i = ((doc_id*37 + i*17) mod 65536) - 32768`, length
-    * `doc_id mod 400 + 100` at 8 kHz. Pure integer generating formula →
-    * the oracle replays expected sample statistics with no decoder. */
+    * sample `i = ((doc_id*37 + i²*17 + (doc_id mod 13 + 1)·i) mod 65536)
+    * - 32768`, length `doc_id mod 400 + 100` at 8 kHz. Pure integer
+    * generating formula → the oracle replays expected sample statistics
+    * with no decoder. The quadratic + per-document-slope terms (r12) give
+    * each clip real envelope structure — the previous pure sawtooth made
+    * every clip's windowed-mean profile IDENTICAL, collapsing [[aHash]]
+    * to one code for the whole corpus (the same degeneracy the PNG
+    * generator had for [[dHash]], fixed the same way; measured densities
+    * with this formula: 463 distinct codes / ~0.4% near-dup pairs at 500
+    * clips). */
   def synthesizeWav(docs: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(wavBlobSchema)
     docs.select("doc_id").mapPartitions { rows =>
@@ -358,7 +365,7 @@ object Multimodal {
         val data = new Array[Byte](n * 2)
         var i = 0
         while (i < n) {
-          val s = ((id * 37 + i * 17) % 65536 - 32768).toShort
+          val s = ((id * 37 + i.toLong * i * 17 + (id % 13 + 1) * i) % 65536 - 32768).toShort
           data(2 * i) = (s & 0xFF).toByte         // little-endian PCM
           data(2 * i + 1) = ((s >> 8) & 0xFF).toByte
           i += 1
@@ -415,6 +422,85 @@ object Multimodal {
           mn.toLong, mx.toLong)
       }
     }(enc).toDF()
+  }
+
+  /** Output schema of [[aHash]]. */
+  val aHashSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("ahash", LongType)))
+
+  /** Windows for [[aHash]]: 33 windows → 32 adjacent-mean comparisons →
+    * a 32-bit code (4 × 8-bit bands, pigeonhole-lossless at Hamming ≤ 3). */
+  val AHashWindows = 33
+
+  /** Perceptual AUDIO fingerprint — the WAV twin of [[dHash]]: decode the
+    * PCM payload with the real JVM codec, split the clip into 33
+    * equal-count sample windows (`w = i·33 div n` — exact integer
+    * arithmetic, replayable from the generating formula without a
+    * decoder), and set bit w iff the clip gets LOUDER from window w to
+    * w+1 (adjacent window-mean comparison, evaluated as the exact
+    * cross-multiplication `sum_{w+1}·cnt_w > sum_w·cnt_{w+1}` so unequal
+    * window sizes can never float-flip a bit). Near-identical clips
+    * differ in a few bits; unrelated clips in ~half. One full-decode
+    * pass; 4-byte codes downstream — the same economics as the image
+    * tier. */
+  def aHash(blobs: DataFrame): DataFrame = {
+    val input = blobs.select("doc_id", "bytes")
+    val enc = RowEncoder.encoderFor(aHashSchema)
+    val nw = AHashWindows
+    input.mapPartitions { rows =>
+      // per-partition init point (a native codec handle would live here)
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+          !fmt.isBigEndian, s"unexpected WAV format for doc $id: $fmt")
+        val raw = ais.readAllBytes()
+        val n = raw.length / 2
+        val sums = new Array[Long](nw)
+        val cnts = new Array[Long](nw)
+        var i = 0
+        while (i < n) {
+          val v = ((raw(2 * i + 1) << 8) | (raw(2 * i) & 0xFF)).toShort.toInt
+          val w = (i.toLong * nw / n).toInt
+          sums(w) += v; cnts(w) += 1
+          i += 1
+        }
+        var hash = 0L
+        var w = 0
+        while (w < nw - 1) {
+          if (sums(w + 1) * cnts(w) > sums(w) * cnts(w + 1)) hash |= 1L << w
+          w += 1
+        }
+        Row(id, hash)
+      }
+    }(enc).toDF()
+  }
+
+  /** Near-duplicate AUDIO pairs: [[aHash]] codes mined with the banded
+    * discipline — 4 × 8-bit band collisions, exact Hamming verification
+    * at radius ≤ 3 (lossless by pigeonhole). The [[pHashPairs]] shape on
+    * the audio modality. */
+  def aHashPairs(blobs: DataFrame, maxHamming: Int = DefaultMaxHammingPx): DataFrame = {
+    val codes = aHash(blobs).persist()
+    val banded = codes.select(
+      col("doc_id"), col("ahash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("ahash"), b * 8).bitwiseAND(255L).cast("long")): _*))
+        .as(Seq("band_idx", "band_val")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.ahash").bitwiseXOR(col("b.ahash"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
   }
 
   /** Output schema of [[decodeStub]]. */

@@ -979,6 +979,57 @@ object Similarity {
       .orderBy("query_id", "rn")
   }
 
+  /** Publish the full-precision vector corpus bucketed on `vec_id` — the
+    * ID-KEYED vector store every two-stage retrieval serving layer keeps
+    * next to its compressed index: approximate candidates come back as
+    * ids, and the exact re-rank fetches just those ids' float vectors.
+    * Bucketing on the fetch key makes the candidate join bucket-local on
+    * the store side (the big side never shuffles — only the
+    * candidate-list side moves). */
+  def buildVectorStore(emb: DataFrame, table: String, numBuckets: Int = 8): Unit = {
+    graft.sources.Formats.writeBucketed(
+      emb.select(col("vec_id"), col("embedding")), table, Seq("vec_id"), numBuckets)
+    val (n, fp) = graft.sources.Formats.corpusStamp(emb, "vec_id")
+    graft.sources.Formats.writeBuildMeta(emb.sparkSession, table,
+      s"kind=vecstore,buckets=$numBuckets", n, fp)
+  }
+
+  /** Two-stage retrieval — the production serving shape for compressed
+    * indexes: stage 1 ranks `candidates` approximate neighbors per query
+    * through the composed IVF×PQ probe ([[ivfPqTopKIndexed]] — both
+    * pruning levers, 16-byte codes); stage 2 fetches ONLY those
+    * candidates' full vectors from the id-bucketed store and re-ranks by
+    * EXACT cosine, returning the refined top `k`. PQ quantization error
+    * then affects only which candidates make the shortlist, not their
+    * final order — recall at k is bounded below by the PQ-only probe's
+    * (SimilaritySpec asserts it against exact ground truth).
+    *
+    * Scale: stage 2's joins carry |queries|×candidates rows against the
+    * bucketed store (store side shuffle-free) and a broadcast query set —
+    * at 100 TB the full-precision corpus is read only at
+    * `candidates/corpus` selectivity, which is the whole point of
+    * refine-after-compress. */
+  def ivfPqRefineTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+      pqTable: String, vecTable: String, queries: DataFrame, k: Int = 5,
+      candidates: Int = 20, nprobe: Int = 2): DataFrame = {
+    graft.sources.Formats.requireBuilt(spark, vecTable)
+    graft.functions.FloatDot.register(spark)
+    val cand = ivfPqTopKIndexed(spark, pqTable, queries, candidates, nprobe)
+      .select(col("query_id"), col("neighbor_id"))
+    val vecs = spark.table(vecTable)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_exact").desc, col("neighbor_id"))
+    cand.join(vecs, Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cos_exact", cosine("qv", "nv"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select("query_id", "neighbor_id", "rn", "cos_exact")
+      .orderBy("query_id", "rn")
+  }
+
   /** Fixed-point grid for centroid accumulation: component sums are taken
     * over `floor(x * 2^24)` LONGs, not doubles. Long addition is exact and
     * associative, so the trained centroids are bit-identical across

@@ -84,7 +84,8 @@ class MultimodalSpec extends SparkTestBase {
     out.orderBy("doc_id").limit(5).collect().foreach { r =>
       val id = r.getLong(0)
       val n = (id % 400 + 100).toInt
-      val smp = (0 until n).map(i => ((id * 37 + i * 17) % 65536 - 32768).toInt)
+      val smp = (0 until n).map(i =>
+        ((id * 37 + i.toLong * i * 17 + (id % 13 + 1) * i) % 65536 - 32768).toInt)
       assert(r.getLong(1) === n.toLong && r.getLong(2) === 8000L)
       assert(r.getDouble(3) === smp.map(_.toLong).sum.toDouble / n,
         s"mean sample mismatch for doc $id — PCM round trip must be lossless")
@@ -131,6 +132,51 @@ class MultimodalSpec extends SparkTestBase {
     // 56 comparisons), and the checkerboard pairs with neither
     assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
     assert(!pairs.exists(r => r.getLong(1) == 3L || r.getLong(0) == 3L))
+  }
+
+  test("aHash matches a driver replay; near-identical clips pair, unrelated don't") {
+    val docs = Tables.documents(spark, sfDir).limit(50)
+    val codes = Multimodal.aHash(Multimodal.synthesizeWav(docs))
+    codes.orderBy("doc_id").limit(10).collect().foreach { r =>
+      val id = r.getLong(0)
+      val n = (id % 400 + 100).toInt
+      val sums = new Array[Long](33); val cnts = new Array[Long](33)
+      for (i <- 0 until n) {
+        val v = ((id * 37 + i.toLong * i * 17 + (id % 13 + 1) * i) % 65536 - 32768).toInt
+        val w = (i.toLong * 33 / n).toInt
+        sums(w) += v; cnts(w) += 1
+      }
+      var expected = 0L
+      for (w <- 0 until 32)
+        if (sums(w + 1) * cnts(w) > sums(w) * cnts(w + 1)) expected |= 1L << w
+      assert(r.getLong(1) === expected, s"aHash mismatch for doc $id")
+    }
+    // crafted clips: B is A with one sample nudged (flips <= 3 window
+    // comparisons), C is an unrelated alternating buzz
+    def wavOf(f: Int => Int, n: Int): Array[Byte] = {
+      val data = new Array[Byte](n * 2)
+      for (i <- 0 until n) {
+        val s = f(i).toShort
+        data(2 * i) = (s & 0xFF).toByte
+        data(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    def ramp(i: Int): Int = ((i * i * 13 + i * 7) % 60000) - 30000
+    val a = wavOf(ramp, 200)
+    val b = wavOf(i => if (i == 100) 0 else ramp(i), 200)
+    val c = wavOf(i => if (i % 2 == 0) 20000 else -20000, 200)
+    import spark.implicits._
+    val blobs = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "bytes")
+    val pairs = Multimodal.aHashPairs(blobs).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+    assert(!pairs.exists(r => r.getLong(0) == 3L || r.getLong(1) == 3L))
   }
 
   test("phash index: append equals one-shot build; indexed probe equals direct cross pairs") {

@@ -657,4 +657,49 @@ class SimilaritySpec extends SparkTestBase {
       spark.sql("DROP TABLE IF EXISTS graft_cbs_spec_pivots")
     }
   }
+
+  test("refine tier: exact re-rank of the PQ shortlist; recall >= PQ-only vs exact") {
+    val tables = Seq("graft_rf_pq", "graft_rf_pq_pivots", "graft_rf_pq_books",
+      "graft_rf_vecs")
+    try {
+      Similarity.buildIvfPqIndex(emb, "graft_rf_pq")
+      Similarity.buildVectorStore(emb, "graft_rf_vecs")
+      val queries = emb.filter(col("vec_id") < 10)
+      val refined = Similarity.ivfPqRefineTopKIndexed(
+        spark, "graft_rf_pq", "graft_rf_vecs", queries).cache()
+      // the refined list is exactly the exact-cosine re-rank of the
+      // 20-candidate PQ shortlist (independent driver-side reconstruction)
+      val shortlist = Similarity.ivfPqTopKIndexed(
+          spark, "graft_rf_pq", queries, k = 20)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val vecs = emb.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+      def cos(a: Seq[Double], b: Seq[Double]): Double = {
+        val d = a.zip(b).map { case (x, y) => x * y }.sum
+        d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      }
+      val expected = shortlist.groupBy(_._1).toSeq.flatMap { case (q, cands) =>
+        cands.map { case (_, n) => (q, n, cos(vecs(q), vecs(n))) }
+          .sortBy { case (_, n, c) => (-c, n) }.take(5).zipWithIndex
+          .map { case ((_, n, _), i) => (q, n, i + 1L) }
+      }.toSet
+      val got = refined.select("query_id", "neighbor_id", "rn")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === expected, "refine must be the exact re-rank of the shortlist")
+      // recall vs exact ground truth: refine can only help (quantization
+      // error now affects the shortlist, never the final order)
+      val exact = Similarity.bruteForceTopK(emb, col("vec_id") < 10, k = 5)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val pqOnly = Similarity.ivfPqTopKIndexed(spark, "graft_rf_pq", queries, k = 5)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val refinedSet = refined.select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert((refinedSet & exact).size >= (pqOnly & exact).size,
+        s"refine recall ${(refinedSet & exact).size} must be >= PQ-only ${(pqOnly & exact).size}")
+      refined.unpersist()
+    } finally tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${t}"))
+  }
 }
