@@ -523,6 +523,20 @@ object SparkEntry {
     // never straddles a sequence boundary — the fine-tuning contract; the
     // oracle replays the whole per-bucket walk as a recursive CTE
     "pack_greedy" -> ((s, d) => Packing.packGreedy(SharedCorpus.docsTok(s, d))),
+    // the packer's efficiency ledger: per packed sequence, docs held, fill
+    // and wasted budget tokens (padding the trainer burns) — one map-side-
+    // combined aggregate riding the greedy walk's own plan
+    "pack_fill_stats" -> ((s, d) => Packing.packFillStats(SharedCorpus.docsTok(s, d))),
+    // the dataloader-facing (shard, shard_pos) coordinates: seeded-hash
+    // shard + within-shard rank = a reproducible global shuffle; a new
+    // seed re-shuffles the same corpus for the next epoch
+    "pack_shard_shuffle" -> ((s, d) =>
+      Packing.shardShuffle(Tables.documents(s, d))),
+    // curriculum ordering: shard shuffle with a quality-tier primary key —
+    // each shard streams its cleanest tier first; the tier reuses the
+    // hash-proven ta_quality score, so the oracle replays it exactly
+    "pack_curriculum" -> ((s, d) =>
+      Packing.curriculumShuffle(SharedCorpus.docsTok(s, d))),
     // the same no-split walk budgeted by the PUBLISHED BPE model's subword
     // counts (VERDICT r11 missing 1: training batches are measured in
     // tokenizer tokens) — stored-vocab tokenization composed with the
@@ -611,6 +625,34 @@ object SparkEntry {
     "sample_per_stratum" -> ((s, d) =>
       Sampling.perStratumSample(Tables.documents(s, d), "doc_id", "lang", 5)
         .select("doc_id", "lang").orderBy("doc_id")),
+    // systematic PPS (probability-proportional-to-size) sampling: the
+    // hash-order token walk keeps a doc iff its span crosses a multiple
+    // of the step — inclusion ∝ document length, exact integer arithmetic
+    "sample_pps" -> ((s, d) => Sampling.ppsSample(SharedCorpus.docsTok(s, d))),
+    // URL canonicalization (C4/RefinedWeb-style): tracking params,
+    // fragments, default ports, host case and www. collapse to ONE key;
+    // URLs injected deterministically (the ta_pii_redact discipline)
+    // since the corpus carries none — oracle replays injection + pipeline
+    "curation_url_canonical" -> ((s, d) => {
+      val u = graft.ops.Curation.canonicalizeUrl(injectedUrl)
+      Tables.documents(s, d).select(
+        col("doc_id"), u.as("url_canonical"),
+        graft.ops.Curation.registrableDomain(u).as("domain"))
+        .orderBy("doc_id")
+    }),
+    // domain diversity cap: at most 20 docs per registrable domain by
+    // deterministic hash rank — the mega-site guard
+    "curation_domain_cap" -> ((s, d) =>
+      graft.ops.Curation.domainCap(
+        Tables.documents(s, d).withColumn("url", injectedUrl), col("url"), 20)),
+    // index-quality monitor: per-query recall@5 of the LSH tier against
+    // the exact scan — the number that decides re-training/probe widening
+    "ann_recall_lsh" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.recallAtK(
+        Similarity.lshTopK(emb, col("vec_id") < 10),
+        Similarity.bruteForceTopK(emb, col("vec_id") < 10))
+    }),
     "sql_correlated" -> Relational.sqlCorrelatedSubquery,
     "hof_sampler" -> Relational.hofSampler,
     "date_arith_sampler" -> Relational.dateArithSampler,
@@ -663,6 +705,20 @@ object SparkEntry {
       Dedup.contaminationStatsBloom(
         all.filter(col("doc_id") % 7 =!= 0), all.filter(col("doc_id") % 7 === 0))
     }),
+    // the surgical decontamination form: EXCISE benchmark-overlapping
+    // spans from training docs instead of dropping whole documents — the
+    // oracle reconstructs every cleaned token stream over the %7 split
+    "dedup_decontam_rewrite" -> ((s, d) => {
+      val all = SharedCorpus.docsTok(s, d)
+      Dedup.exciseContaminatedSpans(
+        all.filter(col("doc_id") % 7 =!= 0), all.filter(col("doc_id") % 7 === 0))
+    }),
+    // Hamming-space top-k retrieval over the SimHash codes (the serving
+    // form of the pair miner): band candidates + exact popcount rerank;
+    // the oracle brute-forces queries × corpus — equality proves the
+    // 4-band join is lossless at radius 3 (pigeonhole)
+    "dedup_simhash_topk" -> ((s, d) =>
+      Dedup.simHashTopK(SharedCorpus.docsTok(s, d), col("doc_id") % 10 === 0)),
     // the canonical GPT-3 13-gram rule (the span family's n=8 gate keeps
     // the cross-operator consistency story; this one runs the cited rule)
     "dedup_contamination_13" -> ((s, d) => {
@@ -976,6 +1032,14 @@ object SparkEntry {
       ensurePngBlobs(s, d)
       Multimodal.pHashPairs(s.table("graft_png_blobs"))
     }),
+    // cross-modal (image+caption) dedup decision table: pairs flagged by
+    // either modality with both Hamming distances and the both-match
+    // verdict — a full-outer alignment of two banded-collision outputs
+    "mm_crossmodal_pairs" -> ((s, d) => {
+      ensurePngBlobs(s, d)
+      Multimodal.crossModalPairs(
+        s.table("graft_png_blobs"), SharedCorpus.docsTok(s, d))
+    }),
     // build/query split for the media dedup tier (the phash twin of
     // dedup_cross_indexed): the corpus side's codes + bands persisted
     // ONCE bucketed on the band key — each new crawl batch is the only
@@ -1241,6 +1305,57 @@ object SparkEntry {
 
   private val WS = "\\s+"
 
+  /** Deterministic crawl-URL injection for the curation_url_* gates (the
+    * documents corpus carries no URLs — same discipline as the
+    * ta_pii_redact injection): mixed-case hosts, default ports, utm
+    * tracking params, fragments — every branch the canonicalizer must
+    * normalize. [[injectedUrlSql]] is the DuckDB mirror — re-embedded
+    * inside canonicalUrlCtes' own stripMargin, which would eat a
+    * line-leading `||`, so every concatenation operator sits at
+    * end-of-line there. */
+  private def injectedUrl: org.apache.spark.sql.Column = concat(
+    lit("HTTPS://"),
+    expr("CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'WWW.News-Site' " +
+      "WHEN 1 THEN 'blog.Example' WHEN 2 THEN 'www.example' ELSE 'Docs.Vendor' END"),
+    expr("CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN '.COM:443' " +
+      "WHEN 1 THEN '.com' ELSE '.org:80' END"),
+    lit("/page/"), col("doc_id").cast("string"),
+    expr("CASE WHEN doc_id % 2 = 0 THEN concat('?utm_source=feed&utm_campaign=c', " +
+      "CAST(doc_id AS STRING), '&id=', CAST(doc_id AS STRING)) " +
+      "ELSE concat('?id=', CAST(doc_id AS STRING)) END"),
+    expr("CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END"))
+
+  private val injectedUrlSql: String =
+    """'HTTPS://' ||
+      |  CASE doc_id % 4 WHEN 0 THEN 'WWW.News-Site' WHEN 1 THEN 'blog.Example'
+      |    WHEN 2 THEN 'www.example' ELSE 'Docs.Vendor' END ||
+      |  CASE doc_id % 3 WHEN 0 THEN '.COM:443' WHEN 1 THEN '.com' ELSE '.org:80' END ||
+      |  '/page/' || CAST(doc_id AS VARCHAR) ||
+      |  CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&utm_campaign=c' ||
+      |      CAST(doc_id AS VARCHAR) || '&id=' || CAST(doc_id AS VARCHAR)
+      |    ELSE '?id=' || CAST(doc_id AS VARCHAR) END ||
+      |  CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END""".stripMargin
+
+  /** DuckDB replay of [[graft.ops.Curation.canonicalizeUrl]] +
+    * [[graft.ops.Curation.registrableDomain]] over the injected URLs —
+    * CTEs ending in `dom(doc_id, url_canonical, domain)`. RE2 backrefs
+    * are `\1` where Java's are `$1`; DuckDB regexp_replace needs the
+    * explicit 'g' flag where Spark is global by default. */
+  private val canonicalUrlCtes: String =
+    s"""u AS (SELECT doc_id, $injectedUrlSql AS url FROM documents),
+       |nf AS (SELECT doc_id, regexp_replace(url, '#.*$$', '') AS nu FROM u),
+       |hd AS (SELECT doc_id, nu,
+       |  regexp_extract(nu, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?]+)', 1) AS head FROM nf),
+       |ch AS (SELECT doc_id, nu, head,
+       |  regexp_replace(regexp_replace(lower(head), '^([a-z0-9+.-]*://)www\\.', '\\1'),
+       |    ':(80|443)$$', '') AS chead FROM hd),
+       |cu AS (SELECT doc_id,
+       |  regexp_replace(regexp_replace(chead || substring(nu, CAST(len(head) + 1 AS INT)),
+       |    'utm_[a-z]+=[^&#]*&?', '', 'g'), '[?&]$$', '') AS url_canonical FROM ch),
+       |dom AS (SELECT doc_id, url_canonical,
+       |  regexp_extract(regexp_extract(url_canonical, '^[a-z0-9+.-]*://([^/:?]+)', 1),
+       |    '([a-z0-9-]+\\.[a-z0-9-]+)$$', 1) AS domain FROM cu)""".stripMargin
+
   // DuckDB mirrors of the Spark-side hashes come from CrossHash itself so
   // the two sides cannot drift.
   private def h32Sql(e: String): String = graft.functions.CrossHash.h32Sql(e)
@@ -1497,6 +1612,30 @@ object SparkEntry {
        |GROUP BY b.doc_id
        |HAVING max(CASE WHEN o.owner < b.doc_id THEN 1 ELSE 0 END) = 0
        |ORDER BY doc_id""".stripMargin
+
+  /** Shared recursive-CTE replay of [[Packing.packGreedy]]'s per-bucket
+    * next-fit walk (whitespace counts, default budget/buckets) — the
+    * layout gate and the fill-stats ledger aggregate over the SAME walk
+    * so they cannot drift. Callers prepend `WITH RECURSIVE`. */
+  private val greedyWalkCtes: String =
+    s"""base AS (SELECT doc_id,
+       |    CAST(len(regexp_split_to_array(lower(text), '$WS')) AS BIGINT) AS n_tokens,
+       |    ${Packing.orderHashSql} AS h FROM documents),
+       |d AS (SELECT doc_id, n_tokens, CAST(h % 16 AS BIGINT) AS bucket,
+       |    row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id) AS rn
+       |  FROM base),
+       |walk AS (
+       |  SELECT bucket, rn, doc_id, n_tokens,
+       |    CAST(1 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS seq_offset,
+       |    n_tokens AS fill
+       |  FROM d WHERE rn = 1
+       |  UNION ALL
+       |  SELECT d.bucket, d.rn, d.doc_id, d.n_tokens,
+       |    CASE WHEN w.fill + d.n_tokens > 256 THEN w.seq_id + 1 ELSE w.seq_id END,
+       |    CASE WHEN w.fill + d.n_tokens > 256 THEN CAST(0 AS BIGINT) ELSE w.fill END,
+       |    CASE WHEN w.fill + d.n_tokens > 256 THEN d.n_tokens
+       |      ELSE w.fill + d.n_tokens END
+       |  FROM walk w JOIN d ON d.bucket = w.bucket AND d.rn = w.rn + 1)""".stripMargin
 
   private val simhashCteSql: String = {
     val votes = (0 until 32)
@@ -2823,6 +2962,32 @@ object SparkEntry {
     "dedup_contamination" -> contaminationOracleSql(8),
     "dedup_contamination_bloom" -> contaminationOracleSql(8),
     "dedup_contamination_13" -> contaminationOracleSql(13),
+    // the excision rewrite: tainted = any training span whose hash occurs
+    // in the benchmark set; ALL tainted occurrences' token coverage is
+    // dropped and the kept stream rebuilt (no kept-owner rule here —
+    // the benchmark is the reference, not a corpus member)
+    "dedup_decontam_rewrite" ->
+      s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '$WS') AS ws FROM documents),
+         |sp AS (SELECT doc_id, i, len(ws) AS nt,
+         |  ${h60Sql("array_to_string(ws[i:i+7], ' ')")} AS sh
+         |  FROM toks, unnest(generate_series(1, greatest(len(ws) - 7, 1))) AS t(i)),
+         |bench AS (SELECT DISTINCT sh FROM sp WHERE doc_id % 7 = 0),
+         |occ AS (SELECT doc_id, i, nt FROM sp
+         |  WHERE doc_id % 7 <> 0 AND sh IN (SELECT sh FROM bench)),
+         |cov AS (SELECT DISTINCT doc_id, p FROM occ,
+         |  unnest(generate_series(i, least(i + 7, nt))) AS u(p)),
+         |drops AS (SELECT doc_id, list(p) AS dp FROM cov GROUP BY 1),
+         |reb AS (SELECT t.doc_id, len(t.ws) AS n_tokens,
+         |  list_transform(
+         |    list_filter(generate_series(1, len(t.ws)),
+         |      j -> NOT list_contains(coalesce(d.dp, []), j)),
+         |    j -> t.ws[j]) AS kept
+         |  FROM toks t LEFT JOIN drops d ON d.doc_id = t.doc_id
+         |  WHERE t.doc_id % 7 <> 0)
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(len(kept) AS BIGINT) AS n_kept,
+         |  coalesce(array_to_string(kept, ' '), '') AS clean_text
+         |FROM reb ORDER BY doc_id""".stripMargin,
     // DuckDB mirror of StreamOps.streamDecontaminated's batch mode: the
     // admitted training docs are exactly those with zero benchmark-
     // overlapping spans (strict maxRatio = 0 rule)
@@ -2876,6 +3041,21 @@ object SparkEntry {
          |FROM cand JOIN shash sa ON sa.doc_id = doc_a JOIN shash sb ON sb.doc_id = doc_b
          |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= ${Dedup.DefaultMaxHamming}
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // the top-k oracle is the BRUTE-FORCE scan (queries × corpus, no
+    // bands): hash equality against the banded plan proves the 4-band
+    // join is lossless at radius 3 — same pigeonhole contract the pair
+    // miner relies on, here verified per query
+    "dedup_simhash_topk" ->
+      s"""WITH $simhashCteSql,
+         |p AS (SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+         |  CAST(bit_count(xor(q.simhash, c.simhash)) AS BIGINT) AS hamming
+         |  FROM shash q JOIN shash c ON q.doc_id % 10 = 0 AND c.doc_id <> q.doc_id),
+         |r AS (SELECT query_id, neighbor_id, hamming,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY hamming, neighbor_id) AS BIGINT) AS rn
+         |  FROM p WHERE hamming <= ${Dedup.DefaultMaxHamming})
+         |SELECT query_id, neighbor_id, hamming, rn FROM r WHERE rn <= 5
+         |ORDER BY query_id, rn""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH $shingleCte,
          |card AS (SELECT doc_id, count(*) AS card FROM sh GROUP BY doc_id),
@@ -2894,6 +3074,38 @@ object SparkEntry {
         |  FROM p)
         |SELECT query_id, neighbor_id, rn, cos FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
     "ann_lsh_topk" -> annOracleSql,
+    // recall@5 of the LSH tier vs the exhaustive scan, per query: both
+    // top-k sets replayed (the banded probe and the brute force), hit
+    // counting by exact join — the ratio is one division of exact ints
+    "ann_recall_lsh" ->
+      s"""WITH $lshBandedCte,
+         |cand AS (SELECT DISTINCT q.vec_id AS query_id, q.embedding AS qv,
+         |    n.vec_id AS neighbor_id, n.embedding AS nv
+         |  FROM banded q JOIN banded n
+         |  ON q.band_idx = n.band_idx AND q.band_val = n.band_val
+         |    AND q.vec_id < 10 AND n.vec_id <> q.vec_id),
+         |ascored AS (SELECT query_id, neighbor_id,
+         |  list_cosine_similarity(CAST(qv AS DOUBLE[]), CAST(nv AS DOUBLE[])) AS cos FROM cand),
+         |approx AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+         |  FROM ascored) WHERE rn <= 5),
+         |ep AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |  list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])) AS cos
+         |  FROM embeddings q JOIN embeddings n ON q.vec_id < 10 AND n.vec_id <> q.vec_id),
+         |exact AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+         |  FROM ep) WHERE rn <= 5),
+         |hits AS (SELECT e.query_id, count(a.neighbor_id) AS n_hits
+         |  FROM exact e LEFT JOIN approx a
+         |    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+         |  GROUP BY e.query_id),
+         |ex AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY query_id)
+         |SELECT ex.query_id, coalesce(h.n_hits, 0) AS n_hits, ex.n_exact,
+         |  CAST(coalesce(h.n_hits, 0) AS DOUBLE) / ex.n_exact AS recall
+         |FROM ex LEFT JOIN hits h ON h.query_id = ex.query_id
+         |ORDER BY ex.query_id""".stripMargin,
     "ann_sq_topk" -> sqTopKOracleSql,
     "ann_sq_indexed" -> sqTopKOracleSql,
     "ann_pq_topk" -> pqTopKOracleSql,
@@ -3084,26 +3296,48 @@ object SparkEntry {
     // reset condition is just fill + n > budget; the base case is each
     // bucket's first document, which never resets even when oversized
     "pack_greedy" ->
-      s"""WITH RECURSIVE base AS (SELECT doc_id,
-         |    CAST(len(regexp_split_to_array(lower(text), '$WS')) AS BIGINT) AS n_tokens,
-         |    ${Packing.orderHashSql} AS h FROM documents),
-         |d AS (SELECT doc_id, n_tokens, CAST(h % 16 AS BIGINT) AS bucket,
-         |    row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id) AS rn
-         |  FROM base),
-         |walk AS (
-         |  SELECT bucket, rn, doc_id, n_tokens,
-         |    CAST(1 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS seq_offset,
-         |    n_tokens AS fill
-         |  FROM d WHERE rn = 1
-         |  UNION ALL
-         |  SELECT d.bucket, d.rn, d.doc_id, d.n_tokens,
-         |    CASE WHEN w.fill + d.n_tokens > 256 THEN w.seq_id + 1 ELSE w.seq_id END,
-         |    CASE WHEN w.fill + d.n_tokens > 256 THEN CAST(0 AS BIGINT) ELSE w.fill END,
-         |    CASE WHEN w.fill + d.n_tokens > 256 THEN d.n_tokens
-         |      ELSE w.fill + d.n_tokens END
-         |  FROM walk w JOIN d ON d.bucket = w.bucket AND d.rn = w.rn + 1)
+      s"""WITH RECURSIVE $greedyWalkCtes
          |SELECT doc_id, bucket, seq_id, seq_offset, n_tokens
          |FROM walk ORDER BY doc_id""".stripMargin,
+    // the efficiency ledger is one aggregate over the SAME replayed walk:
+    // per (bucket, seq_id) doc count, fill, clamped waste, oversized flag
+    "pack_fill_stats" ->
+      s"""WITH RECURSIVE $greedyWalkCtes
+         |SELECT bucket, seq_id, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS fill_tokens,
+         |  CAST(greatest(256 - sum(n_tokens), 0) AS BIGINT) AS waste_tokens,
+         |  sum(n_tokens) > 256 AS oversized
+         |FROM walk GROUP BY bucket, seq_id ORDER BY bucket, seq_id""".stripMargin,
+    // seeded-hash shard + within-shard rank: the reproducible global
+    // shuffle replayed with the same 60-bit hash and window rank
+    "pack_shard_shuffle" ->
+      s"""WITH d AS (SELECT doc_id, ${Packing.shuffleHashSql("epoch0")} AS h FROM documents),
+         |s AS (SELECT doc_id, CAST(h % 8 AS BIGINT) AS shard, h FROM d)
+         |SELECT doc_id, shard,
+         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS shard_pos
+         |FROM s ORDER BY doc_id""".stripMargin,
+    // curriculum: the hash-proven ta_quality score bucketed into 4 tiers,
+    // highest tier first within each shard, seeded hash within a tier
+    "pack_curriculum" ->
+      s"""WITH c AS (SELECT doc_id,
+         |  CAST(len(regexp_split_to_array(lower(text), '$WS')) AS BIGINT) AS nt,
+         |  CAST(len(list_filter(regexp_split_to_array(lower(text), '$WS'),
+         |    t -> regexp_matches(t, '^[a-z0-9]+$$'))) AS BIGINT) AS alnum,
+         |  ${markerSql("en")} AS stop
+         |FROM documents),
+         |q AS (SELECT doc_id,
+         |  least(CAST(nt AS DOUBLE) / 100.0, 1.0) * 0.2 + CAST(alnum AS DOUBLE) / nt * 0.5
+         |    + least(CAST(stop AS DOUBLE) / nt * 4.0, 1.0) * 0.3 AS q
+         |  FROM c),
+         |t AS (SELECT doc_id,
+         |    least(CAST(floor(q * 4) AS BIGINT), 3) AS tier,
+         |    ${Packing.shuffleHashSql("epoch0")} AS h
+         |  FROM q JOIN documents USING (doc_id)),
+         |s AS (SELECT doc_id, tier, CAST(h % 8 AS BIGINT) AS shard, h FROM t)
+         |SELECT doc_id, tier, shard,
+         |  CAST(row_number() OVER (PARTITION BY shard
+         |    ORDER BY tier DESC, h, doc_id) AS BIGINT) AS shard_pos
+         |FROM s ORDER BY doc_id""".stripMargin,
     // stored-BPE-budgeted packing: the replayed 8-round training chain
     // feeds per-doc subword counts (0 for no-alnum-word docs, kept via the
     // LEFT JOIN) into the same recursive greedy walk; the walk's reset
@@ -3387,6 +3621,35 @@ object SparkEntry {
         |  AND a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.phash, b.phash)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // the cross-modal decision table: FULL OUTER alignment of the image
+    // (phash) and caption (simhash) pair sets on the pair key — both
+    // modal CTEs are the replayed formulas their own gates prove
+    "mm_crossmodal_pairs" ->
+      s"""WITH $phashCtes,
+         |$simhashCteSql,
+         |pbands AS (SELECT doc_id, phash, b AS band_idx,
+         |    (phash >> CAST(b * 14 AS INT)) & 16383 AS band_val
+         |  FROM ph, unnest(generate_series(0, 3)) AS tb(b)),
+         |ip AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS image_hamming
+         |  FROM pbands a JOIN pbands b
+         |  ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+         |sbands AS (SELECT doc_id, simhash, band_idx, (simhash >> (band_idx * 8)) & 255 AS band_val
+         |  FROM shash, unnest(generate_series(0, 3)) AS t(band_idx)),
+         |tcand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sbands a JOIN sbands b
+         |  ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+         |tp AS (SELECT doc_a, doc_b,
+         |    CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS text_hamming
+         |  FROM tcand JOIN shash sa ON sa.doc_id = doc_a JOIN shash sb ON sb.doc_id = doc_b
+         |  WHERE bit_count(xor(sa.simhash, sb.simhash)) <= ${Dedup.DefaultMaxHamming})
+         |SELECT coalesce(ip.doc_a, tp.doc_a) AS doc_a,
+         |  coalesce(ip.doc_b, tp.doc_b) AS doc_b,
+         |  ip.image_hamming, tp.text_hamming,
+         |  ip.image_hamming IS NOT NULL AND tp.text_hamming IS NOT NULL AS both_modalities
+         |FROM ip FULL OUTER JOIN tp ON ip.doc_a = tp.doc_a AND ip.doc_b = tp.doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin,
     // cross-side banded mining on the replayed codes: stored-corpus side
     // (%3<>0) vs batch side (%3=0), exact Hamming verification — the
     // index changes where the corpus codes come from, not the pairs
@@ -3475,6 +3738,35 @@ object SparkEntry {
          |    ORDER BY ${h32Sql("CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
          |  FROM documents)
          |WHERE rn <= 5 ORDER BY doc_id""".stripMargin,
+    // canonicalization pipeline replayed step-by-step over the injected
+    // URLs (fragment, host case, www., default port, utm params)
+    "curation_url_canonical" ->
+      s"""WITH $canonicalUrlCtes
+         |SELECT doc_id, url_canonical, domain FROM dom ORDER BY doc_id""".stripMargin,
+    // the mega-site guard: hash-rank cap at 20 per registrable domain
+    "curation_domain_cap" ->
+      s"""WITH $canonicalUrlCtes,
+         |hh AS (SELECT doc_id, url_canonical, domain,
+         |  ${h60Sql("'dom:' || CAST(doc_id AS VARCHAR)")} AS h FROM dom),
+         |r AS (SELECT doc_id, url_canonical, domain,
+         |  CAST(row_number() OVER (PARTITION BY domain ORDER BY h, doc_id) AS BIGINT) AS rnk
+         |  FROM hh)
+         |SELECT doc_id, url_canonical, domain, rnk FROM r WHERE rnk <= 20
+         |ORDER BY doc_id""".stripMargin,
+    // systematic PPS: the per-source hash-order token walk, keep a doc iff
+    // its token span crosses a multiple of the step — `//` is DuckDB's
+    // integer division, matching Spark's `div` on longs exactly
+    "sample_pps" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |    CAST(len(regexp_split_to_array(lower(text), '$WS')) AS BIGINT) AS n_tokens,
+         |    ${Packing.orderHashSql} AS h FROM documents),
+         |c AS (SELECT doc_id, source, n_tokens,
+         |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         |  FROM d)
+         |SELECT doc_id, source, n_tokens, cum_before FROM c
+         |WHERE (cum_before + n_tokens) // 400 > cum_before // 400
+         |ORDER BY doc_id""".stripMargin,
     "sql_correlated" ->
       """WITH per_cust AS (
         |  SELECT c.c_custkey, c.c_nationkey, count(o.o_orderkey) AS n_orders

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.CrossHash
@@ -196,5 +196,58 @@ object Curation {
       .getOrElse(Snapshot.baseSnapshot(corpusOf(all)))
     graft.sources.Formats.writeManaged(
       Snapshot.mergeSnapshot(prev, changes), outSnap)
+  }
+
+  /** Canonical form of a crawl URL — the normalization every web-corpus
+    * dedup keys on (C4/RefinedWeb-style: the same page re-crawled under
+    * tracking params, fragments, default ports, or host-case variants must
+    * collapse to ONE key before URL-level dedup means anything):
+    *  - fragment dropped;
+    *  - scheme + host lowercased (path/query stay case-sensitive per RFC
+    *    3986), a leading `www.` and an explicit default port (`:80`/`:443`)
+    *    dropped;
+    *  - `utm_*` tracking parameters removed, with empty leftover `?`/`&`
+    *    separators cleaned.
+    * Pure string expressions (regexp_extract/replace + lower/concat), so
+    * the whole pipeline is a zero-shuffle projection at any scale — and
+    * cross-engine replayable (Java regex ↔ DuckDB RE2, the `ta_pii_redact`
+    * parity discipline). */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    // scheme://host[:port] prefix, normalized; rest untouched
+    val head = regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?]+)", 1)
+    val canonHead = regexp_replace(
+      regexp_replace(lower(head), "^([a-z0-9+.-]*://)www\\.", "$1"),
+      ":(80|443)$", "")
+    val rest = noFrag.substr(length(head) + 1, length(noFrag))
+    val noUtm = regexp_replace(concat(canonHead, rest), "utm_[a-z]+=[^&#]*&?", "")
+    regexp_replace(noUtm, "[?&]$", "")
+  }
+
+  /** Registrable-domain heuristic from a canonical URL: the last two
+    * labels of the host (no public-suffix list in this container — the
+    * documented approximation, right for .com/.org-style suffixes). */
+  def registrableDomain(canonicalUrl: Column): Column =
+    regexp_extract(
+      regexp_extract(canonicalUrl, "^[a-z0-9+.-]*://([^/:?]+)", 1),
+      "([a-z0-9-]+\\.[a-z0-9-]+)$", 1)
+
+  /** Domain diversity cap — keep at most `maxPerDomain` documents per
+    * registrable domain, chosen by deterministic hash rank (the
+    * RefinedWeb-style guard against one mega-site dominating the corpus).
+    * One hash shuffle on the domain key; the per-domain sort is bounded
+    * by that domain's docs and the hash order makes the kept set a pure
+    * function of the corpus. Emits the canonical URL and domain so the
+    * decision is auditable. */
+  def domainCap(docs: DataFrame, url: Column, maxPerDomain: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("domain").orderBy(col("h"), col("doc_id"))
+    docs.select(col("doc_id"), canonicalizeUrl(url).as("url_canonical"))
+      .withColumn("domain", registrableDomain(col("url_canonical")))
+      .withColumn("h", CrossHash.h60(concat(lit("dom:"), col("doc_id").cast("string"))))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= maxPerDomain)
+      .select(col("doc_id"), col("url_canonical"), col("domain"), col("rnk"))
+      .orderBy("doc_id")
   }
 }

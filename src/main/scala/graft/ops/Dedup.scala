@@ -384,6 +384,49 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Hamming-space top-k retrieval over the SimHash codes — "find the k
+    * nearest near-duplicates of each query document", the serving form of
+    * the pair miner (a crawler checking an incoming page against the
+    * corpus, a reviewer pulling the closest matches of a flagged doc).
+    * Queries are the `queryPred` subset of the corpus; for each, the
+    * candidates sharing at least one of the 4 fingerprint byte-bands are
+    * ranked by exact `bit_count` Hamming distance (ties by neighbor id)
+    * and the top `k` within `maxHamming` are kept.
+    *
+    * At the default radius 3 < 4 bands the band join is LOSSLESS
+    * (pigeonhole — see [[DefaultMaxHamming]]), so the result is exactly
+    * the brute-force top-k over the Hamming ball; the oracle exploits
+    * that: it scans queries × corpus exhaustively while this plan only
+    * touches band collisions. Scale shape: same banded join as
+    * [[simHashPairs]] with the query side pre-filtered — candidate volume
+    * scales with the query count and band collision rate, never the
+    * corpus square; the per-query top-k is one window over the (small)
+    * verified-candidate set. */
+  def simHashTopK(docs: DataFrame, queryPred: Column, k: Int = 5,
+      maxHamming: Int = DefaultMaxHamming): DataFrame = {
+    val sh = simHash(docs).persist() // feeds the query and candidate sides
+    val banded = sh.select(
+      col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * 8).bitwiseAND(0xFF).cast("long")): _*))
+        .as(Seq("band_idx", "band_val")))
+    val queries = banded.filter(queryPred)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("hamming"), col("neighbor_id"))
+    queries.as("q")
+      .join(banded.as("c"),
+        col("q.band_idx") === col("c.band_idx") &&
+          col("q.band_val") === col("c.band_val") &&
+          col("q.doc_id") =!= col("c.doc_id"))
+      .select(col("q.doc_id").as("query_id"), col("c.doc_id").as("neighbor_id"),
+        bit_count(col("q.simhash").bitwiseXOR(col("c.simhash"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .orderBy("query_id", "rn")
+  }
+
   /** Connected components of the near-duplicate pair graph: one row per
     * document, `label` = the component's lowest doc_id (singletons label
     * themselves). This is the shared resolution step under every survivor
@@ -743,8 +786,26 @@ object Dedup {
     // duplicated hash crosses the wire
     val owner = sp.join(dupHashes, Seq("sh"), "left_semi")
       .groupBy("sh").agg(min(struct(col("doc_id"), col("i"))).as("o"))
-    val dropPos = sp.join(owner, Seq("sh"))
+    val occ = sp.join(owner, Seq("sh"))
       .filter(col("doc_id") =!= col("o.doc_id") || col("i") =!= col("o.i"))
+      .select("doc_id", "i", "nt")
+    exciseOccurrences(base, occ, n)
+  }
+
+  /** Shared rewrite tail of the span excision operators: given the corpus
+    * token arrays and a set of span OCCURRENCES to remove (`doc_id`, start
+    * position `i`, token count `nt`), drop every token covered by at least
+    * one occurrence and rebuild the kept token stream in original order.
+    * One expression for the duplicate-span and contamination rewrites so
+    * the coverage semantics (and the oracle contract) cannot drift.
+    *
+    * Scale shape: the drop-position explode touches only the occurrence
+    * rows (bounded by n positions per occurrence, never the corpus); the
+    * rebuild is a per-document projection riding a doc_id-keyed join whose
+    * right side is one row per affected document. */
+  private def exciseOccurrences(base: DataFrame, occ: DataFrame,
+      n: Int): DataFrame = {
+    val dropPos = occ
       .select(col("doc_id"),
         explode(sequence(col("i"), least(col("i") + lit(n - 1), col("nt")))).as("pos"))
       .groupBy("doc_id").agg(collect_set(col("pos")).as("drop_pos"))
@@ -757,6 +818,38 @@ object Dedup {
         size(col("kept")).cast("long").as("n_kept"),
         array_join(col("kept"), " ").as("clean_text"))
       .orderBy("doc_id")
+  }
+
+  /** Span-level decontamination REWRITE — the surgical alternative to
+    * [[decontaminate]]'s document drop: excise every training-corpus token
+    * covered by a benchmark-overlapping n-token span and keep the rest of
+    * the document. This is what a pipeline runs when whole-document
+    * removal is too lossy (one quoted benchmark sentence inside an
+    * otherwise-clean long document): the GPT-3 appendix-C alternative of
+    * cutting the contaminated window rather than the document.
+    *
+    * Semantics: a training span is tainted iff its hash occurs ANYWHERE in
+    * the benchmark corpus (same rule as [[contaminationStats]] — one hit
+    * taints, training-side frequency is irrelevant); ALL tainted
+    * occurrences are excised (there is no "kept owner" — unlike
+    * [[removeDuplicateSpans]], the benchmark is the reference, not a
+    * member of the corpus). Coverage-based removal shares
+    * [[exciseOccurrences]]'s declarative one-pass contract.
+    *
+    * Scale shape: the benchmark side reduces to its distinct span-hash set
+    * (broadcastable — eval suites are tiny next to a 100 TB corpus); the
+    * training side is one [[positionalSpans]] scan semi-joined against it;
+    * the rewrite tail touches only tainted documents. For a
+    * benchmark-outgrown regime, compose the Bloom pre-filter exactly as
+    * [[contaminationStatsBloom]] does. */
+  def exciseContaminatedSpans(train: DataFrame, benchmark: DataFrame,
+      n: Int = 8): DataFrame = {
+    val base = train.select(col("doc_id"), SharedCorpus.wsOf(train).as("ws"))
+    val benchHashes = positionalSpans(benchmark, n).select("sh").distinct()
+    val occ = positionalSpans(train, n)
+      .join(benchHashes, Seq("sh"), "left_semi")
+      .select("doc_id", "i", "nt")
+    exciseOccurrences(base, occ, n)
   }
 
   /** n-gram Jaccard near-duplicate pairs via an inverted-index join:

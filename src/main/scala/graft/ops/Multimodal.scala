@@ -260,6 +260,32 @@ object Multimodal {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Cross-modal near-duplicate decision table — the paired-data (LAION-
+    * style image+caption) dedup composite: one row per document pair
+    * flagged by EITHER modality, with the image Hamming distance (from
+    * [[pHashPairs]] over the decoded pixels), the caption SimHash Hamming
+    * distance (from [[Dedup.simHashPairs]] over the text), and a
+    * `both_modalities` verdict. A pair matching on both is a true
+    * duplicate *pair* (same image, same caption → drop one); an
+    * image-only match is a re-captioned image, a text-only match a
+    * re-illustrated caption — the three cases a multimodal curation
+    * policy treats differently, which is why this emits the full decision
+    * table instead of pre-applying one rule.
+    *
+    * Scale shape: both inputs are banded-join COLLISION outputs (orders of
+    * magnitude smaller than the corpus), so the full-outer alignment on
+    * the pair key is a join of two small tables — the corpus is touched
+    * exactly twice (one decode pass, one token pass), never pairwise. */
+  def crossModalPairs(blobs: DataFrame, docs: DataFrame): DataFrame = {
+    val img = pHashPairs(blobs).withColumnRenamed("hamming", "image_hamming")
+    val txt = Dedup.simHashPairs(docs).withColumnRenamed("hamming", "text_hamming")
+    img.join(txt, Seq("doc_a", "doc_b"), "full_outer")
+      .select(col("doc_a"), col("doc_b"), col("image_hamming"), col("text_hamming"),
+        (col("image_hamming").isNotNull && col("text_hamming").isNotNull)
+          .as("both_modalities"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** The band rows of a [[dHash]] code table — ONE banding scheme for the
     * direct miner and the stored index, so they cannot drift. */
   private def phashBands(codes: DataFrame): DataFrame = {

@@ -355,4 +355,85 @@ object Packing {
         col("n_tokens"), col("cum_before"))
       .orderBy("doc_id")
   }
+
+  /** Seeded shuffle key for [[shardShuffle]]: unlike [[orderHash]] the
+    * salt carries an epoch/run seed, so successive epochs get INDEPENDENT
+    * permutations of the same corpus — still a pure function of
+    * (document, seed), never of the cluster. */
+  def shuffleHash(seed: String): Column =
+    CrossHash.h60(concat(lit(s"shuf:$seed:"), col("doc_id").cast("string")))
+
+  /** DuckDB equivalent of [[shuffleHash]], for oracle authoring. */
+  def shuffleHashSql(seed: String): String =
+    CrossHash.h60Sql(s"'shuf:$seed:' || CAST(doc_id AS VARCHAR)")
+
+  /** Deterministic training-shard shuffle — the dataloader-facing
+    * coordinates a pretraining run reads by: every document gets a
+    * `(shard, shard_pos)` address where `shard` is a seeded hash bucket
+    * and `shard_pos` is its 1-based rank in seeded-hash order within the
+    * shard. Writing the corpus CLUSTERED BY these coordinates yields
+    * globally-shuffled shards any dataloader can stream sequentially; a
+    * new `seed` ("epoch1", "epoch2", …) re-shuffles without touching the
+    * data — the epoch-reshuffle every training run needs, reproducible
+    * across clusters.
+    *
+    * Scale shape: one hash shuffle on `shard` + a per-shard sort for the
+    * rank — never a global sort; shard count scales with the corpus
+    * (tokens / shard_size) so each sort stays executor-sized. All outputs
+    * are integers. */
+  def shardShuffle(docs: DataFrame, shards: Int = 8,
+      seed: String = "epoch0"): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy(col("h"), col("doc_id"))
+    docs.select(col("doc_id"), shuffleHash(seed).as("h"))
+      .withColumn("shard", (col("h") % shards).cast("long"))
+      .withColumn("shard_pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("shard_pos"))
+      .orderBy("doc_id")
+  }
+
+  /** Curriculum-ordered shard coordinates — [[shardShuffle]] with a
+    * quality-tier primary key: documents are bucketed into `tiers` bands
+    * of the engine's quality score and each shard streams its HIGHEST
+    * tier first (cleanest data early, the standard curriculum/annealing
+    * order), hash-shuffled within a tier so no other bias leaks in. The
+    * tier is a pure function of the text (the same fixed-op-order score
+    * the `ta_quality` gate hash-proves cross-engine), so the coordinates
+    * stay reproducible: same corpus + seed → same curriculum on any
+    * cluster.
+    *
+    * Same plan as [[shardShuffle]] — the tier is one more projected
+    * column; one hash shuffle + per-shard sort. */
+  def curriculumShuffle(docs: DataFrame, shards: Int = 8,
+      seed: String = "epoch0", tiers: Int = 4): DataFrame = {
+    val q = TextAnalysis.qualityColOf(
+      SharedCorpus.wsOf(docs), SharedCorpus.alnumOf(docs))
+    val w = Window.partitionBy("shard")
+      .orderBy(col("tier").desc, col("h"), col("doc_id"))
+    docs.select(col("doc_id"), shuffleHash(seed).as("h"),
+      least(floor(q * tiers), lit(tiers - 1L)).cast("long").as("tier"))
+      .withColumn("shard", (col("h") % shards).cast("long"))
+      .withColumn("shard_pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("tier"), col("shard"), col("shard_pos"))
+      .orderBy("doc_id")
+  }
+
+  /** Packing-efficiency audit over [[packGreedy]]'s layout — the
+    * sequence-level ledger a batch-assembly pipeline monitors: per packed
+    * sequence, how many documents it holds, how full it is, and how many
+    * budget tokens it wastes (padding the trainer will burn). `oversized`
+    * marks the longer-than-budget singleton sequences (the packer's
+    * documented no-split escape hatch), whose waste is 0 by definition.
+    *
+    * One aggregate over the packer's output — map-side combined on the
+    * (bucket, seq_id) key the walk already computed, so the audit adds a
+    * single exchange over the packing plan itself. */
+  def packFillStats(docs: DataFrame, budgetTokens: Long = DefaultBudget,
+      buckets: Int = DefaultBuckets): DataFrame =
+    packGreedy(docs, budgetTokens, buckets)
+      .groupBy("bucket", "seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("fill_tokens"))
+      .select(col("bucket"), col("seq_id"), col("n_docs"), col("fill_tokens"),
+        greatest(lit(budgetTokens) - col("fill_tokens"), lit(0L)).as("waste_tokens"),
+        (col("fill_tokens") > budgetTokens).as("oversized"))
+      .orderBy("bucket", "seq_id")
 }

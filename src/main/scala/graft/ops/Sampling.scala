@@ -51,4 +51,34 @@ object Sampling {
       .filter(col("rn") <= n)
       .drop("rn")
   }
+
+  /** Systematic probability-proportional-to-size document sampling: walk
+    * each `source`'s documents in deterministic hash order accumulating
+    * token counts, and keep a document iff its token span crosses a
+    * multiple of `stepTokens` — so inclusion probability is proportional
+    * to document LENGTH (one kept doc per `stepTokens` corpus tokens).
+    * This is the size-weighted sample a curation pipeline audits with
+    * (inspect documents in proportion to the tokens they contribute, so
+    * the review covers the corpus by token mass, not by document count);
+    * docs longer than `stepTokens` are always kept.
+    *
+    * The hash-order token walk is [[graft.ops.Packing.tokenBudgetSample]]'s
+    * plan (one shuffle on `source`, per-source window sum) with the prefix
+    * predicate swapped for the boundary-crossing rule; all arithmetic is
+    * exact integer `div` on longs, so the kept set is a pure function of
+    * the corpus — no float drift, no `rand()`. For a pathologically hot
+    * source, salt into sub-strata exactly as
+    * [[graft.ops.Packing.tokenBudgetSampleSalted]] does. */
+  def ppsSample(docs: DataFrame, stepTokens: Long = 400L): DataFrame = {
+    val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col("doc_id"), col("source"),
+      size(SharedCorpus.wsOf(docs)).cast("long").as("n_tokens"),
+      Packing.orderHash.as("h"))
+      .withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .where(expr(s"(cum_before + n_tokens) div $stepTokens") >
+        expr(s"cum_before div $stepTokens"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_before"))
+      .orderBy("doc_id")
+  }
 }

@@ -66,6 +66,32 @@ object Similarity {
       .orderBy("query_id", "rn")
   }
 
+  /** Index-quality monitor: per-query recall@k of an approximate
+    * retrieval result against the exact one — the number every production
+    * ANN deployment tracks to decide when an index needs re-training or a
+    * wider probe (nprobe/band budget). Both inputs are `(query_id,
+    * neighbor_id, …)` top-k tables (any tier: LSH, IVF, PQ, the refine
+    * path); the hit count is one semi-join, the ratio a single division
+    * of exact integers.
+    *
+    * Scale shape: both sides are top-k outputs (k rows per query — tiny
+    * next to the corpus), so the audit joins two query-keyed small tables;
+    * the expensive exact side is the ground-truth job a deployment runs
+    * on a SAMPLE of queries, which is exactly how the gate wires it. */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val hits = approx.select("query_id", "neighbor_id")
+      .join(exact.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"), col("n_exact"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_exact"))
+          .as("recall"))
+      .orderBy("query_id")
+  }
+
   /** All near-duplicate pairs with cosine ≥ `minCos` — EXACT tier
     * (symmetric cross join, a < b), which is O(n²) by construction. This
     * is a verification utility for bounded corpora: SimilaritySpec uses it

@@ -120,4 +120,55 @@ class CurationSpec extends SparkTestBase {
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
+
+  test("canonicalizeUrl: every normalization branch, idempotent, non-URL-noise preserved") {
+    import spark.implicits._
+    val cases = Seq(
+      // host case + www + default port + utm + fragment, all at once
+      ("HTTPS://WWW.Example.COM:443/Path/One?utm_source=x&id=7#frag",
+        "https://example.com/Path/One?id=7"),
+      // http default port; utm at the end leaves no dangling separator
+      ("http://Blog.Site.org:80/a?id=1&utm_campaign=yy",
+        "http://blog.site.org/a?id=1"),
+      // all params are tracking -> the bare '?' goes too
+      ("https://a.b.c.net/x?utm_source=1&utm_medium=2",
+        "https://a.b.c.net/x"),
+      // nothing to normalize -> unchanged (path case preserved per RFC)
+      ("https://example.com/CaseSensitive/Path?id=2",
+        "https://example.com/CaseSensitive/Path?id=2"),
+      // non-default port survives
+      ("https://example.com:8443/x", "https://example.com:8443/x"))
+    val got = cases.map(_._1).toDF("url")
+      .select(col("url"), Curation.canonicalizeUrl(col("url")).as("canon"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (in, want) => assert(got(in) === want, s"for $in") }
+    // idempotence: canonicalizing a canonical URL is the identity
+    val twice = cases.map(_._2).toDF("url")
+      .select(col("url"), Curation.canonicalizeUrl(col("url")).as("canon"))
+      .filter(col("url") =!= col("canon"))
+    assert(twice.count() === 0, "canonicalization must be idempotent")
+    // registrable domain: last two host labels, port/path never leak in
+    val doms = Seq("https://a.b.news-site.co/x", "https://example.com:8443/y")
+      .toDF("url").select(Curation.registrableDomain(col("url")))
+      .collect().map(_.getString(0))
+    assert(doms.toSeq === Seq("news-site.co", "example.com"))
+  }
+
+  test("domainCap keeps exactly the hash-rank prefix per domain") {
+    import spark.implicits._
+    // 30 docs on one domain, 3 on another; cap at 10
+    val docs = (1L to 33L).map { i =>
+      val host = if (i <= 30) "big.example.com" else "tiny.other.org"
+      (i, s"https://$host/p/$i")
+    }.toDF("doc_id", "url")
+    val out = Curation.domainCap(docs, col("url"), 10).cache()
+    val byDom = out.groupBy("domain").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byDom === Map("example.com" -> 10L, "other.org" -> 3L))
+    assert(out.filter(col("rnk") > 10).count() === 0)
+    // the kept set is the deterministic hash-rank prefix: re-running on a
+    // resharded frame keeps the identical documents
+    val again = Curation.domainCap(docs.repartition(5), col("url"), 10)
+    assert(out.exceptAll(again).count() === 0 && again.exceptAll(out).count() === 0)
+  }
 }

@@ -317,6 +317,66 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("exciseContaminatedSpans cuts ALL tainted occurrences; cleaned corpus is contamination-free") {
+    import spark.implicits._
+    val boiler = (1 to 8).map(i => s"q$i").mkString(" ")
+    val train = Seq(
+      (1L, s"intro words $boiler closing words"),
+      (2L, "completely unrelated training text here"),
+      // two tainted occurrences — BOTH are excised (no kept-owner rule)
+      (3L, s"pre $boiler mid $boiler post")).toDF("doc_id", "text")
+    val bench = Seq((100L, s"eval question $boiler answer")).toDF("doc_id", "text")
+    val out = Dedup.exciseContaminatedSpans(train, bench).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) === ((12L, 4L, "intro words closing words")))
+    assert(out(2L) === ((5L, 5L, "completely unrelated training text here")))
+    assert(out(3L) === ((19L, 3L, "pre mid post")))
+    // unlike decontaminate (which would drop docs 1 and 3), every doc survives
+    assert(out.size === 3)
+    // and the cleaned corpus carries zero benchmark overlap
+    val cleaned = Dedup.exciseContaminatedSpans(train, bench)
+      .select(col("doc_id"), col("clean_text").as("text"))
+    assert(Dedup.contaminationStats(cleaned, bench)
+      .filter(col("n_contam_spans") > 0).count() === 0)
+  }
+
+  test("exciseContaminatedSpans on the corpus: conservation, touches only tainted docs") {
+    val train = docs.filter(col("doc_id") % 7 =!= 0)
+    val bench = docs.filter(col("doc_id") % 7 === 0)
+    val out = Dedup.exciseContaminatedSpans(train, bench).cache()
+    assert(out.count() === train.count(), "one row per training doc, none vanish")
+    assert(out.filter(col("n_kept") > col("n_tokens")).count() === 0)
+    // docs the strict doc-drop rule keeps (zero tainted spans) are untouched
+    val keptIds = Dedup.decontaminate(train, bench).select("doc_id")
+    assert(out.filter(col("n_kept") < col("n_tokens"))
+      .join(keptIds, Seq("doc_id"), "left_semi").count() === 0,
+      "tokens excised from a doc with no benchmark overlap")
+    // and the planted cross-split contamination really loses tokens
+    assert(out.filter(col("n_kept") < col("n_tokens")).count() > 0)
+  }
+
+  test("simHashTopK equals the brute-force Hamming top-k (band join lossless at radius 3)") {
+    import org.apache.spark.sql.expressions.Window
+    val topk = Dedup.simHashTopK(docs, col("doc_id") % 10 === 0).cache()
+    assert(topk.count() > 0, "query set has in-radius neighbors")
+    assert(topk.filter(col("hamming") > Dedup.DefaultMaxHamming || col("rn") > 5).count() === 0)
+    // brute force: every query against the whole corpus, no bands
+    val sh = Dedup.simHash(docs)
+    val q = sh.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("query_id"), col("simhash").as("qh"))
+    val c = sh.select(col("doc_id").as("neighbor_id"), col("simhash").as("ch"))
+    val w = Window.partitionBy("query_id").orderBy(col("hamming"), col("neighbor_id"))
+    val brute = q.crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        bit_count(col("qh").bitwiseXOR(col("ch"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= Dedup.DefaultMaxHamming)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+    assert(topk.exceptAll(brute).count() === 0 && brute.exceptAll(topk).count() === 0,
+      "banded top-k diverges from the exhaustive scan")
+  }
+
   test("ngramJaccardPairs: jaccard in (0,1], capped variant is consistent") {
     val exact = Dedup.ngramJaccardPairs(docs, minJaccard = 0.2).cache()
     assert(exact.filter(col("jaccard") <= 0 || col("jaccard") > 1).count() === 0)

@@ -233,4 +233,25 @@ class MultimodalSpec extends SparkTestBase {
     assert(out.select("doc_id", "mean_byte").except(
       again.select("doc_id", "mean_byte")).count() === 0)
   }
+
+  test("crossModalPairs aligns both miners without inventing or losing pairs") {
+    val docs = Tables.documents(spark, sfDir)
+    val png = Multimodal.synthesizePng(docs)
+    val out = Multimodal.crossModalPairs(png, docs).cache()
+    val img = Multimodal.pHashPairs(png).cache()
+    val txt = graft.ops.Dedup.simHashPairs(docs).cache()
+    // the pair-key set is exactly the union of the two modalities
+    assert(out.count() === img.select("doc_a", "doc_b")
+      .unionAll(txt.select("doc_a", "doc_b")).distinct().count())
+    // each side's distance column is the miner's own, verbatim
+    assert(out.filter(col("image_hamming").isNotNull)
+      .select(col("doc_a"), col("doc_b"), col("image_hamming").as("hamming"))
+      .exceptAll(img.select("doc_a", "doc_b", "hamming")).count() === 0)
+    assert(out.filter(col("text_hamming").isNotNull)
+      .select(col("doc_a"), col("doc_b"), col("text_hamming").as("hamming"))
+      .exceptAll(txt.select("doc_a", "doc_b", "hamming")).count() === 0)
+    // the verdict is the conjunction, never a third signal
+    assert(out.filter(col("both_modalities") =!=
+      (col("image_hamming").isNotNull && col("text_hamming").isNotNull)).count() === 0)
+  }
 }

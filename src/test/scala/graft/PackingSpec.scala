@@ -294,4 +294,63 @@ class PackingSpec extends SparkTestBase {
     assert(specs.nonEmpty && specs.forall(s => s.contains("source") && s.contains("sub")),
       s"window not partitioned by (source, sub):\n$specs")
   }
+
+  test("shardShuffle: per-shard ranks are a 1..n permutation; a new seed re-permutes") {
+    val out = Packing.shardShuffle(docs).cache()
+    assert(out.count() === docs.count(), "every document gets a coordinate")
+    // within each shard, shard_pos is exactly the permutation 1..n
+    val bad = out.groupBy("shard").agg(
+      count(lit(1)).as("n"), min("shard_pos").as("mn"),
+      max("shard_pos").as("mx"), countDistinct("shard_pos").as("nd"))
+      .filter(col("mn") =!= 1 || col("mx") =!= col("n") || col("nd") =!= col("n"))
+    assert(bad.count() === 0, "shard ranks are gapless and duplicate-free")
+    // pure function of (corpus, seed): rerun and reshard agree
+    val again = Packing.shardShuffle(docs.repartition(5))
+    assert(out.exceptAll(again).count() === 0 && again.exceptAll(out).count() === 0)
+    // a new epoch seed yields a genuinely different permutation of the
+    // same corpus (same rows, mostly different coordinates)
+    val epoch1 = Packing.shardShuffle(docs, seed = "epoch1")
+    val stable = out.join(epoch1, Seq("doc_id", "shard", "shard_pos")).count()
+    assert(stable < out.count() / 2, s"epoch1 left $stable coordinates unchanged")
+  }
+
+  test("curriculumShuffle: tiers bucket the quality score, cleanest tier streams first") {
+    val out = Packing.curriculumShuffle(docs).cache()
+    assert(out.count() === docs.count())
+    assert(out.filter(col("tier") < 0 || col("tier") > 3).count() === 0)
+    assert(out.select("tier").distinct().count() > 1, "corpus spans multiple tiers")
+    // within each shard, tier is non-increasing along shard_pos: the
+    // dataloader reads the cleanest band first
+    val rows = out.select("shard", "shard_pos", "tier")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    rows.foreach { case (shard, rs) =>
+      val tiers = rs.sortBy(_._2).map(_._3)
+      assert(tiers.zip(tiers.tail).forall { case (a, b) => a >= b },
+        s"shard $shard streams a lower tier before a higher one")
+    }
+    // the tier agrees with the quality score's bucket, doc by doc
+    val q = graft.ops.TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"), least(floor(col("quality") * 4), lit(3L)).cast("long").as("want"))
+    assert(out.join(q, "doc_id").filter(col("tier") =!= col("want")).count() === 0)
+  }
+
+  test("packFillStats: ledger totals reconcile exactly with the packer's layout") {
+    val packed = Packing.packGreedy(docs).cache()
+    val stats = Packing.packFillStats(docs).cache()
+    // one ledger row per packed sequence; doc and token totals conserved
+    assert(stats.count() === packed.select("bucket", "seq_id").distinct().count())
+    assert(stats.agg(sum("n_docs")).first().getLong(0) === packed.count())
+    assert(stats.agg(sum("fill_tokens")).first().getLong(0) ===
+      packed.agg(sum("n_tokens")).first().getLong(0))
+    // budget discipline: within-budget sequences never overflow, waste is
+    // their exact shortfall; oversized sequences are no-split singletons
+    // with zero waste by definition
+    val budget = Packing.DefaultBudget
+    assert(stats.filter(!col("oversized") &&
+      (col("fill_tokens") > budget ||
+        col("waste_tokens") =!= lit(budget) - col("fill_tokens"))).count() === 0)
+    assert(stats.filter(col("oversized") &&
+      (col("n_docs") =!= 1 || col("waste_tokens") =!= 0)).count() === 0)
+  }
 }

@@ -39,4 +39,25 @@ class SamplingSpec extends SparkTestBase {
     val again = Sampling.perStratumSample(docs, "doc_id", "lang", 3)
     assert(out.select("doc_id").collect().toSeq === again.select("doc_id").collect().toSeq)
   }
+
+  test("ppsSample: exact boundary accounting, over-step docs always kept, reshard-stable") {
+    val step = 400L
+    val out = Sampling.ppsSample(docs, step).cache()
+    assert(out.count() > 0)
+    // telescoping identity: non-kept docs cross zero boundaries, so the
+    // kept docs' crossings sum to total_tokens div step per source exactly
+    val crossings = out
+      .withColumn("x", expr(s"(cum_before + n_tokens) div $step - cum_before div $step"))
+      .groupBy("source").agg(sum("x").as("sx"))
+    val totals = docs
+      .select(col("source"), size(split(lower(col("text")), "\\s+")).cast("long").as("n"))
+      .groupBy("source").agg(expr(s"sum(n) div $step").as("tx"))
+    assert(crossings.join(totals, "source").filter(col("sx") =!= col("tx")).count() === 0)
+    // a document spanning a whole step is always selected (p = 1 in PPS)
+    val big = docs.filter(size(split(lower(col("text")), "\\s+")) >= step)
+    assert(big.join(out, Seq("doc_id"), "left_anti").count() === 0)
+    // pure function of the corpus, not the partitioning
+    val again = Sampling.ppsSample(docs.repartition(7), step)
+    assert(out.exceptAll(again).count() === 0 && again.exceptAll(out).count() === 0)
+  }
 }

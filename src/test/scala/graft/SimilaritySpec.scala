@@ -702,4 +702,31 @@ class SimilaritySpec extends SparkTestBase {
       refined.unpersist()
     } finally tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${t}"))
   }
+
+  test("recallAtK: exact-vs-itself is 1.0, counts are honest on a crafted subset") {
+    import spark.implicits._
+    val exact = Similarity.bruteForceTopK(emb, col("vec_id") < 10).cache()
+    // the ground truth against itself scores a perfect 1.0 everywhere
+    val self = Similarity.recallAtK(exact, exact).cache()
+    assert(self.count() === 10)
+    assert(self.filter(col("recall") =!= 1.0 || col("n_hits") =!= col("n_exact")).count() === 0)
+    // a crafted approx: queries 0/1 keep only their top-2 true neighbors,
+    // the rest get disjoint junk -> recall is exactly 2/5 and 0
+    val top2 = exact.filter(col("query_id") < 2 && col("rn") <= 2)
+      .select("query_id", "neighbor_id")
+    val junk = Seq((2L, -1L), (2L, -2L)).toDF("query_id", "neighbor_id")
+    val crafted = Similarity.recallAtK(top2.unionAll(junk), exact)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(crafted(0L) === ((2L, 0.4)) && crafted(1L) === ((2L, 0.4)))
+    assert(crafted(2L) === ((0L, 0.0)), "junk neighbors never count as hits")
+    // the real LSH tier: one row per query, recall in [0,1], and at least
+    // as good as the spec's historical recall floor for this corpus
+    val lsh = Similarity.recallAtK(
+      Similarity.lshTopK(emb, col("vec_id") < 10), exact).cache()
+    assert(lsh.count() === 10)
+    assert(lsh.filter(col("recall") < 0 || col("recall") > 1).count() === 0)
+    assert(lsh.agg(sum("n_hits")).first().getLong(0) >=
+      lsh.agg(sum("n_exact")).first().getLong(0) / 2,
+      "LSH recall collapsed below 50% on the gate corpus")
+  }
 }
