@@ -1082,6 +1082,11 @@ object SparkEntry {
       ensureWavBlobs(s, d)
       Multimodal.aHashPairs(s.table("graft_wav_blobs"))
     }),
+    // keyframe dedup (the video story): pairs sharing byte-identical
+    // sampled frames — an inverted-index join on the frame fingerprint
+    // with the ngramJaccard df-cap skew guard; no decode anywhere
+    "mm_frame_pairs" -> ((s, d) =>
+      Multimodal.framePairs(Multimodal.asBlobTable(Tables.documents(s, d)))),
     "mm_downsample" -> ((s, d) =>
       Multimodal.downsampleBytes(Multimodal.asBlobTable(Tables.documents(s, d)), 4)
         .select(col("doc_id"), col("byte_len"), col("ds_len"), hex(col("ds_bytes")).as("ds_hex"))
@@ -1260,6 +1265,24 @@ object SparkEntry {
     // co-located-join story; FormatsSpec asserts the no-Exchange plan).
     // Same unsalted SQL oracle as the broadcast/salted twins — three plans,
     // one result.
+    // Z-order clustered layout: lineitem written Morton-sorted on
+    // (l_partkey, l_suppkey), then a 2-D box aggregate over the stored
+    // table — content must equal the raw-parquet oracle (the layout
+    // changes what files a box SKIPS, never what the query returns;
+    // FormatsSpec measures the scan-row reduction vs a scattered twin)
+    "fmt_zorder_scan" -> ((s, d) => {
+      buildOnce(s"zorder:$d") {
+        Formats.writeZOrdered(
+          Tables.lineitem(s, d)
+            .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity"),
+          "graft_zorder_li", "l_partkey", "l_suppkey")
+      }
+      s.table("graft_zorder_li")
+        .filter(col("l_partkey").between(16, 47) && col("l_suppkey").between(2, 5))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n_rows"))
+        .orderBy("l_partkey", "l_suppkey")
+    }),
     "fmt_bucketed_join" -> ((s, d) => {
       Formats.writeBucketed(
         Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice"),
@@ -2770,6 +2793,29 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
         |  count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the Z-ordered box aggregate over the raw parquet —
+    // layout-independence is the contract (the clustered layout changes
+    // what files skip, never the result; l_quantity is integral, so the
+    // double sum is exact under any order)
+    "fmt_zorder_scan" ->
+      """SELECT l_partkey, l_suppkey, sum(l_quantity) AS sum_qty,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 16 AND 47 AND l_suppkey BETWEEN 2 AND 5
+        |GROUP BY l_partkey, l_suppkey ORDER BY l_partkey, l_suppkey""".stripMargin,
+    // keyframe dedup replayed over the text-byte frames (the mm_frames
+    // recipe) — distinct per-doc fingerprints, df cap, shared-count join
+    "mm_frame_pairs" ->
+      s"""WITH f AS (SELECT DISTINCT doc_id,
+         |  ${h60Sql("hex(encode(substring(text, CAST(k * greatest(length(text) // 4, 1) + 1 AS INT), 16)))")} AS fp
+         |  FROM documents, unnest(generate_series(0, 3)) AS t(k)),
+         |kept AS (SELECT doc_id, fp FROM f WHERE fp NOT IN (
+         |  SELECT fp FROM (SELECT fp, count(*) AS df FROM f GROUP BY 1) WHERE df > 1000)),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+         |  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, n_shared FROM p WHERE n_shared >= 1
+         |ORDER BY doc_a, doc_b""".stripMargin,
     // metadata-only aggregate: same numbers DuckDB computes by scanning
     "fmt_agg_pushdown" ->
       """SELECT count(*) AS n_rows, min(l_orderkey) AS min_l_orderkey,

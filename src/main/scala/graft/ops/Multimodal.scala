@@ -68,6 +68,39 @@ object Multimodal {
           s"k -> substring(bytes, CAST(k * greatest(length(bytes) div $n, 1) + 1 AS INT), $frameSize))"))
         .as(Seq("frame_idx", "frame_bytes")))
 
+  /** Frame-fingerprint near-duplicate pairs — keyframe dedup for
+    * fixed-stride media (the video story: two clips count as near-dups
+    * when they share sampled keyframes byte-identically): each blob's
+    * [[sampleFrames]] windows are fingerprinted, and a pair is emitted
+    * per distinct (a, b) sharing at least `minShared` fingerprints.
+    *
+    * Scale shape: an inverted-index join on the frame fingerprint — the
+    * `ngramJaccardPairs` discipline applied to media, including its skew
+    * guard: fingerprints with document frequency above `maxDf` (an
+    * all-black frame, a silence window) are dropped BY DEFAULT before the
+    * self-join, because one corpus-wide hot frame contributes k²
+    * candidate pairs. No decode anywhere — frames are byte slices. */
+  def framePairs(blobs: DataFrame, n: Int = 4, frameSize: Int = 16,
+      minShared: Int = 1, maxDf: Option[Int] = Some(1000)): DataFrame = {
+    val fp = sampleFrames(blobs, n, frameSize)
+      .select(col("doc_id"),
+        graft.functions.CrossHash.h60(hex(col("frame_bytes"))).as("fp"))
+      .distinct() // a frame repeated within one blob counts once
+    val kept = maxDf match {
+      case Some(cap) =>
+        val hot = fp.groupBy("fp").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("fp")
+        fp.join(hot, Seq("fp"), "left_anti")
+      case None => fp
+    }
+    kept.as("a").join(kept.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Fixed-stride byte downsample ("resize"): every `stride`-th byte of
     * the payload via the native codegen'd
     * [[graft.functions.ByteStride]] expression (no built-in subsamples

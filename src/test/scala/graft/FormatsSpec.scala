@@ -438,4 +438,38 @@ class FormatsSpec extends SparkTestBase {
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
+
+  test("zOrderKey interleaves bits; writeZOrdered makes a 2-D box skip most of the scan") {
+    import spark.implicits._
+    // the Morton key on crafted points: (a=0b11, b=0b00) -> 0b0101 = 5,
+    // (a=0b00, b=0b11) -> 0b1010 = 10, (a=0b11, b=0b11) -> 15
+    val z = Seq((3L, 0L), (0L, 3L), (3L, 3L), (5L, 2L)).toDF("a", "b")
+      .select(Formats.zOrderKey(col("a"), col("b"), 4).as("z"))
+      .collect().map(_.getLong(0))
+    // (5,2): a bits {0,2} -> z bits {0,4}, b bit {1} -> z bit {3} => 1+16+8
+    assert(z.toSeq === Seq(5L, 10L, 15L, 25L))
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    try {
+      Formats.writeZOrdered(li, "graft_z_t", "l_partkey", "l_suppkey", numFiles = 8)
+      // scattered twin: same content, hash-random layout — every file
+      // covers the full key range, so footer stats can never skip
+      li.repartition(8).write.format("parquet").saveAsTable("graft_z_r")
+      def rowsScanned(t: String): Long = {
+        val df = spark.table(t).filter(
+          col("l_partkey").between(16, 47) && col("l_suppkey").between(2, 5))
+        df.collect()
+        df.queryExecution.executedPlan.collectLeaves()
+          .head.metrics("numOutputRows").value
+      }
+      // identical content under both layouts
+      assert(spark.table("graft_z_t").exceptAll(spark.table("graft_z_r")).count() === 0)
+      assert(spark.table("graft_z_r").exceptAll(spark.table("graft_z_t")).count() === 0)
+      val (zRows, rRows) = (rowsScanned("graft_z_t"), rowsScanned("graft_z_r"))
+      assert(zRows * 2 <= rRows,
+        s"z-ordered scan read $zRows rows vs scattered $rRows — no skipping happened")
+    } finally {
+      Seq("graft_z_t", "graft_z_r").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
 }

@@ -234,6 +234,30 @@ class MultimodalSpec extends SparkTestBase {
       again.select("doc_id", "mean_byte")).count() === 0)
   }
 
+  test("framePairs: crafted shared-keyframe clips pair; the df cap kills a hot frame") {
+    import spark.implicits._
+    // 64-byte payloads, frames sampled at offsets 0/16/32/48 with len 16:
+    // clips 1 and 2 share frames 2 and 3 byte-identically; clip 3 shares
+    // nothing; clips 4..9 all share one ubiquitous "black" frame
+    val a = "A" * 16; val b = "B" * 16; val c = "C" * 16; val d = "D" * 16
+    val black = "0" * 16
+    val base = Seq(
+      (1L, a + b + c + d), (2L, ("X" * 16) + ("Y" * 16) + c + d),
+      (3L, "Z" * 64)) ++ (4L to 9L).map(i => (i, black + s"u$i" * 8 + ("v" + i) * 5))
+    val blobs = base.toDF("doc_id", "text")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("bytes"))
+    val pairs = Multimodal.framePairs(blobs).cache()
+    val m = pairs.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(m((1L, 2L)) === 2L, "clips sharing two keyframes pair with n_shared = 2")
+    assert(!m.keySet.exists(p => p._1 === 3L || p._2 === 3L), "unrelated clip stays unpaired")
+    // the ubiquitous frame pairs all 6 sharers without the cap...
+    assert((4L to 9L).combinations(2).forall { case Seq(x, y) => m.contains((x, y)) })
+    // ...and a tight cap removes exactly those candidate pairs (skew guard)
+    val capped = Multimodal.framePairs(blobs, maxDf = Some(5))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((1L, 2L)), s"cap left $capped")
+  }
+
   test("crossModalPairs aligns both miners without inventing or losing pairs") {
     val docs = Tables.documents(spark, sfDir)
     val png = Multimodal.synthesizePng(docs)
