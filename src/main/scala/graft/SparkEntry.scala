@@ -590,6 +590,19 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       Snapshot.mergeSnapshot(Snapshot.baseSnapshot(docs), Snapshot.changeBatch(docs))
     }),
+    // TIME-TRAVEL read over a 2-batch version chain: the corpus as of
+    // v1 and as of v2 from one log fold each — v1 must show the %10==3
+    // re-crawls that v2 takes down (upsert-then-delete history), v2 the
+    // %10==1 re-crawls; the oracle replays both argmax folds
+    "snapshot_time_travel" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val base = Snapshot.baseSnapshot(docs)
+      val log = Snapshot.changeBatch(docs).unionByName(Snapshot.changeBatchV2(docs))
+      Snapshot.snapshotAtVersion(base, log, 1).withColumn("as_of", lit(1L))
+        .unionByName(
+          Snapshot.snapshotAtVersion(base, log, 2).withColumn("as_of", lit(2L)))
+        .orderBy("as_of", "doc_id")
+    }),
     // CDC extraction, the merge's inverse: diff(base, merged) must be
     // exactly the applied batch's visible effect (updates %10==3 with the
     // v1 fingerprint, deletes %10==7)
@@ -1095,6 +1108,12 @@ object SparkEntry {
     // readStream in StreamOpsSpec's MemoryStream test)
     "stream_windowed_counts" -> ((s, d) =>
       graft.streaming.StreamOps.windowedEventCounts(Tables.events(s, d))
+        .orderBy("win_start", "event_type")),
+    // OVERLAPPING windows (1h every 30min): each event lands in 2 windows
+    // — the moving-rate monitoring shape; oracle replays the slide-grid
+    // window assignment arithmetic
+    "stream_sliding_counts" -> ((s, d) =>
+      graft.streaming.StreamOps.slidingEventCounts(Tables.events(s, d))
         .orderBy("win_start", "event_type")),
     "stream_sessions_batch" -> ((s, d) =>
       graft.streaming.StreamOps.sessionizeBatch(Tables.events(s, d))),
@@ -3555,6 +3574,30 @@ object SparkEntry {
          |    OVER (PARTITION BY doc_id ORDER BY version DESC) AS rn FROM u) WHERE rn = 1)
          |SELECT doc_id, version, fp FROM latest WHERE op = 'upsert'
          |ORDER BY doc_id""".stripMargin,
+    // the version chain replayed twice: one argmax fold per as_of, the
+    // log pruned at version <= v before each
+    "snapshot_time_travel" ->
+      s"""WITH base AS (SELECT doc_id, 0 AS version, 'upsert' AS op,
+         |    ${h60Sql("text")} AS fp FROM documents),
+         |chg1 AS (SELECT doc_id, 1 AS version,
+         |    CASE WHEN doc_id % 10 = 3 THEN 'upsert' ELSE 'delete' END AS op,
+         |    CASE WHEN doc_id % 10 = 3 THEN ${h60Sql("'v1:' || text")} END AS fp
+         |  FROM documents WHERE doc_id % 10 IN (3, 7)),
+         |chg2 AS (SELECT doc_id, 2 AS version,
+         |    CASE WHEN doc_id % 10 = 1 THEN 'upsert' ELSE 'delete' END AS op,
+         |    CASE WHEN doc_id % 10 = 1 THEN ${h60Sql("'v2:' || text")} END AS fp
+         |  FROM documents WHERE doc_id % 10 IN (1, 3)),
+         |log AS (SELECT * FROM chg1 UNION ALL SELECT * FROM chg2),
+         |readv AS (
+         |  SELECT v.as_of, u.* FROM (VALUES (1), (2)) AS v(as_of),
+         |    LATERAL (SELECT * FROM base UNION ALL
+         |             SELECT * FROM log WHERE version <= v.as_of) AS u),
+         |latest AS (SELECT * FROM (SELECT *, row_number()
+         |    OVER (PARTITION BY as_of, doc_id ORDER BY version DESC) AS rn
+         |  FROM readv) WHERE rn = 1)
+         |SELECT doc_id, version, fp, CAST(as_of AS BIGINT) AS as_of
+         |FROM latest WHERE op = 'upsert'
+         |ORDER BY as_of, doc_id""".stripMargin,
     // ta_approx_distinct: the HLL sketch VALUE differs per engine, so the
     // Spark side emits its error bound as a 0/1 column; the oracle
     // hash-checks the exact per-source distinct count AND asserts the
@@ -3845,6 +3888,15 @@ object SparkEntry {
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // sliding 1h/30min: an event at ts belongs to the two slide-aligned
+    // starts in (ts - 1h, ts] — floor30(ts) and floor30(ts) - 30min
+    "stream_sliding_counts" ->
+      """WITH w AS (SELECT event_type, value,
+        |    time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes' AS win_start
+        |  FROM events, unnest(generate_series(0, 1)) AS t(k))
+        |SELECT win_start, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "stream_sessions_batch" -> sessionsOracleSql,
     "stream_sessions_native" -> sessionsOracleSql,
     "stream_interval_join" ->

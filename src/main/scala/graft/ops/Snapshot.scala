@@ -86,4 +86,35 @@ object Snapshot {
       .where(col("w.op") === "upsert")
       .select(col("doc_id"), col("w.version").as("version"), col("w.fp").as("fp"))
       .orderBy("doc_id")
+
+  /** The second synthetic change batch, extending [[changeBatch]] into a
+    * version CHAIN: at version 2 the re-crawled `%10 == 3` docs are taken
+    * DOWN (upsert-then-delete — the history a time-travel read must not
+    * conflate) and `%10 == 1` docs arrive re-crawled. */
+  def changeBatchV2(docs: DataFrame): DataFrame =
+    docs.where(col("doc_id") % 10 === 3 || col("doc_id") % 10 === 1)
+      .select(
+        col("doc_id"),
+        lit(2).as("version"),
+        when(col("doc_id") % 10 === 1, lit("upsert"))
+          .otherwise(lit("delete")).as("op"),
+        when(col("doc_id") % 10 === 1,
+          CrossHash.h60(concat(lit("v2:"), col("text"))))
+          .otherwise(lit(null).cast("long")).as("fp"))
+
+  /** TIME-TRAVEL read: the corpus as of version `v`, reconstructed from
+    * the base snapshot plus the accumulated change LOG (every batch row
+    * stamped with its version) — the lakehouse read-at-version every
+    * audit ("what did the training set contain when run X sampled it?")
+    * and reproduction workflow needs. A version-pruned log fold is the
+    * same ONE-aggregate argmax as [[mergeSnapshot]]; with the log stored
+    * partitioned by version, the `version <= v` filter is partition
+    * pruning, so reading an old version costs the base + the pruned
+    * prefix, never the full history.
+    *
+    * Composition law (SnapshotSpec): `atVersion(base, log, n)` ==
+    * `mergeSnapshot(atVersion(base, log, n-1), batch_n)` — folding the
+    * log in one pass equals replaying the batches one by one. */
+  def snapshotAtVersion(base: DataFrame, changeLog: DataFrame, v: Int): DataFrame =
+    mergeSnapshot(base, changeLog.where(col("version") <= v))
 }

@@ -43,6 +43,28 @@ object StreamOps {
         col("window.start").as("win_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** [[windowedEventCounts]] with OVERLAPPING (sliding) windows — the
+    * moving-aggregate monitoring shape (a 1-hour rate refreshed every 30
+    * minutes): each event lands in `windowDur / slide` windows, watermark
+    * semantics unchanged. Same one-aggregate plan; the window explode is
+    * Spark's own `window()` expansion, not a join. The DuckDB oracle
+    * replays the window assignment arithmetic (each event belongs to the
+    * slide-aligned starts in `(ts - dur, ts]`). */
+  def slidingEventCounts(
+      events: DataFrame,
+      windowDur: String = "1 hour",
+      slide: String = "30 minutes",
+      delay: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), windowDur, slide), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(money)).cast("double").as("sum_value"))
+      .select(
+        col("window.start").as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
   /** Exactly-once event dedup for streaming ingestion: drop repeated
     * event_ids within the watermark horizon. State is one key per event id
     * seen in the last `delay` of event time — bounded by the watermark,

@@ -68,4 +68,29 @@ class SnapshotSpec extends SparkTestBase {
     assert(twice.collect().map(_.toString).sorted.toSeq ===
       once.collect().map(_.toString).sorted.toSeq)
   }
+
+  test("snapshotAtVersion: one-pass log fold == batch-by-batch replay; history not conflated") {
+    val base = Snapshot.baseSnapshot(docs)
+    val b1 = Snapshot.changeBatch(docs)
+    val b2 = Snapshot.changeBatchV2(docs)
+    val log = b1.unionByName(b2)
+    // composition law: folding the pruned log once equals replaying batches
+    val v1Fold = Snapshot.snapshotAtVersion(base, log, 1).cache()
+    val v2Fold = Snapshot.snapshotAtVersion(base, log, 2).cache()
+    assert(v1Fold.exceptAll(Snapshot.mergeSnapshot(base, b1)).count() === 0)
+    val replay = Snapshot.mergeSnapshot(
+      v1Fold.select(col("doc_id"), col("version"), lit("upsert").as("op"), col("fp")), b2)
+    assert(v2Fold.exceptAll(replay).count() === 0 &&
+      replay.exceptAll(v2Fold).count() === 0)
+    // upsert-then-delete history: %10==3 docs are PRESENT at v1 (with the
+    // v1 fingerprint) and GONE at v2; %10==1 re-crawls only appear at v2
+    assert(v1Fold.filter(col("doc_id") % 10 === 3 && col("version") =!= 1).count() === 0)
+    assert(v1Fold.filter(col("doc_id") % 10 === 3).count() > 0)
+    assert(v2Fold.filter(col("doc_id") % 10 === 3).count() === 0)
+    assert(v1Fold.filter(col("doc_id") % 10 === 1 && col("version") =!= 0).count() === 0)
+    assert(v2Fold.filter(col("doc_id") % 10 === 1 && col("version") =!= 2).count() === 0)
+    // reading at v0 is the base corpus unchanged
+    val v0 = Snapshot.snapshotAtVersion(base, log, 0)
+    assert(v0.count() === docs.count())
+  }
 }

@@ -45,6 +45,38 @@ class StreamOpsSpec extends SparkTestBase {
     assert(total === Tables.events(spark, sfDir).count())
   }
 
+  test("sliding counts: streaming equals batch, every event lands in exactly 2 windows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val events = Seq(
+      Event(1, ts(0), 1, "click", 1.0),   // windows -30..30 and 0..60
+      Event(2, ts(40), 2, "click", 2.0),  // windows 0..60 and 30..90
+      Event(3, ts(70), 1, "view", 3.0))
+    val stream = MemoryStream[Event]
+    val q = StreamOps.slidingEventCounts(stream.toDF())
+      .writeStream.format("memory").queryName("slide_counts")
+      .outputMode("complete").start()
+    try {
+      stream.addData(events: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("slide_counts")
+        .orderBy("win_start", "event_type").collect()
+      val batch = StreamOps.slidingEventCounts(events.toDF())
+        .orderBy("win_start", "event_type").collect()
+      assert(streamed.toSeq === batch.toSeq)
+    } finally q.stop()
+    // 1h windows every 30min: the event count across windows is exactly
+    // 2x the event count — each event is in precisely dur/slide windows
+    val ev = Tables.events(spark, sfDir)
+    val out = StreamOps.slidingEventCounts(ev).cache()
+    assert(out.agg(sum("n")).first().getLong(0) === 2 * ev.count())
+    // and the tumbling gate's rows are the k=0 half of the slide grid:
+    // every tumbling window start appears among the sliding starts
+    val tumbling = StreamOps.windowedEventCounts(ev).select("win_start").distinct()
+    assert(tumbling.join(out.select("win_start").distinct(),
+      Seq("win_start"), "left_anti").count() === 0)
+  }
+
   test("sessionize on batch input closes gap sessions AND flushes final sessions") {
     import spark.implicits._
     // user 1: events at t0, t10, then t60 (gap > 30 min) -> two sessions
