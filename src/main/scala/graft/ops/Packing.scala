@@ -391,6 +391,32 @@ object Packing {
       .orderBy("doc_id")
   }
 
+  /** Source-INTERLEAVED shard coordinates — [[shardShuffle]] with a
+    * round-robin guarantee across sources: within each shard, documents
+    * stream in rounds (`round` = the doc's seeded-hash rank within its
+    * (shard, source)), so every `#sources`-sized window of the stream
+    * touches each source at most once. A plain shuffle only mixes sources
+    * in EXPECTATION; a dataloader reading small batches from it still
+    * hits same-source runs, which biases gradient batches on skewed
+    * mixes — the interleave makes the mixing guarantee structural.
+    *
+    * Same plan family: one hash shuffle on `shard`, two window ranks
+    * (per (shard, source), then per shard). All coordinates are pure
+    * functions of (corpus, seed). */
+  def interleaveShuffle(docs: DataFrame, shards: Int = 8,
+      seed: String = "epoch0"): DataFrame = {
+    val wr = Window.partitionBy("shard", "source").orderBy(col("h"), col("doc_id"))
+    val wp = Window.partitionBy("shard")
+      .orderBy(col("round"), col("h"), col("doc_id"))
+    docs.select(col("doc_id"), col("source"), shuffleHash(seed).as("h"))
+      .withColumn("shard", (col("h") % shards).cast("long"))
+      .withColumn("round", row_number().over(wr).cast("long"))
+      .withColumn("shard_pos", row_number().over(wp).cast("long"))
+      .select(col("doc_id"), col("source"), col("shard"),
+        col("round"), col("shard_pos"))
+      .orderBy("doc_id")
+  }
+
   /** Curriculum-ordered shard coordinates — [[shardShuffle]] with a
     * quality-tier primary key: documents are bucketed into `tiers` bands
     * of the engine's quality score and each shard streams its HIGHEST

@@ -285,6 +285,57 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fold)
   }
 
+  /** Admission record of [[rateLimit]]. */
+  final case class Admitted(event_id: Long, user_id: Long, ts: Timestamp,
+      win_start: Timestamp)
+
+  /** Rate-limit state — admitted count per (key, window); public for the
+    * state-store encoder (same constraint as [[SessionBuf]]). */
+  final case class AdmitCount(admitted: Long)
+
+  /** Per-key windowed RATE LIMITING — ingestion quota enforcement ("at
+    * most `n` events per user per hour"), the admission-control primitive
+    * between a firehose and a pipeline. An event is admitted iff its
+    * `(ts, event_id)` rank within its (user, hour-window) is ≤ `n` — a
+    * deterministic, arrival-order-free rule, so batch mode equals the
+    * window formula the oracle replays, and a stream fed in event-time
+    * order (the MemoryStream parity spec) admits the identical set across
+    * any micro-batch split: the admitted COUNT is the only state, carried
+    * per (user, window) and evicted by event-time timeout after the
+    * window passes the watermark.
+    *
+    * State size: one long per active (key, window) — bounded by the
+    * watermark horizon, the same feasibility argument as [[dedupEvents]]. */
+  def rateLimit(events: Dataset[Event], n: Int = 3,
+      windowMs: Long = 3600000L, delay: String = "1 hour"): Dataset[Admitted] = {
+    import events.sparkSession.implicits._
+    val streaming = events.isStreaming
+
+    def fold(key: (Long, Long), it: Iterator[Event],
+        state: GroupState[AdmitCount]): Iterator[Admitted] = {
+      val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var c = state.getOption.map(_.admitted).getOrElse(0L)
+      val out = Seq.newBuilder[Admitted]
+      for (e <- sorted) if (c < n) {
+        c += 1
+        out += Admitted(e.event_id, key._1, e.ts, new Timestamp(key._2))
+      }
+      if (state.hasTimedOut) state.remove()
+      else if (streaming) {
+        state.update(AdmitCount(c))
+        // the window can stop admitting once the watermark passes its end
+        state.setTimeoutTimestamp(key._2 + windowMs)
+      }
+      out.result().iterator
+    }
+
+    events
+      .withWatermark("ts", delay)
+      .groupByKey(e =>
+        (e.user_id, e.ts.getTime - java.lang.Math.floorMod(e.ts.getTime, windowMs)))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fold)
+  }
+
   /** One LSH band of one document on the wire — the input record of
     * [[streamNearDupAdmitted]] (produce it with
     * [[graft.ops.Dedup.bandedMinHash]] plus an arrival timestamp). */

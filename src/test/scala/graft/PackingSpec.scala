@@ -314,6 +314,37 @@ class PackingSpec extends SparkTestBase {
     assert(stable < out.count() / 2, s"epoch1 left $stable coordinates unchanged")
   }
 
+  test("interleaveShuffle: rounds are source-unique and stream in order — the mixing guarantee") {
+    val out = Packing.interleaveShuffle(docs).cache()
+    assert(out.count() === docs.count())
+    // (shard, round, source) is unique: a round touches a source at most once
+    assert(out.groupBy("shard", "round", "source").count()
+      .filter(col("count") > 1).count() === 0)
+    // rounds are non-decreasing along every shard's stream
+    val rows = out.select("shard", "shard_pos", "round")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    rows.foreach { case (shard, rs) =>
+      val rounds = rs.sortBy(_._2).map(_._3)
+      assert(rounds.zip(rounds.tail).forall { case (a, b) => a <= b },
+        s"shard $shard streams a later round before an earlier one")
+    }
+    // the structural consequence: any same-source adjacent pair means the
+    // OTHER sources ran out in that round — with the corpus's balanced
+    // sources, the max same-source run is tiny vs a run in a plain sort
+    val nSources = docs.select("source").distinct().count()
+    rows.foreach { case (shard, rs) =>
+      val srcByPos = out.filter(col("shard") === shard)
+        .orderBy("shard_pos").select("source").collect().map(_.getString(0))
+      val maxRun = srcByPos.foldLeft((0, 0, "")) { case ((best, cur, prev), s) =>
+        val c = if (s == prev) cur + 1 else 1
+        (math.max(best, c), c, s)
+      }._1
+      assert(maxRun <= nSources,
+        s"shard $shard has a same-source run of $maxRun (> $nSources sources)")
+    }
+  }
+
   test("curriculumShuffle: tiers bucket the quality score, cleanest tier streams first") {
     val out = Packing.curriculumShuffle(docs).cache()
     assert(out.count() === docs.count())

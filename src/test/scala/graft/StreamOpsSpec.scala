@@ -77,6 +77,35 @@ class StreamOpsSpec extends SparkTestBase {
       Seq("win_start"), "left_anti").count() === 0)
   }
 
+  test("rateLimit: quota bites across micro-batches; streaming equals the batch window formula") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // user 1 fires 5 events inside one hour window, user 2 fires 2
+    val events = Seq(
+      Event(1, ts(0), 1, "click", 1.0), Event(2, ts(5), 1, "click", 1.0),
+      Event(3, ts(10), 1, "click", 1.0), Event(4, ts(15), 1, "click", 1.0),
+      Event(5, ts(20), 1, "click", 1.0),
+      Event(6, ts(2), 2, "view", 1.0), Event(7, ts(8), 2, "view", 1.0))
+    val batch = StreamOps.rateLimit(events.toDS(), n = 3, windowMs = 3600000L)
+      .collect().map(_.event_id).toSet
+    assert(batch === Set(1L, 2L, 3L, 6L, 7L),
+      "first 3 of user 1 admitted, user 2 untouched")
+    // streaming, split mid-window: the admitted count must carry across
+    // micro-batches (events 4 and 5 are rejected by STATE, not by sort)
+    val stream = MemoryStream[Event]
+    val q = StreamOps.rateLimit(stream.toDS(), n = 3, windowMs = 3600000L)
+      .writeStream.format("memory").queryName("rate_admit")
+      .outputMode("append").start()
+    try {
+      stream.addData(events.take(3): _*) // user-1 events 1..3 admitted
+      q.processAllAvailable()
+      stream.addData(events.drop(3): _*) // 4, 5 must be rejected; 6, 7 admitted
+      q.processAllAvailable()
+      val streamed = spark.table("rate_admit").collect().map(_.getLong(0)).toSet
+      assert(streamed === batch, s"stream admitted $streamed, batch $batch")
+    } finally q.stop()
+  }
+
   test("sessionize on batch input closes gap sessions AND flushes final sessions") {
     import spark.implicits._
     // user 1: events at t0, t10, then t60 (gap > 30 min) -> two sessions
