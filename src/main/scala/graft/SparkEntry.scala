@@ -255,6 +255,10 @@ object SparkEntry {
     // salted-join twin of join_broadcast_segment — same oracle, skew-safe plan
     "skew_salted_revenue" -> Relational.saltedRevenueBySegment,
     "percentiles_qty" -> Relational.percentilesQty,
+    // exact per-group equi-depth histogram (data profiling — equal-count
+    // buckets survive skew where equal-width collapses); per-group sorts,
+    // never a global one
+    "agg_equidepth_hist" -> ((s, d) => Relational.equiDepthHistogram(s, d)),
     // sketch quantiles: the VALUES are engine-specific, so the gate hashes
     // the error-bound booleans instead (oracle asserts literal 1s);
     // SketchSpec additionally bounds it against the exact version
@@ -681,6 +685,11 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => Dedup.simHash(SharedCorpus.docsTok(s, d))),
     "dedup_simhash_pairs" -> ((s, d) => Dedup.simHashPairs(SharedCorpus.docsTok(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(SharedCorpus.docsTok(s, d))),
+    // ASYMMETRIC overlap (containment) — the sub-document duplication
+    // detector symmetric Jaccard can't see: a doc quoted inside a much
+    // larger one scores ~1 on containment, ~0 on Jaccard
+    "dedup_ngram_containment" -> ((s, d) =>
+      Dedup.ngramContainmentPairs(SharedCorpus.docsTok(s, d))),
     // iterative component resolution; oracle = recursive-CTE transitive closure
     "dedup_neardup_survivors" -> ((s, d) => Dedup.nearDupSurvivors(SharedCorpus.docsTok(s, d))),
     // quality-aware survivor policy: same components, keep the argmax-
@@ -3150,6 +3159,19 @@ object SparkEntry {
          |j AS (SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (ca.card + cb.card - i) AS jaccard
          |  FROM inter JOIN card ca ON ca.doc_id = doc_a JOIN card cb ON cb.doc_id = doc_b)
          |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.2 ORDER BY doc_a, doc_b""".stripMargin,
+    // asymmetric containment over the same inverted index: both
+    // directions' ratios, keep pairs where either reaches the threshold
+    "dedup_ngram_containment" ->
+      s"""WITH $shingleCte,
+         |card AS (SELECT doc_id, count(*) AS card FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |c AS (SELECT doc_a, doc_b,
+         |    CAST(i AS DOUBLE) / ca.card AS cont_a,
+         |    CAST(i AS DOUBLE) / cb.card AS cont_b
+         |  FROM inter JOIN card ca ON ca.doc_id = doc_a JOIN card cb ON cb.doc_id = doc_b)
+         |SELECT doc_a, doc_b, cont_a, cont_b FROM c
+         |WHERE greatest(cont_a, cont_b) >= 0.7 ORDER BY doc_a, doc_b""".stripMargin,
     // ---- north-star: similarity search ----
     "sim_topk_cosine" ->
       """WITH p AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
@@ -4048,6 +4070,16 @@ object SparkEntry {
         |  quantile_cont(l_quantity, 0.75) AS p75,
         |  count(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // equi-depth: NTILE over the unique (price, orderkey, linenumber)
+    // order — standard ceil-then-floor bucket sizing in both engines
+    "agg_equidepth_hist" ->
+      """SELECT l_returnflag, bucket, count(*) AS n,
+        |  min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+        |FROM (SELECT l_returnflag, l_extendedprice,
+        |  CAST(ntile(8) OVER (PARTITION BY l_returnflag
+        |    ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS BIGINT) AS bucket
+        |  FROM lineitem)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // sketch quantiles: the Spark side emits |approx − exact| <= eps as
     // 0/1 columns; the oracle asserts the contract holds (literal 1s) plus
     // the exact group counts — deterministic hash pass/fail without

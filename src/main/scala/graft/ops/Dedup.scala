@@ -867,7 +867,49 @@ object Dedup {
 
   def ngramJaccardPairs(docs: DataFrame, minJaccard: Double = 0.2,
       n: Int = 3, maxDf: Option[Int] = Some(DefaultMaxDf)): DataFrame = {
-    val (inter, card) = maxDf match {
+    val (inter, card) = intersectionAndCards(docs, n, maxDf)
+    val ca = card.toDF("doc_a", "card_a")
+    val cb = card.toDF("doc_b", "card_b")
+    inter.join(ca, "doc_a").join(cb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("i").cast("double") / (col("card_a") + col("card_b") - col("i"))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** n-gram CONTAINMENT pairs — the ASYMMETRIC overlap the Jaccard miner
+    * can't see: `C(A→B) = |shingles(A) ∩ shingles(B)| / |shingles(A)|`,
+    * which is ~1 when A is quoted inside a much larger B even though
+    * their Jaccard is tiny (|B| dominates the union). This is the
+    * sub-document duplication detector — quotations, syndicated inserts,
+    * a README pasted into a bigger page — the standard complement to
+    * symmetric near-dup mining in web curation. Emits both directions'
+    * containment for pairs where either reaches `minContainment`.
+    *
+    * Shares [[intersectionAndCards]] (and so the posting-list df-cap skew
+    * guard) with the Jaccard miner — the only new math is the two
+    * divisions. Cardinalities and intersections are both computed over
+    * the capped shingle space, so each ratio stays self-consistent. */
+  def ngramContainmentPairs(docs: DataFrame, minContainment: Double = 0.7,
+      n: Int = 3, maxDf: Option[Int] = Some(DefaultMaxDf)): DataFrame = {
+    val (inter, card) = intersectionAndCards(docs, n, maxDf)
+    val ca = card.toDF("doc_a", "card_a")
+    val cb = card.toDF("doc_b", "card_b")
+    inter.join(ca, "doc_a").join(cb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("i").cast("double") / col("card_a")).as("cont_a"),
+        (col("i").cast("double") / col("card_b")).as("cont_b"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= minContainment)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** The shared inverted-index stage of the n-gram pair miners: distinct
+    * per-doc shingle intersections `(doc_a, doc_b, i)` and per-doc
+    * cardinalities `(doc_id, card)` — capped or exact per `maxDf`, see
+    * [[ngramJaccardPairs]] for the scale rationale of each path. */
+  private def intersectionAndCards(docs: DataFrame, n: Int,
+      maxDf: Option[Int]): (DataFrame, DataFrame) = {
+    maxDf match {
       case Some(cap) =>
         // Capped (scale) path: materialize the inverted index as POSTING
         // LISTS, then emit candidate pairs by exploding each list map-side.
@@ -922,12 +964,5 @@ object Dedup {
         val c = sh.groupBy("doc_id").agg(count(lit(1)).as("card"))
         (i, c)
     }
-    val ca = card.toDF("doc_a", "card_a")
-    val cb = card.toDF("doc_b", "card_b")
-    inter.join(ca, "doc_a").join(cb, "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        (col("i").cast("double") / (col("card_a") + col("card_b") - col("i"))).as("jaccard"))
-      .filter(col("jaccard") >= minJaccard)
-      .orderBy("doc_a", "doc_b")
   }
 }

@@ -953,6 +953,30 @@ object Relational {
       .orderBy("user_id", "event_id")
   }
 
+  /** Exact per-group EQUI-DEPTH histogram — the data-profiling shape
+    * ("show me the price distribution per return flag" with equal-count
+    * buckets, where equi-WIDTH buckets collapse under skew): ntile over a
+    * unique order key within each group, then per-bucket count/lo/hi.
+    * Deterministic: the order key carries the row's unique
+    * (orderkey, linenumber) tiebreak, so tied values split identically in
+    * any engine, and NTILE's ceil-then-floor bucket sizing is standard
+    * SQL. Scale shape: the sort is PER GROUP (partition-parallel, the
+    * window family's usual contract), not global; for an ungrouped 100 TB
+    * profile, use the [[approxQuantilesQty]] sketch path instead. */
+  def equiDepthHistogram(s: SparkSession, dir: String, buckets: Int = 8): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_orderkey"), col("l_linenumber"))
+      .withColumn("bucket", ntile(buckets).over(w).cast("long"))
+      .groupBy("l_returnflag", "bucket")
+      .agg(count(lit(1)).as("n"),
+        min(col("l_extendedprice")).as("lo"),
+        max(col("l_extendedprice")).as("hi"))
+      .orderBy("l_returnflag", "bucket")
+  }
+
   /** Sketch-based per-group quantiles (`percentile_approx`):
     * bounded-memory, single-pass, mergeable across partitions — the scale
     * path when the exact interpolated percentile's per-group sort is too

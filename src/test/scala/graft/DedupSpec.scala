@@ -388,6 +388,30 @@ class DedupSpec extends SparkTestBase {
     assert(exactHigh.join(capped, Seq("doc_a", "doc_b"), "left_anti").count() === 0)
   }
 
+  test("ngramContainmentPairs sees the quoted-subset pair symmetric Jaccard misses") {
+    import spark.implicits._
+    val quote = (1 to 12).map(i => s"q$i").mkString(" ")
+    val filler = (1 to 120).map(i => s"f$i").mkString(" ")
+    val tiny = Seq(
+      (1L, quote),                  // the small doc
+      (2L, s"$filler $quote"),      // quotes doc 1 inside 10x the text
+      (3L, "unrelated third document entirely")).toDF("doc_id", "text")
+    val cont = Dedup.ngramContainmentPairs(tiny).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getDouble(3))).toMap
+    // every shingle of doc 1 appears in doc 2 -> containment(1->2) = 1.0
+    assert(cont.keySet === Set((1L, 2L)))
+    assert(cont((1L, 2L))._1 === 1.0)
+    assert(cont((1L, 2L))._2 < 0.2, "the big doc is NOT contained in the small one")
+    // ...while Jaccard at its own default threshold cannot see the pair
+    assert(Dedup.ngramJaccardPairs(tiny).count() === 0,
+      "symmetric Jaccard flags the quoted-subset pair — thresholds drifted")
+    // corpus: the planted near-dups carry near-1 containment both ways
+    val corpus = Dedup.ngramContainmentPairs(docs).cache()
+    assert(corpus.count() > 0)
+    assert(corpus.filter(col("cont_a") < 0 || col("cont_a") > 1 ||
+      col("cont_b") < 0 || col("cont_b") > 1).count() === 0)
+  }
+
   test("hot band bucket: AQE splits the saturated self-join partition (audit proof)") {
     import spark.implicits._
     // a duplicate-saturated crawl: every document identical, so every band
