@@ -133,6 +133,46 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** NEAREST as-of join — the sensor-fusion alignment
+    * (pandas merge_asof direction='nearest'): for each event, the order
+    * of the same key whose date is CLOSEST in either direction, ties
+    * (equidistant) resolved backward (the earlier date). Same
+    * union-sort-window shape as [[lastOrderAsOfEventUnion]] — no pair
+    * explosion — with a second window frame: `back` = last order at-or-
+    * before (orders sort before events at equal ts, so equality is
+    * backward-inclusive and the tie rule is structural), `fwd` = first
+    * order strictly after; the arithmetic picks the closer in exact
+    * MICROsecond integers (a seconds-truncating diff could flip a
+    * boundary pick vs the oracle). One partition-parallel sort per key;
+    * the oracle deliberately uses the OTHER formulation (per-event argmin
+    * over the key's orders) so the two plans check each other. */
+  def nearestOrderAsOfEvent(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(
+      col("event_id"), col("user_id").as("key"), col("ts"),
+      lit(null).cast("timestamp").as("o_orderdate"), lit(1).as("src"))
+    val o = Tables.orders(s, dir).select(
+      lit(null).cast("long").as("event_id"), col("o_custkey").as("key"),
+      col("o_orderdate").as("ts"), col("o_orderdate"), lit(0).as("src"))
+    val ord = Window.partitionBy(col("key")).orderBy(col("ts"), col("src"))
+    val wb = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val diffTo = (c: Column) =>
+      abs(unix_micros(col("ts")) - unix_micros(c))
+    e.unionByName(o)
+      .withColumn("back", last(col("o_orderdate"), ignoreNulls = true).over(wb))
+      .withColumn("fwd", first(col("o_orderdate"), ignoreNulls = true).over(wf))
+      .filter(col("src") === 1)
+      .withColumn("nearest_order_date",
+        when(col("back").isNull, col("fwd"))
+          .when(col("fwd").isNull, col("back"))
+          .when(diffTo(col("back")) <= diffTo(col("fwd")), col("back"))
+          .otherwise(col("fwd")))
+      .filter(col("nearest_order_date").isNotNull)
+      .select(col("event_id"), col("nearest_order_date"),
+        diffTo(col("nearest_order_date")).as("diff_us"))
+      .orderBy(col("event_id"))
+  }
+
   /** Range (band) self-join: pairs of events by the same user within one
     * hour of each other. Equi key = user, band predicate post-join. */
   def eventPairsWithinHour(s: SparkSession, dir: String): DataFrame = {

@@ -121,6 +121,18 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("corpusReport reconciles with its component operators exactly") {
+    val r = Curation.corpusReport(all).collect().head
+    assert(r.getLong(0) === all.count())
+    assert(r.getLong(1) === Dedup.exactDedup(all).count())
+    val spans = Dedup.duplicateSpans(all).cache()
+    assert(r.getLong(2) === spans.filter(col("n_dup_spans") > 0).count())
+    val (dup, tot) = (spans.agg(sum("n_dup_spans")).first().getLong(0),
+      spans.agg(sum("n_spans")).first().getLong(0))
+    assert(r.getDouble(3) === dup.toDouble / tot)
+    assert(r.getLong(4) === Curation.qualityGate(all).count())
+  }
+
   test("canonicalizeUrl: every normalization branch, idempotent, non-URL-noise preserved") {
     import spark.implicits._
     val cases = Seq(
