@@ -1342,6 +1342,47 @@ object SparkEntry {
         .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n_rows"))
         .orderBy("l_partkey", "l_suppkey")
     }),
+    // the Z-order ingest lifecycle: two-thirds built, one-third appended
+    // (batch clustered within its own files, corpus never rewritten) —
+    // results must equal the raw oracle even with the degraded layout
+    "fmt_zorder_append" -> ((s, d) => {
+      buildOnce(s"zorder_app:$d") {
+        val li = Tables.lineitem(s, d)
+          .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+        Formats.writeZOrdered(
+          li.filter(col("l_orderkey") % 3 =!= 0), "graft_zorder_app",
+          "l_partkey", "l_suppkey")
+        Formats.appendZOrdered(
+          li.filter(col("l_orderkey") % 3 === 0), "graft_zorder_app",
+          "l_partkey", "l_suppkey")
+      }
+      s.table("graft_zorder_app")
+        .filter(col("l_partkey").between(16, 47) && col("l_suppkey").between(2, 5))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n_rows"))
+        .orderBy("l_partkey", "l_suppkey")
+    }),
+    // the maintenance half: the appended table re-clustered into one
+    // generation through the crash-safe ping-pong swap — same oracle (the
+    // rewrite changes what skips, never the content)
+    "fmt_zorder_compacted" -> ((s, d) => {
+      buildOnce(s"zorder_cmp:$d") {
+        val li = Tables.lineitem(s, d)
+          .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+        Formats.writeZOrdered(
+          li.filter(col("l_orderkey") % 3 =!= 0), "graft_zorder_cmp",
+          "l_partkey", "l_suppkey")
+        Formats.appendZOrdered(
+          li.filter(col("l_orderkey") % 3 === 0), "graft_zorder_cmp",
+          "l_partkey", "l_suppkey")
+        Formats.rezorderTable(s, "graft_zorder_cmp", "l_partkey", "l_suppkey")
+      }
+      s.table("graft_zorder_cmp")
+        .filter(col("l_partkey").between(16, 47) && col("l_suppkey").between(2, 5))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n_rows"))
+        .orderBy("l_partkey", "l_suppkey")
+    }),
     "fmt_bucketed_join" -> ((s, d) => {
       Formats.writeBucketed(
         Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice"),
@@ -2869,6 +2910,20 @@ object SparkEntry {
     // what files skip, never the result; l_quantity is integral, so the
     // double sum is exact under any order)
     "fmt_zorder_scan" ->
+      """SELECT l_partkey, l_suppkey, sum(l_quantity) AS sum_qty,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 16 AND 47 AND l_suppkey BETWEEN 2 AND 5
+        |GROUP BY l_partkey, l_suppkey ORDER BY l_partkey, l_suppkey""".stripMargin,
+    // the append and re-cluster lifecycle gates share the contract: the
+    // layout generation changes what SKIPS, never what a query returns
+    "fmt_zorder_append" ->
+      """SELECT l_partkey, l_suppkey, sum(l_quantity) AS sum_qty,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 16 AND 47 AND l_suppkey BETWEEN 2 AND 5
+        |GROUP BY l_partkey, l_suppkey ORDER BY l_partkey, l_suppkey""".stripMargin,
+    "fmt_zorder_compacted" ->
       """SELECT l_partkey, l_suppkey, sum(l_quantity) AS sum_qty,
         |  count(*) AS n_rows
         |FROM lineitem

@@ -202,13 +202,52 @@ object Formats {
   def writeZOrdered(df: DataFrame, table: String, colA: String, colB: String,
       numFiles: Int = 8, bits: Int = 16): Unit = {
     dropForOverwrite(df.sparkSession, table)
+    zCluster(df, colA, colB, numFiles, bits)
+      .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(table)
+  }
+
+  /** The Z-clustering transform shared by write/append/recluster: attach
+    * the Morton key, range-partition on it, sort within each file, drop
+    * the (derivable) key from the stored schema. */
+  private def zCluster(df: DataFrame, colA: String, colB: String,
+      numFiles: Int, bits: Int): DataFrame =
     df.withColumn("__z",
         zOrderKey(col(colA).cast("long"), col(colB).cast("long"), bits))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
-      .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(table)
-  }
+
+  /** Incremental-ingest half of the Z-order lifecycle: the new batch is
+    * Z-clustered WITHIN ITS OWN files and appended — the stored corpus is
+    * never rewritten, so the daily cost is one pass over the batch. The
+    * trade is global-clustering decay: batch files overlap the existing
+    * generation's key ranges, so box-predicate skipping degrades as
+    * appends accumulate (FormatsSpec measures it) until [[rezorderTable]]
+    * restores the single-generation layout — the standard
+    * OPTIMIZE-ZORDER maintenance cadence of lakehouse tables. Results
+    * are unaffected either way (layout changes what skips, never what a
+    * query returns). */
+  def appendZOrdered(df: DataFrame, table: String, colA: String, colB: String,
+      numFiles: Int = 2, bits: Int = 16): Unit =
+    zCluster(df, colA, colB, numFiles, bits)
+      .write.mode(SaveMode.Append).format("parquet").saveAsTable(table)
+
+  /** Maintenance half: rewrite the whole table as ONE Z-clustered
+    * generation through the same crash-safe ping-pong swap as
+    * [[compactBucketed]] — both failpoint windows
+    * (`compact.after_stage` / `after_swap`) fire here too, so the
+    * proven recovery contract (re-run after a crash in either window
+    * restores a consistent, fully-clustered table) carries over.
+    * Single-writer, like every maintenance path. */
+  def rezorderTable(spark: SparkSession, table: String, colA: String,
+      colB: String, numFiles: Int = 8, bits: Int = 16): Unit =
+    pingPongRewrite(spark, table) { (oldPath, newPath, staging) =>
+      zCluster(spark.read.parquet(oldPath), colA, colB, numFiles, bits)
+        .write.mode(SaveMode.Overwrite)
+        .option("path", newPath) // external: drops never delete data
+        .format("parquet")
+        .saveAsTable(staging)
+    }
 
   /** Append a batch into a bucketed table's layout (creating the table on
     * first use) — the incremental-ingest half of the bucketed-table story.
@@ -311,6 +350,38 @@ object Formats {
   private def rewriteBucketed(spark: SparkSession, table: String,
       bucketCols: Seq[String], numBuckets: Int)(
       xform: DataFrame => DataFrame): Int = {
+    // read the table's FILES as plain parquet, not `spark.table`: the
+    // bucketed scan advertises HashPartitioning(numBuckets), so Catalyst
+    // would elide the repartition as redundant — and then the
+    // auto-bucketed-scan rule (nothing in this plan requires the bucket
+    // distribution) silently reads the small files in arbitrary coalesced
+    // splits, producing one file per (task x bucket) instead of one per
+    // bucket. A raw file scan carries no partitioning claim, so the
+    // shuffle survives and every task holds exactly one bucket's rows.
+    pingPongRewrite(spark, table) { (oldPath, newPath, staging) =>
+      xform(spark.read.parquet(oldPath))
+        .repartition(numBuckets, bucketCols.map(col): _*)
+        .write.mode(SaveMode.Overwrite)
+        .option("path", newPath) // external: drops never delete data
+        .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+        .sortBy(bucketCols.head, bucketCols.tail: _*)
+        .format("parquet")
+        .saveAsTable(staging)
+    }
+    bucketedFileCount(spark, table)
+  }
+
+  /** The ping-pong swap choreography shared by every crash-safe table
+    * rewrite ([[compactBucketed]], [[compactDeltaTable]],
+    * [[rezorderTable]]): recover any crashed predecessor's staging entry,
+    * derive the alternate location from the table's ACTUAL catalog
+    * location, clear it, let `stage(oldPath, newPath, stagingTable)`
+    * write the new generation as an EXTERNAL table at `newPath`, then
+    * swap visibility with one ALTER and reclaim the old directory. The
+    * `compact.after_stage` / `compact.after_swap` failpoint windows fire
+    * here, so every caller inherits the proven recovery contract. */
+  private def pingPongRewrite(spark: SparkSession, table: String)(
+      stage: (String, String, String) => Unit): Unit = {
     val staging = table + "__compacting"
     val conf = spark.sparkContext.hadoopConfiguration
     val oldLoc = qualified(spark, tableLocation(spark, table))
@@ -337,29 +408,13 @@ object Formats {
     // generation — both are superseded data, reclaimed here
     val fs = newLoc.getFileSystem(conf)
     if (fs.exists(newLoc)) fs.delete(newLoc, true)
-    // read the table's FILES as plain parquet, not `spark.table`: the
-    // bucketed scan advertises HashPartitioning(numBuckets), so Catalyst
-    // would elide the repartition as redundant — and then the
-    // auto-bucketed-scan rule (nothing in this plan requires the bucket
-    // distribution) silently reads the small files in arbitrary coalesced
-    // splits, producing one file per (task x bucket) instead of one per
-    // bucket. A raw file scan carries no partitioning claim, so the
-    // shuffle survives and every task holds exactly one bucket's rows.
-    xform(spark.read.parquet(oldLoc.toString))
-      .repartition(numBuckets, bucketCols.map(col): _*)
-      .write.mode(SaveMode.Overwrite)
-      .option("path", newLoc.toString) // external: drops never delete data
-      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
-      .sortBy(bucketCols.head, bucketCols.tail: _*)
-      .format("parquet")
-      .saveAsTable(staging)
+    stage(oldLoc.toString, newLoc.toString, staging)
     failIf("compact.after_stage")
     spark.sql(s"ALTER TABLE `$table` SET LOCATION '$newLoc'")
     spark.catalog.refreshTable(table)
     failIf("compact.after_swap")
     spark.sql(s"DROP TABLE `$staging`")
     fs.delete(oldLoc, true)
-    bucketedFileCount(spark, table)
   }
 
   // ---- Build manifests: index/model lifecycle metadata -----------------

@@ -472,4 +472,53 @@ class FormatsSpec extends SparkTestBase {
       Seq("graft_z_t", "graft_z_r").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
+
+  test("z-order lifecycle: append decays skipping, rezorder restores it, crashes recover") {
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    def rowsScanned(t: String): Long = {
+      val df = spark.table(t).filter(
+        col("l_partkey").between(16, 47) && col("l_suppkey").between(2, 5))
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves()
+        .head.metrics("numOutputRows").value
+    }
+    try {
+      // one-generation reference layout over the SAME content
+      Formats.writeZOrdered(li, "graft_zl_ref", "l_partkey", "l_suppkey")
+      val clustered = rowsScanned("graft_zl_ref")
+      // build two-thirds, append the rest as its own mini-generation
+      Formats.writeZOrdered(
+        li.filter(col("l_orderkey") % 3 =!= 0), "graft_zl", "l_partkey", "l_suppkey")
+      Formats.appendZOrdered(
+        li.filter(col("l_orderkey") % 3 === 0), "graft_zl", "l_partkey", "l_suppkey")
+      val appended = rowsScanned("graft_zl")
+      assert(spark.table("graft_zl").exceptAll(spark.table("graft_zl_ref")).count() === 0,
+        "append must not change content")
+      assert(appended > clustered,
+        s"appended layout scanned $appended rows vs one-generation $clustered — decay not visible")
+      // crash in BOTH rewrite windows: each re-run restores a working table
+      for (window <- Seq("compact.after_stage", "compact.after_swap")) {
+        Formats.failpoint = window
+        intercept[RuntimeException] {
+          Formats.rezorderTable(spark, "graft_zl", "l_partkey", "l_suppkey")
+        }
+        Formats.failpoint = ""
+        Formats.rezorderTable(spark, "graft_zl", "l_partkey", "l_suppkey")
+        assert(spark.table("graft_zl").exceptAll(spark.table("graft_zl_ref")).count() === 0,
+          s"content diverged after crash in $window")
+      }
+      // and the re-clustered table skips like the one-generation reference
+      // (range-partitioner boundary sampling shifts file edges a little
+      // between independent builds, so "like" means within 20% of the
+      // reference AND strictly below the decayed appended level)
+      val restored = rowsScanned("graft_zl")
+      assert(restored <= clustered * 12 / 10 && restored < appended,
+        s"rezorder left $restored rows scanned (reference $clustered, appended $appended)")
+    } finally {
+      Formats.failpoint = ""
+      Seq("graft_zl", "graft_zl_ref", "graft_zl__compacting")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
 }
