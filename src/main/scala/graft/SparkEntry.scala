@@ -541,6 +541,15 @@ object SparkEntry {
     // seed re-shuffles the same corpus for the next epoch
     "pack_shard_shuffle" -> ((s, d) =>
       Packing.shardShuffle(Tables.documents(s, d))),
+    // the PUBLISHED epoch plan: shard coordinates stored bucketed on
+    // `shard` with a build manifest; the gate reads one worker's shard
+    // from the artifact — bucket-pruned, no corpus recompute
+    "pack_epoch_indexed" -> ((s, d) => {
+      buildOnce(s"shard_plan:$d") {
+        Packing.buildShardPlan(s, Tables.documents(s, d), "graft_shard_plan")
+      }
+      Packing.readShardPlan(s, "graft_shard_plan", 3L)
+    }),
     // curriculum ordering: shard shuffle with a quality-tier primary key —
     // each shard streams its cleanest tier first; the tier reuses the
     // hash-proven ta_quality score, so the oracle replays it exactly
@@ -777,6 +786,10 @@ object SparkEntry {
     // existing gated operator reduced to its aggregate, in one call
     "audit_corpus_report" -> ((s, d) =>
       graft.ops.Curation.corpusReport(SharedCorpus.docsTok(s, d))),
+    // per-column schema profile (null/distinct/min/max) in ONE aggregate
+    // pass, reshaped plan-side to a row per column — the ingestion
+    // data-quality report
+    "audit_schema_report" -> Relational.schemaProfile,
     // the daily-batch curation COMPOSITE (VERDICT r11 missing 3): today's
     // crawl (%4==1) decided against the accumulated corpus's STORED band
     // index — quality/lang/repetition signals, indexed near-dup rejection,
@@ -3553,6 +3566,16 @@ object SparkEntry {
          |  CAST(row_number() OVER (PARTITION BY shard
          |    ORDER BY round, h, doc_id) AS BIGINT) AS shard_pos
          |FROM r ORDER BY doc_id""".stripMargin,
+    // the stored plan is the shuffle's own coordinates — one shard's
+    // slice of the same replay, in stream order
+    "pack_epoch_indexed" ->
+      s"""WITH d AS (SELECT doc_id, ${Packing.shuffleHashSql("epoch0")} AS h FROM documents),
+         |s AS (SELECT doc_id, CAST(h % 8 AS BIGINT) AS shard, h FROM d),
+         |r AS (SELECT doc_id, shard,
+         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS shard_pos
+         |  FROM s)
+         |SELECT doc_id, shard, shard_pos FROM r WHERE shard = 3
+         |ORDER BY shard_pos""".stripMargin,
     // curriculum: the hash-proven ta_quality score bucketed into 4 tiers,
     // highest tier first within each shard, seeded hash within a tier
     "pack_curriculum" ->
@@ -4185,6 +4208,23 @@ object SparkEntry {
         |  quantile_cont(l_quantity, 0.75) AS p75,
         |  count(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // per-column profile: one UNION branch per column; the money column
+    // renders through DECIMAL on both sides so the string is engine-exact
+    "audit_schema_report" -> {
+      def branch(c: String, expr: String = ""): String = {
+        val e = if (expr.isEmpty) c else expr
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  count(*) - count($e) AS n_nulls,
+           |  CAST(count(DISTINCT $e) AS BIGINT) AS n_distinct,
+           |  CAST(min($e) AS VARCHAR) AS min_val,
+           |  CAST(max($e) AS VARCHAR) AS max_val FROM orders""".stripMargin
+      }
+      Seq(
+        branch("o_orderkey"), branch("o_custkey"), branch("o_orderstatus"),
+        branch("o_totalprice", "CAST(o_totalprice AS DECIMAL(18,2))"),
+        branch("o_orderdate"), branch("o_orderpriority"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
     // equi-depth: NTILE over the unique (price, orderkey, linenumber)
     // order — standard ceil-then-floor bucket sizing in both engines
     "agg_equidepth_hist" ->

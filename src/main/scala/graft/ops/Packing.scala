@@ -391,6 +391,35 @@ object Packing {
       .orderBy("doc_id")
   }
 
+  /** Build-once half of the epoch-plan lifecycle: PUBLISH the
+    * [[shardShuffle]] coordinates as a bucketed table (bucketed + sorted
+    * on `shard`, with the engine's standard build manifest) — the
+    * "dataset manifest" a training run pins, so every dataloader worker
+    * reads its shard's (doc_id, shard_pos) assignments from storage
+    * instead of recomputing the corpus-wide shuffle, and the run is
+    * reproducible from the published artifact alone. The shuffle is
+    * deterministic either way; publishing moves the one corpus pass to
+    * build time and makes the plan auditable/immutable. */
+  def buildShardPlan(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
+      table: String, shards: Int = 8, seed: String = "epoch0",
+      numBuckets: Int = 8): Unit = {
+    graft.sources.Formats.writeBucketed(
+      shardShuffle(docs, shards, seed), table, Seq("shard"), numBuckets)
+    val (n, fp) = graft.sources.Formats.corpusStamp(docs, "doc_id")
+    graft.sources.Formats.writeBuildMeta(spark, table,
+      s"kind=shard_plan,shards=$shards,seed=$seed", n, fp)
+  }
+
+  /** Query half: one shard's assignments in stream order — the per-worker
+    * read. Bucket pruning keeps the scan to the shard's own files; the
+    * only sort is the shard-sized position order. */
+  def readShardPlan(spark: org.apache.spark.sql.SparkSession, table: String,
+      shard: Long): DataFrame = {
+    graft.sources.Formats.requireBuilt(spark, table)
+    spark.table(table).filter(col("shard") === shard)
+      .orderBy("shard_pos")
+  }
+
   /** Source-INTERLEAVED shard coordinates — [[shardShuffle]] with a
     * round-robin guarantee across sources: within each shard, documents
     * stream in rounds (`round` = the doc's seeded-hash rank within its

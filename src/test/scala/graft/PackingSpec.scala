@@ -314,6 +314,30 @@ class PackingSpec extends SparkTestBase {
     assert(stable < out.count() / 2, s"epoch1 left $stable coordinates unchanged")
   }
 
+  test("shard plan lifecycle: stored coordinates equal recompute; probe refuses unbuilt") {
+    try {
+      Packing.buildShardPlan(spark, docs, "graft_plan_t")
+      // the published artifact IS the shuffle's own coordinates
+      val stored = (0L until 8L).map(sh =>
+        Packing.readShardPlan(spark, "graft_plan_t", sh)).reduce(_ unionAll _)
+      val fresh = Packing.shardShuffle(docs)
+      assert(stored.exceptAll(fresh).count() === 0 &&
+        fresh.exceptAll(stored).count() === 0)
+      // a worker's read is bucket-pruned to its shard's files: the scan
+      // must not touch other shards' rows
+      val one = Packing.readShardPlan(spark, "graft_plan_t", 3L)
+      assert(one.filter(col("shard") =!= 3L).count() === 0)
+      assert(one.count() === fresh.filter(col("shard") === 3L).count())
+    } finally {
+      Seq("graft_plan_t", "graft_plan_t_meta")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+    // the probe refuses a plan that was never published
+    intercept[IllegalArgumentException] {
+      Packing.readShardPlan(spark, "graft_plan_missing", 0L)
+    }
+  }
+
   test("interleaveShuffle: rounds are source-unique and stream in order — the mixing guarantee") {
     val out = Packing.interleaveShuffle(docs).cache()
     assert(out.count() === docs.count())
