@@ -412,6 +412,20 @@ object SparkEntry {
       }
       TextAnalysis.bm25SearchIndexed(s, "graft_bm25_incr", Seq("spark", "window", "join"))
     }),
+    // delete-propagation variant: full build, then a forget set purged
+    // from the postings with the _stats row decremented and the manifest
+    // stamp folded out — every query must score exactly as an index of
+    // the filtered corpus would (df, N, avgdl all shift), which is what
+    // the filtered-corpus oracle replays
+    "ta_bm25_purged" -> ((s, d) => {
+      buildOnce(s"bm25_purge:$d") {
+        val docs = SharedCorpus.docsTok(s, d)
+        TextAnalysis.buildBm25Index(docs, "graft_bm25_prg")
+        TextAnalysis.purgeFromBm25Index(s, "graft_bm25_prg",
+          docs.filter(col("doc_id") % 7 === 3).select("doc_id"))
+      }
+      TextAnalysis.bm25SearchIndexed(s, "graft_bm25_prg", Seq("spark", "window", "join"))
+    }),
     // BPE vocabulary training (k-means-style replayed loop): the merge
     // table, top-word segmentations, and corpus application after 8 greedy
     // merge rounds. ONE training per (process, sf dir) serves all three
@@ -844,6 +858,39 @@ object SparkEntry {
       }
       Dedup.nearDupPairsIndexed(s, "graft_band_incr", all.filter(col("doc_id") % 3 === 0))
     }),
+    // incremental CLUSTERING lifecycle: half the corpus clustered
+    // one-shot (components table + band index built together), the other
+    // half folded in by mergeComponentsIncr — only the batch is signed
+    // and mined, cross edges contract through stored labels, and one
+    // broadcast relabel rewrite updates the assignment. The merged table
+    // must equal a one-shot clustering of the WHOLE corpus, which is
+    // what the oracle replays (recursive reachability → min label)
+    "dedup_components_incr" -> ((s, d) => {
+      val all = SharedCorpus.docsTok(s, d)
+      buildOnce(s"comp_incr:$d") {
+        val half = all.filter(col("doc_id") % 2 === 0)
+        Dedup.buildBandIndex(half, "graft_comp_band")
+        Dedup.buildComponentsTable(half, "graft_comp_tbl")
+        Dedup.mergeComponentsIncr(s, "graft_comp_tbl", "graft_comp_band",
+          all.filter(col("doc_id") % 2 =!= 0))
+      }
+      s.table("graft_comp_tbl").orderBy("doc_id")
+    }),
+    // delete-propagation variant (right to be forgotten): the corpus side
+    // built whole, then a forget set PHYSICALLY PURGED from the stored
+    // bands + signatures with the manifest stamp folded out — the probe
+    // must answer exactly as if the index had been built from the
+    // filtered corpus, which is what the oracle replays
+    "dedup_cross_purged" -> ((s, d) => {
+      val all = SharedCorpus.docsTok(s, d)
+      buildOnce(s"band_purge:$d") {
+        val corpus = all.filter(col("doc_id") % 3 =!= 0)
+        Dedup.buildBandIndex(corpus, "graft_band_prg")
+        Dedup.purgeFromBandIndex(s, "graft_band_prg",
+          corpus.filter(col("doc_id") % 7 === 3).select("doc_id"))
+      }
+      Dedup.nearDupPairsIndexed(s, "graft_band_prg", all.filter(col("doc_id") % 3 === 0))
+    }),
     // north-star: similarity search. The exact all-pairs miner
     // (Similarity.embeddingNearDupPairs) is deliberately NOT gated: its n²
     // cross product is a verification utility (SimilaritySpec uses it as
@@ -896,6 +943,19 @@ object SparkEntry {
       }
       Similarity.lshTopKIndexed(s, "graft_lsh_incr", col("vec_id") < 10)
     }),
+    // delete-propagation variant: a forget set purged from the stored
+    // bands with the manifest stamp folded out — signatures are
+    // per-vector, so the purged index must answer exactly like one built
+    // from the surviving vectors (the filtered-corpus oracle)
+    "ann_lsh_purged" -> ((s, d) => {
+      buildOnce(s"lsh_purge:$d") {
+        val emb = Tables.embeddings(s, d)
+        Similarity.buildLshIndex(emb, "graft_lsh_prg")
+        Similarity.purgeFromLshIndex(s, "graft_lsh_prg",
+          emb.filter(col("vec_id") % 7 === 3).select("vec_id"))
+      }
+      Similarity.lshTopKIndexed(s, "graft_lsh_prg", col("vec_id") < 10)
+    }),
     "ann_ivf_topk" -> ((s, d) =>
       Similarity.ivfTopK(Tables.embeddings(s, d), col("vec_id") < 10)),
     // product-quantization tier: 16 trained sub-codebooks, 16-byte codes
@@ -919,6 +979,21 @@ object SparkEntry {
     "ann_ivf_indexed" -> ((s, d) => {
       ensureIvfIndex(s, d)
       Similarity.ivfTopKIndexed(s, "graft_ivf_idx", col("vec_id") < 10)
+    }),
+    // delete-propagation variant for the model-backed tier: the forget
+    // set's assignment rows purged, the TRAINED PIVOTS KEPT (retraining
+    // per takedown would churn the whole assignment; periodic retrain is
+    // the drift story) — so the purged index answers as the stored model
+    // applied to the survivors, which is what the oracle replays
+    // (training over the BUILD corpus, probe over survivors only)
+    "ann_ivf_purged" -> ((s, d) => {
+      buildOnce(s"ivf_purge:$d") {
+        val emb = Tables.embeddings(s, d)
+        Similarity.buildIvfIndex(emb, "graft_ivf_prg")
+        Similarity.purgeFromIvfIndex(s, "graft_ivf_prg",
+          emb.filter(col("vec_id") % 7 === 3).select("vec_id"))
+      }
+      Similarity.ivfTopKIndexed(s, "graft_ivf_prg", col("vec_id") < 10)
     }),
     // the same stored IVF assignment feeds curation: cluster-balanced
     // sampling is a pure function of (vec_id, cell), so the indexed
@@ -1115,6 +1190,21 @@ object SparkEntry {
           corpus.filter(col("doc_id") % 2 =!= 0), "graft_phash_incr")
       }
       Multimodal.phashPairsIndexed(s, "graft_phash_incr",
+        s.table("graft_png_blobs").filter(col("doc_id") % 3 === 0))
+    }),
+    // delete-propagation variant: a forget set purged from the stored
+    // bands + codes (no image re-decoded) with the manifest stamp folded
+    // out — the probe answers exactly as an index built from the
+    // surviving blobs would
+    "mm_phash_purged" -> ((s, d) => {
+      ensurePngBlobs(s, d)
+      buildOnce(s"phash_purge:$d") {
+        val corpus = s.table("graft_png_blobs").filter(col("doc_id") % 3 =!= 0)
+        Multimodal.buildPhashIndex(corpus, "graft_phash_prg")
+        Multimodal.purgeFromPhashIndex(s, "graft_phash_prg",
+          corpus.filter(col("doc_id") % 7 === 3).select("doc_id"))
+      }
+      Multimodal.phashPairsIndexed(s, "graft_phash_prg",
         s.table("graft_png_blobs").filter(col("doc_id") % 3 === 0))
     }),
     "mm_decode_wav" -> ((s, d) => {
@@ -1570,9 +1660,13 @@ object SparkEntry {
        |FROM tot t LEFT JOIN cm c ON c.doc_id = t.doc_id
        |ORDER BY t.doc_id""".stripMargin
 
-  /** DuckDB mirror of [[Dedup.crossCorpusNearDups]] over the %3 split. */
-  private val crossCorpusOracleSql: String =
-    s"""WITH ${minhashSideCtes("A", "doc_id % 3 <> 0")},
+  /** DuckDB mirror of [[Dedup.crossCorpusNearDups]], parameterized on the
+    * corpus (index) side's predicate: the %3 split for the direct/indexed
+    * gates, the %3-minus-forgotten split for the purged-index gate (a
+    * physical purge must answer exactly like an index built from the
+    * filtered corpus). */
+  private def crossCorpusOracleSqlWhere(aWhere: String): String =
+    s"""WITH ${minhashSideCtes("A", aWhere)},
        |${minhashSideCtes("B", "doc_id % 3 = 0")},
        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |  FROM bandedA x JOIN bandedB y
@@ -1582,6 +1676,9 @@ object SparkEntry {
        |  FROM cand JOIN sigA sa ON sa.doc_id = doc_a JOIN sigB sb ON sb.doc_id = doc_b)
        |SELECT doc_a, doc_b, sig_sim FROM scored WHERE sig_sim >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  private val crossCorpusOracleSql: String =
+    crossCorpusOracleSqlWhere("doc_id % 3 <> 0")
 
   /** DuckDB replay of [[graft.ops.Curation.dailyBatch]] — the whole daily
     * funnel end to end: the ta_filter_funnel signal formulas on the batch
@@ -1667,6 +1764,24 @@ object SparkEntry {
        |SELECT doc_id FROM documents dd
        |WHERE NOT EXISTS (SELECT 1 FROM reach r WHERE r.d = dd.doc_id AND r.s < dd.doc_id)
        |ORDER BY doc_id""".stripMargin
+
+  /** DuckDB mirror of the full per-document component labels (the
+    * `dedup_components_incr` gate dumps the whole merged assignment
+    * table): same reachability as the survivor oracle, label = min
+    * reachable id. The incremental merge must land on exactly the
+    * one-shot clustering of the union corpus. */
+  private val componentsOracleSql: String =
+    s"""WITH RECURSIVE $minhashCtes,
+       |pairs AS (SELECT doc_a, doc_b FROM scored WHERE sig_sim >= 0.5),
+       |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+       |  UNION SELECT doc_b AS s, doc_a AS d FROM pairs),
+       |reach(s, d) AS (
+       |  SELECT s, d FROM edges
+       |  UNION
+       |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+       |SELECT dd.doc_id, least(dd.doc_id, coalesce(
+       |    (SELECT min(r.s) FROM reach r WHERE r.d = dd.doc_id), dd.doc_id)) AS label
+       |FROM documents dd ORDER BY dd.doc_id""".stripMargin
 
   /** DuckDB mirror of [[Dedup.nearDupSurvivorsBy]] with the ta_quality
     * score: same reachability as the survivor oracle, component label =
@@ -1785,15 +1900,20 @@ object SparkEntry {
   }
 
   /** Shared LSH-signature CTEs (DuckDB mirror of Similarity.bandedSignatures). */
-  private val lshBandedCte: String = {
+  /** LSH banding CTEs over the subset of `embeddings` matching `where` —
+    * signatures are per-vector, so the purged-index gate's oracle is just
+    * the filtered-corpus banding. */
+  private def lshBandedCteWhere(where: String): String = {
     val sig = (0 until Similarity.NumPlanes).map { m =>
       val arr = Similarity.planes(m).map(w => if (w > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
       s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), $arr) >= 0 THEN ${1L << m} ELSE 0 END)"
     }.mkString(" + ")
-    s"""sigt AS (SELECT vec_id, embedding, CAST($sig AS BIGINT) AS sig FROM embeddings),
+    s"""sigt AS (SELECT vec_id, embedding, CAST($sig AS BIGINT) AS sig FROM embeddings WHERE $where),
        |banded AS (SELECT vec_id, embedding, band_idx, (sig >> (band_idx * 4)) & 15 AS band_val
        |  FROM sigt, unnest(generate_series(0, ${Similarity.SigBands - 1})) AS t(band_idx))""".stripMargin
   }
+
+  private val lshBandedCte: String = lshBandedCteWhere("TRUE")
 
   /** The LSH probe body over a `banded` CTE — shared by the given-table
     * ANN gates and the hash-embed composition gate. */
@@ -1952,8 +2072,12 @@ object SparkEntry {
     * search gates (avg(dl) here equals the engine's exact
     * total_dl / n_docs quotient: both are one double division of exact
     * integer aggregates). */
-  private val bm25OracleSql: String =
-    s"""WITH tk AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '$WS')) AS word FROM documents),
+  /** BM25 replay over the subset of `documents` matching `where` — the
+    * purged-index gate shares the body with the full-corpus gates (a
+    * physically-purged index must score exactly like an index of the
+    * filtered corpus, so its oracle IS the filtered-corpus replay). */
+  private def bm25OracleSqlWhere(where: String): String =
+    s"""WITH tk AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '$WS')) AS word FROM documents WHERE $where),
        |ftk AS (SELECT doc_id, word FROM tk WHERE regexp_matches(word, '^[a-z0-9]+$$')),
        |dl AS (SELECT doc_id, count(*) AS dl FROM ftk GROUP BY 1),
        |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
@@ -1966,6 +2090,8 @@ object SparkEntry {
        |  FROM tf t JOIN dfq d USING (word) JOIN dl l USING (doc_id) CROSS JOIN st s)
        |SELECT doc_id, round(sum(s), 6) AS score FROM sc GROUP BY 1
        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
+  private val bm25OracleSql: String = bm25OracleSqlWhere("TRUE")
 
   /** Composition replay: the hash-embed CTE chain materializes an
     * `embeddings` CTE that SHADOWS the parquet table, then the stock LSH
@@ -2171,10 +2297,14 @@ object SparkEntry {
     * the probe filter is on the vector id itself, so ranking before or
     * after the filter is identical (mirrors the Spark side's shared
     * `scored`). */
-  private val ivfBodySql: String =
+  /** The IVF probe body over a `piv` pivot CTE, with the assigned corpus
+    * restricted to `where` — `TRUE` for the full-corpus gates; the purged
+    * gate keeps the pivots trained on the BUILD corpus (the model-kept
+    * forget contract) while cells and probes cover only survivors. */
+  private def ivfBodySqlWhere(where: String): String =
     s"""sc AS (SELECT e.vec_id, e.embedding, p.pid,
        |  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(p.pv AS DOUBLE[])) AS pcos
-       |  FROM embeddings e CROSS JOIN piv p),
+       |  FROM embeddings e CROSS JOIN piv p WHERE $where),
        |ranked AS (SELECT vec_id, embedding, pid,
        |  row_number() OVER (PARTITION BY vec_id ORDER BY pcos DESC, pid) AS prn FROM sc),
        |cells AS (SELECT vec_id AS neighbor_id, embedding AS nv, pid AS cell
@@ -2189,6 +2319,8 @@ object SparkEntry {
        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn, cos
        |  FROM scored)
        |SELECT query_id, neighbor_id, rn, cos FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
+
+  private val ivfBodySql: String = ivfBodySqlWhere("TRUE")
 
   /** DuckDB mirror of [[Similarity.ivfTopK]]: `vec_id < NumPivots` pivots. */
   private val ivfOracleSql: String =
@@ -2224,14 +2356,15 @@ object SparkEntry {
       |ph AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS phash
       |  FROM bits GROUP BY doc_id)""".stripMargin
 
-  /** DuckDB mirror of [[Multimodal.phashPairsIndexed]] over the %3 split:
-    * band collisions BETWEEN the stored-corpus side and the batch side,
-    * then the exact Hamming rule. */
-  private val phashCrossOracleSql: String =
+  /** DuckDB mirror of [[Multimodal.phashPairsIndexed]]: band collisions
+    * BETWEEN the stored-corpus side (predicate `aWhere` — the %3 split,
+    * minus the forgotten ids for the purged-index gate) and the %3 batch
+    * side, then the exact Hamming rule. */
+  private def phashCrossOracleSqlWhere(aWhere: String): String =
     s"""WITH $phashCtes,
        |bndA AS (SELECT doc_id, phash, b AS band_idx,
        |    (phash >> CAST(b * 14 AS INT)) & 16383 AS band_val
-       |  FROM ph, unnest(generate_series(0, 3)) AS tb(b) WHERE doc_id % 3 <> 0),
+       |  FROM ph, unnest(generate_series(0, 3)) AS tb(b) WHERE $aWhere),
        |bndB AS (SELECT doc_id, phash, b AS band_idx,
        |    (phash >> CAST(b * 14 AS INT)) & 16383 AS band_val
        |  FROM ph, unnest(generate_series(0, 3)) AS tb(b) WHERE doc_id % 3 = 0),
@@ -2243,6 +2376,9 @@ object SparkEntry {
        |FROM cand JOIN ph pa ON pa.doc_id = doc_a JOIN ph pb ON pb.doc_id = doc_b
        |WHERE bit_count(xor(pa.phash, pb.phash)) <= 3
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  private val phashCrossOracleSql: String =
+    phashCrossOracleSqlWhere("doc_id % 3 <> 0")
 
   /** DuckDB replay of [[Multimodal.aHash]]: windowed sample sums from the
     * synthesizeWav generating formula (no decoder), one bit per
@@ -2898,6 +3034,9 @@ object SparkEntry {
     "dedup_semantic" -> semanticDedupOracleSql,
     "ann_ivf_indexed" -> ivfKmeansOracleSql,
     "ann_ivf_indexed_incr" -> ivfKmeansOracleSql,
+    "ann_ivf_purged" ->
+      s"""WITH $kmeansPivotCtes,
+         |${ivfBodySqlWhere("e.vec_id % 7 <> 3")}""".stripMargin,
     "fmt_bucketed_join" ->
       """SELECT c_mktsegment,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
@@ -3157,6 +3296,9 @@ object SparkEntry {
     "dedup_cross_corpus" -> crossCorpusOracleSql,
     "dedup_cross_indexed" -> crossCorpusOracleSql,
     "dedup_cross_indexed_incr" -> crossCorpusOracleSql,
+    "dedup_cross_purged" ->
+      crossCorpusOracleSqlWhere("doc_id % 3 <> 0 AND doc_id % 7 <> 3"),
+    "dedup_components_incr" -> componentsOracleSql,
     "dedup_neardup_survivors" -> survivorsOracleSql,
     "dedup_quality_survivors" -> qualitySurvivorsOracleSql,
     "stream_neardup_admit" -> admitOracleSql,
@@ -3356,6 +3498,9 @@ object SparkEntry {
     "ta_hash_embed" -> hashEmbedOracleSql,
     "ann_hash_embed_lsh" -> hashEmbedLshOracleSql,
     "ann_lsh_indexed" -> annOracleSql,
+    "ann_lsh_purged" ->
+      s"""WITH ${lshBandedCteWhere("vec_id % 7 <> 3")},
+         |$annBodySql""".stripMargin,
     "ann_lsh_indexed_incr" -> annOracleSql,
     "sim_neardup_lsh" -> lshNearDupOracleSql,
     "ta_tfidf" ->
@@ -3416,6 +3561,7 @@ object SparkEntry {
     "ta_bm25_search" -> bm25OracleSql,
     "ta_bm25_indexed" -> bm25OracleSql,
     "ta_bm25_indexed_incr" -> bm25OracleSql,
+    "ta_bm25_purged" -> bm25OracleSqlWhere("doc_id % 7 <> 3"),
     "ta_bm25_compacted" -> bm25OracleSql,
     "ta_hybrid_search" -> hybridOracleSql,
     "ta_hybrid_indexed" -> hybridIndexedOracleSql,
@@ -3939,6 +4085,8 @@ object SparkEntry {
     // index changes where the corpus codes come from, not the pairs
     "mm_phash_indexed" -> phashCrossOracleSql,
     "mm_phash_indexed_incr" -> phashCrossOracleSql,
+    "mm_phash_purged" ->
+      phashCrossOracleSqlWhere("doc_id % 3 <> 0 AND doc_id % 7 <> 3"),
     // replays Multimodal.synthesizeWav's generating formula: sample
     // i = ((doc_id*37 + i²*17 + (doc_id%13+1)*i) mod 65536) - 32768 over
     // doc_id%400+100 samples — PCM is lossless, so the real javax.sound

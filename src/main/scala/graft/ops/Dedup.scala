@@ -307,6 +307,41 @@ object Dedup {
       s"kind=minhash_bands,buckets=$numBuckets", n, fp, bootstrap = fresh)
   }
 
+  /** Delete propagation — the FORGET half of the band-index lifecycle
+    * (build → append xN → purge/compact → probe): every band and
+    * signature row of `deleteIds`' documents is physically removed
+    * through [[graft.sources.Formats.purgeBucketed]]'s crash-safe
+    * rewrite, and the manifest's corpus stamp folds the deleted ids OUT —
+    * xor is self-inverse, so `stamp(corpus \ D) = stamp(corpus) XOR
+    * stamp(D)` with no corpus reread (the exact mirror of the append-side
+    * fold). After a purge, `isStaleFor(filtered corpus)` passes and the
+    * index answers bit-identically to one REBUILT from the filtered
+    * corpus — table contents AND manifest (PurgeSpec proves both).
+    *
+    * The folded stamp covers only `deleteIds ∩ stored ids` (read from the
+    * `_sigs` table before the rewrite), so an over-broad forget request —
+    * ids never indexed, or a re-issued request whose ids are already
+    * gone — cannot corrupt the manifest, and re-running a purge is a
+    * data-side no-op. Same HARD CONTRACT as the appends
+    * ([[graft.sources.Formats.foldBuildMeta]]): single writer, and a
+    * crash between the table rewrites and the meta fold means rebuild
+    * (each individual rewrite is ping-pong crash-safe; the cross-table
+    * window is not transactional). */
+  def purgeFromBandIndex(spark: org.apache.spark.sql.SparkSession, table: String,
+      deleteIds: DataFrame, numBuckets: Int = 8): Unit = {
+    graft.sources.Formats.requireBuilt(spark, table)
+    val present = spark.table(table + "_sigs")
+      .join(broadcast(deleteIds.select("doc_id").distinct()), "doc_id")
+      .select("doc_id").distinct()
+    val (dn, dfp) = graft.sources.Formats.corpusStamp(present, "doc_id")
+    graft.sources.Formats.purgeBucketed(spark, table,
+      Seq("band_idx", "band_hash"), numBuckets, "doc_id", deleteIds)
+    graft.sources.Formats.purgeBucketed(spark, table + "_sigs",
+      Seq("doc_id"), numBuckets, "doc_id", deleteIds)
+    graft.sources.Formats.foldBuildMeta(spark, table,
+      s"kind=minhash_bands,buckets=$numBuckets", -dn, dfp)
+  }
+
   /** The candidate join of [[nearDupPairsIndexed]], exposed pre-scoring so
     * the spec can assert its plan: the index side reads the STORED banded
     * table with no shuffle and no signature recompute. */
@@ -454,13 +489,26 @@ object Dedup {
     * internal working table already dropped; the CALLER unpersists the
     * result when done (both survivor policies do). */
   def nearDupComponents(docs: DataFrame, minSigFrac: Double = 0.5,
+      maxDriverEdges: Long = 4_000_000L): DataFrame =
+    componentsFromEdges(docs.select(col("doc_id")),
+      minHashPairs(docs, minSigFrac).select("doc_a", "doc_b"), maxDriverEdges)
+
+  /** The graph-resolution core of [[nearDupComponents]], over an EXPLICIT
+    * vertex + edge list (extracted so [[mergeComponentsIncr]] can solve
+    * its batch-sized delta graph through the identical hybrid machinery):
+    * every vertex gets the minimum doc_id reachable through `pairs`
+    * (vertices with no edge label themselves). Size-gated exactly as
+    * documented on [[nearDupComponents]] — driver union-find at or below
+    * `maxDriverEdges`, distributed min-label propagation with pointer
+    * jumping above it. */
+  private[graft] def componentsFromEdges(vertices: DataFrame, pairs0: DataFrame,
       maxDriverEdges: Long = 4_000_000L): DataFrame = {
     // persist the pair list itself — every consumer below references it
     // more than once, and without the cache each branch re-runs the whole
-    // LSH join
-    val pairs = minHashPairs(docs, minSigFrac).select("doc_a", "doc_b").persist()
+    // upstream join
+    val pairs = pairs0.persist()
     if (pairs.count() <= maxDriverEdges) {
-      val spark = docs.sparkSession
+      val spark = vertices.sparkSession
       import spark.implicits._
       // union-find with path halving over the collected edge list
       val parent = new LongLongMap()
@@ -491,7 +539,7 @@ object Dedup {
       val endpointKeys = scala.collection.mutable.ArrayBuffer[Long]()
       parent.foreachKey(endpointKeys += _)
       val endpointLabels = endpointKeys.map(d => (d, find(d))).toSeq
-      val out = docs.select(col("doc_id"))
+      val out = vertices
         .join(broadcast(endpointLabels.toDF("doc_id", "lbl")), Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("label"))
         .persist()
@@ -502,7 +550,7 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
-    var labels = docs.select(col("doc_id"), col("doc_id").as("label")).persist()
+    var labels = vertices.select(col("doc_id"), col("doc_id").as("label")).persist()
     // Convergence check: labels only ever DECREASE under min-propagation,
     // so the label-sum is strictly monotone and "sum unchanged" ⟺ "no
     // label changed" — one aggregate per round instead of a full
@@ -538,6 +586,95 @@ object Dedup {
     pairs.unpersist()
     edges.unpersist()
     labels
+  }
+
+  /** Build-once half of the INCREMENTAL clustering lifecycle: the
+    * corpus's near-dup component labels ([[nearDupComponents]]) persisted
+    * as a `(doc_id, label)` table bucketed on `doc_id`, with a build
+    * manifest. Pairs with [[buildBandIndex]] over the SAME corpus —
+    * [[mergeComponentsIncr]] consumes both and keeps both in sync. */
+  def buildComponentsTable(docs: DataFrame, table: String, numBuckets: Int = 8): Unit = {
+    val labels = nearDupComponents(docs)
+    graft.sources.Formats.writeBucketed(labels, table, Seq("doc_id"), numBuckets)
+    labels.unpersist()
+    val (n, fp) = graft.sources.Formats.corpusStamp(docs, "doc_id")
+    graft.sources.Formats.writeBuildMeta(docs.sparkSession, table,
+      s"kind=components,buckets=$numBuckets", n, fp)
+  }
+
+  /** Incremental near-dup CLUSTERING — fold a new crawl batch into the
+    * stored component assignment without re-clustering the corpus. The
+    * expensive work (shingling, signatures, band mining) runs over the
+    * BATCH only:
+    *
+    *  1. cross pairs mined against the stored band index
+    *     ([[nearDupPairsIndexed]] — the corpus is read pre-banded, never
+    *     re-signed) + intra-batch pairs ([[minHashPairs]] over the batch);
+    *  2. every cross edge's stored endpoint is CONTRACTED to its stored
+    *     component label (one delta-sized join against the bucketed label
+    *     table — exchange-free on the stored side), which is lossless
+    *     because a stored label IS its component's minimum: the delta
+    *     graph (batch docs + touched labels, batch-collision-sized) has
+    *     exactly the union graph's connectivity, so
+    *     [[componentsFromEdges]] on it yields the union's true minima;
+    *  3. ONE crash-safe ping-pong rewrite of the label table applies the
+    *     (old label → new label) moves — a broadcast-joined relabel, no
+    *     re-mining — and appends the batch's rows; the band index absorbs
+    *     the batch ([[appendToBandIndex]]) and both manifests fold the
+    *     batch stamp, so the pair stays in sync for the next day.
+    *
+    * The merged table is BIT-IDENTICAL to [[buildComponentsTable]] over
+    * the union corpus (PurgeSpec's incremental twin in DedupSpec proves
+    * table + manifest equality): the incremental edge set — build-time
+    * intra-corpus pairs resolved into labels, index-mined cross pairs,
+    * intra-batch pairs — is exactly the one-shot miner's pair set, and
+    * component minima are invariant under contraction. Requires both
+    * stored artifacts to describe the same corpus generation (manifest
+    * stamps compared, loud failure). Batches must be doc-disjoint from
+    * the corpus — the standard append contract. At 100 TB the per-day
+    * cost is one signature pass over the batch, the collision joins, and
+    * a rewrite of the 16-byte-per-doc label table; the text corpus is
+    * never re-read. */
+  def mergeComponentsIncr(spark: org.apache.spark.sql.SparkSession,
+      compTable: String, bandTable: String, newBatch: DataFrame,
+      numBuckets: Int = 8, minSigFrac: Double = 0.5,
+      maxDriverEdges: Long = 4_000_000L): Unit = {
+    graft.sources.Formats.requireBuilt(spark, compTable)
+    graft.sources.Formats.requireBuilt(spark, bandTable)
+    val cMeta = graft.sources.Formats.readBuildMeta(spark, compTable).get
+    val bMeta = graft.sources.Formats.readBuildMeta(spark, bandTable).get
+    require((cMeta._1, cMeta._2) == ((bMeta._1, bMeta._2)),
+      s"component table '$compTable' and band index '$bandTable' describe " +
+        "different corpus generations — rebuild or re-sync before merging")
+    val batch = newBatch
+    // delta edges: stored×batch collisions via the index, plus intra-batch
+    val cross = nearDupPairsIndexed(spark, bandTable, batch, minSigFrac)
+      .select("doc_a", "doc_b")
+    val stored = spark.table(compTable)
+    val crossL = cross.join(stored, cross("doc_a") === stored("doc_id"))
+      .select(col("label").as("doc_a"), cross("doc_b")).distinct()
+    val intra = minHashPairs(batch, minSigFrac).select("doc_a", "doc_b")
+    val edges = crossL.union(intra)
+    val verts = batch.select("doc_id")
+      .union(crossL.select(col("doc_a").as("doc_id"))).distinct()
+    val delta = componentsFromEdges(verts, edges, maxDriverEdges)
+    val batchIds = batch.select("doc_id")
+    val batchLabels = delta.join(batchIds, "doc_id").select("doc_id", "label")
+    val relabel = delta.join(batchIds, Seq("doc_id"), "left_anti")
+      .select(col("doc_id").as("old_label"), col("label").as("new_label"))
+      .filter(col("old_label") =!= col("new_label"))
+    graft.sources.Formats.rewriteBucketed(spark, compTable,
+      Seq("doc_id"), numBuckets) { df =>
+      df.join(broadcast(relabel), df("label") === relabel("old_label"), "left")
+        .select(df("doc_id"),
+          coalesce(col("new_label"), df("label")).as("label"))
+        .unionByName(batchLabels)
+    }
+    delta.unpersist()
+    val (bn, bfp) = graft.sources.Formats.corpusStamp(batch, "doc_id")
+    graft.sources.Formats.foldBuildMeta(spark, compTable,
+      s"kind=components,buckets=$numBuckets", bn, bfp)
+    appendToBandIndex(batch, bandTable, numBuckets)
   }
 
   /** Resolve near-duplicate pairs into a deduplicated corpus: connected

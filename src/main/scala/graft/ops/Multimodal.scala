@@ -369,6 +369,32 @@ object Multimodal {
       s"kind=phash_bands,buckets=$numBuckets", n, fp, bootstrap = fresh)
   }
 
+  /** Delete propagation — the FORGET half of the phash-index lifecycle,
+    * the media twin of [[graft.ops.Dedup.purgeFromBandIndex]]: the
+    * deleted images' band and code rows are physically removed through
+    * [[graft.sources.Formats.purgeBucketed]]'s crash-safe rewrite and the
+    * manifest folds the deleted ids out (xor is self-inverse) — no image
+    * is ever re-decoded. After a purge the index answers bit-identically
+    * to one rebuilt from the surviving blobs, manifest included
+    * (PurgeSpec). The folded stamp covers only `deleteIds ∩ stored code
+    * ids`, so over-broad or re-issued requests are safe no-ops. Same
+    * HARD CONTRACT as the appends: single writer, crash between the
+    * table rewrites and the meta fold means rebuild. */
+  def purgeFromPhashIndex(spark: SparkSession, table: String,
+      deleteIds: DataFrame, numBuckets: Int = 8): Unit = {
+    graft.sources.Formats.requireBuilt(spark, table)
+    val present = spark.table(table + "_codes")
+      .join(broadcast(deleteIds.select("doc_id").distinct()), "doc_id")
+      .select("doc_id").distinct()
+    val (dn, dfp) = graft.sources.Formats.corpusStamp(present, "doc_id")
+    graft.sources.Formats.purgeBucketed(spark, table,
+      Seq("band_idx", "band_val"), numBuckets, "doc_id", deleteIds)
+    graft.sources.Formats.purgeBucketed(spark, table + "_codes",
+      Seq("doc_id"), numBuckets, "doc_id", deleteIds)
+    graft.sources.Formats.foldBuildMeta(spark, table,
+      s"kind=phash_bands,buckets=$numBuckets", -dn, dfp)
+  }
+
   /** Query-many half: near-duplicate image pairs BETWEEN the stored
     * corpus index (`doc_a`) and a new batch (`doc_b`) — only the BATCH is
     * decoded; the corpus's bands and codes are read pre-hashed on the

@@ -311,6 +311,85 @@ object Similarity {
       s"kind=lsh,buckets=$numBuckets", n, fp, bootstrap = fresh)
   }
 
+  /** Delete propagation for the stored LSH index — the embedding twin of
+    * [[graft.ops.Dedup.purgeFromBandIndex]]: the deleted vectors' band
+    * rows are physically removed through the crash-safe rewrite and the
+    * manifest folds the deleted ids out (xor is self-inverse). Signatures
+    * are per-vector independent, so a purged index is BIT-IDENTICAL to
+    * one rebuilt from the surviving vectors, manifest included
+    * (PurgeSpec). The folded stamp covers only `deleteIds ∩ stored ids`
+    * (over-broad / re-issued requests are safe no-ops). Same HARD
+    * CONTRACT as the appends: single writer, crash between rewrite and
+    * fold means rebuild. */
+  def purgeFromLshIndex(spark: org.apache.spark.sql.SparkSession, table: String,
+      deleteIds: DataFrame, numBuckets: Int = 8): Unit = {
+    graft.sources.Formats.requireBuilt(spark, table)
+    val present = spark.table(table)
+      .join(broadcast(deleteIds.select("vec_id").distinct()), "vec_id")
+      .select("vec_id").distinct()
+    val (dn, dfp) = graft.sources.Formats.corpusStamp(present, "vec_id")
+    graft.sources.Formats.purgeBucketed(spark, table,
+      Seq("band_idx", "band_val"), numBuckets, "vec_id", deleteIds)
+    graft.sources.Formats.foldBuildMeta(spark, table,
+      s"kind=lsh,buckets=$numBuckets", -dn, dfp)
+  }
+
+  /** Delete propagation for the stored IVF index: the deleted vectors'
+    * cell-assignment rows are removed and the manifest folds their ids
+    * out; the TRAINED PIVOTS STAY — the forget contract for a
+    * model-backed index is "the stored model applied to the filtered
+    * corpus" (retraining on every takedown would churn the whole
+    * assignment; periodic retrain is the drift story, exactly as on the
+    * append side — see [[buildIvfPivots]]). A purged index therefore
+    * answers bit-identically to [[assignCells]] of the surviving vectors
+    * against the stored pivots (PurgeSpec), and its oracle replays
+    * training on the BUILD corpus with the probe restricted to
+    * survivors. Same contracts as [[purgeFromLshIndex]] otherwise. */
+  def purgeFromIvfIndex(spark: org.apache.spark.sql.SparkSession, table: String,
+      deleteIds: DataFrame, numBuckets: Int = 8): Unit = {
+    graft.sources.Formats.requireBuilt(spark, table)
+    val present = spark.table(table)
+      .join(broadcast(deleteIds.select("vec_id").distinct()), "vec_id")
+      .select("vec_id").distinct()
+    val (dn, dfp) = graft.sources.Formats.corpusStamp(present, "vec_id")
+    graft.sources.Formats.purgeBucketed(spark, table,
+      Seq("cell"), numBuckets, "vec_id", deleteIds)
+    graft.sources.Formats.foldBuildMeta(spark, table, "kind=ivf", -dn, dfp)
+  }
+
+  /** Delete propagation for the composed IVF×PQ index — same model-kept
+    * contract as [[purgeFromIvfIndex]] (pivots AND codebooks stay; the
+    * deleted vectors' (cell, codes) rows go, the manifest folds their
+    * ids out). */
+  def purgeFromIvfPqIndex(spark: org.apache.spark.sql.SparkSession, table: String,
+      deleteIds: DataFrame, numBuckets: Int = 8): Unit = {
+    graft.sources.Formats.requireBuilt(spark, table)
+    val present = spark.table(table)
+      .join(broadcast(deleteIds.select("vec_id").distinct()), "vec_id")
+      .select("vec_id").distinct()
+    val (dn, dfp) = graft.sources.Formats.corpusStamp(present, "vec_id")
+    graft.sources.Formats.purgeBucketed(spark, table,
+      Seq("cell"), numBuckets, "vec_id", deleteIds)
+    graft.sources.Formats.foldBuildMeta(spark, table,
+      s"kind=ivfpq,buckets=$numBuckets", -dn, dfp)
+  }
+
+  /** Delete propagation for the id-keyed full-precision vector store —
+    * the refine tier's half of a takedown (a forgotten vector must leave
+    * BOTH the compressed index and the re-rank store). */
+  def purgeFromVectorStore(spark: org.apache.spark.sql.SparkSession, table: String,
+      deleteIds: DataFrame, numBuckets: Int = 8): Unit = {
+    graft.sources.Formats.requireBuilt(spark, table)
+    val present = spark.table(table)
+      .join(broadcast(deleteIds.select("vec_id").distinct()), "vec_id")
+      .select("vec_id").distinct()
+    val (dn, dfp) = graft.sources.Formats.corpusStamp(present, "vec_id")
+    graft.sources.Formats.purgeBucketed(spark, table,
+      Seq("vec_id"), numBuckets, "vec_id", deleteIds)
+    graft.sources.Formats.foldBuildMeta(spark, table,
+      s"kind=vecstore,buckets=$numBuckets", -dn, dfp)
+  }
+
   /** The probe join of [[lshTopKIndexed]], exposed pre-rank so the spec
     * can assert its plan: both sides read the STORED index (no signature
     * recompute), and the index side plans with zero shuffle. */

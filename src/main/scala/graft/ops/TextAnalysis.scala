@@ -488,6 +488,47 @@ object TextAnalysis {
       s"kind=bm25,buckets=$numBuckets", bn, bfp)
   }
 
+  /** Delete propagation — the FORGET half of the BM25 index lifecycle:
+    * the deleted documents' posting rows are physically removed through
+    * [[graft.sources.Formats.purgeBucketed]]'s crash-safe rewrite, the
+    * one-row `_stats` table is rewritten by exact-integer subtraction of
+    * the deleted docs' (count, Σdl) — read from the postings BEFORE the
+    * rewrite, the mirror of the append's addition — and the manifest
+    * folds the deleted ids out (xor is self-inverse). A purged index
+    * then scores every query bit-identically to one REBUILT from the
+    * filtered corpus: df, N, and avgdl are all derived from exactly the
+    * surviving postings + stats (PurgeSpec proves table, stats, and
+    * manifest equality).
+    *
+    * The folded stamp and stats cover only `deleteIds ∩ posting doc
+    * ids`, so over-broad or re-issued forget requests are safe no-ops.
+    * One caveat that asymmetry buys: a corpus document with ZERO alnum
+    * tokens has no posting rows, so purging its id folds nothing — its
+    * build-time stamp contribution stays in the manifest until a
+    * rebuild (it never affects scoring; scoring reads postings only).
+    * Same HARD CONTRACT as the appends: single writer, crash between
+    * the rewrites and the meta fold means rebuild. */
+  def purgeFromBm25Index(spark: org.apache.spark.sql.SparkSession, table: String,
+      deleteIds: DataFrame, numBuckets: Int = 8): Unit = {
+    graft.sources.Formats.requireBuilt(spark, table)
+    val ids = deleteIds.select("doc_id").distinct()
+    val present = spark.table(table)
+      .join(broadcast(ids), "doc_id").select("doc_id", "dl").distinct()
+    val del = present.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_dl")).collect()(0)
+    val (dn, dfp) = graft.sources.Formats.corpusStamp(present.select("doc_id"), "doc_id")
+    graft.sources.Formats.purgeBucketed(spark, table,
+      Seq("word"), numBuckets, "doc_id", ids)
+    val old = spark.table(table + "_stats").collect()(0)
+    import spark.implicits._
+    graft.sources.Formats.writeManaged(
+      Seq((old.getLong(0) - del.getLong(0),
+        old.getLong(1) - (if (del.isNullAt(1)) 0L else del.getLong(1))))
+        .toDF("n_docs", "total_dl"),
+      table + "_stats")
+    graft.sources.Formats.foldBuildMeta(spark, table,
+      s"kind=bm25,buckets=$numBuckets", -dn, dfp)
+  }
+
   /** Query-many half: [[bm25Search]] semantics (and the same oracle)
     * against a stored [[buildBm25Index]] table. The probe reads ONLY the
     * query terms' postings (bucket pruning on the `word` filter), derives

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{col, count, lit, max, min, shiftleft, shiftright, sum}
+import org.apache.spark.sql.functions.{broadcast, col, count, lit, max, min, shiftleft, shiftright, sum}
 import org.apache.spark.sql.types.StructType
 
 /** Source/sink format surface beyond the reference's text blobs (SURVEY
@@ -343,11 +343,37 @@ object Formats {
           sumCols.tail.map(c => sum(c).as(c)): _*)
     }
 
+  /** Delete propagation ("right to be forgotten") over one bucketed index
+    * table: rewrite the table WITHOUT the rows whose `idCol` value is in
+    * `deleteIds`, through the same crash-safe ping-pong swap as
+    * [[compactBucketed]] — the bucketed + per-bucket-sorted layout, the
+    * one-file-per-bucket bound, and the failpoint-proven recovery
+    * contract all carry over, and the rewrite doubles as a compaction.
+    * A forget request (user ids, a source takedown) is bounded and tiny
+    * relative to the corpus, so the delete set broadcasts into the anti
+    * join; the full pass over the stored rows is the one cost any
+    * PHYSICAL delete must pay — at 100 TB forget requests are batched
+    * and that pass amortized across them, which is exactly the API shape
+    * here (one DataFrame of ids per purge, not one rewrite per id).
+    * Family-level wrappers ([[graft.ops.Dedup.purgeFromBandIndex]],
+    * [[graft.ops.TextAnalysis.purgeFromBm25Index]],
+    * [[graft.ops.Multimodal.purgeFromPhashIndex]]) compose this over
+    * every table of an index family and fold the deleted ids OUT of the
+    * build manifest. Returns the table's file count after the rewrite. */
+  def purgeBucketed(spark: SparkSession, table: String, bucketCols: Seq[String],
+      numBuckets: Int, idCol: String, deleteIds: DataFrame): Int =
+    rewriteBucketed(spark, table, bucketCols, numBuckets) { df =>
+      df.join(broadcast(deleteIds.select(col(idCol)).distinct()),
+        Seq(idCol), "left_anti")
+    }
+
   /** Shared crash-safe rewrite core of [[compactBucketed]] /
-    * [[compactDeltaTable]]: read the table's files, apply `xform`,
-    * rewrite into the ping-pong location, swap visibility with one ALTER.
-    * See [[compactBucketed]] for the full recovery-contract rationale. */
-  private def rewriteBucketed(spark: SparkSession, table: String,
+    * [[compactDeltaTable]] / [[purgeBucketed]] /
+    * [[graft.ops.Dedup.mergeComponentsIncr]]: read the table's files,
+    * apply `xform`, rewrite into the ping-pong location, swap visibility
+    * with one ALTER. See [[compactBucketed]] for the full
+    * recovery-contract rationale. */
+  private[graft] def rewriteBucketed(spark: SparkSession, table: String,
       bucketCols: Seq[String], numBuckets: Int)(
       xform: DataFrame => DataFrame): Int = {
     // read the table's FILES as plain parquet, not `spark.table`: the

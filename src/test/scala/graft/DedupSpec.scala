@@ -317,6 +317,52 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("incremental component merge equals one-shot clustering across two folded batches") {
+    val b1 = docs.filter(col("doc_id") % 3 === 1)
+    val b2 = docs.filter(col("doc_id") % 3 === 2)
+    val b3 = docs.filter(col("doc_id") % 3 === 0)
+    try {
+      Dedup.buildBandIndex(b1, "graft_ci_band")
+      Dedup.buildComponentsTable(b1, "graft_ci_tbl")
+      val initial = spark.table("graft_ci_tbl").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      Dedup.mergeComponentsIncr(spark, "graft_ci_tbl", "graft_ci_band", b2)
+      Dedup.mergeComponentsIncr(spark, "graft_ci_tbl", "graft_ci_band", b3)
+      // the twice-merged assignment is exactly the one-shot clustering of
+      // the whole corpus — labels AND manifest stamp
+      val merged = spark.table("graft_ci_tbl").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      val oneShot = Dedup.nearDupComponents(docs)
+      val expected = oneShot.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      oneShot.unpersist()
+      assert(merged === expected)
+      val (n, fp, _, _) = graft.sources.Formats.readBuildMeta(spark, "graft_ci_tbl").get
+      val full = graft.sources.Formats.corpusStamp(docs, "doc_id")
+      assert((n, fp) === full, "manifest must stamp the union corpus")
+      assert(!graft.sources.Formats.isStaleFor(spark, "graft_ci_tbl", docs, "doc_id"))
+      // non-vacuity: at least one STORED document's label moved during a
+      // merge (a batch doc with a smaller id joined its component, or a
+      // batch doc bridged two stored components) — otherwise this test
+      // would pass on corpora where merging is a pure append
+      val moved = initial.count { case (id, lbl) => expected(id) != lbl }
+      assert(moved > 0, "corpus must exercise the relabel path")
+      // the band index stayed in sync: same stamp as the label table
+      val (bn, bfp, _, _) = graft.sources.Formats.readBuildMeta(spark, "graft_ci_band").get
+      assert((bn, bfp) === full)
+      // generation guard: merging into a DESYNCED pair fails loudly
+      Dedup.buildBandIndex(b1, "graft_ci_band2")
+      val e = intercept[IllegalArgumentException] {
+        Dedup.mergeComponentsIncr(spark, "graft_ci_tbl", "graft_ci_band2", b2)
+      }
+      assert(e.getMessage.contains("generation"))
+    } finally {
+      Seq("graft_ci_band", "graft_ci_band_sigs", "graft_ci_band_meta",
+        "graft_ci_band2", "graft_ci_band2_sigs", "graft_ci_band2_meta",
+        "graft_ci_tbl", "graft_ci_tbl_meta")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("exciseContaminatedSpans cuts ALL tainted occurrences; cleaned corpus is contamination-free") {
     import spark.implicits._
     val boiler = (1 to 8).map(i => s"q$i").mkString(" ")
