@@ -826,6 +826,29 @@ object SparkEntry {
       }
       graft.ops.Curation.dailyBatch(s, all, "graft_band_daily", bloomDecontam = true)
     }),
+    // the forget composite (the daily commit's inverse): one takedown
+    // request tombstoned into the next immutable snapshot AND physically
+    // purged from the band index, with the one-row post-state audit a
+    // takedown ticket closes with. The request is deliberately
+    // over-broad (%11 ids include never-ingested batch docs) — unknown
+    // ids must be ignored by every stage. Mutations are one-time
+    // (buildOnce); the gate times the audit over the post-state
+    "curation_forget" -> ((s, d) => {
+      val all = SharedCorpus.docsTok(s, d)
+      val forget = all.filter(col("doc_id") % 11 === 5).select("doc_id")
+      buildOnce(s"forget:$d") {
+        val corpus = graft.ops.Curation.corpusOf(all)
+        Dedup.buildBandIndex(corpus, "graft_forget_band")
+        graft.sources.Formats.writeManaged(
+          graft.ops.Snapshot.baseSnapshot(corpus)
+            .select(col("doc_id"), col("version"), col("fp")),
+          "graft_forget_snap0")
+        graft.ops.Curation.forgetBatch(s, forget,
+          "graft_forget_band", "graft_forget_snap0", "graft_forget_snap1")
+      }
+      graft.ops.Curation.forgetReport(s, forget,
+        "graft_forget_band", "graft_forget_snap0", "graft_forget_snap1")
+    }),
     // cross-corpus fuzzy join: near-dup pairs BETWEEN the %3-split halves
     // (train side vs external side) — no intra-corpus pairs
     "dedup_cross_corpus" -> ((s, d) => {
@@ -3255,6 +3278,19 @@ object SparkEntry {
     "dedup_minhash_pairs" -> minhashOracleSql,
     "pipeline_daily_batch" -> dailyBatchOracleSql,
     "pipeline_daily_bloom" -> dailyBatchOracleSql,
+    // forget composite audit: every count is an exact integer derivable
+    // from the %4 corpus split and the %11 forget split (band rows =
+    // NumBands per surviving doc, sig rows = one per surviving doc);
+    // manifest_ok is the Spark side's executed stamp check, predicted
+    // TRUE (the literal-true-bound pattern of ta_heavy_hitters)
+    "curation_forget" ->
+      s"""SELECT
+         |  (SELECT count(*) FROM documents WHERE doc_id % 11 = 5) AS n_requested,
+         |  (SELECT count(*) FROM documents WHERE doc_id % 4 <> 1 AND doc_id % 11 = 5) AS n_present,
+         |  (SELECT count(*) FROM documents WHERE doc_id % 4 <> 1 AND doc_id % 11 <> 5) AS n_snapshot_after,
+         |  ${Dedup.NumBands} * (SELECT count(*) FROM documents WHERE doc_id % 4 <> 1 AND doc_id % 11 <> 5) AS n_band_rows_after,
+         |  (SELECT count(*) FROM documents WHERE doc_id % 4 <> 1 AND doc_id % 11 <> 5) AS n_sig_rows_after,
+         |  TRUE AS manifest_ok""".stripMargin,
     // the one-row corpus dashboard: each component replayed by its own
     // gate's recipe (exact-dup key, 8-token span duplication, quality
     // gate formulas), reduced to aggregates and aligned as scalars

@@ -198,6 +198,62 @@ object Curation {
       Snapshot.mergeSnapshot(prev, changes), outSnap)
   }
 
+  /** The FORGET composite — [[commitDailyBatch]]'s inverse: one takedown
+    * request propagated through every persisted artifact the pipeline
+    * keeps. Mirrors the commit's discipline:
+    *
+    *   1. the forget ids merged into the NEXT corpus snapshot as
+    *      tombstone deletes ([[Snapshot.mergeSnapshot]] — snapshots are
+    *      immutable, so `prevSnap` survives untouched and a torn write
+    *      can never corrupt yesterday's state; version 9 outranks the
+    *      base/commit versions, the takedown-wins rule);
+    *   2. the stored band index PHYSICALLY purged
+    *      ([[Dedup.purgeFromBandIndex]] — crash-safe rewrite, manifest
+    *      stamp folded out), so tomorrow's batch can never be rejected
+    *      as a near-dup of a document that no longer exists.
+    *
+    * Crash contract by composition: a crash before step 2 leaves the new
+    * snapshot readable and the index still carrying the forgotten docs —
+    * re-running the whole forget is safe (the snapshot write is
+    * idempotent, the purge folds only ids still present); a crash inside
+    * step 2 follows the purge's own contract. The request may be
+    * over-broad (ids never ingested) — both steps ignore unknown ids. */
+  def forgetBatch(spark: SparkSession, forgetIds: DataFrame, bandTable: String,
+      prevSnap: String, outSnap: String, numBuckets: Int = 8): Unit = {
+    val ids = forgetIds.select("doc_id").distinct()
+    val changes = ids.select(col("doc_id"), lit(9).as("version"),
+      lit("delete").as("op"), lit(null).cast("long").as("fp"))
+    val prev = spark.table(prevSnap)
+      .select(col("doc_id"), col("version"), lit("upsert").as("op"), col("fp"))
+    graft.sources.Formats.writeManaged(
+      Snapshot.mergeSnapshot(prev, changes), outSnap)
+    Dedup.purgeFromBandIndex(spark, bandTable, ids, numBuckets)
+  }
+
+  /** The post-state AUDIT of a [[forgetBatch]] — the one-row evidence a
+    * takedown ticket closes with, derived ONLY from immutable inputs and
+    * post-state (so it is stable under re-runs): request size, how many
+    * of the ids were actually live in the pre-forget snapshot, the
+    * surviving snapshot size, the purged index's physical row counts,
+    * and whether the index manifest now stamps EXACTLY the surviving
+    * corpus (the deep [[graft.sources.Formats.isStaleFor]] check run in
+    * the affirmative direction). */
+  def forgetReport(spark: SparkSession, forgetIds: DataFrame, bandTable: String,
+      prevSnap: String, outSnap: String): DataFrame = {
+    val ids = forgetIds.select("doc_id").distinct()
+    val nReq = ids.count()
+    val nPresent = spark.table(prevSnap).join(broadcast(ids), "doc_id").count()
+    val nAfter = spark.table(outSnap).count()
+    val bandRows = spark.table(bandTable).count()
+    val sigRows = spark.table(bandTable + "_sigs").count()
+    val manifestOk =
+      !graft.sources.Formats.isStaleFor(spark, bandTable, spark.table(outSnap), "doc_id")
+    import spark.implicits._
+    Seq((nReq, nPresent, nAfter, bandRows, sigRows, manifestOk))
+      .toDF("n_requested", "n_present", "n_snapshot_after",
+        "n_band_rows_after", "n_sig_rows_after", "manifest_ok")
+  }
+
   /** One-row CORPUS HEALTH report — the dashboard number set a curation
     * team reviews before a training run: document count, exact-duplicate
     * group count, span-duplication incidence and token ratio, and the

@@ -170,6 +170,52 @@ class PurgeSpec extends SparkTestBase {
       "graft_prg_ivfpq_meta", "graft_prg_store", "graft_prg_store_meta")
   }
 
+  test("forget composite: tombstone snapshot + index purge compose; crash mid-composite re-runs clean") {
+    import graft.ops.{Curation, Snapshot}
+    val corpus = docs.filter(col("doc_id") % 4 =!= 1)
+    val forget = docs.filter(col("doc_id") % 11 === 5).select("doc_id")
+    try {
+      Dedup.buildBandIndex(corpus, "graft_fgt_band")
+      Formats.writeManaged(
+        Snapshot.baseSnapshot(corpus).select(col("doc_id"), col("version"), col("fp")),
+        "graft_fgt_s0")
+      val s0 = spark.table("graft_fgt_s0").collect().toSet
+      // crash INSIDE the purge step (snapshot already written): the prev
+      // snapshot is untouched, the new one is readable, and re-running
+      // the whole composite completes
+      Formats.failpoint = "compact.after_stage"
+      intercept[RuntimeException] {
+        Curation.forgetBatch(spark, forget, "graft_fgt_band", "graft_fgt_s0", "graft_fgt_s1")
+      }
+      Formats.failpoint = ""
+      assert(spark.table("graft_fgt_s0").collect().toSet === s0,
+        "snapshots are immutable — the crash must not touch the prev generation")
+      Curation.forgetBatch(spark, forget, "graft_fgt_band", "graft_fgt_s0", "graft_fgt_s1")
+      // post-state: the new snapshot is exactly the survivors, the index
+      // manifest stamps exactly them, and the audit row is re-run-stable
+      val fset = forget.collect().map(_.getLong(0)).toSet
+      val s1Ids = spark.table("graft_fgt_s1").select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(s1Ids === s0.map(_.getLong(0)).toSet -- fset)
+      assert(!Formats.isStaleFor(spark, "graft_fgt_band",
+        spark.table("graft_fgt_s1"), "doc_id"))
+      val r1 = Curation.forgetReport(spark, forget,
+        "graft_fgt_band", "graft_fgt_s0", "graft_fgt_s1").collect().toSeq
+      Curation.forgetBatch(spark, forget, "graft_fgt_band", "graft_fgt_s0", "graft_fgt_s1")
+      val r2 = Curation.forgetReport(spark, forget,
+        "graft_fgt_band", "graft_fgt_s0", "graft_fgt_s1").collect().toSeq
+      assert(r1 === r2, "the audit must be stable under forget re-runs")
+      // the request was over-broad (batch %4==1 ids were never ingested)
+      val row = r1.head
+      assert(row.getLong(0) > row.getLong(1),
+        "the gate's forget set must exercise the unknown-id path")
+    } finally {
+      Formats.failpoint = ""
+      drop("graft_fgt_band", "graft_fgt_band_sigs", "graft_fgt_band_meta",
+        "graft_fgt_s0", "graft_fgt_s1")
+    }
+  }
+
   test("purge inherits the ping-pong crash contract: die pre-swap, live index intact, re-run completes") {
     val corpus = docs.filter(col("doc_id") % 3 =!= 0)
     val forget = corpus.filter(col("doc_id") % 7 === 3).select("doc_id")
