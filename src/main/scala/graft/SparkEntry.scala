@@ -899,6 +899,21 @@ object SparkEntry {
       }
       s.table("graft_comp_tbl").orderBy("doc_id")
     }),
+    // decremental half of the clustering lifecycle: a forget set purged
+    // from the stored assignment — affected components re-solved from the
+    // persisted edge list (a removed vertex can SPLIT its component, so
+    // labels alone cannot answer this), everything else untouched. The
+    // purged table must equal a one-shot clustering of the filtered
+    // corpus, which is what the oracle replays
+    "dedup_components_purged" -> ((s, d) => {
+      val all = SharedCorpus.docsTok(s, d)
+      buildOnce(s"comp_purge:$d") {
+        Dedup.buildComponentsTable(all, "graft_comp_prg")
+        Dedup.purgeFromComponentsTable(s, "graft_comp_prg",
+          all.filter(col("doc_id") % 7 === 3).select("doc_id"))
+      }
+      s.table("graft_comp_prg").orderBy("doc_id")
+    }),
     // delete-propagation variant (right to be forgotten): the corpus side
     // built whole, then a forget set PHYSICALLY PURGED from the stored
     // bands + signatures with the manifest stamp folded out — the probe
@@ -1650,15 +1665,18 @@ object SparkEntry {
     .map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)").mkString(" + ")
 
   /** The intra-corpus MinHash pipeline's CTE list (one side + ordered
-    * candidate pairs + scores), shared by the pair oracle and the survivor
-    * oracle built on top of it. */
-  private val minhashCtes: String =
-    s"""${minhashSideCtes("", "TRUE")},
+    * candidate pairs + scores) over the subset of `documents` matching
+    * `where`, shared by the pair oracle, the survivor oracle, and the
+    * component-label oracles built on top of it. */
+  private def minhashCtesWhere(where: String): String =
+    s"""${minhashSideCtes("", where)},
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM banded a JOIN banded b
        |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
        |scored AS (SELECT doc_a, doc_b, CAST($sigMatchesSql AS DOUBLE) / ${Dedup.NumHashes} AS sig_sim
        |  FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b)""".stripMargin
+
+  private val minhashCtes: String = minhashCtesWhere("TRUE")
 
   private val minhashOracleSql: String =
     s"""WITH $minhashCtes
@@ -1793,8 +1811,8 @@ object SparkEntry {
     * table): same reachability as the survivor oracle, label = min
     * reachable id. The incremental merge must land on exactly the
     * one-shot clustering of the union corpus. */
-  private val componentsOracleSql: String =
-    s"""WITH RECURSIVE $minhashCtes,
+  private def componentsOracleSqlWhere(where: String): String =
+    s"""WITH RECURSIVE ${minhashCtesWhere(where)},
        |pairs AS (SELECT doc_a, doc_b FROM scored WHERE sig_sim >= 0.5),
        |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
        |  UNION SELECT doc_b AS s, doc_a AS d FROM pairs),
@@ -1804,7 +1822,9 @@ object SparkEntry {
        |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
        |SELECT dd.doc_id, least(dd.doc_id, coalesce(
        |    (SELECT min(r.s) FROM reach r WHERE r.d = dd.doc_id), dd.doc_id)) AS label
-       |FROM documents dd ORDER BY dd.doc_id""".stripMargin
+       |FROM documents dd WHERE $where ORDER BY dd.doc_id""".stripMargin
+
+  private val componentsOracleSql: String = componentsOracleSqlWhere("TRUE")
 
   /** DuckDB mirror of [[Dedup.nearDupSurvivorsBy]] with the ta_quality
     * score: same reachability as the survivor oracle, component label =
@@ -3335,6 +3355,7 @@ object SparkEntry {
     "dedup_cross_purged" ->
       crossCorpusOracleSqlWhere("doc_id % 3 <> 0 AND doc_id % 7 <> 3"),
     "dedup_components_incr" -> componentsOracleSql,
+    "dedup_components_purged" -> componentsOracleSqlWhere("doc_id % 7 <> 3"),
     "dedup_neardup_survivors" -> survivorsOracleSql,
     "dedup_quality_survivors" -> qualitySurvivorsOracleSql,
     "stream_neardup_admit" -> admitOracleSql,

@@ -594,7 +594,15 @@ object Dedup {
     * manifest. Pairs with [[buildBandIndex]] over the SAME corpus —
     * [[mergeComponentsIncr]] consumes both and keeps both in sync. */
   def buildComponentsTable(docs: DataFrame, table: String, numBuckets: Int = 8): Unit = {
-    val labels = nearDupComponents(docs)
+    val pairs = minHashPairs(docs).select("doc_a", "doc_b").persist()
+    // the edge list is persisted alongside the labels: labels alone
+    // cannot answer a DELETE (removing a bridge vertex SPLITS its
+    // component — decremental connectivity needs the edges,
+    // [[purgeFromComponentsTable]]), and it is LSH-collision-sized,
+    // orders of magnitude under the corpus. Written first: the
+    // components solve below unpersists the pair cache when done.
+    graft.sources.Formats.writeBucketed(pairs, table + "_edges", Seq("doc_a"), numBuckets)
+    val labels = componentsFromEdges(docs.select(col("doc_id")), pairs)
     graft.sources.Formats.writeBucketed(labels, table, Seq("doc_id"), numBuckets)
     labels.unpersist()
     val (n, fp) = graft.sources.Formats.corpusStamp(docs, "doc_id")
@@ -649,11 +657,17 @@ object Dedup {
     val batch = newBatch
     // delta edges: stored×batch collisions via the index, plus intra-batch
     val cross = nearDupPairsIndexed(spark, bandTable, batch, minSigFrac)
-      .select("doc_a", "doc_b")
+      .select("doc_a", "doc_b").persist()
+    val intra = minHashPairs(batch, minSigFrac).select("doc_a", "doc_b").persist()
+    // the REAL (uncontracted) delta edges are appended into the stored
+    // edge list first — [[purgeFromComponentsTable]]'s decremental solve
+    // needs the true graph, and the append also materializes the two
+    // persisted pair caches the contraction below reuses
+    graft.sources.Formats.writeBucketedAppend(
+      cross.unionByName(intra), compTable + "_edges", Seq("doc_a"), numBuckets)
     val stored = spark.table(compTable)
     val crossL = cross.join(stored, cross("doc_a") === stored("doc_id"))
       .select(col("label").as("doc_a"), cross("doc_b")).distinct()
-    val intra = minHashPairs(batch, minSigFrac).select("doc_a", "doc_b")
     val edges = crossL.union(intra)
     val verts = batch.select("doc_id")
       .union(crossL.select(col("doc_a").as("doc_id"))).distinct()
@@ -671,10 +685,73 @@ object Dedup {
         .unionByName(batchLabels)
     }
     delta.unpersist()
+    cross.unpersist()
+    intra.unpersist()
     val (bn, bfp) = graft.sources.Formats.corpusStamp(batch, "doc_id")
     graft.sources.Formats.foldBuildMeta(spark, compTable,
       s"kind=components,buckets=$numBuckets", bn, bfp)
     appendToBandIndex(batch, bandTable, numBuckets)
+  }
+
+  /** DECREMENTAL connectivity — delete propagation for the stored
+    * clustering (the forget half of the lifecycle, and the reason
+    * [[buildComponentsTable]] persists the edge list): removing a vertex
+    * can SPLIT its component (the labels alone cannot answer that), so
+    * the purge re-solves connectivity — but only for the AFFECTED
+    * components:
+    *
+    *   1. the deleted docs' labels select their components' member rows
+    *      (two broadcast joins against the bucketed label table — the
+    *      affected set is forget-request-sized times component size,
+    *      never the corpus);
+    *   2. the stored edges restricted to surviving affected members feed
+    *      [[componentsFromEdges]] — a delta-sized solve;
+    *   3. ONE crash-safe rewrite drops the deleted rows and applies the
+    *      recomputed labels; the edge table drops every edge touching a
+    *      deleted doc; the manifest folds the deleted ids out.
+    *
+    * The purged table is bit-identical to [[buildComponentsTable]] over
+    * the filtered corpus (labels, edges, and manifest — DedupSpec):
+    * pair mining is pairwise-local (per-doc signatures, pairwise band
+    * collisions), so the filtered corpus's edge set IS the stored set
+    * minus deleted-incident edges, and unaffected components cannot
+    * change. Ids never indexed are ignored (stamp folds the
+    * intersection only). Same crash contract as the other purges. */
+  def purgeFromComponentsTable(spark: org.apache.spark.sql.SparkSession,
+      table: String, deleteIds: DataFrame, numBuckets: Int = 8,
+      maxDriverEdges: Long = 4_000_000L): Unit = {
+    graft.sources.Formats.requireBuilt(spark, table)
+    val ids = deleteIds.select("doc_id").distinct()
+    val stored = spark.table(table)
+    val present = stored.join(broadcast(ids), "doc_id").select("doc_id").distinct()
+    val (dn, dfp) = graft.sources.Formats.corpusStamp(present, "doc_id")
+    val affLabels = stored.join(broadcast(ids), "doc_id").select("label").distinct()
+    val survivors = stored.join(broadcast(affLabels), Seq("label"))
+      .join(broadcast(ids), Seq("doc_id"), "left_anti")
+      .select("doc_id")
+    val edges = spark.table(table + "_edges")
+    val affEdges = edges
+      .join(broadcast(survivors.select(col("doc_id").as("doc_a"))), Seq("doc_a"), "left_semi")
+      .join(broadcast(survivors.select(col("doc_id").as("doc_b"))), Seq("doc_b"), "left_semi")
+      .select("doc_a", "doc_b")
+    val delta = componentsFromEdges(survivors, affEdges, maxDriverEdges)
+    val relabel = delta.select(col("doc_id"), col("label").as("new_label"))
+    graft.sources.Formats.rewriteBucketed(spark, table,
+      Seq("doc_id"), numBuckets) { df =>
+      df.join(broadcast(ids), Seq("doc_id"), "left_anti")
+        .join(broadcast(relabel), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("new_label"), col("label")).as("label"))
+    }
+    graft.sources.Formats.rewriteBucketed(spark, table + "_edges",
+      Seq("doc_a"), numBuckets) { df =>
+      df.join(broadcast(ids.select(col("doc_id").as("doc_a"))), Seq("doc_a"), "left_anti")
+        .join(broadcast(ids.select(col("doc_id").as("doc_b"))), Seq("doc_b"), "left_anti")
+        .select("doc_a", "doc_b")
+    }
+    delta.unpersist()
+    graft.sources.Formats.foldBuildMeta(spark, table,
+      s"kind=components,buckets=$numBuckets", -dn, dfp)
   }
 
   /** Resolve near-duplicate pairs into a deduplicated corpus: connected

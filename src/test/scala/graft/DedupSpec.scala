@@ -358,9 +358,65 @@ class DedupSpec extends SparkTestBase {
     } finally {
       Seq("graft_ci_band", "graft_ci_band_sigs", "graft_ci_band_meta",
         "graft_ci_band2", "graft_ci_band2_sigs", "graft_ci_band2_meta",
-        "graft_ci_tbl", "graft_ci_tbl_meta")
+        "graft_ci_tbl", "graft_ci_tbl_edges", "graft_ci_tbl_meta")
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
+  }
+
+  test("components purge equals rebuild from the filtered corpus (labels + edges + manifest)") {
+    val forget = docs.filter(col("doc_id") % 7 === 3).select("doc_id")
+    val kept = docs.filter(col("doc_id") % 7 =!= 3)
+    try {
+      Dedup.buildComponentsTable(docs, "graft_cp_tbl")
+      val before = spark.table("graft_cp_tbl").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      Dedup.purgeFromComponentsTable(spark, "graft_cp_tbl", forget)
+      Dedup.buildComponentsTable(kept, "graft_cp_ref")
+      val purged = spark.table("graft_cp_tbl").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      val rebuilt = spark.table("graft_cp_ref").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(purged === rebuilt)
+      assert(spark.table("graft_cp_tbl_edges").collect().toSet ===
+        spark.table("graft_cp_ref_edges").collect().toSet,
+        "surviving edges must equal the filtered corpus's mined pairs")
+      val (n, fp, _, _) = graft.sources.Formats.readBuildMeta(spark, "graft_cp_tbl").get
+      assert((n, fp) === graft.sources.Formats.corpusStamp(kept, "doc_id"))
+      // non-vacuity: some component lost its minimum, so a surviving
+      // member's label INCREASED — the re-solve actually ran
+      val raised = purged.count { case (id, lbl) => before(id) < lbl }
+      assert(raised > 0, "corpus must exercise the affected-component re-solve")
+    } finally Seq("graft_cp_tbl", "graft_cp_tbl_edges", "graft_cp_tbl_meta",
+      "graft_cp_ref", "graft_cp_ref_edges", "graft_cp_ref_meta")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("components purge SPLITS a component when the bridge vertex is removed") {
+    import spark.implicits._
+    // a stored path component 1—2—3 (plus singleton 9), hand-written in
+    // the buildComponentsTable layout: removing bridge 2 must split
+    // {1,2,3} into {1} and {3} — labels alone could never answer this
+    try {
+      graft.sources.Formats.writeBucketed(
+        Seq((1L, 1L), (2L, 1L), (3L, 1L), (9L, 9L)).toDF("doc_id", "label"),
+        "graft_cps_tbl", Seq("doc_id"), 8)
+      graft.sources.Formats.writeBucketed(
+        Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b"),
+        "graft_cps_tbl_edges", Seq("doc_a"), 8)
+      val (n, fp) = graft.sources.Formats.corpusStamp(
+        Seq(1L, 2L, 3L, 9L).toDF("doc_id"), "doc_id")
+      graft.sources.Formats.writeBuildMeta(spark, "graft_cps_tbl",
+        "kind=components,buckets=8", n, fp)
+      Dedup.purgeFromComponentsTable(spark, "graft_cps_tbl", Seq(2L).toDF("doc_id"))
+      val out = spark.table("graft_cps_tbl").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(out === Map(1L -> 1L, 3L -> 3L, 9L -> 9L))
+      assert(spark.table("graft_cps_tbl_edges").count() === 0L)
+      val (n2, fp2, _, _) = graft.sources.Formats.readBuildMeta(spark, "graft_cps_tbl").get
+      assert((n2, fp2) === graft.sources.Formats.corpusStamp(
+        Seq(1L, 3L, 9L).toDF("doc_id"), "doc_id"))
+    } finally Seq("graft_cps_tbl", "graft_cps_tbl_edges", "graft_cps_tbl_meta")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
   test("exciseContaminatedSpans cuts ALL tainted occurrences; cleaned corpus is contamination-free") {
