@@ -795,6 +795,18 @@ object SparkEntry {
         all.filter(col("doc_id") % 7 === 0))
         .select("doc_id").orderBy("doc_id")
     }),
+    // streaming forget enforcement, batch mode: quality-admitted docs
+    // filtered against the tombstone list (stream-static anti-join —
+    // stateless, so batch input runs the identical plan; the MemoryStream
+    // twin runs in StreamOpsSpec). Closes the takedown loop: what
+    // curation_forget removes, this keeps from coming back
+    "stream_forget_admit" -> ((s, d) => {
+      val all = SharedCorpus.docsTok(s, d)
+      graft.streaming.StreamOps.streamTombstoneFiltered(
+        graft.ops.Curation.qualityGate(all),
+        all.filter(col("doc_id") % 11 === 5).select("doc_id"))
+        .select("doc_id").orderBy("doc_id")
+    }),
     // the one-row corpus health dashboard: doc count, exact-dup groups,
     // span-duplication incidence/ratio, quality-gate passes — each an
     // existing gated operator reduced to its aggregate, in one call
@@ -1090,6 +1102,21 @@ object SparkEntry {
     "ann_ivfpq_indexed" -> ((s, d) => {
       ensureIvfPqIndex(s, d)
       Similarity.ivfPqTopKIndexed(s, "graft_ivfpq_idx",
+        Tables.embeddings(s, d).filter(col("vec_id") < 10))
+    }),
+    // delete-propagation variant of the composed index: (cell, codes)
+    // rows purged, BOTH trained models kept. Queries are external
+    // full-precision vectors, so a FORGOTTEN id can still ask — it just
+    // can never be answered with: the oracle keeps the query set
+    // unfiltered and restricts only the neighbor cells to survivors
+    "ann_ivfpq_purged" -> ((s, d) => {
+      buildOnce(s"ivfpq_purge:$d") {
+        val emb = Tables.embeddings(s, d)
+        Similarity.buildIvfPqIndex(emb, "graft_ivfpq_prg")
+        Similarity.purgeFromIvfPqIndex(s, "graft_ivfpq_prg",
+          emb.filter(col("vec_id") % 7 === 3).select("vec_id"))
+      }
+      Similarity.ivfPqTopKIndexed(s, "graft_ivfpq_prg",
         Tables.embeddings(s, d).filter(col("vec_id") < 10))
     }),
     // query-MANY serving path (VERDICT r11 item 8): a 4x-larger workload
@@ -1877,8 +1904,12 @@ object SparkEntry {
     * MinHash banding CTEs run over exactly that subset, and the band-taint
     * owner rule admits — the composition, not a post-filter (owners
     * change when rejected docs stop claiming bands). */
-  private val curationAdmitOracleSql: String =
-    s"""WITH qc AS (SELECT doc_id,
+  /** The quality/lang/repetition admission CTE chain (mirror of
+    * [[graft.ops.Curation.qualityGate]]), ending in `qd(doc_id)` — the
+    * survivors. Shared by the curation-admission oracle and the
+    * streaming tombstone-filter oracle. */
+  private val qualityAdmitCtes: String =
+    s"""qc AS (SELECT doc_id,
        |  regexp_split_to_array(lower(text), '$WS') AS a,
        |  CAST(len(regexp_split_to_array(lower(text), '$WS')) AS BIGINT) AS nt,
        |  CAST(len(list_filter(regexp_split_to_array(lower(text), '$WS'),
@@ -1897,7 +1928,10 @@ object SparkEntry {
        |       WHEN fr >= es AND fr > 0 THEN 'fr'
        |       WHEN es > 0 THEN 'es'
        |       ELSE 'und' END) = 'en'
-       |    AND coalesce(CAST(qg2.t2 - qg2.d2 AS DOUBLE) / nullif(qg2.t2, 0), 0.0) <= 0.05),
+       |    AND coalesce(CAST(qg2.t2 - qg2.d2 AS DOUBLE) / nullif(qg2.t2, 0), 0.0) <= 0.05)""".stripMargin
+
+  private val curationAdmitOracleSql: String =
+    s"""WITH $qualityAdmitCtes,
        |${minhashSideCtes("Q", "doc_id IN (SELECT doc_id FROM qd)")},
        |own AS (SELECT band_idx, band_hash, min(doc_id) AS owner
        |  FROM bandedQ GROUP BY 1, 2)
@@ -2616,7 +2650,7 @@ object SparkEntry {
   /** CTE chain of the composed IVF×PQ probe, through the PQ-ranked `xr`,
     * parameterized on the query-set predicate — shared by the top-k, the
     * query-many, and the refine oracles. */
-  private def ivfPqCtesFor(queryPred: String): String =
+  private def ivfPqCtesFor(queryPred: String, cellsWhere: String = "TRUE"): String =
     s"""$kmeansPivotCtes,
        |$pqTrainCtes,
        |xsc AS (SELECT e.vec_id, e.embedding, p.pid,
@@ -2625,7 +2659,7 @@ object SparkEntry {
        |xranked AS (SELECT vec_id, embedding, pid,
        |  row_number() OVER (PARTITION BY vec_id ORDER BY pcos DESC, pid) AS prn FROM xsc),
        |xcells AS (SELECT vec_id AS neighbor_id, pid AS cell
-       |  FROM xranked WHERE prn = 1),
+       |  FROM xranked WHERE prn = 1 AND ($cellsWhere)),
        |xprobes AS (SELECT vec_id AS query_id, embedding AS qv, pid AS cell
        |  FROM xranked WHERE ($queryPred) AND prn <= 2),
        |xcand AS (SELECT query_id, qv, neighbor_id
@@ -2640,8 +2674,8 @@ object SparkEntry {
   /** [[ivfPqOracleSql]] parameterized on the query-set predicate — the
     * query-many gate replays the same composed pipeline over its larger
     * workload slice. */
-  private def ivfPqOracleSqlFor(queryPred: String): String =
-    s"""WITH ${ivfPqCtesFor(queryPred)}
+  private def ivfPqOracleSqlFor(queryPred: String, cellsWhere: String = "TRUE"): String =
+    s"""WITH ${ivfPqCtesFor(queryPred, cellsWhere)}
        |SELECT query_id, neighbor_id, rn, cos_pq FROM xr WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
 
   /** DuckDB mirror of [[Similarity.ivfPqRefineTopKIndexed]]: the PQ-ranked
@@ -3360,6 +3394,9 @@ object SparkEntry {
     "dedup_quality_survivors" -> qualitySurvivorsOracleSql,
     "stream_neardup_admit" -> admitOracleSql,
     "stream_curation_admit" -> curationAdmitOracleSql,
+    "stream_forget_admit" ->
+      s"""WITH $qualityAdmitCtes
+         |SELECT doc_id FROM qd WHERE doc_id % 11 <> 5 ORDER BY doc_id""".stripMargin,
     // DuckDB mirror of Dedup.duplicateSpans: positional (non-distinct)
     // 8-token span hashes, duplicated = hash seen in >= 2 distinct docs
     "dedup_span_stats" ->
@@ -3545,6 +3582,7 @@ object SparkEntry {
     "ann_sq_indexed" -> sqTopKOracleSql,
     "ann_pq_topk" -> pqTopKOracleSql,
     "ann_ivfpq_indexed" -> ivfPqOracleSql,
+    "ann_ivfpq_purged" -> ivfPqOracleSqlFor("vec_id < 10", "vec_id % 7 <> 3"),
     "ann_ivfpq_many" -> ivfPqOracleSqlFor("vec_id < 40"),
     "ann_ivfpq_refine" -> ivfPqRefineOracleSql,
     // two-batch model-stored append == one-shot build (per-vector given

@@ -466,6 +466,23 @@ object StreamOps {
       .select("doc_id", "ts")
   }
 
+  /** Streaming FORGET enforcement — the admission-side half of a
+    * takedown ([[graft.ops.Curation.forgetBatch]] removes a document
+    * from the stored artifacts; this keeps it from coming BACK): an
+    * arriving document is dropped when its id is on the tombstone list —
+    * the re-crawl of a taken-down page, the robots/legal removal that
+    * keeps resurfacing in the feed. Stream-static LEFT ANTI join against
+    * the tombstone table (takedown lists are tiny next to a crawl — the
+    * static side broadcasts); the verdict is per-row against static
+    * state, so there is no state store, no watermark, and unconditional
+    * stream/batch parity (StreamOpsSpec drives a MemoryStream and
+    * compares row sets). Composes upstream of any admission chain —
+    * the gate runs it over [[graft.ops.Curation.qualityGate]]'s
+    * survivors. */
+  def streamTombstoneFiltered(docs: DataFrame, tombstones: DataFrame): DataFrame =
+    docs.join(broadcast(tombstones.select("doc_id").distinct()),
+      Seq("doc_id"), "left_anti")
+
   /** Train-batch / serve-stream: score arriving documents under an
     * already-trained [[graft.ops.Classifier]] weight vector. The weights
     * are plain literals and the features are per-row expressions, so this

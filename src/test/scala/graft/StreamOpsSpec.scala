@@ -535,6 +535,37 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming tombstone filter: stateless anti-join equals the batch filter") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val tombstones = docs.filter(col("doc_id") % 11 === 5).select("doc_id")
+    val expected = docs.join(tombstones, Seq("doc_id"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(expected.size < docs.count(), "the tombstone list must be non-empty")
+    val inputs = docs
+      .withColumn("ts", expr("timestamp_seconds(1700000000 + doc_id)"))
+      .select("doc_id", "ts", "text").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2))).toSeq
+    val stream = MemoryStream[(Long, Timestamp, String)]
+    val q = graft.streaming.StreamOps.streamTombstoneFiltered(
+      stream.toDS().toDF("doc_id", "ts", "text"), tombstones)
+      .writeStream.format("memory").queryName("tomb_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(inputs: _*)
+      q.processAllAvailable()
+      // re-deliver a tombstoned doc (the resurfacing re-crawl): it must
+      // be dropped again — the static verdict is per-row, replay-stable
+      stream.addData(inputs.filter(_._1 % 11 == 5).take(3): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("tomb_out")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(streamed === expected,
+        "streamed admission must equal the batch anti-join, replays included")
+    } finally q.stop()
+  }
+
   test("streaming snapshot merge: final state matches the batch merge, replays emit nothing") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
