@@ -1008,6 +1008,22 @@ object SparkEntry {
     }),
     "ann_ivf_topk" -> ((s, d) =>
       Similarity.ivfTopK(Tables.embeddings(s, d), col("vec_id") < 10)),
+    // hard-negative mining (the contrastive-training data op): per query,
+    // the top-k most-similar corpus vectors that are neither the query
+    // nor a known positive — the (query_id, query_id+7) pair table is
+    // anti-joined BEFORE the rank, so a positive never displaces a real
+    // negative out of the top-k (the oracle replays the exclusions)
+    "ann_hard_negatives" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.hardNegatives(emb, col("vec_id") < 10,
+        emb.select(col("vec_id").as("query_id"), (col("vec_id") + 7).as("pos_id")))
+    }),
+    // Matryoshka prefix retrieval: 16-of-64-dim shortlist (¼ the scan
+    // bytes — dimension truncation as the compression lever), exact
+    // full-dim re-rank of the 20-candidate shortlist; truncation error
+    // affects shortlist membership, never the final order
+    "ann_prefix_refine" -> ((s, d) =>
+      Similarity.prefixRefineTopK(Tables.embeddings(s, d), col("vec_id") < 10)),
     // product-quantization tier: 16 trained sub-codebooks, 16-byte codes
     // (16x compression), asymmetric scoring — float queries against
     // code-reconstructed neighbors; the oracle replays training, encoding,
@@ -3546,6 +3562,33 @@ object SparkEntry {
         |  FROM p)
         |SELECT query_id, neighbor_id, rn, cos FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
     "ann_lsh_topk" -> annOracleSql,
+    // hard negatives: the brute-force oracle with the self AND +7-positive
+    // exclusions applied before the rank
+    "ann_hard_negatives" ->
+      """WITH hc AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |  list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])) AS cos
+        |  FROM embeddings q JOIN embeddings n
+        |  ON q.vec_id < 10 AND n.vec_id <> q.vec_id AND n.vec_id <> q.vec_id + 7),
+        |hr AS (SELECT query_id, neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn, cos
+        |  FROM hc)
+        |SELECT query_id, neighbor_id, rn, cos FROM hr WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+    // Matryoshka prefix refine: 16-dim-prefix shortlist (rank 20 with
+    // neighbor_id tiebreak), exact full-dim re-rank to top-5
+    "ann_prefix_refine" ->
+      """WITH pq1 AS (SELECT q.vec_id AS query_id, q.embedding AS qv,
+        |  n.vec_id AS neighbor_id, n.embedding AS nv,
+        |  list_cosine_similarity(CAST(q.embedding[1:16] AS DOUBLE[]), CAST(n.embedding[1:16] AS DOUBLE[])) AS pcos
+        |  FROM embeddings q JOIN embeddings n ON q.vec_id < 10 AND n.vec_id <> q.vec_id),
+        |pr1 AS (SELECT query_id, qv, neighbor_id, nv,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY pcos DESC, neighbor_id) AS rp FROM pq1),
+        |px AS (SELECT query_id, neighbor_id,
+        |  list_cosine_similarity(CAST(qv AS DOUBLE[]), CAST(nv AS DOUBLE[])) AS cos
+        |  FROM pr1 WHERE rp <= 20),
+        |pr2 AS (SELECT query_id, neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn, cos
+        |  FROM px)
+        |SELECT query_id, neighbor_id, rn, cos FROM pr2 WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
     // recall@5 of the LSH tier vs the exhaustive scan, per query: both
     // top-k sets replayed (the banded probe and the brute force), hit
     // counting by exact join — the ratio is one division of exact ints

@@ -66,6 +66,77 @@ object Similarity {
       .orderBy("query_id", "rn")
   }
 
+  /** HARD-NEGATIVE mining — the contrastive-training data op: for each
+    * query, the top-k corpus vectors most similar to it that are NOT the
+    * query and NOT among its known positives. These "closest wrong
+    * answers" are the negatives that actually teach an embedding model —
+    * random negatives are trivially separable and contribute ~nothing to
+    * the loss (the in-batch/ANCE mining setup). `positives` is a
+    * `(query_id, pos_id)` pair table, broadcast into an anti-join BEFORE
+    * the rank, so an excluded positive never displaces a real negative
+    * out of the top-k. Scale shape: identical to [[bruteForceTopK]]
+    * (broadcast query panel × one corpus scan — exact, the right form
+    * for a sampled query panel); a corpus-scale mining run swaps the
+    * shortlist side for any indexed tier and keeps this exact form as
+    * its recall oracle. */
+  def hardNegatives(emb: DataFrame, queryPred: Column, positives: DataFrame,
+      k: Int = 5): DataFrame = {
+    graft.functions.FloatDot.register(emb.sparkSession)
+    val q = emb.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        sqrt(dot("embedding", "embedding")).as("qnorm"))
+    val n = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
+      sqrt(dot("embedding", "embedding")).as("nnorm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(q).join(n, col("query_id") =!= col("neighbor_id"))
+      .join(broadcast(positives.select(col("query_id"),
+        col("pos_id").as("neighbor_id"))),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      .withColumn("cos", dot("qv", "nv") / (col("qnorm") * col("nnorm")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select("query_id", "neighbor_id", "rn", "cos")
+      .orderBy("query_id", "rn")
+  }
+
+  /** Matryoshka-style PREFIX retrieval — dimension truncation as the
+    * compression lever (MRL-trained embeddings concentrate information
+    * in the leading components): stage 1 shortlists `candidates`
+    * neighbors by cosine over only the first `prefDim` components
+    * (scanning 16 of 64 dims reads ¼ of the float bytes, the same
+    * bytes-per-row lever PQ pulls with codes), stage 2 re-ranks the
+    * shortlist by exact full-dimension cosine — the
+    * [[ivfPqRefineTopKIndexed]] two-stage discipline, so truncation
+    * error affects which candidates make the shortlist, never their
+    * final order. Deterministic throughout: prefix ties break on
+    * neighbor_id, the re-rank on exact cosine then neighbor_id. */
+  def prefixRefineTopK(emb: DataFrame, queryPred: Column, prefDim: Int = 16,
+      candidates: Int = 20, k: Int = 5): DataFrame = {
+    graft.functions.FloatDot.register(emb.sparkSession)
+    val pref = slice(col("embedding"), 1, prefDim)
+    val q = emb.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        pref.as("qp"))
+    val n = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
+      pref.as("np"))
+    val wP = Window.partitionBy(col("query_id"))
+      .orderBy(col("pcos").desc, col("neighbor_id"))
+    val wF = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(q).join(n, col("query_id") =!= col("neighbor_id"))
+      .withColumn("pcos", dot("qp", "np") /
+        (sqrt(dot("qp", "qp")) * sqrt(dot("np", "np"))))
+      .withColumn("rp", row_number().over(wP))
+      .filter(col("rp") <= candidates)
+      .withColumn("cos", dot("qv", "nv") /
+        (sqrt(dot("qv", "qv")) * sqrt(dot("nv", "nv"))))
+      .withColumn("rn", row_number().over(wF).cast("long"))
+      .filter(col("rn") <= k)
+      .select("query_id", "neighbor_id", "rn", "cos")
+      .orderBy("query_id", "rn")
+  }
+
   /** Index-quality monitor: per-query recall@k of an approximate
     * retrieval result against the exact one — the number every production
     * ANN deployment tracks to decide when an index needs re-training or a

@@ -729,4 +729,52 @@ class SimilaritySpec extends SparkTestBase {
       lsh.agg(sum("n_exact")).first().getLong(0) / 2,
       "LSH recall collapsed below 50% on the gate corpus")
   }
+
+  test("hardNegatives: known positives are excluded BEFORE the rank, displacing none of the negatives") {
+    // positives = each query's brute-force top-1 neighbor, so exclusion
+    // is GUARANTEED to bite: the miner's top-5 must equal the exact
+    // top-6 minus that positive, re-ranked — not the top-5 with a hole
+    val top1 = Similarity.bruteForceTopK(emb, col("vec_id") < 10, k = 1)
+      .select(col("query_id"), col("neighbor_id").as("pos_id"))
+    val mined = Similarity.hardNegatives(emb, col("vec_id") < 10, top1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val posSet = top1.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mined.forall { case (q, n, _) => !posSet((q, n)) },
+      "a known positive leaked into the negatives")
+    val expected = Similarity.bruteForceTopK(emb, col("vec_id") < 10, k = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filterNot(posSet)
+      .groupBy(_._1).toSeq.flatMap { case (q, ns) =>
+        ns.take(5).zipWithIndex.map { case ((_, n), i) => (q, n, i + 1L) }.toSeq }
+      .toSet
+    assert(mined.toSet === expected,
+      "mining must equal exact top-6 minus the positive, re-ranked")
+    assert(mined.size === 50, "every query must still get k full negatives")
+  }
+
+  test("prefixRefineTopK: re-rank is exact, and a corpus-wide shortlist recovers brute force") {
+    // two-stage contract: quantization (here truncation) affects WHICH
+    // candidates shortlist, never their final ORDER — every returned cos
+    // is the exact full-dim cosine
+    val exact = Similarity.bruteForceTopK(emb, col("vec_id") < 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    val nVecs = emb.count().toInt
+    val wide = Similarity.prefixRefineTopK(emb, col("vec_id") < 10,
+      candidates = nVecs - 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // with the shortlist covering the whole corpus the truncation stage
+    // prunes nothing, so the refined result IS brute force
+    val bf = Similarity.bruteForceTopK(emb, col("vec_id") < 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(wide.toSeq === bf.toSeq)
+    // at the gate's 20-candidate budget, every returned score is still
+    // the exact cosine (the re-rank never serves a truncated number)
+    val narrow = Similarity.prefixRefineTopK(emb, col("vec_id") < 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3)))
+    val full = Similarity.bruteForceTopK(emb, col("vec_id") < 10, k = nVecs - 1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    narrow.foreach { case (k2, cos) =>
+      assert(full(k2) === cos, s"served score for $k2 is not the exact cosine")
+    }
+  }
 }
