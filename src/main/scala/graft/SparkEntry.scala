@@ -214,6 +214,12 @@ object SparkEntry {
     // per-event argmin formulation
     "join_asof_nearest" -> Relational.nearestOrderAsOfEvent,
     "join_range_event_pairs" -> Relational.eventPairsWithinHour,
+    // fuzzy string self-join (entity resolution): edit-distance<=1 name
+    // pairs via positional-q-gram prefix filtering — the oracle is the
+    // BRUTE-FORCE all-pairs levenshtein, so the gate proves the
+    // prefix-filter candidate generation is COMPLETE, not just fast
+    "join_fuzzy_names" -> ((s, d) =>
+      Relational.fuzzyJoinPairs(Tables.customer(s, d), "c_custkey", "c_name")),
     "q3_shipping_priority" -> Relational.q3ShippingPriority,
     "q5_local_supplier" -> Relational.q5LocalSupplierVolume,
     "q6_forecast_revenue" -> Relational.q6ForecastRevenue,
@@ -298,6 +304,27 @@ object SparkEntry {
     // accuracy contract as deterministic booleans (the third sketch
     // family next to HLL distinct and KLL quantiles)
     "ta_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHittersCms(SharedCorpus.docsTok(s, d))),
+    // STORED Datasketches-HLL distinct counts: the sketch as a persisted
+    // mergeable artifact with the family build/append/manifest lifecycle;
+    // probe unions KB-sized sketch rows, never rescans the corpus
+    "ta_distinct_hll_indexed" -> ((s, d) => {
+      buildOnce(s"hll:$d") {
+        TextAnalysis.buildHllIndex(SharedCorpus.docsTok(s, d), "graft_hll_idx")
+      }
+      TextAnalysis.hllDistinctIndexed(s, SharedCorpus.docsTok(s, d), "graft_hll_idx")
+    }),
+    // incremental variant: half built, half APPENDED as sketch deltas —
+    // HLL union == sketch-of-union exactly (register max), so the probe
+    // answers identically to the one-shot build (SketchSpec pins the
+    // estimates bit-equal) and shares the family oracle
+    "ta_distinct_hll_incr" -> ((s, d) => {
+      buildOnce(s"hll_incr:$d") {
+        val all = SharedCorpus.docsTok(s, d)
+        TextAnalysis.buildHllIndex(all.filter(col("doc_id") % 2 === 0), "graft_hll_incr")
+        TextAnalysis.appendToHllIndex(all.filter(col("doc_id") % 2 =!= 0), "graft_hll_incr")
+      }
+      TextAnalysis.hllDistinctIndexed(s, SharedCorpus.docsTok(s, d), "graft_hll_incr")
+    }),
     // adjacency-exact phrase matching — the retrieval primitive
     // bag-of-terms BM25 cannot express; zero-shuffle position scan
     "ta_phrase_search" -> ((s, d) =>
@@ -696,6 +723,12 @@ object SparkEntry {
     "curation_domain_cap" -> ((s, d) =>
       graft.ops.Curation.domainCap(
         Tables.documents(s, d).withColumn("url", injectedUrl), col("url"), 20)),
+    // adaptive per-source quality floor: exact top-half per source BY
+    // QUALITY via histogram selection + boundary refinement — the oracle
+    // is the per-source rank formulation, so the gate proves the
+    // sort-free selection EQUALS the sort
+    "curation_quality_floor" -> ((s, d) =>
+      graft.ops.Curation.qualityFloor(SharedCorpus.docsTok(s, d), 0.5)),
     // index-quality monitor: per-query recall@5 of the LSH tier against
     // the exact scan — the number that decides re-training/probe widening
     "ann_recall_lsh" -> ((s, d) => {
@@ -2842,6 +2875,14 @@ object SparkEntry {
         |  ON e1.user_id = e2.user_id AND e1.event_id < e2.event_id
         |  AND abs(date_diff('second', e1.ts, e2.ts)) <= 3600
         |GROUP BY e1.user_id ORDER BY e1.user_id""".stripMargin,
+    // brute-force all-pairs oracle: the Spark side must find EVERY pair
+    // the quadratic scan finds, proving prefix-filter completeness
+    "join_fuzzy_names" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY 1, 2""".stripMargin,
     "q3_shipping_priority" ->
       """SELECT l_orderkey, o_orderdate, revenue FROM (
         |  SELECT l.l_orderkey, o.o_orderdate,
@@ -4090,6 +4131,24 @@ object SparkEntry {
          |SELECT source, CAST(count(DISTINCT word) AS BIGINT) AS n_exact,
          |  1 AS ok
          |FROM tk GROUP BY source ORDER BY source""".stripMargin,
+    // stored-HLL gates: same oracle shape as ta_approx_distinct — the
+    // sketch value is engine-specific, its accuracy contract is not
+    "ta_distinct_hll_indexed" ->
+      s"""WITH tk AS (SELECT source,
+         |    unnest(list_filter(regexp_split_to_array(lower(text), '$WS'),
+         |      t -> regexp_matches(t, '^[a-z0-9]+$$'))) AS word
+         |  FROM documents)
+         |SELECT source, CAST(count(DISTINCT word) AS BIGINT) AS n_exact,
+         |  1 AS ok
+         |FROM tk GROUP BY source ORDER BY source""".stripMargin,
+    "ta_distinct_hll_incr" ->
+      s"""WITH tk AS (SELECT source,
+         |    unnest(list_filter(regexp_split_to_array(lower(text), '$WS'),
+         |      t -> regexp_matches(t, '^[a-z0-9]+$$'))) AS word
+         |  FROM documents)
+         |SELECT source, CAST(count(DISTINCT word) AS BIGINT) AS n_exact,
+         |  1 AS ok
+         |FROM tk GROUP BY source ORDER BY source""".stripMargin,
     "ta_heavy_hitters" ->
       s"""WITH tk AS (SELECT
          |    unnest(list_filter(regexp_split_to_array(lower(text), '$WS'),
@@ -4323,6 +4382,25 @@ object SparkEntry {
          |  FROM hh)
          |SELECT doc_id, url_canonical, domain, rnk FROM r WHERE rnk <= 20
          |ORDER BY doc_id""".stripMargin,
+    // adaptive quality floor: the oracle ranks per source (key desc,
+    // doc_id asc) — the histogram+boundary selection must match exactly
+    "curation_quality_floor" ->
+      s"""WITH c AS (SELECT doc_id, source,
+         |  CAST(len(regexp_split_to_array(lower(text), '$WS')) AS BIGINT) AS nt,
+         |  CAST(len(list_filter(regexp_split_to_array(lower(text), '$WS'),
+         |    t -> regexp_matches(t, '^[a-z0-9]+$$'))) AS BIGINT) AS alnum,
+         |  ${markerSql("en")} AS stop
+         |FROM documents),
+         |q AS (SELECT doc_id, source,
+         |  CAST(floor((least(CAST(nt AS DOUBLE) / 100.0, 1.0) * 0.2
+         |    + CAST(alnum AS DOUBLE) / nt * 0.5
+         |    + least(CAST(stop AS DOUBLE) / nt * 4.0, 1.0) * 0.3) * 1e6) AS BIGINT) AS qkey
+         |FROM c),
+         |r AS (SELECT doc_id, source, qkey,
+         |  row_number() OVER (PARTITION BY source ORDER BY qkey DESC, doc_id) AS rn,
+         |  count(*) OVER (PARTITION BY source) AS n FROM q)
+         |SELECT doc_id, source, qkey FROM r
+         |WHERE rn <= CAST(ceil(n * 0.5) AS BIGINT) ORDER BY doc_id""".stripMargin,
     // systematic PPS: the per-source hash-order token walk, keep a doc iff
     // its token span crosses a multiple of the step — `//` is DuckDB's
     // integer division, matching Spark's `div` on longs exactly

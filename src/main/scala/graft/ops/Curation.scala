@@ -333,4 +333,58 @@ object Curation {
       .select(col("doc_id"), col("url_canonical"), col("domain"), col("rnk"))
       .orderBy("doc_id")
   }
+
+  /** ADAPTIVE per-source quality floor — keep the top `keepFrac` of each
+    * source's documents BY QUALITY (the FineWeb-style selection: a fixed
+    * global threshold either starves clean sources or drowns in a dirty
+    * one; ranking within the source adapts the cut to each source's own
+    * distribution). Exact top-⌈frac·n⌉ per source, WITHOUT a per-source
+    * corpus sort:
+    *
+    *  1. quantize the quality score to an integer key (`⌊q·10⁶⌋` — the
+    *     score is a bounded ratio, so the key space is ≤10⁶ per source);
+    *  2. ONE aggregation to the per-(source, key) HISTOGRAM — corpus-sized
+    *     scan, value-granularity-sized result;
+    *  3. the cumulative walk + threshold pick runs as a window over the
+    *     HISTOGRAM (≤10⁶ rows per source, not the corpus);
+    *  4. docs strictly above the threshold key are kept by a broadcast
+    *     filter (map-only over the corpus); the boundary key's partial
+    *     take is resolved by ranking ONLY the docs AT the threshold key
+    *     (one key's worth of rows — the classic selection-by-histogram
+    *     boundary refinement), deterministic tiebreak by `doc_id`.
+    *
+    * At 100 TB this is two map-scans + one histogram-sized shuffle; the
+    * equivalent `row_number() OVER (PARTITION BY source ORDER BY quality)`
+    * sorts the whole corpus per source. The kept set is exactly the
+    * oracle's rank formulation (top-k by (key desc, doc_id asc)) — the
+    * gate proves the histogram selection EQUALS the sort selection. */
+  def qualityFloor(docs: DataFrame, keepFrac: Double = 0.5): DataFrame = {
+    val scored = docs.select(col("doc_id"), col("source"),
+      floor(TextAnalysis.qualityColOf(
+        SharedCorpus.wsOf(docs), SharedCorpus.alnumOf(docs)) * 1e6)
+        .cast("long").as("qkey"))
+    val hist = scored.groupBy("source", "qkey").agg(count(lit(1)).as("c"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("qkey").desc)
+    val wSrc = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    val thr = hist
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("k", ceil(sum("c").over(wSrc) * keepFrac).cast("long"))
+      .filter(col("cum") >= col("k"))
+      .withColumn("rn", row_number().over(wCum))
+      .filter(col("rn") === 1)
+      // docs above the boundary key = cum - c; the boundary key owes the rest
+      .select(col("source"), col("qkey").as("thr_key"),
+        (col("k") - (col("cum") - col("c"))).as("need"))
+    val joined = scored.join(broadcast(thr), Seq("source"))
+    val above = joined.filter(col("qkey") > col("thr_key"))
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+    val boundary = joined.filter(col("qkey") === col("thr_key"))
+      .withColumn("rb", row_number().over(wB))
+      .filter(col("rb") <= col("need"))
+    above.select("doc_id", "source", "qkey")
+      .union(boundary.select("doc_id", "source", "qkey"))
+      .orderBy("doc_id")
+  }
 }

@@ -1144,6 +1144,51 @@ object Relational {
       dayofweek(col("o_orderdate")).cast("long").as("dow"))
       .orderBy("o_orderkey")
 
+  /** FUZZY string self-join — the entity-resolution / data-cleaning
+    * primitive (the same key re-entered with a typo, an id with one digit
+    * off): all pairs within Levenshtein distance `maxDist`, WITHOUT the
+    * all-pairs product. Candidate generation is positional-q-gram PREFIX
+    * FILTERING (the set-similarity-join discipline): each string indexes
+    * only its `maxDist·n + 1` globally-RAREST positional n-grams — by the
+    * prefix-filter theorem, two strings within `maxDist` substitutions
+    * share ≥ (L−n+1) − maxDist·n positional grams, so their rarest-gram
+    * prefixes must intersect — and the candidate join runs on those rare
+    * grams only. This is what makes the shared-prefix worst case scale:
+    * every `Customer#…` name shares the literal prefix grams, but those
+    * are the COMMONEST grams and so never enter anyone's index; the join
+    * key mass concentrates in the discriminating digit grams. Exact
+    * `levenshtein` verifies the collision-sized candidate list.
+    *
+    * Completeness contract: guaranteed for SUBSTITUTION edits on
+    * equal-length strings (the id/code/phone cleaning case — and the
+    * brute-force oracle would fail the gate loudly if the corpus grew an
+    * indel-near pair); general insert/delete pairs shift positional
+    * grams and need the cap-free gram join (the
+    * [[graft.ops.Dedup.ngramJaccardPairs]] shape) instead. */
+  def fuzzyJoinPairs(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int = 1, n: Int = 3): DataFrame = {
+    val grams = df.select(col(idCol).as("id"), col(strCol).as("s"))
+      .select(col("id"), col("s"), posexplode(expr(
+        s"transform(sequence(1, greatest(length(s) - ${n - 1}, 1)), " +
+          s"i -> substring(s, i, $n))")).as(Seq("pos", "g")))
+    val rarity = grams.groupBy("g", "pos").agg(count(lit(1)).as("gdf"))
+    val wR = Window.partitionBy(col("id"))
+      .orderBy(col("gdf"), col("g"), col("pos"))
+    val prefix = grams.join(rarity, Seq("g", "pos"))
+      .withColumn("r", row_number().over(wR))
+      .filter(col("r") <= maxDist * n + 1)
+    val cand = prefix.as("x").join(prefix.as("y"),
+        col("x.g") === col("y.g") && col("x.pos") === col("y.pos") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("x.s").as("s_a"),
+        col("y.id").as("id_b"), col("y.s").as("s_b"))
+      .distinct()
+    cand.select(col("id_a"), col("id_b"),
+        levenshtein(col("s_a"), col("s_b")).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Temporal aggregation: orders per month. */
   def ordersPerMonth(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)

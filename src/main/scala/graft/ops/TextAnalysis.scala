@@ -889,6 +889,76 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  // ---- stored HLL sketch lifecycle: the mergeable distinct-count
+  // ARTIFACT (Datasketches HLL via Spark's hll_sketch_agg family) ----
+
+  /** Build the per-source distinct-word sketch table: one Datasketches
+    * HLL sketch row per source, plus the family's one-row build manifest.
+    * THE point of a stored sketch over [[approxDistinctWords]]'s inline
+    * `approx_count_distinct`: the sketch is a PERSISTED, MERGEABLE
+    * artifact — tomorrow's batch appends its own sketch rows without
+    * rereading the accumulated corpus, and the union of sketches IS the
+    * sketch of the union (HLL merge = element-wise register max, exact —
+    * SketchSpec pins union-of-batches == one-shot to the bit). That is
+    * the only way a 100 TB pipeline tracks corpus-lifetime distinct
+    * counts: the corpus is scanned once per batch, state is KB-sized. */
+  def buildHllIndex(docs: DataFrame, table: String, lgK: Int = 12): Unit = {
+    val sk = docs
+      .select(col("source"), explode(SharedCorpus.alnumOf(docs)).as("word"))
+      .groupBy("source")
+      .agg(expr(s"hll_sketch_agg(word, $lgK)").as("sketch"))
+    graft.sources.Formats.writeBucketed(sk, table, Seq("source"), 4)
+    val (n, fp) = graft.sources.Formats.corpusStamp(docs, "doc_id")
+    graft.sources.Formats.writeBuildMeta(docs.sparkSession, table,
+      s"kind=hll,lgk=$lgK", n, fp)
+  }
+
+  /** Ingest half: the batch's own sketch rows appended as DELTAS (same
+    * delta-table discipline as the LM counts — the accumulated sketches
+    * are neither read nor rewritten; the probe's union folds them).
+    * Doc-disjointness is NOT required here: HLL union is idempotent on
+    * re-inserted values (register max), so overlapping batches stay
+    * CORRECT for the estimate — only the manifest stamp keeps the
+    * family-wide disjointness convention. */
+  def appendToHllIndex(newDocs: DataFrame, table: String, lgK: Int = 12): Unit = {
+    val sk = newDocs
+      .select(col("source"), explode(SharedCorpus.alnumOf(newDocs)).as("word"))
+      .groupBy("source")
+      .agg(expr(s"hll_sketch_agg(word, $lgK)").as("sketch"))
+    graft.sources.Formats.writeBucketedAppend(sk, table, Seq("source"), 4)
+    val (n, fp) = graft.sources.Formats.corpusStamp(newDocs, "doc_id")
+    graft.sources.Formats.foldBuildMeta(newDocs.sparkSession, table,
+      s"kind=hll,lgk=$lgK", n, fp)
+  }
+
+  /** Probe: per-source estimate from the UNION of stored sketch rows —
+    * KB-scale, no corpus access. */
+  def distinctFromHllIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String): DataFrame = {
+    graft.sources.Formats.requireBuilt(spark, table)
+    spark.table(table).groupBy("source")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sketch, false))").as("n_est"))
+  }
+
+  /** Gate form: stored-sketch estimates against the exact counts, with
+    * the accuracy contract as deterministic booleans ([[approxDistinctWords]]'s
+    * oracle discipline — lgK=12 ⇒ rsd ≈ 1.04/√4096 ≈ 1.6%, bounded at
+    * ~3σ = 5% with an absolute floor for tiny sources). The exact side
+    * is computed for the ORACLE's benefit; a deployment reads only
+    * [[distinctFromHllIndex]]. */
+  def hllDistinctIndexed(spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, table: String): DataFrame = {
+    val est = distinctFromHllIndex(spark, table)
+    docs.select(col("source"), explode(SharedCorpus.alnumOf(docs)).as("word"))
+      .groupBy("source").agg(countDistinct(col("word")).as("n_exact"))
+      .join(broadcast(est), Seq("source"))
+      .select(col("source"), col("n_exact"),
+        (abs(col("n_est") - col("n_exact")).cast("double") <=
+          greatest(lit(16.0), lit(0.05) * col("n_exact")))
+          .cast("int").as("ok"))
+      .orderBy("source")
+  }
+
   /** Heavy hitters by exact count next to a COUNT-MIN SKETCH probe — the
     * third mergeable-sketch family (HLL distinct, KLL quantiles, CMS
     * frequencies): at 100 TB the per-partition CMS tables merge by

@@ -48,4 +48,39 @@ class SketchSpec extends SparkTestBase {
       assert(n === exact(flag), s"$flag: group count $n vs ${exact(flag)}")
     }
   }
+
+  test("stored HLL: union of batch sketches == one-shot sketch, to the bit") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.ops.SharedCorpus.docsTok(spark, sfDir)
+    val words = docs.select(col("source"), col("doc_id"),
+      explode(graft.ops.SharedCorpus.alnumOf(docs)).as("word"))
+    // the mergeability contract that makes the sketch a valid stored
+    // artifact: per-batch sketches unioned == the sketch of the union —
+    // not approximately, EXACTLY (HLL merge is element-wise register max)
+    val oneShot = words.groupBy("source")
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(word, 12))").as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val unioned = words
+      .groupBy(col("source"), expr("doc_id % 4").as("b"))
+      .agg(expr("hll_sketch_agg(word, 12)").as("sk"))
+      .groupBy("source")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(oneShot === unioned,
+      s"HLL union diverged from one-shot: $oneShot vs $unioned")
+    // and the gate's bound booleans hold everywhere
+    val gate = graft.SparkEntry.queries("ta_distinct_hll_indexed")(spark, sfDir)
+      .collect()
+    assert(gate.nonEmpty && gate.forall(_.getInt(2) == 1),
+      "stored-HLL estimate out of its 5% bound")
+    // the same equality THROUGH the stored tables: the incr gate's
+    // build+append index answers identically to the one-shot index —
+    // i.e. the parquet-binary round trip preserves the merge exactly
+    graft.SparkEntry.queries("ta_distinct_hll_incr")(spark, sfDir).collect()
+    def estOf(table: String): Map[String, Long] =
+      graft.ops.TextAnalysis.distinctFromHllIndex(spark, table)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(estOf("graft_hll_idx") === oneShot)
+    assert(estOf("graft_hll_incr") === oneShot)
+  }
 }
