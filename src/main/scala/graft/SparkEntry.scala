@@ -292,6 +292,14 @@ object SparkEntry {
     // gets after — plus the try_variant_get missing-path NULL contract
     "json_variant_events" -> Relational.jsonVariantEvents,
     "orders_per_month" -> Relational.ordersPerMonth,
+    // ordered funnel: earliest per-step completion IN SEQUENCE (click
+    // counts only after first view, purchase only after that click);
+    // every stage keyed on user_id so the partitioning is established
+    // once and reused
+    "events_funnel" -> ((s, d) => Relational.eventFunnel(s, d)),
+    // retention cohorts: first-seen-day cohort x 7-day offset buckets
+    // (integer day arithmetic, no calendar-week engine skew)
+    "events_retention" -> ((s, d) => Relational.retentionCohorts(s, d)),
     // north-star: text analysis (SURVEY §2c)
     "ta_token_stats" -> ((s, d) => TextAnalysis.tokenStats(SharedCorpus.docsTok(s, d))),
     "ta_lang_id" -> ((s, d) => TextAnalysis.langId(SharedCorpus.docsTok(s, d))),
@@ -3334,6 +3342,33 @@ object SparkEntry {
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
         |  count(json_extract_string(props, '$.missing')) AS n_missing
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // sequential-min funnel: each CTE's min is constrained strictly
+    // after the previous step's per-user time
+    "events_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+        |  WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT s1.user_id, s1.t1, s2.t2, s3.t3,
+        |  CAST(1 + (CASE WHEN s2.user_id IS NULL THEN 0 ELSE 1 END)
+        |         + (CASE WHEN s3.user_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS steps_done
+        |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |        LEFT JOIN s3 ON s1.user_id = s3.user_id
+        |ORDER BY s1.user_id""".stripMargin,
+    "events_retention" ->
+      """WITH c AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+        |  FROM events GROUP BY 1)
+        |SELECT c.cohort_day,
+        |  CAST(floor(date_diff('day', c.cohort_day, CAST(e.ts AS DATE)) / 7.0) AS BIGINT)
+        |    AS week_offset,
+        |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+        |FROM events e JOIN c ON e.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "orders_per_month" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
         |  CAST(month(o_orderdate) AS BIGINT) AS m,

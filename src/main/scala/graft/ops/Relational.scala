@@ -1189,6 +1189,60 @@ object Relational {
       .orderBy("id_a", "id_b")
   }
 
+  /** ORDERED funnel analysis — the product-analytics staple: per user,
+    * the earliest time each step was completed IN SEQUENCE (a click only
+    * counts after the first view, a purchase only after that click — a
+    * user who purchases before ever viewing has NOT converted through the
+    * funnel). Each step is one aggregation + one equi-join, ALL keyed on
+    * `user_id`: the first shuffle establishes the partitioning and every
+    * later stage reuses it (no re-partitioning between steps), so the
+    * whole funnel costs one effective corpus shuffle plus user-count-sized
+    * joins. Strictly-after semantics (`ts > prev`) make the fold
+    * deterministic even with duplicate timestamps. */
+  def eventFunnel(s: SparkSession, dir: String,
+      steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame =
+    eventFunnelOf(Tables.events(s, dir), steps)
+
+  def eventFunnelOf(events: DataFrame, steps: Seq[String]): DataFrame = {
+    val ev = events.select("user_id", "event_type", "ts")
+    val first = ev.filter(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val withAll = steps.tail.zipWithIndex.foldLeft(first) {
+      case (acc, (step, i)) =>
+        val (prev, cur) = (s"t${i + 1}", s"t${i + 2}")
+        val next = ev.filter(col("event_type") === step)
+          .join(acc.select("user_id", prev), "user_id")
+          .filter(col("ts") > col(prev))
+          .groupBy("user_id").agg(min("ts").as(cur))
+        acc.join(next.select("user_id", cur), Seq("user_id"), "left")
+    }
+    val stepsDone = (2 to steps.size).foldLeft(lit(1L)) { (e, i) =>
+      e + col(s"t$i").isNotNull.cast("long")
+    }
+    withAll.withColumn("steps_done", stepsDone).orderBy("user_id")
+  }
+
+  /** Retention cohort matrix — users grouped by FIRST-SEEN day, activity
+    * bucketed by 7-day offsets from each user's own cohort start (pure
+    * integer day arithmetic, not calendar weeks — engine-portable and
+    * skew-free). Two aggregations + one join, all on `user_id` then the
+    * (cohort, offset) pair; the distinct-user count per cell is the
+    * retention number a dashboard plots. */
+  def retentionCohorts(s: SparkSession, dir: String): DataFrame =
+    retentionCohortsOf(Tables.events(s, dir))
+
+  def retentionCohortsOf(events: DataFrame): DataFrame = {
+    val ev = events.select(col("user_id"), col("ts").cast("date").as("day"))
+    val cohort = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+    ev.join(cohort, "user_id")
+      .select(col("cohort_day"),
+        floor(datediff(col("day"), col("cohort_day")) / 7).as("week_offset"),
+        col("user_id"))
+      .groupBy("cohort_day", "week_offset")
+      .agg(countDistinct("user_id").as("n_active"))
+      .orderBy("cohort_day", "week_offset")
+  }
+
   /** Temporal aggregation: orders per month. */
   def ordersPerMonth(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)

@@ -1,0 +1,52 @@
+package graft
+
+import java.sql.Timestamp
+import graft.ops.Relational
+
+/** Funnel + retention semantics on crafted users — the ORDER contract is
+  * the whole operator: a purchase before the first view must not count,
+  * and a click before the first view must not count even when a later
+  * view exists. */
+class EventAnalyticsSpec extends SparkTestBase {
+
+  private def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+
+  test("eventFunnel: steps only count strictly AFTER the previous step") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: clean view->click->purchase = 3 steps
+      (1L, "view", ts(1)), (1L, "click", ts(2)), (1L, "purchase", ts(3)),
+      // user 2: purchase FIRST (doesn't count), then view->click = 2 steps
+      (2L, "purchase", ts(1)), (2L, "view", ts(2)), (2L, "click", ts(3)),
+      // user 3: click BEFORE the first view and never after = 1 step
+      (3L, "click", ts(1)), (3L, "view", ts(2)),
+      // user 4: never viewed — not in the funnel at all
+      (4L, "click", ts(1)), (4L, "purchase", ts(2))
+    ).toDF("user_id", "event_type", "ts")
+    val got = Relational.eventFunnelOf(ev, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), r.getLong(4))).toMap
+    assert(got.keySet === Set(1L, 2L, 3L))
+    assert(got(1L) === ((Some(ts(1)), Some(ts(2)), Some(ts(3)), 3L)))
+    assert(got(2L) === ((Some(ts(2)), Some(ts(3)), None, 2L)))
+    assert(got(3L) === ((Some(ts(2)), None, None, 1L)))
+  }
+
+  test("retentionCohorts: offsets are 7-day buckets from each user's own start") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1 first seen Jan 1: active day 0, day 6 (offset 0), day 7 (offset 1)
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00")),
+      (1L, Timestamp.valueOf("2024-01-07 10:00:00")),
+      (1L, Timestamp.valueOf("2024-01-08 10:00:00")),
+      // user 2 first seen Jan 3: active day 0 and day 14 (offset 2)
+      (2L, Timestamp.valueOf("2024-01-03 10:00:00")),
+      (2L, Timestamp.valueOf("2024-01-17 10:00:00"))
+    ).toDF("user_id", "ts")
+    val got = Relational.retentionCohortsOf(ev)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === Map(
+      ("2024-01-01", 0L) -> 1L, ("2024-01-01", 1L) -> 1L,
+      ("2024-01-03", 0L) -> 1L, ("2024-01-03", 2L) -> 1L))
+  }
+}
