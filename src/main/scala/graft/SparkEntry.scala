@@ -220,6 +220,36 @@ object SparkEntry {
     // prefix-filter candidate generation is COMPLETE, not just fast
     "join_fuzzy_names" -> ((s, d) =>
       Relational.fuzzyJoinPairs(Tables.customer(s, d), "c_custkey", "c_name")),
+    // serving half: master keys indexed ONCE (rarest-gram prefix rows
+    // bucketed on the gram, rarity model frozen), the batch probes
+    // without re-indexing the corpus — same brute-force-oracle
+    // completeness proof, cross-set
+    "join_fuzzy_indexed" -> ((s, d) => {
+      buildOnce(s"fuzzyidx:$d") {
+        Relational.buildFuzzyIndex(
+          Tables.customer(s, d).filter(col("c_custkey") % 2 === 0),
+          "c_custkey", "c_name", "graft_fuzzy_idx")
+      }
+      Relational.fuzzyJoinIndexed(s,
+        Tables.customer(s, d).filter(col("c_custkey") % 2 === 1),
+        "c_custkey", "c_name", "graft_fuzzy_idx")
+    }),
+    // incremental variant: half the master table bulk-built, half
+    // APPENDED under the frozen rarity order — verified pairs are
+    // bit-identical to a one-shot build (candidates may differ, the
+    // exact-distance verify keeps only true pairs), same oracle
+    "join_fuzzy_indexed_incr" -> ((s, d) => {
+      buildOnce(s"fuzzyidx_incr:$d") {
+        val cust = Tables.customer(s, d)
+        Relational.buildFuzzyIndex(cust.filter(col("c_custkey") % 4 === 0),
+          "c_custkey", "c_name", "graft_fuzzy_incr")
+        Relational.appendToFuzzyIndex(cust.filter(col("c_custkey") % 4 === 2),
+          "c_custkey", "c_name", "graft_fuzzy_incr")
+      }
+      Relational.fuzzyJoinIndexed(s,
+        Tables.customer(s, d).filter(col("c_custkey") % 2 === 1),
+        "c_custkey", "c_name", "graft_fuzzy_incr")
+    }),
     "q3_shipping_priority" -> Relational.q3ShippingPriority,
     "q5_local_supplier" -> Relational.q5LocalSupplierVolume,
     "q6_forecast_revenue" -> Relational.q6ForecastRevenue,
@@ -292,6 +322,10 @@ object SparkEntry {
     // gets after — plus the try_variant_get missing-path NULL contract
     "json_variant_events" -> Relational.jsonVariantEvents,
     "orders_per_month" -> Relational.ordersPerMonth,
+    // declarative expectations: one report row per data-contract check
+    // with exact violation counts — row-local checks share ONE scan,
+    // uniqueness is the key shuffle, FK is a broadcast anti join
+    "fmt_expectations" -> Relational.expectationReport,
     // ordered funnel: earliest per-step completion IN SEQUENCE (click
     // counts only after first view, purchase only after that click);
     // every stage keyed on user_id so the partitioning is established
@@ -2891,6 +2925,22 @@ object SparkEntry {
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY 1, 2""".stripMargin,
+    // cross-set brute force: every (odd, even) custkey pair scanned —
+    // the indexed probe must find exactly these
+    "join_fuzzy_indexed" ->
+      """SELECT a.c_custkey AS id_probe, b.c_custkey AS id_master,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM customer a JOIN customer b
+        |  ON a.c_custkey % 2 = 1 AND b.c_custkey % 2 = 0
+        |  AND levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY 1, 2""".stripMargin,
+    "join_fuzzy_indexed_incr" ->
+      """SELECT a.c_custkey AS id_probe, b.c_custkey AS id_master,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM customer a JOIN customer b
+        |  ON a.c_custkey % 2 = 1 AND b.c_custkey % 2 = 0
+        |  AND levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY 1, 2""".stripMargin,
     "q3_shipping_priority" ->
       """SELECT l_orderkey, o_orderdate, revenue FROM (
         |  SELECT l.l_orderkey, o.o_orderdate,
@@ -3342,6 +3392,25 @@ object SparkEntry {
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
         |  count(json_extract_string(props, '$.missing')) AS n_missing
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "fmt_expectations" ->
+      """WITH base AS (SELECT count(*) AS n,
+        |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_null_cust,
+        |  CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_price_range,
+        |  CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) AS v_status_domain,
+        |  CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS v_dup_key
+        |  FROM orders),
+        |orph AS (SELECT CAST(count(*) AS BIGINT) AS v_orphan_fk FROM orders o
+        |  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+        |w AS (SELECT * FROM base, orph)
+        |SELECT check_name, n AS n_rows, n_violations,
+        |  CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS passed
+        |FROM (
+        |  SELECT 'not_null_o_custkey' AS check_name, n, v_null_cust AS n_violations FROM w
+        |  UNION ALL SELECT 'range_o_totalprice_positive', n, v_price_range FROM w
+        |  UNION ALL SELECT 'accepted_values_o_orderstatus', n, v_status_domain FROM w
+        |  UNION ALL SELECT 'unique_o_orderkey', n, v_dup_key FROM w
+        |  UNION ALL SELECT 'fk_orders_customer', n, v_orphan_fk FROM w)
+        |ORDER BY check_name""".stripMargin,
     // sequential-min funnel: each CTE's min is constrained strictly
     // after the previous step's per-user time
     "events_funnel" ->

@@ -1167,10 +1167,7 @@ object Relational {
     * [[graft.ops.Dedup.ngramJaccardPairs]] shape) instead. */
   def fuzzyJoinPairs(df: DataFrame, idCol: String, strCol: String,
       maxDist: Int = 1, n: Int = 3): DataFrame = {
-    val grams = df.select(col(idCol).as("id"), col(strCol).as("s"))
-      .select(col("id"), col("s"), posexplode(expr(
-        s"transform(sequence(1, greatest(length(s) - ${n - 1}, 1)), " +
-          s"i -> substring(s, i, $n))")).as(Seq("pos", "g")))
+    val grams = positionalGrams(df, idCol, strCol, n)
     val rarity = grams.groupBy("g", "pos").agg(count(lit(1)).as("gdf"))
     val wR = Window.partitionBy(col("id"))
       .orderBy(col("gdf"), col("g"), col("pos"))
@@ -1241,6 +1238,133 @@ object Relational {
       .groupBy("cohort_day", "week_offset")
       .agg(countDistinct("user_id").as("n_active"))
       .orderBy("cohort_day", "week_offset")
+  }
+
+  /** Declarative data-quality EXPECTATIONS (the dbt-test / Great-
+    * Expectations shape): one report row per contract check with its
+    * exact violation count — the table a pipeline gates a publish on.
+    * Cost discipline: all row-local checks (not-null, accepted-values,
+    * range) ride ONE conditional-aggregation scan (map-side combinable,
+    * no shuffle beyond the 1-row agg); uniqueness is the key-shuffle it
+    * must be (count vs distinct); referential integrity is a LEFT ANTI
+    * join against the (broadcastable) dimension — orphan count, not a
+    * row-by-row assert. Adding a row-local check costs zero extra scans.
+    */
+  def expectationReport(s: SparkSession, dir: String): DataFrame =
+    expectationReportOf(Tables.orders(s, dir), Tables.customer(s, dir))
+
+  def expectationReportOf(o: DataFrame, customer: DataFrame): DataFrame = {
+    val rowLocal = o.agg(
+      count(lit(1)).as("n"),
+      sum(col("o_custkey").isNull.cast("long")).as("v_null_cust"),
+      sum((col("o_totalprice") <= 0).cast("long")).as("v_price_range"),
+      sum((!col("o_orderstatus").isin("O", "F", "P")).cast("long")).as("v_status_domain"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_dup_key"))
+    val orphans = o.join(customer,
+        o("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("v_orphan_fk"))
+    val wide = rowLocal.crossJoin(broadcast(orphans)) // BNLJ of one row
+    val checks = Seq("not_null_o_custkey" -> "v_null_cust",
+      "range_o_totalprice_positive" -> "v_price_range",
+      "accepted_values_o_orderstatus" -> "v_status_domain",
+      "unique_o_orderkey" -> "v_dup_key",
+      "fk_orders_customer" -> "v_orphan_fk")
+    checks.map { case (name, vcol) =>
+      wide.select(lit(name).as("check_name"), col("n").as("n_rows"),
+        col(vcol).as("n_violations"),
+        (col(vcol) === 0).cast("int").as("passed"))
+    }.reduce(_ unionAll _).orderBy("check_name")
+  }
+
+  private def positionalGrams(df: DataFrame, idCol: String, strCol: String,
+      n: Int): DataFrame =
+    df.select(col(idCol).as("id"), col(strCol).as("s"))
+      .select(col("id"), col("s"), posexplode(expr(
+        s"transform(sequence(1, greatest(length(s) - ${n - 1}, 1)), " +
+          s"i -> substring(s, i, $n))")).as(Seq("pos", "g")))
+
+  /** Persisted half of [[fuzzyJoinPairs]] — the entity-resolution SERVING
+    * shape: the master key table is indexed ONCE (each string's
+    * `maxDist·n+1` rarest positional grams, bucketed on the gram), and
+    * every incoming batch probes it without re-indexing the corpus. The
+    * gram-rarity table is stored alongside and FROZEN: the prefix-filter
+    * theorem needs both sides' prefixes drawn from one COMMON total
+    * order, so the build's (df, g, pos) order is the family's model
+    * artifact (the IVF-pivots MODEL-KEPT contract) — probe-side strings
+    * rank their grams by the STORED dfs (unseen grams sort rarest), and
+    * [[appendToFuzzyIndex]] indexes new corpus batches under the same
+    * frozen order. Rarity drift affects candidate-list SIZE only, never
+    * completeness; a periodic rebuild refreshes the order. */
+  def buildFuzzyIndex(df: DataFrame, idCol: String, strCol: String,
+      table: String, maxDist: Int = 1, n: Int = 3, numBuckets: Int = 8): Unit = {
+    val grams = positionalGrams(df, idCol, strCol, n)
+    val rarity = grams.groupBy("g", "pos").agg(count(lit(1)).as("gdf"))
+    graft.sources.Formats.writeBucketed(rarity, s"${table}_df", Seq("g"), numBuckets)
+    val spark = df.sparkSession
+    val wR = Window.partitionBy(col("id"))
+      .orderBy(col("gdf"), col("g"), col("pos"))
+    val prefix = grams.join(spark.table(s"${table}_df"), Seq("g", "pos"))
+      .withColumn("r", row_number().over(wR))
+      .filter(col("r") <= maxDist * n + 1)
+      .select("g", "pos", "id", "s")
+    graft.sources.Formats.writeBucketed(prefix, table, Seq("g"), numBuckets)
+    val (cn, fp) = graft.sources.Formats.corpusStamp(df, idCol)
+    graft.sources.Formats.writeBuildMeta(spark, table,
+      s"kind=fuzzy,maxdist=$maxDist,n=$n,buckets=$numBuckets", cn, fp)
+  }
+
+  /** Ingest half: a new master batch's prefix rows appended under the
+    * FROZEN build-time rarity order (grams unseen at build time rank
+    * rarest, deterministic (g, pos) tiebreak) — the stored corpus rows
+    * and the rarity model are neither read in bulk nor rewritten. The
+    * verified output of a probe is bit-identical to a one-shot rebuild:
+    * prefixes may differ under the frozen vs refreshed order, but both
+    * candidate sets contain every true pair and the exact-distance
+    * verify keeps only those. */
+  def appendToFuzzyIndex(newDf: DataFrame, idCol: String, strCol: String,
+      table: String, maxDist: Int = 1, n: Int = 3, numBuckets: Int = 8): Unit = {
+    val spark = newDf.sparkSession
+    val grams = positionalGrams(newDf, idCol, strCol, n)
+    val wR = Window.partitionBy(col("id"))
+      .orderBy(col("gdf"), col("g"), col("pos"))
+    val prefix = grams
+      .join(spark.table(s"${table}_df"), Seq("g", "pos"), "left")
+      .na.fill(0L, Seq("gdf"))
+      .withColumn("r", row_number().over(wR))
+      .filter(col("r") <= maxDist * n + 1)
+      .select("g", "pos", "id", "s")
+    graft.sources.Formats.writeBucketedAppend(prefix, table, Seq("g"), numBuckets)
+    val (cn, fp) = graft.sources.Formats.corpusStamp(newDf, idCol)
+    graft.sources.Formats.foldBuildMeta(spark, table,
+      s"kind=fuzzy,maxdist=$maxDist,n=$n,buckets=$numBuckets", cn, fp)
+  }
+
+  /** Probe: all (probe, master) pairs within `maxDist` — the batch ranks
+    * its grams by the STORED rarity model, joins the index bucket-locally
+    * on the gram, and exact `levenshtein` verifies the candidates. Same
+    * completeness contract as [[fuzzyJoinPairs]] (substitution edits on
+    * equal-length keys), proven against the brute-force oracle. */
+  def fuzzyJoinIndexed(spark: SparkSession, probe: DataFrame, idCol: String,
+      strCol: String, table: String, maxDist: Int = 1, n: Int = 3): DataFrame = {
+    graft.sources.Formats.requireBuilt(spark, table)
+    val grams = positionalGrams(probe, idCol, strCol, n)
+    val wR = Window.partitionBy(col("id"))
+      .orderBy(col("gdf"), col("g"), col("pos"))
+    val pPrefix = grams
+      .join(spark.table(s"${table}_df"), Seq("g", "pos"), "left")
+      .na.fill(0L, Seq("gdf"))
+      .withColumn("r", row_number().over(wR))
+      .filter(col("r") <= maxDist * n + 1)
+    val cand = pPrefix.as("x")
+      .join(spark.table(table).as("y"),
+        col("x.g") === col("y.g") && col("x.pos") === col("y.pos"))
+      .select(col("x.id").as("id_probe"), col("x.s").as("s_p"),
+        col("y.id").as("id_master"), col("y.s").as("s_m"))
+      .distinct()
+    cand.select(col("id_probe"), col("id_master"),
+        levenshtein(col("s_p"), col("s_m")).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+      .orderBy("id_probe", "id_master")
   }
 
   /** Temporal aggregation: orders per month. */

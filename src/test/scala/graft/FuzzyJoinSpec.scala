@@ -43,4 +43,27 @@ class FuzzyJoinSpec extends SparkTestBase {
       s"prefix filter incomplete: missing ${(brute -- got).take(5)}, " +
         s"extra ${(got -- brute).take(5)}")
   }
+
+  test("fuzzyJoinIndexed: unseen probe grams stay complete; append == one-shot") {
+    import spark.implicits._
+    val master = Seq((1L, "ACCT-00417-X"), (2L, "ACCT-99999-Z"))
+      .toDF("id", "s")
+    val late = Seq((3L, "QRST-12345-M")).toDF("id", "s")
+    // probe 10 substitutes an UNSEEN char: its rarest grams include
+    // df=0 grams — completeness must survive (at most maxDist*n unseen
+    // grams exist, the prefix keeps maxDist*n+1)
+    val probe = Seq((10L, "ACCT-Z0417-X"), (11L, "BCCT-99999-Z"),
+      (12L, "QRST-12345-W"), (13L, "XXXX-XXXXX-X")).toDF("id", "s")
+    Relational.buildFuzzyIndex(master, "id", "s", "graft_fuzzy_test")
+    Relational.appendToFuzzyIndex(late, "id", "s", "graft_fuzzy_test")
+    val got = Relational.fuzzyJoinIndexed(spark, probe, "id", "s", "graft_fuzzy_test")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((10L, 1L, 1L), (11L, 2L, 1L), (12L, 3L, 1L)),
+      s"indexed probe wrong: $got")
+    // one-shot rebuild over the union finds the same verified pairs
+    Relational.buildFuzzyIndex(master.union(late), "id", "s", "graft_fuzzy_test2")
+    val oneShot = Relational.fuzzyJoinIndexed(spark, probe, "id", "s", "graft_fuzzy_test2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(oneShot === got, "append diverged from one-shot")
+  }
 }
