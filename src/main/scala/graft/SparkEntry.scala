@@ -334,6 +334,12 @@ object SparkEntry {
     // retention cohorts: first-seen-day cohort x 7-day offset buckets
     // (integer day arithmetic, no calendar-week engine skew)
     "events_retention" -> ((s, d) => Relational.retentionCohorts(s, d)),
+    // ingest-volume anomaly: >3-sigma daily spikes per event type, the
+    // z-test cross-multiplied to exact integers (no float sigma)
+    "events_anomaly_days" -> Relational.eventAnomalyDays,
+    // generation-to-generation profile drift: added/removed columns as
+    // unmatched full-outer rows, value drift side-by-side
+    "fmt_schema_drift" -> Relational.schemaDrift,
     // north-star: text analysis (SURVEY §2c)
     "ta_token_stats" -> ((s, d) => TextAnalysis.tokenStats(SharedCorpus.docsTok(s, d))),
     "ta_lang_id" -> ((s, d) => TextAnalysis.langId(SharedCorpus.docsTok(s, d))),
@@ -3429,6 +3435,18 @@ object SparkEntry {
         |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
         |        LEFT JOIN s3 ON s1.user_id = s3.user_id
         |ORDER BY s1.user_id""".stripMargin,
+    "events_anomaly_days" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT *, count(*) OVER (PARTITION BY event_type) AS n,
+        |  sum(x) OVER (PARTITION BY event_type) AS s,
+        |  sum(x * x) OVER (PARTITION BY event_type) AS q FROM daily)
+        |SELECT event_type, day, x AS n_events,
+        |  CASE WHEN n * x - s > 0
+        |        AND (n * x - s) * (n * x - s) > 9 * (n * q - s * s)
+        |       THEN 1 ELSE 0 END AS is_spike
+        |FROM st ORDER BY event_type, day""".stripMargin,
     "events_retention" ->
       """WITH c AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
         |  FROM events GROUP BY 1)
@@ -4692,6 +4710,38 @@ object SparkEntry {
         branch("o_totalprice", "CAST(o_totalprice AS DECIMAL(18,2))"),
         branch("o_orderdate"), branch("o_orderpriority"))
         .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
+    "fmt_schema_drift" -> {
+      def branch(c: String, where: String, expr: String = ""): String = {
+        val e = if (expr.isEmpty) c else expr
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  count(*) - count($e) AS n_nulls,
+           |  CAST(count(DISTINCT $e) AS BIGINT) AS n_distinct,
+           |  CAST(min($e) AS VARCHAR) AS min_val,
+           |  CAST(max($e) AS VARCHAR) AS max_val FROM orders $where""".stripMargin
+      }
+      val pw = "WHERE o_orderdate < TIMESTAMP '1997-01-01'"
+      val shared = Seq("o_orderkey" -> "", "o_orderstatus" -> "",
+        "o_totalprice" -> "CAST(o_totalprice AS DECIMAL(18,2))",
+        "o_orderdate" -> "")
+      val prev = (shared :+ ("o_custkey" -> ""))
+        .map { case (c, e) => branch(c, pw, e) }.mkString("\nUNION ALL\n")
+      val next = (shared :+ ("o_orderpriority" -> ""))
+        .map { case (c, e) => branch(c, "", e) }.mkString("\nUNION ALL\n")
+      s"""WITH p AS ($prev), n AS ($next)
+         |SELECT coalesce(p.col_name, n.col_name) AS col_name,
+         |  CASE WHEN p.col_name IS NULL THEN 'added'
+         |       WHEN n.col_name IS NULL THEN 'removed' ELSE 'kept' END AS status,
+         |  p.n_rows AS rows_prev, n.n_rows AS rows_next,
+         |  p.n_nulls AS nulls_prev, n.n_nulls AS nulls_next,
+         |  p.n_distinct AS distinct_prev, n.n_distinct AS distinct_next,
+         |  p.min_val AS min_prev, n.min_val AS min_next,
+         |  p.max_val AS max_prev, n.max_val AS max_next,
+         |  CASE WHEN p.col_name IS NULL OR n.col_name IS NULL THEN NULL
+         |       WHEN p.min_val <> n.min_val OR p.max_val <> n.max_val
+         |         OR p.n_distinct <> n.n_distinct THEN 1 ELSE 0 END AS value_drift
+         |FROM p FULL OUTER JOIN n ON p.col_name = n.col_name
+         |ORDER BY col_name""".stripMargin
     },
     // equi-depth: NTILE over the unique (price, orderkey, linenumber)
     // order — standard ceil-then-floor bucket sizing in both engines

@@ -1010,6 +1010,10 @@ object Relational {
       "o_orderdate", "o_orderpriority")
     val t = Tables.orders(s, dir).withColumn("o_totalprice",
       col("o_totalprice").cast("decimal(18,2)"))
+    schemaProfileOf(t, cols)
+  }
+
+  def schemaProfileOf(t: DataFrame, cols: Seq[String]): DataFrame = {
     cols.map { c =>
       t.agg(count(lit(1)).as("n_rows"), count(col(c)).as("nn"),
         countDistinct(col(c)).as("n_distinct"),
@@ -1365,6 +1369,71 @@ object Relational {
         levenshtein(col("s_p"), col("s_m")).cast("long").as("dist"))
       .filter(col("dist") <= maxDist)
       .orderBy("id_probe", "id_master")
+  }
+
+  /** Profile DRIFT between two table generations — what a nightly
+    * publish compares before promoting: the per-column profile of the
+    * previous snapshot full-outer-joined with the candidate's, so
+    * column ADDITIONS/REMOVALS surface as unmatched rows (`status`) and
+    * value drift as side-by-side stats (null counts, distinct counts,
+    * min/max). The gate's generations: orders before 1997 as "prev"
+    * (profiled without `o_orderpriority`), the full table as "next"
+    * (without `o_custkey`) — one column added, one removed, every
+    * shared column drifting. Cost: two [[schemaProfileOf]] passes
+    * (per-column one-row aggregates) + a columns-count-sized join. */
+  def schemaDrift(s: SparkSession, dir: String): DataFrame = {
+    val shared = Seq("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+    val t = Tables.orders(s, dir).withColumn("o_totalprice",
+      col("o_totalprice").cast("decimal(18,2)"))
+    val prev = schemaProfileOf(
+      t.filter(col("o_orderdate") < lit("1997-01-01")), shared :+ "o_custkey")
+    val next = schemaProfileOf(t, shared :+ "o_orderpriority")
+    prev.as("p").join(next.as("n"), Seq("col_name"), "full_outer")
+      .select(col("col_name"),
+        when(col("p.n_rows").isNull, "added")
+          .when(col("n.n_rows").isNull, "removed")
+          .otherwise("kept").as("status"),
+        col("p.n_rows").as("rows_prev"), col("n.n_rows").as("rows_next"),
+        col("p.n_nulls").as("nulls_prev"), col("n.n_nulls").as("nulls_next"),
+        col("p.n_distinct").as("distinct_prev"), col("n.n_distinct").as("distinct_next"),
+        col("p.min_val").as("min_prev"), col("n.min_val").as("min_next"),
+        col("p.max_val").as("max_prev"), col("n.max_val").as("max_next"),
+        when(col("p.n_rows").isNull || col("n.n_rows").isNull, lit(null))
+          .otherwise((col("p.min_val") =!= col("n.min_val")) ||
+            (col("p.max_val") =!= col("n.max_val")) ||
+            (col("p.n_distinct") =!= col("n.n_distinct")))
+          .cast("int").as("value_drift"))
+      .orderBy("col_name")
+  }
+
+  /** Volume-anomaly detection over the event stream's daily counts — the
+    * monitoring op a pipeline runs on its OWN ingest: per event type,
+    * flag days whose count sits >3σ from that type's mean. The z-test is
+    * EXACT INTEGER arithmetic by cross-multiplication — with S=Σx, Q=Σx²
+    * over a type's n days, `x > μ + 3σ  ⇔  n·x − S > 0 ∧ (n·x − S)² >
+    * 9·(n·Q − S²)` — so the verdict is engine-portable with no float σ
+    * anywhere (the repetition/drift gates' discipline). Shape: one
+    * corpus aggregation to (type, day) counts, one tiny per-type window
+    * over the day rows for S/Q/n. Counts are bigint; the squares stay
+    * within int64 for daily counts < ~3·10⁹·√days. */
+  def eventAnomalyDays(s: SparkSession, dir: String): DataFrame =
+    eventAnomalyDaysOf(Tables.events(s, dir))
+
+  def eventAnomalyDaysOf(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val wT = Window.partitionBy("event_type")
+    daily
+      .withColumn("n", count(lit(1)).over(wT))
+      .withColumn("s", sum("x").over(wT))
+      .withColumn("q", sum(col("x") * col("x")).over(wT))
+      .select(col("event_type"), col("day"), col("x").as("n_events"),
+        (col("n") * col("x") - col("s") > 0 &&
+          (col("n") * col("x") - col("s")) * (col("n") * col("x") - col("s")) >
+            lit(9L) * (col("n") * col("q") - col("s") * col("s")))
+          .cast("int").as("is_spike"))
+      .orderBy("event_type", "day")
   }
 
   /** Temporal aggregation: orders per month. */

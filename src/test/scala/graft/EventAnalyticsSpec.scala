@@ -32,6 +32,40 @@ class EventAnalyticsSpec extends SparkTestBase {
     assert(got(3L) === ((Some(ts(2)), None, None, 1L)))
   }
 
+  test("eventAnomalyDays: a genuine spike flags, uniform days do not") {
+    import spark.implicits._
+    // type 'a': TEN days of 10 events + ONE day of 100. A single outlier
+    // among n-1 uniform days has z = √(n−1) exactly (it owns all the
+    // variance), so 10 days sits exactly AT 3σ and must NOT flag under
+    // the strict inequality — 11 days gives z = √10 > 3 and must flag.
+    // Type 'b': perfectly uniform, nothing may flag (the real corpus is
+    // uniform too — this is the positive branch the gate never exercises)
+    val rows =
+      (for (d <- 1 to 10; i <- 1 to 10)
+        yield ("a", Timestamp.valueOf(f"2024-01-$d%02d 00:00:${i % 60}%02d"))) ++
+      (for (i <- 0 until 100)
+        yield ("a", Timestamp.valueOf(f"2024-01-11 00:${i / 60}%02d:${i % 60}%02d"))) ++
+      (for (d <- 1 to 10; i <- 1 to 5)
+        yield ("b", Timestamp.valueOf(f"2024-01-$d%02d 00:00:${i % 60}%02d"))) ++
+      // type 'c': the boundary case — 9 uniform days + 1 outlier is
+      // EXACTLY 3σ, strict inequality must not flag
+      (for (d <- 1 to 9; i <- 1 to 10)
+        yield ("c", Timestamp.valueOf(f"2024-01-$d%02d 00:00:${i % 60}%02d"))) ++
+      (for (i <- 0 until 100)
+        yield ("c", Timestamp.valueOf(f"2024-01-10 00:${i / 60}%02d:${i % 60}%02d")))
+    val ev = rows.toDF("event_type", "ts").withColumn("user_id", org.apache.spark.sql.functions.lit(1L))
+    val got = Relational.eventAnomalyDaysOf(ev)
+      .collect().map(r => (r.getString(0), r.getDate(1).toString) ->
+        (r.getLong(2), r.getInt(3))).toMap
+    assert(got(("a", "2024-01-11")) === ((100L, 1)), "spike not flagged")
+    assert(got.count { case ((t, _), (_, f)) => t == "a" && f == 1 } == 1,
+      "only the spike day may flag for type a")
+    assert(got.forall { case ((t, _), (_, f)) => t != "b" || f == 0 },
+      "uniform type b must not flag")
+    assert(got.forall { case ((t, _), (_, f)) => t != "c" || f == 0 },
+      "exactly-3-sigma outlier must not flag under the strict inequality")
+  }
+
   test("retentionCohorts: offsets are 7-day buckets from each user's own start") {
     import spark.implicits._
     val ev = Seq(
