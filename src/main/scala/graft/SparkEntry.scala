@@ -337,6 +337,8 @@ object SparkEntry {
     // ingest-volume anomaly: >3-sigma daily spikes per event type, the
     // z-test cross-multiplied to exact integers (no float sigma)
     "events_anomaly_days" -> Relational.eventAnomalyDays,
+    // market-basket pair mining: order-local self-join, basket-bounded
+    "agg_copurchase_pairs" -> ((s, d) => Relational.coPurchasePairs(s, d)),
     // generation-to-generation profile drift: added/removed columns as
     // unmatched full-outer rows, value drift side-by-side
     "fmt_schema_drift" -> Relational.schemaDrift,
@@ -715,6 +717,14 @@ object SparkEntry {
         .unionByName(
           Snapshot.snapshotAtVersion(base, log, 2).withColumn("as_of", lit(2L)))
         .orderBy("as_of", "doc_id")
+    }),
+    // SCD2 dimension history off the same version chain: one row per
+    // contiguous content interval, open interval = current row, a
+    // tombstoned doc has history but no current row
+    "snapshot_scd2" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Snapshot.scd2History(Snapshot.baseSnapshot(docs),
+        Snapshot.changeBatch(docs).unionByName(Snapshot.changeBatchV2(docs)))
     }),
     // CDC extraction, the merge's inverse: diff(base, merged) must be
     // exactly the applied batch's visible effect (updates %10==3 with the
@@ -3435,6 +3445,14 @@ object SparkEntry {
         |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
         |        LEFT JOIN s3 ON s1.user_id = s3.user_id
         |ORDER BY s1.user_id""".stripMargin,
+    "agg_copurchase_pairs" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |  count(*) AS n_orders
+        |FROM li a JOIN li b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY 1, 2""".stripMargin,
     "events_anomaly_days" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
         |    CAST(count(*) AS BIGINT) AS x
@@ -4240,6 +4258,25 @@ object SparkEntry {
          |SELECT doc_id, version, fp, CAST(as_of AS BIGINT) AS as_of
          |FROM latest WHERE op = 'upsert'
          |ORDER BY as_of, doc_id""".stripMargin,
+    "snapshot_scd2" ->
+      s"""WITH base AS (SELECT doc_id, 0 AS version, 'upsert' AS op,
+         |    ${h60Sql("text")} AS fp FROM documents),
+         |chg1 AS (SELECT doc_id, 1 AS version,
+         |    CASE WHEN doc_id % 10 = 3 THEN 'upsert' ELSE 'delete' END AS op,
+         |    CASE WHEN doc_id % 10 = 3 THEN ${h60Sql("'v1:' || text")} END AS fp
+         |  FROM documents WHERE doc_id % 10 IN (3, 7)),
+         |chg2 AS (SELECT doc_id, 2 AS version,
+         |    CASE WHEN doc_id % 10 = 1 THEN 'upsert' ELSE 'delete' END AS op,
+         |    CASE WHEN doc_id % 10 = 1 THEN ${h60Sql("'v2:' || text")} END AS fp
+         |  FROM documents WHERE doc_id % 10 IN (1, 3)),
+         |log AS (SELECT * FROM base UNION ALL SELECT * FROM chg1
+         |        UNION ALL SELECT * FROM chg2),
+         |x AS (SELECT doc_id, version, op, fp,
+         |    lead(version) OVER (PARTITION BY doc_id ORDER BY version) AS valid_to
+         |  FROM log)
+         |SELECT doc_id, version AS valid_from, valid_to, fp,
+         |  CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
+         |FROM x WHERE op = 'upsert' ORDER BY doc_id, valid_from""".stripMargin,
     // ta_approx_distinct: the HLL sketch VALUE differs per engine, so the
     // Spark side emits its error bound as a 0/1 column; the oracle
     // hash-checks the exact per-source distinct count AND asserts the

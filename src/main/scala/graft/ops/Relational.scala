@@ -1406,6 +1406,29 @@ object Relational {
       .orderBy("col_name")
   }
 
+  /** Market-basket CO-PURCHASE mining — the "bought together" pair table:
+    * part pairs appearing in at least `minOrders` common orders. The
+    * self-join is ORDER-LOCAL (equi-join on `l_orderkey`, `<` on the part
+    * to emit each unordered pair once), so the blow-up is bounded by
+    * (items per order)² per order — a basket-bounded shape that scales
+    * with order count, never parts² — and the distinct() first makes a
+    * part counted once per order however many lineitems repeat it. One
+    * shuffle on the order key, one on the pair key. */
+  def coPurchasePairs(s: SparkSession, dir: String, minOrders: Int = 2): DataFrame =
+    coPurchasePairsOf(
+      Tables.lineitem(s, dir).select("l_orderkey", "l_partkey"), minOrders)
+
+  def coPurchasePairsOf(lineitems: DataFrame, minOrders: Int): DataFrame = {
+    val li = lineitems.select("l_orderkey", "l_partkey").distinct()
+    li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= minOrders)
+      .orderBy("part_a", "part_b")
+  }
+
   /** Volume-anomaly detection over the event stream's daily counts — the
     * monitoring op a pipeline runs on its OWN ingest: per event type,
     * flag days whose count sits >3σ from that type's mean. The z-test is

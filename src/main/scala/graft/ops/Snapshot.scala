@@ -117,4 +117,32 @@ object Snapshot {
     * log in one pass equals replaying the batches one by one. */
   def snapshotAtVersion(base: DataFrame, changeLog: DataFrame, v: Int): DataFrame =
     mergeSnapshot(base, changeLog.where(col("version") <= v))
+
+  /** SCD TYPE-2 dimension build — the warehouse history shape: one row
+    * per (document, contiguous content interval) with `valid_from` /
+    * `valid_to` version bounds, derived from the same base + change log
+    * the time-travel read folds. Each upsert OPENS an interval at its
+    * version; the document's next event of ANY kind (re-crawl or
+    * tombstone) CLOSES it — `lead(version)` over the per-document
+    * version order; an open interval (`valid_to` null) is the current
+    * row. A delete closes without opening, so a tombstoned document has
+    * history but no current row — exactly how [[snapshotAtVersion]]
+    * reads it at each version (SnapshotSpec proves the equivalence:
+    * interval membership at v == time-travel content at v). The window
+    * partitions by `doc_id` and each document's history is
+    * versions-count-sized, so the sort is per-key and bounded — the
+    * window family's usual scale contract. Change batches here always
+    * rewrite the fingerprint; a source with no-op upserts would collapse
+    * equal-adjacent rows first. */
+  def scd2History(base: DataFrame, changeLog: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("version")
+    base.unionByName(changeLog)
+      .withColumn("valid_to", lead(col("version"), 1).over(w))
+      .where(col("op") === "upsert")
+      .select(col("doc_id"), col("version").as("valid_from"),
+        col("valid_to"), col("fp"),
+        col("valid_to").isNull.cast("int").as("is_current"))
+      .orderBy("doc_id", "valid_from")
+  }
 }

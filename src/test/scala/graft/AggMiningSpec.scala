@@ -1,0 +1,26 @@
+package graft
+
+import graft.ops.Relational
+
+/** Co-purchase mining semantics: a part repeated within one order counts
+  * that order ONCE, pairs are unordered (emitted once, low key first),
+  * and the support threshold is per-ORDER count. */
+class AggMiningSpec extends SparkTestBase {
+
+  test("coPurchasePairsOf: per-order dedup, unordered pairs, support cut") {
+    import spark.implicits._
+    val li = Seq(
+      // order 1: parts 10, 20, 20 (the repeat must not double-count)
+      (1L, 10L), (1L, 20L), (1L, 20L),
+      // order 2: parts 10, 20, 30
+      (2L, 10L), (2L, 20L), (2L, 30L),
+      // order 3: parts 20, 30
+      (3L, 20L), (3L, 30L)
+    ).toDF("l_orderkey", "l_partkey")
+    val got = Relational.coPurchasePairsOf(li, minOrders = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // (10,20) in orders 1+2 = 2; (20,30) in orders 2+3 = 2; (10,30) only
+    // order 2 = 1, cut by the threshold
+    assert(got === Map((10L, 20L) -> 2L, (20L, 30L) -> 2L), s"got $got")
+  }
+}

@@ -93,4 +93,26 @@ class SnapshotSpec extends SparkTestBase {
     val v0 = Snapshot.snapshotAtVersion(base, log, 0)
     assert(v0.count() === docs.count())
   }
+
+  test("scd2History: interval membership at every v == the time-travel read") {
+    val docs = Tables.documents(spark, sfDir)
+    val base = Snapshot.baseSnapshot(docs)
+    val log = Snapshot.changeBatch(docs).unionByName(Snapshot.changeBatchV2(docs))
+    val hist = Snapshot.scd2History(base, log).collect()
+    // the SCD2 table and the log fold are two encodings of one history:
+    // the rows whose [valid_from, valid_to) interval covers v must be
+    // exactly the version-v snapshot, for EVERY v — including v1 where
+    // %10==7 docs are tombstoned (history rows, no current row)
+    for (v <- 0 to 2) {
+      val member = hist
+        .filter(r => r.getInt(1) <= v && (r.isNullAt(2) || r.getInt(2) > v))
+        .map(r => (r.getLong(0), r.getLong(3))).toSet
+      val travel = Snapshot.snapshotAtVersion(base, log, v).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+      assert(member === travel, s"interval read diverged at v=$v")
+    }
+    // a tombstoned doc keeps history but has no current row
+    val tombstoned = hist.filter(_.getLong(0) % 10 == 7)
+    assert(tombstoned.nonEmpty && tombstoned.forall(_.getInt(4) == 0))
+  }
 }
