@@ -339,6 +339,20 @@ object SparkEntry {
     "events_anomaly_days" -> Relational.eventAnomalyDays,
     // market-basket pair mining: order-local self-join, basket-bounded
     "agg_copurchase_pairs" -> ((s, d) => Relational.coPurchasePairs(s, d)),
+    // exact sliding-window distinct (WAU): bounded x7 contribution
+    // explode, two key shuffles — distinct doesn't decompose over frames
+    "events_rolling_wau" -> Relational.rollingActiveUsers,
+    // profile as a MERGEABLE stored artifact: per-batch column stats
+    // folded at probe (sums/min/max/HLL union) — the growing-table
+    // profiling story; half built, half appended, fold == one-shot
+    "fmt_profile_incr" -> ((s, d) => {
+      buildOnce(s"profidx:$d") {
+        val o = Tables.orders(s, d)
+        Relational.buildProfileIndex(o.filter(col("o_orderkey") % 2 === 0), "graft_prof_incr")
+        Relational.appendToProfileIndex(o.filter(col("o_orderkey") % 2 =!= 0), "graft_prof_incr")
+      }
+      Relational.profileFromIndex(s, "graft_prof_incr", Tables.orders(s, d))
+    }),
     // generation-to-generation profile drift: added/removed columns as
     // unmatched full-outer rows, value drift side-by-side
     "fmt_schema_drift" -> Relational.schemaDrift,
@@ -3445,6 +3459,40 @@ object SparkEntry {
         |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
         |        LEFT JOIN s3 ON s1.user_id = s3.user_id
         |ORDER BY s1.user_id""".stripMargin,
+    // mergeable profile: exact stats replayed per column, HLL bound as ok
+    "fmt_profile_incr" -> {
+      def b(c: String, numeric: Boolean): String = {
+        val e = if (numeric) s"CAST($c AS DECIMAL(18,2))" else s"CAST($c AS VARCHAR)"
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  count(*) - count($c) AS n_nulls,
+           |  CAST(min($e) AS VARCHAR) AS min_val,
+           |  CAST(max($e) AS VARCHAR) AS max_val, 1 AS ok FROM orders""".stripMargin
+      }
+      Seq(b("o_orderkey", true), b("o_custkey", true), b("o_totalprice", true),
+        b("o_orderstatus", false), b("o_orderdate", false),
+        b("o_orderpriority", false))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
+    // independent formulation: per report day, distinct users with any
+    // activity in the trailing 7 days (range join) — checks the
+    // contribution-explode plan from the other direction
+    "events_rolling_wau" ->
+      """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |days AS (SELECT DISTINCT day AS report_day FROM act
+        |         UNION SELECT DISTINCT day + INTERVAL 1 DAY FROM act
+        |         UNION SELECT DISTINCT day + INTERVAL 2 DAY FROM act
+        |         UNION SELECT DISTINCT day + INTERVAL 3 DAY FROM act
+        |         UNION SELECT DISTINCT day + INTERVAL 4 DAY FROM act
+        |         UNION SELECT DISTINCT day + INTERVAL 5 DAY FROM act
+        |         UNION SELECT DISTINCT day + INTERVAL 6 DAY FROM act),
+        |clamped AS (SELECT CAST(report_day AS DATE) AS report_day FROM days
+        |  WHERE report_day BETWEEN (SELECT min(day) FROM act)
+        |                       AND (SELECT max(day) FROM act))
+        |SELECT d.report_day,
+        |  CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active_7d
+        |FROM clamped d JOIN act a
+        |  ON a.day BETWEEN d.report_day - INTERVAL 6 DAY AND d.report_day
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_copurchase_pairs" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
         |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,

@@ -1406,6 +1406,113 @@ object Relational {
       .orderBy("col_name")
   }
 
+  // ---- incremental profile: column statistics as a MERGEABLE stored
+  // artifact (what parquet footers are to one file, this is to a table
+  // that grows by batches) ----
+
+  /** Profiled column split for the orders-table gate: numerics fold
+    * through a common DECIMAL(18,2) (exact, and its VARCHAR rendering is
+    * the proven-parity one); strings/timestamps fold as strings (ISO
+    * timestamp text is fixed-width, so lexicographic == chronological). */
+  private val profNumCols = Seq("o_orderkey", "o_custkey", "o_totalprice")
+  private val profStrCols = Seq("o_orderstatus", "o_orderdate", "o_orderpriority")
+
+  private def profileBatchRows(t: DataFrame, lgK: Int): DataFrame = {
+    val num = profNumCols.map { c =>
+      t.agg(count(lit(1)).as("n"), count(col(c)).as("nn"),
+        min(col(c).cast("decimal(18,2)")).as("min_num"),
+        max(col(c).cast("decimal(18,2)")).as("max_num"),
+        expr(s"hll_sketch_agg(CAST(`$c` AS STRING), $lgK)").as("sketch"))
+        .select(lit(c).as("col_name"), col("n"),
+          (col("n") - col("nn")).as("n_nulls"), col("min_num"), col("max_num"),
+          lit(null).cast("string").as("min_str"),
+          lit(null).cast("string").as("max_str"), col("sketch"))
+    }
+    val str = profStrCols.map { c =>
+      t.agg(count(lit(1)).as("n"), count(col(c)).as("nn"),
+        min(col(c).cast("string")).as("min_str"),
+        max(col(c).cast("string")).as("max_str"),
+        expr(s"hll_sketch_agg(CAST(`$c` AS STRING), $lgK)").as("sketch"))
+        .select(lit(c).as("col_name"), col("n"),
+          (col("n") - col("nn")).as("n_nulls"),
+          lit(null).cast("decimal(18,2)").as("min_num"),
+          lit(null).cast("decimal(18,2)").as("max_num"),
+          col("min_str"), col("max_str"), col("sketch"))
+    }
+    (num ++ str).reduce(_ unionAll _)
+  }
+
+  /** Build the stored profile: one row per column per batch — counts and
+    * null counts fold by SUM, min/max by MIN/MAX, distinct by HLL union
+    * (every statistic chosen to be MERGEABLE, which is the entire design:
+    * profiling a 100 TB table that grows daily must scan only the new
+    * batch and fold, never re-profile the accumulated corpus). */
+  def buildProfileIndex(t: DataFrame, table: String, lgK: Int = 12): Unit = {
+    graft.sources.Formats.writeBucketed(
+      profileBatchRows(t, lgK), table, Seq("col_name"), 4)
+    val (n, fp) = graft.sources.Formats.corpusStamp(t, "o_orderkey")
+    graft.sources.Formats.writeBuildMeta(t.sparkSession, table,
+      s"kind=profile,lgk=$lgK", n, fp)
+  }
+
+  /** Ingest half: the batch's own profile rows appended as deltas. */
+  def appendToProfileIndex(newT: DataFrame, table: String, lgK: Int = 12): Unit = {
+    graft.sources.Formats.writeBucketedAppend(
+      profileBatchRows(newT, lgK), table, Seq("col_name"), 4)
+    val (n, fp) = graft.sources.Formats.corpusStamp(newT, "o_orderkey")
+    graft.sources.Formats.foldBuildMeta(newT.sparkSession, table,
+      s"kind=profile,lgk=$lgK", n, fp)
+  }
+
+  /** Probe: the full-table profile folded from the stored batch rows —
+    * columns-count-sized work, no corpus access. `exactFor` is scanned
+    * only to oracle-check the HLL estimate (the sketch-gate discipline);
+    * a deployment reads the fold alone. */
+  def profileFromIndex(spark: SparkSession, table: String,
+      exactFor: DataFrame): DataFrame = {
+    graft.sources.Formats.requireBuilt(spark, table)
+    val folded = spark.table(table).groupBy("col_name")
+      .agg(sum("n").as("n_rows"), sum("n_nulls").as("n_nulls"),
+        min("min_num").as("min_num"), max("max_num").as("max_num"),
+        min("min_str").as("min_str"), max("max_str").as("max_str"),
+        expr("hll_sketch_estimate(hll_union_agg(sketch, false))").as("n_est"))
+    val exact = (profNumCols ++ profStrCols).map { c =>
+      exactFor.agg(countDistinct(col(c).cast("string")).as("n_exact"))
+        .select(lit(c).as("col_name"), col("n_exact"))
+    }.reduce(_ unionAll _)
+    folded.join(exact, Seq("col_name"))
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        coalesce(col("min_num").cast("string"), col("min_str")).as("min_val"),
+        coalesce(col("max_num").cast("string"), col("max_str")).as("max_val"),
+        (abs(col("n_est") - col("n_exact")).cast("double") <=
+          greatest(lit(16.0), lit(0.05) * col("n_exact")))
+          .cast("int").as("ok"))
+      .orderBy("col_name")
+  }
+
+  /** Rolling 7-day ACTIVE USERS (the WAU curve) — exact sliding-window
+    * COUNT DISTINCT, which no window frame can express (distinct doesn't
+    * decompose over frames). The scalable exact form: dedup activity to
+    * (user, day), then each activity day CONTRIBUTES to the 7 report days
+    * it covers (a bounded `sequence` explode — ×7, a constant), then one
+    * distinct-count per report day. At 100 TB that is two key shuffles
+    * with a constant-factor blowup — vs the naive per-day self-join of
+    * the whole activity table. Report days are clamped to the observed
+    * range so the curve has no leading ramp beyond the data. */
+  def rollingActiveUsers(s: SparkSession, dir: String): DataFrame =
+    rollingActiveUsersOf(Tables.events(s, dir))
+
+  def rollingActiveUsersOf(events: DataFrame): DataFrame = {
+    val act = events.select(col("user_id"), col("ts").cast("date").as("day")).distinct()
+    val bounds = act.agg(min("day").as("lo"), max("day").as("hi"))
+    act.crossJoin(broadcast(bounds)) // one-row bounds: BNLJ attach
+      .select(col("user_id"), explode(expr(
+        "sequence(greatest(day, lo), least(date_add(day, 6), hi))")).as("report_day"))
+      .groupBy("report_day")
+      .agg(countDistinct("user_id").as("n_active_7d"))
+      .orderBy("report_day")
+  }
+
   /** Market-basket CO-PURCHASE mining — the "bought together" pair table:
     * part pairs appearing in at least `minOrders` common orders. The
     * self-join is ORDER-LOCAL (equi-join on `l_orderkey`, `<` on the part

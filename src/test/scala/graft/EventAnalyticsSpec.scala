@@ -66,6 +66,22 @@ class EventAnalyticsSpec extends SparkTestBase {
       "exactly-3-sigma outlier must not flag under the strict inequality")
   }
 
+  test("rollingActiveUsers: trailing-7 coverage, clamped range, true gaps absent") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00")),
+      (2L, Timestamp.valueOf("2024-01-10 10:00:00"))
+    ).toDF("user_id", "ts")
+    val got = Relational.rollingActiveUsersOf(ev)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    // Jan 1 activity covers report days 1..7; Jan 10 covers only day 10
+    // (clamped at the observed max); days 8-9 have NO activity in their
+    // trailing window and must be ABSENT, not zero
+    val expect = ((1 to 7).map(d => f"2024-01-$d%02d" -> 1L) :+
+      ("2024-01-10" -> 1L)).toMap
+    assert(got === expect, s"got $got")
+  }
+
   test("retentionCohorts: offsets are 7-day buckets from each user's own start") {
     import spark.implicits._
     val ev = Seq(

@@ -83,4 +83,21 @@ class SketchSpec extends SparkTestBase {
     assert(estOf("graft_hll_idx") === oneShot)
     assert(estOf("graft_hll_incr") === oneShot)
   }
+
+  test("profile index: build+append fold == one-shot build, bit-equal") {
+    import org.apache.spark.sql.functions._
+    val o = graft.sources.Tables.orders(spark, sfDir)
+    graft.ops.Relational.buildProfileIndex(o, "graft_prof_one")
+    graft.ops.Relational.buildProfileIndex(
+      o.filter(col("o_orderkey") % 2 === 0), "graft_prof_two")
+    graft.ops.Relational.appendToProfileIndex(
+      o.filter(col("o_orderkey") % 2 =!= 0), "graft_prof_two")
+    val a = graft.ops.Relational.profileFromIndex(spark, "graft_prof_one", o)
+      .collect().map(_.toString).sorted.toSeq
+    val b = graft.ops.Relational.profileFromIndex(spark, "graft_prof_two", o)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a === b, "batch fold diverged from one-shot profile")
+    assert(a.nonEmpty && a.forall(_.endsWith(",1]")),
+      s"HLL distinct estimate out of bound in $a")
+  }
 }
