@@ -342,6 +342,9 @@ object SparkEntry {
     // exact sliding-window distinct (WAU): bounded x7 contribution
     // explode, two key shuffles — distinct doesn't decompose over frames
     "events_rolling_wau" -> Relational.rollingActiveUsers,
+    // per-node triangle counts, degree-ordered orientation (out-degree
+    // bounded by O(sqrt m)); oracle is the naive canonical triple join
+    "agg_triangle_counts" -> ((s, d) => Relational.triangleCounts(s, d)),
     // profile as a MERGEABLE stored artifact: per-batch column stats
     // folded at probe (sums/min/max/HLL union) — the growing-table
     // profiling story; half built, half appended, fold == one-shot
@@ -3493,6 +3496,20 @@ object SparkEntry {
         |FROM clamped d JOIN act a
         |  ON a.day BETWEEN d.report_day - INTERVAL 6 DAY AND d.report_day
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // canonical a<b<c triple join (each triangle found once since every
+    // stored edge has pa<pb) — orientation-independent check
+    "agg_triangle_counts" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT a.l_partkey pa, b.l_partkey pb FROM li a JOIN li b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |tri AS (SELECT e1.pa a, e1.pb b, e2.pb c FROM e e1
+        |  JOIN e e2 ON e2.pa = e1.pb
+        |  JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb)
+        |SELECT part, count(*) AS n_triangles FROM (
+        |  SELECT a AS part FROM tri UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri)
+        |GROUP BY part ORDER BY part""".stripMargin,
     "agg_copurchase_pairs" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
         |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,

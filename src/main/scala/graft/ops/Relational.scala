@@ -1490,6 +1490,45 @@ object Relational {
       .orderBy("col_name")
   }
 
+  /** Per-node TRIANGLE COUNTS over the co-purchase graph — the graph-
+    * analytics staple (clustering-coefficient numerator, community
+    * signal). The scalable discipline is DEGREE-ORDERED ORIENTATION:
+    * direct every edge from its lower-(degree, id) endpoint to the
+    * higher, which makes the orientation acyclic and bounds every
+    * node's OUT-degree by O(√m) on any graph — so the wedge join
+    * (out-neighbor pairs per node) is per-node-bounded where the naive
+    * adjacency self-join explodes on hubs. Each triangle then has
+    * exactly one source vertex and is found exactly once: wedge
+    * (a→b, a→c) with b before c in the order, closed by the oriented
+    * edge b→c. The per-node counts are orientation-INDEPENDENT, which
+    * is what the naive-formulation oracle checks. */
+  def triangleCounts(s: SparkSession, dir: String, minOrders: Int = 2): DataFrame =
+    triangleCountsOf(coPurchasePairs(s, dir, minOrders)
+      .select(col("part_a").as("u"), col("part_b").as("v")))
+
+  def triangleCountsOf(edges: DataFrame): DataFrame = {
+    val deg = edges.select(explode(array(col("u"), col("v"))).as("x"))
+      .groupBy("x").agg(count(lit(1)).as("d"))
+    val withDeg = edges
+      .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
+    val dirE = withDeg.select(
+      when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+        struct(col("u").as("src"), col("v").as("dst"), col("dv").as("dd")))
+        .otherwise(struct(col("v").as("src"), col("u").as("dst"), col("du").as("dd")))
+        .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.dd").as("dd"))
+    val tri = dirE.as("x")
+      .join(dirE.as("y"), col("x.src") === col("y.src") &&
+        (struct(col("x.dd"), col("x.dst")) < struct(col("y.dd"), col("y.dst"))))
+      .join(dirE.as("z"), col("z.src") === col("x.dst") &&
+        col("z.dst") === col("y.dst"))
+      .select(col("x.src").as("a"), col("x.dst").as("b"), col("y.dst").as("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("part"))
+      .groupBy("part").agg(count(lit(1)).as("n_triangles"))
+      .orderBy("part")
+  }
+
   /** Rolling 7-day ACTIVE USERS (the WAU curve) — exact sliding-window
     * COUNT DISTINCT, which no window frame can express (distinct doesn't
     * decompose over frames). The scalable exact form: dedup activity to

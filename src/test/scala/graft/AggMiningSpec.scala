@@ -23,4 +23,18 @@ class AggMiningSpec extends SparkTestBase {
     // order 2 = 1, cut by the threshold
     assert(got === Map((10L, 20L) -> 2L, (20L, 30L) -> 2L), s"got $got")
   }
+
+  test("triangleCountsOf: K4 counts 3 per node, stars and paths count none") {
+    import spark.implicits._
+    // K4 on {1,2,3,4}: 4 triangles, every node in exactly 3; star at 9
+    // (a hub — the case degree orientation exists for) and path 5-6-7
+    // contribute nothing
+    val k4 = for (u <- 1L to 4L; v <- (u + 1) to 4L) yield (u, v)
+    val star = Seq((9L, 10L), (9L, 11L), (9L, 12L), (9L, 13L))
+    val path = Seq((5L, 6L), (6L, 7L))
+    val edges = (k4 ++ star ++ path).toDF("u", "v")
+    val got = graft.ops.Relational.triangleCountsOf(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"got $got")
+  }
 }
