@@ -1148,45 +1148,72 @@ object Relational {
       dayofweek(col("o_orderdate")).cast("long").as("dow"))
       .orderBy("o_orderkey")
 
+  /** One masked key per character position: the string with position `i`
+    * replaced by a sentinel. Two equal-length strings within ONE
+    * substitution share the masked key at the substituted position
+    * (pigeonhole — dist-0 duplicates share all of them), so the bucket
+    * members of a masked key are EXACTLY its dist≤1 neighborhood: the
+    * candidate set is output-sized by construction, with no df-tail. */
+  private def maskedKeys(df: DataFrame, idCol: String, strCol: String): DataFrame =
+    df.select(col(idCol).as("id"), col(strCol).as("s"))
+      .select(col("id"), col("s"), posexplode(expr(
+        "transform(sequence(1, length(s)), i -> " +
+          "concat(substring(s, 1, i - 1), '', substring(s, i + 1, length(s))))"))
+        .as(Seq("pos", "k")))
+
   /** FUZZY string self-join — the entity-resolution / data-cleaning
     * primitive (the same key re-entered with a typo, an id with one digit
     * off): all pairs within Levenshtein distance `maxDist`, WITHOUT the
-    * all-pairs product. Candidate generation is positional-q-gram PREFIX
-    * FILTERING (the set-similarity-join discipline): each string indexes
-    * only its `maxDist·n + 1` globally-RAREST positional n-grams — by the
-    * prefix-filter theorem, two strings within `maxDist` substitutions
-    * share ≥ (L−n+1) − maxDist·n positional grams, so their rarest-gram
-    * prefixes must intersect — and the candidate join runs on those rare
-    * grams only. This is what makes the shared-prefix worst case scale:
-    * every `Customer#…` name shares the literal prefix grams, but those
-    * are the COMMONEST grams and so never enter anyone's index; the join
-    * key mass concentrates in the discriminating digit grams. Exact
-    * `levenshtein` verifies the collision-sized candidate list.
+    * all-pairs product.
     *
-    * Completeness contract: guaranteed for SUBSTITUTION edits on
-    * equal-length strings (the id/code/phone cleaning case — and the
+    * For `maxDist = 1` (the dominant ER case) candidate generation is the
+    * POSITION-MASKED key join ([[maskedKeys]]): L keys per string, every
+    * bucket is a true dist≤1 neighborhood, so candidates ≈ output and the
+    * cost is LINEAR in matches at any corpus size. This matters on
+    * low-entropy keys: the classic rarest-q-gram prefix filter degenerates
+    * there — on zero-padded numeric ids the (maxDist·n+1)-th rarest gram
+    * still has corpus-scale df (measured: 105 s at sf0.1 from one ~7500-df
+    * gram bucket, vs ~1 s masked), because padding leaves only ~3
+    * discriminating gram positions.
+    *
+    * For `maxDist ≥ 2` the masked scheme would need C(L, maxDist) masks,
+    * so candidates fall back to the positional-q-gram prefix filter (each
+    * string indexes its `maxDist·n+1` globally-rarest positional grams; by
+    * the prefix-filter theorem two strings within `maxDist` substitutions
+    * share a kept gram under any common total order), with the exact
+    * `levenshtein` verify applied BEFORE the distinct so the dedup shuffle
+    * carries matches, not candidates.
+    *
+    * Completeness contract (both paths): guaranteed for SUBSTITUTION edits
+    * on equal-length strings (the id/code/phone cleaning case — and the
     * brute-force oracle would fail the gate loudly if the corpus grew an
-    * indel-near pair); general insert/delete pairs shift positional
-    * grams and need the cap-free gram join (the
+    * indel-near pair); general insert/delete pairs shift positions and
+    * need the cap-free gram join (the
     * [[graft.ops.Dedup.ngramJaccardPairs]] shape) instead. */
   def fuzzyJoinPairs(df: DataFrame, idCol: String, strCol: String,
       maxDist: Int = 1, n: Int = 3): DataFrame = {
-    val grams = positionalGrams(df, idCol, strCol, n)
-    val rarity = grams.groupBy("g", "pos").agg(count(lit(1)).as("gdf"))
-    val wR = Window.partitionBy(col("id"))
-      .orderBy(col("gdf"), col("g"), col("pos"))
-    val prefix = grams.join(rarity, Seq("g", "pos"))
-      .withColumn("r", row_number().over(wR))
-      .filter(col("r") <= maxDist * n + 1)
-    val cand = prefix.as("x").join(prefix.as("y"),
-        col("x.g") === col("y.g") && col("x.pos") === col("y.pos") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("x.s").as("s_a"),
-        col("y.id").as("id_b"), col("y.s").as("s_b"))
-      .distinct()
-    cand.select(col("id_a"), col("id_b"),
-        levenshtein(col("s_a"), col("s_b")).cast("long").as("dist"))
+    val cand =
+      if (maxDist == 1) {
+        val mk = maskedKeys(df, idCol, strCol)
+        mk.as("x").join(mk.as("y"),
+          col("x.k") === col("y.k") && col("x.pos") === col("y.pos") &&
+            col("x.id") < col("y.id"))
+      } else {
+        val grams = positionalGrams(df, idCol, strCol, n)
+        val rarity = grams.groupBy("g", "pos").agg(count(lit(1)).as("gdf"))
+        val wR = Window.partitionBy(col("id"))
+          .orderBy(col("gdf"), col("g"), col("pos"))
+        val prefix = grams.join(rarity, Seq("g", "pos"))
+          .withColumn("r", row_number().over(wR))
+          .filter(col("r") <= maxDist * n + 1)
+        prefix.as("x").join(prefix.as("y"),
+          col("x.g") === col("y.g") && col("x.pos") === col("y.pos") &&
+            col("x.id") < col("y.id"))
+      }
+    cand.select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        levenshtein(col("x.s"), col("y.s")).cast("long").as("dist"))
       .filter(col("dist") <= maxDist)
+      .distinct()
       .orderBy("id_a", "id_b")
   }
 
@@ -1288,86 +1315,52 @@ object Relational {
           s"i -> substring(s, i, $n))")).as(Seq("pos", "g")))
 
   /** Persisted half of [[fuzzyJoinPairs]] — the entity-resolution SERVING
-    * shape: the master key table is indexed ONCE (each string's
-    * `maxDist·n+1` rarest positional grams, bucketed on the gram), and
-    * every incoming batch probes it without re-indexing the corpus. The
-    * gram-rarity table is stored alongside and FROZEN: the prefix-filter
-    * theorem needs both sides' prefixes drawn from one COMMON total
-    * order, so the build's (df, g, pos) order is the family's model
-    * artifact (the IVF-pivots MODEL-KEPT contract) — probe-side strings
-    * rank their grams by the STORED dfs (unseen grams sort rarest), and
-    * [[appendToFuzzyIndex]] indexes new corpus batches under the same
-    * frozen order. Rarity drift affects candidate-list SIZE only, never
-    * completeness; a periodic rebuild refreshes the order. */
+    * shape: the master key table is indexed ONCE as its position-masked
+    * keys ([[maskedKeys]], the maxDist=1 scheme), bucketed on the key,
+    * and every incoming batch probes it without re-indexing the corpus.
+    * The masked scheme keeps NO global model (no gram-rarity state —
+    * every key is a pure per-string projection), so an append is
+    * STRUCTURALLY identical to a one-shot build: same rows, just more of
+    * them. Bucket membership is a true dist≤1 neighborhood, so the probe
+    * join is output-sized at any corpus size — the property the gate's
+    * brute-force oracle certifies. */
   def buildFuzzyIndex(df: DataFrame, idCol: String, strCol: String,
-      table: String, maxDist: Int = 1, n: Int = 3, numBuckets: Int = 8): Unit = {
-    val grams = positionalGrams(df, idCol, strCol, n)
-    val rarity = grams.groupBy("g", "pos").agg(count(lit(1)).as("gdf"))
-    graft.sources.Formats.writeBucketed(rarity, s"${table}_df", Seq("g"), numBuckets)
-    val spark = df.sparkSession
-    val wR = Window.partitionBy(col("id"))
-      .orderBy(col("gdf"), col("g"), col("pos"))
-    val prefix = grams.join(spark.table(s"${table}_df"), Seq("g", "pos"))
-      .withColumn("r", row_number().over(wR))
-      .filter(col("r") <= maxDist * n + 1)
-      .select("g", "pos", "id", "s")
-    graft.sources.Formats.writeBucketed(prefix, table, Seq("g"), numBuckets)
+      table: String, numBuckets: Int = 8): Unit = {
+    graft.sources.Formats.writeBucketed(
+      maskedKeys(df, idCol, strCol), table, Seq("k"), numBuckets)
     val (cn, fp) = graft.sources.Formats.corpusStamp(df, idCol)
-    graft.sources.Formats.writeBuildMeta(spark, table,
-      s"kind=fuzzy,maxdist=$maxDist,n=$n,buckets=$numBuckets", cn, fp)
+    graft.sources.Formats.writeBuildMeta(df.sparkSession, table,
+      s"kind=fuzzy_masked,maxdist=1,buckets=$numBuckets", cn, fp)
   }
 
-  /** Ingest half: a new master batch's prefix rows appended under the
-    * FROZEN build-time rarity order (grams unseen at build time rank
-    * rarest, deterministic (g, pos) tiebreak) — the stored corpus rows
-    * and the rarity model are neither read in bulk nor rewritten. The
-    * verified output of a probe is bit-identical to a one-shot rebuild:
-    * prefixes may differ under the frozen vs refreshed order, but both
-    * candidate sets contain every true pair and the exact-distance
-    * verify keeps only those. */
+  /** Ingest half: the batch's masked keys appended — the stored rows are
+    * neither read nor rewritten, and (no global model) the result is
+    * row-identical to a one-shot build of the union. */
   def appendToFuzzyIndex(newDf: DataFrame, idCol: String, strCol: String,
-      table: String, maxDist: Int = 1, n: Int = 3, numBuckets: Int = 8): Unit = {
-    val spark = newDf.sparkSession
-    val grams = positionalGrams(newDf, idCol, strCol, n)
-    val wR = Window.partitionBy(col("id"))
-      .orderBy(col("gdf"), col("g"), col("pos"))
-    val prefix = grams
-      .join(spark.table(s"${table}_df"), Seq("g", "pos"), "left")
-      .na.fill(0L, Seq("gdf"))
-      .withColumn("r", row_number().over(wR))
-      .filter(col("r") <= maxDist * n + 1)
-      .select("g", "pos", "id", "s")
-    graft.sources.Formats.writeBucketedAppend(prefix, table, Seq("g"), numBuckets)
+      table: String, numBuckets: Int = 8): Unit = {
+    graft.sources.Formats.writeBucketedAppend(
+      maskedKeys(newDf, idCol, strCol), table, Seq("k"), numBuckets)
     val (cn, fp) = graft.sources.Formats.corpusStamp(newDf, idCol)
-    graft.sources.Formats.foldBuildMeta(spark, table,
-      s"kind=fuzzy,maxdist=$maxDist,n=$n,buckets=$numBuckets", cn, fp)
+    graft.sources.Formats.foldBuildMeta(newDf.sparkSession, table,
+      s"kind=fuzzy_masked,maxdist=1,buckets=$numBuckets", cn, fp)
   }
 
-  /** Probe: all (probe, master) pairs within `maxDist` — the batch ranks
-    * its grams by the STORED rarity model, joins the index bucket-locally
-    * on the gram, and exact `levenshtein` verifies the candidates. Same
-    * completeness contract as [[fuzzyJoinPairs]] (substitution edits on
-    * equal-length keys), proven against the brute-force oracle. */
+  /** Probe: all (probe, master) pairs within distance 1 — the batch's
+    * masked keys join the stored index bucket-locally, exact
+    * `levenshtein` verifies, the distinct dedups the ≤L shared masks of
+    * each matched pair. Same completeness contract as
+    * [[fuzzyJoinPairs]] (substitution edits on equal-length keys),
+    * proven against the cross-set brute-force oracle. */
   def fuzzyJoinIndexed(spark: SparkSession, probe: DataFrame, idCol: String,
-      strCol: String, table: String, maxDist: Int = 1, n: Int = 3): DataFrame = {
+      strCol: String, table: String): DataFrame = {
     graft.sources.Formats.requireBuilt(spark, table)
-    val grams = positionalGrams(probe, idCol, strCol, n)
-    val wR = Window.partitionBy(col("id"))
-      .orderBy(col("gdf"), col("g"), col("pos"))
-    val pPrefix = grams
-      .join(spark.table(s"${table}_df"), Seq("g", "pos"), "left")
-      .na.fill(0L, Seq("gdf"))
-      .withColumn("r", row_number().over(wR))
-      .filter(col("r") <= maxDist * n + 1)
-    val cand = pPrefix.as("x")
-      .join(spark.table(table).as("y"),
-        col("x.g") === col("y.g") && col("x.pos") === col("y.pos"))
-      .select(col("x.id").as("id_probe"), col("x.s").as("s_p"),
-        col("y.id").as("id_master"), col("y.s").as("s_m"))
+    val mk = maskedKeys(probe, idCol, strCol)
+    mk.as("x").join(spark.table(table).as("y"),
+        col("x.k") === col("y.k") && col("x.pos") === col("y.pos"))
+      .select(col("x.id").as("id_probe"), col("y.id").as("id_master"),
+        levenshtein(col("x.s"), col("y.s")).cast("long").as("dist"))
+      .filter(col("dist") <= 1)
       .distinct()
-    cand.select(col("id_probe"), col("id_master"),
-        levenshtein(col("s_p"), col("s_m")).cast("long").as("dist"))
-      .filter(col("dist") <= maxDist)
       .orderBy("id_probe", "id_master")
   }
 

@@ -44,7 +44,25 @@ class FuzzyJoinSpec extends SparkTestBase {
         s"extra ${(got -- brute).take(5)}")
   }
 
-  test("fuzzyJoinIndexed: unseen probe grams stay complete; append == one-shot") {
+  test("fuzzyJoinPairs maxDist=2: the prefix-filter path matches brute force") {
+    import spark.implicits._
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("id"), col("c_name").as("s"))
+    val brute = cust.as("a")
+      .join(broadcast(cust.as("b")), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        levenshtein(col("a.s"), col("b.s")).cast("long").as("dist"))
+      .filter(col("dist") <= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = Relational.fuzzyJoinPairs(Tables.customer(spark, sfDir),
+        "c_custkey", "c_name", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(brute.exists(_._3 == 2L), "no dist-2 pair in the corpus")
+    assert(got === brute, s"prefix filter (maxDist=2) diverged: " +
+      s"missing ${(brute -- got).take(5)}, extra ${(got -- brute).take(5)}")
+  }
+
+  test("fuzzyJoinIndexed: masked-key probe complete; append == one-shot") {
     import spark.implicits._
     val master = Seq((1L, "ACCT-00417-X"), (2L, "ACCT-99999-Z"))
       .toDF("id", "s")
