@@ -1132,6 +1132,11 @@ object SparkEntry {
     // affects shortlist membership, never the final order
     "ann_prefix_refine" -> ((s, d) =>
       Similarity.prefixRefineTopK(Tables.embeddings(s, d), col("vec_id") < 10)),
+    // MMR diversified retrieval: greedy λ·rel − (1−λ)·max-sim-to-selected
+    // over an exact 20-candidate shortlist, k chained plan stages — the
+    // oracle replays every greedy step as a CTE
+    "ann_mmr_topk" -> ((s, d) =>
+      Similarity.mmrTopK(Tables.embeddings(s, d), col("vec_id") < 10)),
     // product-quantization tier: 16 trained sub-codebooks, 16-byte codes
     // (16x compression), asymmetric scoring — float queries against
     // code-reconstructed neighbors; the oracle replays training, encoding,
@@ -3819,6 +3824,49 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn, cos
         |  FROM hc)
         |SELECT query_id, neighbor_id, rn, cos FROM hr WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+    // MMR: the greedy loop replayed step by step — sel1 is pure
+    // relevance (empty penalty max), each later step scores the
+    // remaining shortlist against the selected-so-far set; 0.75/0.25
+    // are exact binary doubles on both engines
+    "ann_mmr_topk" -> {
+      val steps = (2 to 5).map { i =>
+        s"""p$i AS (SELECT c.query_id, c.cand, 0.75 * c.rel - 0.25 * m.pen AS mmr
+           |  FROM sl c
+           |  JOIN (SELECT s.query_id, s.ca AS cand, max(s.sim) AS pen
+           |        FROM sims s JOIN sel${i - 1} x
+           |          ON x.query_id = s.query_id AND x.cand = s.cb
+           |        GROUP BY 1, 2) m
+           |    ON m.query_id = c.query_id AND m.cand = c.cand
+           |  WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} x2
+           |    WHERE x2.query_id = c.query_id AND x2.cand = c.cand)),
+           |s$i AS (SELECT query_id, cand, mmr, $i AS step FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY mmr DESC, cand) AS r FROM p$i) WHERE r = 1),
+           |sel$i AS (SELECT * FROM sel${i - 1} UNION ALL
+           |          SELECT query_id, cand, mmr, step FROM s$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH sl0 AS (SELECT q.vec_id AS query_id, n.vec_id AS cand,
+         |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+         |      CAST(n.embedding AS DOUBLE[])) AS rel
+         |  FROM embeddings q JOIN embeddings n
+         |    ON q.vec_id < 10 AND n.vec_id <> q.vec_id),
+         |sl AS (SELECT query_id, cand, rel FROM (SELECT *,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, cand) AS rn
+         |  FROM sl0) WHERE rn <= 20),
+         |sims AS (SELECT a.query_id, a.cand AS ca, b.cand AS cb,
+         |    list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+         |      CAST(eb.embedding AS DOUBLE[])) AS sim
+         |  FROM sl a JOIN sl b ON a.query_id = b.query_id AND a.cand <> b.cand
+         |  JOIN embeddings ea ON ea.vec_id = a.cand
+         |  JOIN embeddings eb ON eb.vec_id = b.cand),
+         |sel1 AS (SELECT query_id, cand, 0.75 * rel AS mmr, 1 AS step FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rel DESC, cand) AS r FROM sl) WHERE r = 1),
+         |$steps
+         |SELECT query_id, CAST(step AS BIGINT) AS step, cand AS vec_id,
+         |  mmr AS mmr_score
+         |FROM sel5 ORDER BY query_id, step""".stripMargin
+    },
     // Matryoshka prefix refine: 16-dim-prefix shortlist (rank 20 with
     // neighbor_id tiebreak), exact full-dim re-rank to top-5
     "ann_prefix_refine" ->

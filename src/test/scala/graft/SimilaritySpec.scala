@@ -777,4 +777,35 @@ class SimilaritySpec extends SparkTestBase {
       assert(full(k2) === cos, s"served score for $k2 is not the exact cosine")
     }
   }
+
+  test("mmrTopK: an exact duplicate is displaced by a diverse equal-relevance hit") {
+    // q=[1,0,0,0]; ids 1 and 2 are EXACT duplicates [1,1,0,0] (pairwise
+    // sim 1.0), id 3 = [1,0,1,0] has the SAME relevance (1/√2) but only
+    // 0.5 sim to them. Plain top-3 would serve 1,2,3 by id; MMR at λ=0.5
+    // must interleave: pick 1 (tiebreak), then 3 (the duplicate's
+    // penalty 0.5·0.707−0.5·1 < 0.5·0.707−0.5·0.5), duplicate last.
+    val vecs = mkVecs(Seq(
+      0L -> Seq(1f, 0f, 0f, 0f),
+      1L -> Seq(1f, 1f, 0f, 0f),
+      2L -> Seq(1f, 1f, 0f, 0f),
+      3L -> Seq(1f, 0f, 1f, 0f)))
+    val got = Similarity.mmrTopK(vecs, col("vec_id") === 0, k = 3,
+        shortlist = 3, lam = 0.5)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((1L, 1L), (2L, 3L), (3L, 2L)), s"MMR order wrong: $got")
+  }
+
+  test("mmrTopK: first pick is the relevance argmax; selections distinct") {
+    val got = Similarity.mmrTopK(emb, col("vec_id") < 10).collect()
+    assert(got.length === 50)
+    val top1 = Similarity.bruteForceTopK(emb, col("vec_id") < 10, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.filter(_.getLong(1) == 1L).foreach { r =>
+      assert(top1(r.getLong(0)) === r.getLong(2),
+        s"query ${r.getLong(0)}: first MMR pick is not the top-1")
+    }
+    val perQuery = got.groupBy(_.getLong(0))
+    assert(perQuery.values.forall(rs => rs.map(_.getLong(2)).distinct.length == 5),
+      "a vector was selected twice")
+  }
 }
