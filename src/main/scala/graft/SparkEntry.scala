@@ -337,6 +337,23 @@ object SparkEntry {
     // ingest-volume anomaly: >3-sigma daily spikes per event type, the
     // z-test cross-multiplied to exact integers (no float sigma)
     "events_anomaly_days" -> Relational.eventAnomalyDays,
+    // deployment form of the anomaly monitor: per-type baseline MOMENTS
+    // (n, Σx, Σx²) stored with build/append/manifest — additive over
+    // day-disjoint batches — and the probe days flagged against them
+    // with no corpus rescan; streaming twin is a stateless join
+    "events_anomaly_indexed" -> ((s, d) => {
+      buildOnce(s"anom:$d") {
+        val ev = Tables.events(s, d)
+        Relational.buildAnomalyBaseline(
+          ev.filter(col("ts") < lit("2024-01-11")), "graft_anom_base")
+        Relational.appendToAnomalyBaseline(
+          ev.filter(col("ts") >= lit("2024-01-11") && col("ts") < lit("2024-01-21")),
+          "graft_anom_base")
+      }
+      Relational.anomalyFlagIndexed(s, "graft_anom_base",
+        Relational.dailyCounts(
+          Tables.events(s, d).filter(col("ts") >= lit("2024-01-21"))))
+    }),
     // market-basket pair mining: order-local self-join, basket-bounded
     "agg_copurchase_pairs" -> ((s, d) => Relational.coPurchasePairs(s, d)),
     // exact sliding-window distinct (WAU): bounded x7 contribution
@@ -3501,6 +3518,22 @@ object SparkEntry {
         |FROM clamped d JOIN act a
         |  ON a.day BETWEEN d.report_day - INTERVAL 6 DAY AND d.report_day
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // baseline from the first 20 days' moments, probe days 21+ flagged
+    "events_anomaly_indexed" ->
+      """WITH hist AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-21' GROUP BY 1, 2),
+        |base AS (SELECT event_type, count(*) AS n, sum(x) AS s,
+        |    sum(x * x) AS q FROM hist GROUP BY 1),
+        |probe AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events WHERE ts >= TIMESTAMP '2024-01-21' GROUP BY 1, 2)
+        |SELECT p.event_type, p.day, p.x AS n_events,
+        |  CASE WHEN b.n * p.x - b.s > 0
+        |        AND (b.n * p.x - b.s) * (b.n * p.x - b.s) > 9 * (b.n * b.q - b.s * b.s)
+        |       THEN 1 ELSE 0 END AS is_spike
+        |FROM probe p JOIN base b ON p.event_type = b.event_type
+        |ORDER BY 1, 2""".stripMargin,
     // canonical a<b<c triple join (each triangle found once since every
     // stored edge has pa<pb) — orientation-independent check
     "agg_triangle_counts" ->

@@ -1545,6 +1545,65 @@ object Relational {
       .orderBy("report_day")
   }
 
+  /** Daily (event_type, day, x) counts — the metric rollup both anomaly
+    * forms consume. */
+  def dailyCounts(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("x"))
+
+  /** TRAIN half of the anomaly monitor: persist per-type baseline moments
+    * (n days, Σx, Σx²) from historical daily counts — three integers per
+    * type, the entire model. They are ADDITIVE over day-disjoint batches
+    * (each batch must own whole days: a day split across batches would
+    * count as two), so [[appendToAnomalyBaseline]] folds new history
+    * without reading the old — and the probe never rescans the corpus.
+    * This is [[eventAnomalyDays]]'s deployment form: that gate scores
+    * days against their own population; production scores TODAY against
+    * the STORED baseline. */
+  def buildAnomalyBaseline(events: DataFrame, table: String): Unit = {
+    val m = dailyCounts(events).groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("x").as("s"),
+        sum(col("x") * col("x")).as("q"))
+    graft.sources.Formats.writeBucketed(m, table, Seq("event_type"), 4)
+    val (n, fp) = graft.sources.Formats.corpusStamp(events, "event_id")
+    graft.sources.Formats.writeBuildMeta(events.sparkSession, table,
+      "kind=anomaly_baseline", n, fp)
+  }
+
+  /** Ingest half: a day-disjoint batch's moment deltas appended. */
+  def appendToAnomalyBaseline(newEvents: DataFrame, table: String): Unit = {
+    val m = dailyCounts(newEvents).groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("x").as("s"),
+        sum(col("x") * col("x")).as("q"))
+    graft.sources.Formats.writeBucketedAppend(m, table, Seq("event_type"), 4)
+    val (n, fp) = graft.sources.Formats.corpusStamp(newEvents, "event_id")
+    graft.sources.Formats.foldBuildMeta(newEvents.sparkSession, table,
+      "kind=anomaly_baseline", n, fp)
+  }
+
+  /** The 3σ verdict of `x` against folded baseline moments — exact
+    * integer cross-multiplication ([[eventAnomalyDays]]'s discipline). */
+  private def spikeFlag(n: Column, s: Column, q: Column, x: Column): Column =
+    (n * x - s > 0 &&
+      (n * x - s) * (n * x - s) > lit(9L) * (n * q - s * s)).cast("int")
+
+  /** Serve half: flag incoming (event_type, day, x) rollups against the
+    * STORED baseline. The probe folds the per-batch moment deltas
+    * (types-count-sized) and broadcast-joins them onto the rollups — a
+    * row-local verdict with no corpus access, which is also why the
+    * STREAMING twin ([[graft.streaming.StreamOps.streamAnomalyFlagged]])
+    * is a stateless stream-static join with unconditional parity. */
+  def anomalyFlagIndexed(spark: SparkSession, table: String,
+      probeCounts: DataFrame): DataFrame = {
+    graft.sources.Formats.requireBuilt(spark, table)
+    val base = spark.table(table).groupBy("event_type")
+      .agg(sum("n").as("n"), sum("s").as("s"), sum("q").as("q"))
+    probeCounts.join(broadcast(base), Seq("event_type"))
+      .select(col("event_type"), col("day"), col("x").as("n_events"),
+        spikeFlag(col("n"), col("s"), col("q"), col("x")).as("is_spike"))
+      .orderBy("event_type", "day")
+  }
+
   /** Market-basket CO-PURCHASE mining — the "bought together" pair table:
     * part pairs appearing in at least `minOrders` common orders. The
     * self-join is ORDER-LOCAL (equi-join on `l_orderkey`, `<` on the part

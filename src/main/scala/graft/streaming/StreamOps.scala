@@ -620,4 +620,26 @@ object StreamOps {
       .select("user_id", "session_idx", "start_ts", "end_ts", "n_events", "sum_value")
       .orderBy("user_id", "session_idx")
   }
+
+  /** Streaming anomaly admission — flag arriving metric rollups
+    * `(event_type, day, x)` against the STORED baseline moments
+    * ([[graft.ops.Relational.buildAnomalyBaseline]]): the monitor's
+    * deployment form, where history is a trained artifact and today's
+    * counts arrive on the wire. The baseline fold is types-count-sized
+    * and broadcast; the verdict is a row-local exact-integer
+    * cross-multiplication — a STATELESS stream-static join, so no state
+    * store, no watermark, unconditional stream/batch parity
+    * (StreamOpsSpec drives a MemoryStream against the batch twin). */
+  def streamAnomalyFlagged(spark: org.apache.spark.sql.SparkSession,
+      counts: DataFrame, baselineTable: String): DataFrame = {
+    graft.sources.Formats.requireBuilt(spark, baselineTable)
+    val base = spark.table(baselineTable).groupBy("event_type")
+      .agg(sum("n").as("n"), sum("s").as("s"), sum("q").as("q"))
+    counts.join(broadcast(base), Seq("event_type"))
+      .select(col("event_type"), col("day"), col("x").as("n_events"),
+        ((col("n") * col("x") - col("s") > 0) &&
+          (col("n") * col("x") - col("s")) * (col("n") * col("x") - col("s")) >
+            lit(9L) * (col("n") * col("q") - col("s") * col("s")))
+          .cast("int").as("is_spike"))
+  }
 }

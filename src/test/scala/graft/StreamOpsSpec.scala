@@ -660,6 +660,50 @@ class StreamOpsSpec extends SparkTestBase {
       Tables.events(spark, sfDir).count())
   }
 
+  test("streaming anomaly flags equal the batch probe; baseline append is additive") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.ops.Relational
+    // 10 uniform history days of 10 events for type 'a' → σ=0, so ANY
+    // probe count above the mean must flag and the mean itself must not
+    val hist = (for (d <- 1 to 10; i <- 1 to 10) yield
+      (d * 100L + i, Timestamp.valueOf(f"2024-03-$d%02d 00:00:${i % 60}%02d"), "a"))
+      .toDF("event_id", "ts", "event_type")
+    Relational.buildAnomalyBaseline(hist.filter(col("ts") < "2024-03-06"), "t_anom_spec")
+    Relational.appendToAnomalyBaseline(hist.filter(col("ts") >= "2024-03-06"), "t_anom_spec")
+    Relational.buildAnomalyBaseline(hist, "t_anom_one")
+    val probe = Seq(
+      ("a", java.sql.Date.valueOf("2024-03-21"), 10L),
+      ("a", java.sql.Date.valueOf("2024-03-22"), 11L),
+      ("a", java.sql.Date.valueOf("2024-03-23"), 3L)
+    ).toDF("event_type", "day", "x")
+    val batch = Relational.anomalyFlagIndexed(spark, "t_anom_spec", probe)
+      .collect().map(r => r.getDate(1).toString -> r.getInt(3)).toMap
+    assert(batch === Map("2024-03-21" -> 0, "2024-03-22" -> 1, "2024-03-23" -> 0),
+      s"zero-variance baseline verdicts wrong: $batch")
+    // append == one-shot through the stored moments
+    val oneShot = Relational.anomalyFlagIndexed(spark, "t_anom_one", probe)
+      .collect().map(_.toString).sorted.toSeq
+    val folded = Relational.anomalyFlagIndexed(spark, "t_anom_spec", probe)
+      .collect().map(_.toString).sorted.toSeq
+    assert(oneShot === folded, "moment append diverged from one-shot")
+    // streaming twin: same verdicts from a MemoryStream of rollups
+    val stream = MemoryStream[(String, java.sql.Date, Long)]
+    val q = StreamOps.streamAnomalyFlagged(spark,
+        stream.toDF().toDF("event_type", "day", "x"), "t_anom_spec")
+      .writeStream.format("memory").queryName("anom_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(("a", java.sql.Date.valueOf("2024-03-21"), 10L),
+        ("a", java.sql.Date.valueOf("2024-03-22"), 11L),
+        ("a", java.sql.Date.valueOf("2024-03-23"), 3L))
+      q.processAllAvailable()
+      val streamed = spark.table("anom_out")
+        .collect().map(r => r.getDate(1).toString -> r.getInt(3)).toMap
+      assert(streamed === batch, "streamed verdicts diverged from batch")
+    } finally q.stop()
+  }
+
   test("absorb crash window: at-least-once replay, ledger never double-commits") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-absorb-fip").toString
