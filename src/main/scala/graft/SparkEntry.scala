@@ -356,6 +356,10 @@ object SparkEntry {
     }),
     // market-basket pair mining: order-local self-join, basket-bounded
     "agg_copurchase_pairs" -> ((s, d) => Relational.coPurchasePairs(s, d)),
+    // winsorized robust stats: exact integer [P10, P90] order statistics
+    // by histogram selection (no per-group sort), clamped sum off the
+    // histogram itself — oracle is the rank formulation
+    "agg_winsorized_stats" -> Relational.winsorizedPriceStats,
     // exact sliding-window distinct (WAU): bounded x7 contribution
     // explode, two key shuffles — distinct doesn't decompose over frames
     "events_rolling_wau" -> Relational.rollingActiveUsers,
@@ -3518,6 +3522,24 @@ object SparkEntry {
         |FROM clamped d JOIN act a
         |  ON a.day BETWEEN d.report_day - INTERVAL 6 DAY AND d.report_day
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // rank-based winsorized replay: k-th order statistics by row_number
+    "agg_winsorized_stats" ->
+      """WITH px AS (SELECT l_returnflag AS flag,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM lineitem),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY flag ORDER BY cents) AS rn,
+        |    count(*) OVER (PARTITION BY flag) AS n FROM px),
+        |b AS (SELECT flag, max(n) AS n_rows,
+        |    max(CASE WHEN rn = CAST(ceil(n * 0.1) AS BIGINT) THEN cents END) AS lo_cents,
+        |    max(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN cents END) AS hi_cents
+        |  FROM r GROUP BY flag)
+        |SELECT p.flag, b.n_rows, b.lo_cents, b.hi_cents,
+        |  CAST(sum(greatest(b.lo_cents, least(b.hi_cents, p.cents))) AS BIGINT)
+        |    AS win_sum_cents,
+        |  CAST(sum(greatest(b.lo_cents, least(b.hi_cents, p.cents))) AS DOUBLE)
+        |    / b.n_rows AS win_mean_cents
+        |FROM px p JOIN b ON p.flag = b.flag
+        |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin,
     // baseline from the first 20 days' moments, probe days 21+ flagged
     "events_anomaly_indexed" ->
       """WITH hist AS (SELECT event_type, CAST(ts AS DATE) AS day,

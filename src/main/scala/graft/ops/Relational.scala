@@ -1545,6 +1545,50 @@ object Relational {
       .orderBy("report_day")
   }
 
+  /** WINSORIZED robust statistics per group — the outlier-immune mean a
+    * metrics pipeline reports when a single fat-finger price would drag
+    * the plain average: clamp every value into its group's [P10, P90]
+    * order statistics, then aggregate. EXACT at scale with no per-group
+    * sort ([[graft.ops.Curation.qualityFloor]]'s selection-by-histogram
+    * discipline): prices become integer CENTS through DECIMAL(18,2) (a
+    * double `*100` would round — 36485.12·100 is not an integer in
+    * binary), ONE aggregation to the (group, cents) histogram, the k-th
+    * smallest = first key whose cumulative count reaches k (a window
+    * over the histogram, value-granularity-sized), and the winsorized
+    * sum folds from the histogram itself as Σ count·clamp(key, lo, hi)
+    * — all integers; the mean is one exact-int division. */
+  def winsorizedPriceStats(s: SparkSession, dir: String): DataFrame =
+    winsorizedStatsOf(Tables.lineitem(s, dir).select(
+      col("l_returnflag").as("flag"),
+      (col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long").as("cents")))
+
+  def winsorizedStatsOf(px: DataFrame): DataFrame = {
+    val hist = px.groupBy("flag", "cents").agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("flag").orderBy("cents")
+    val wG = Window.partitionBy("flag")
+    val cum = hist
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("n", sum("c").over(wG))
+    val bounds = cum
+      .withColumn("k10", ceil(col("n") * 0.1).cast("long"))
+      .withColumn("k90", ceil(col("n") * 0.9).cast("long"))
+      .groupBy("flag")
+      .agg(min(when(col("cum") >= col("k10"), col("cents"))).as("lo_cents"),
+        min(when(col("cum") >= col("k90"), col("cents"))).as("hi_cents"),
+        first(col("n")).as("n"))
+    hist.join(broadcast(bounds), Seq("flag"))
+      .groupBy("flag")
+      .agg(first("n").as("n_rows"), first("lo_cents").as("lo_cents"),
+        first("hi_cents").as("hi_cents"),
+        sum(col("c") * greatest(col("lo_cents"),
+          least(col("hi_cents"), col("cents")))).as("win_sum_cents"))
+      .select(col("flag"), col("n_rows"), col("lo_cents"), col("hi_cents"),
+        col("win_sum_cents"),
+        (col("win_sum_cents").cast("double") / col("n_rows")).as("win_mean_cents"))
+      .orderBy("flag")
+  }
+
   /** Daily (event_type, day, x) counts — the metric rollup both anomaly
     * forms consume. */
   def dailyCounts(events: DataFrame): DataFrame =

@@ -24,6 +24,21 @@ class AggMiningSpec extends SparkTestBase {
     assert(got === Map((10L, 20L) -> 2L, (20L, 30L) -> 2L), s"got $got")
   }
 
+  test("winsorizedStatsOf: the clamp makes the mean outlier-immune") {
+    import spark.implicits._
+    // 10 values 1..9 plus an outlier: [P10, P90] = [1, 9] (k10=1, k90=9
+    // of n=10), so the outlier clamps to 9 — and blowing it up 100×
+    // must not move ANY output column
+    def px(outlier: Long) =
+      ((1L to 9L) :+ outlier).map(("A", _)).toDF("flag", "cents")
+    val a = Relational.winsorizedStatsOf(px(1000L)).collect().head
+    val b = Relational.winsorizedStatsOf(px(100000L)).collect().head
+    assert(a.toString === b.toString, s"outlier moved the winsorized stats")
+    assert((a.getLong(2), a.getLong(3)) === ((1L, 9L)), s"bounds wrong: $a")
+    // winsorized sum = 1..9 clamped + outlier→9 = 45 + 9 = 54
+    assert(a.getLong(4) === 54L && a.getDouble(5) === 5.4)
+  }
+
   test("triangleCountsOf: K4 counts 3 per node, stars and paths count none") {
     import spark.implicits._
     // K4 on {1,2,3,4}: 4 triangles, every node in exactly 3; star at 9
