@@ -356,6 +356,9 @@ object SparkEntry {
     }),
     // market-basket pair mining: order-local self-join, basket-bounded
     "agg_copurchase_pairs" -> ((s, d) => Relational.coPurchasePairs(s, d)),
+    // two-proportion A/B readout: |z| > 2 cross-multiplied to exact
+    // integers, arm split by user-id parity
+    "events_ab_test" -> Relational.abTestReport,
     // winsorized robust stats: exact integer [P10, P90] order statistics
     // by histogram selection (no per-group sort), clamped sum off the
     // histogram itself — oracle is the rank formulation
@@ -3522,6 +3525,20 @@ object SparkEntry {
         |FROM clamped d JOIN act a
         |  ON a.day BETWEEN d.report_day - INTERVAL 6 DAY AND d.report_day
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "events_ab_test" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS conv,
+        |    user_id % 2 AS arm
+        |  FROM events GROUP BY user_id),
+        |a AS (SELECT count(*) AS n0, sum(conv) AS c0 FROM u WHERE arm = 0),
+        |b AS (SELECT count(*) AS n1, sum(conv) AS c1 FROM u WHERE arm = 1)
+        |SELECT n0 AS n_control, CAST(c0 AS BIGINT) AS conv_control,
+        |  n1 AS n_treat, CAST(c1 AS BIGINT) AS conv_treat,
+        |  CASE WHEN (c0 * n1 - c1 * n0) * (c0 * n1 - c1 * n0) * (n0 + n1)
+        |          > 4 * n0 * n1 * (c0 + c1) * (n0 + n1 - c0 - c1)
+        |       THEN 1 ELSE 0 END AS significant,
+        |  CAST(sign(c0 * n1 - c1 * n0) AS INT) AS control_minus_treat_sign
+        |FROM a, b""".stripMargin,
     // rank-based winsorized replay: k-th order statistics by row_number
     "agg_winsorized_stats" ->
       """WITH px AS (SELECT l_returnflag AS flag,

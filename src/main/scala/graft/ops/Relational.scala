@@ -1589,6 +1589,42 @@ object Relational {
       .orderBy("flag")
   }
 
+  /** Two-proportion A/B significance — the experiment readout: split
+    * users into arms by id parity, conversion = the user ever purchased,
+    * and test |z| > 2 on the pooled two-proportion statistic with the
+    * whole inequality CROSS-MULTIPLIED to integers (the anomaly/
+    * repetition discipline — no float p's, no sqrt):
+    * `z² > 4  ⇔  (c₀n₁ − c₁n₀)²·n > 4·n₀·n₁·c·(n−c)`. Longs are exact
+    * here (counts ≤ ~10⁶ keep every product under 2⁶³); a
+    * billion-user deployment promotes the five products to
+    * DECIMAL(38,0), same expression. Shape: one per-user aggregation,
+    * one two-row arm fold, a one-row join. */
+  def abTestReport(s: SparkSession, dir: String): DataFrame =
+    abTestReportOf(Tables.events(s, dir))
+
+  def abTestReportOf(events: DataFrame): DataFrame = {
+    val perUser = events.groupBy("user_id")
+      .agg(max((col("event_type") === "purchase").cast("long")).as("conv"))
+      .withColumn("arm", col("user_id") % 2)
+    val arms = perUser.groupBy("arm")
+      .agg(count(lit(1)).as("n"), sum("conv").as("c"))
+    val a0 = arms.filter(col("arm") === 0)
+      .select(col("n").as("n_control"), col("c").as("conv_control"))
+    val a1 = arms.filter(col("arm") === 1)
+      .select(col("n").as("n_treat"), col("c").as("conv_treat"))
+    val j = a0.crossJoin(broadcast(a1)) // 1 row x 1 row
+    val diff = col("conv_control") * col("n_treat") -
+      col("conv_treat") * col("n_control")
+    val n = col("n_control") + col("n_treat")
+    val c = col("conv_control") + col("conv_treat")
+    j.select(col("n_control"), col("conv_control"),
+        col("n_treat"), col("conv_treat"),
+        (diff * diff * n >
+          lit(4L) * col("n_control") * col("n_treat") * c * (n - c))
+          .cast("int").as("significant"),
+        signum(diff).cast("int").as("control_minus_treat_sign"))
+  }
+
   /** Daily (event_type, day, x) counts — the metric rollup both anomaly
     * forms consume. */
   def dailyCounts(events: DataFrame): DataFrame =

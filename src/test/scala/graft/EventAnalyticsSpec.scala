@@ -82,6 +82,28 @@ class EventAnalyticsSpec extends SparkTestBase {
     assert(got === expect, s"got $got")
   }
 
+  test("abTestReport: significance boundary on crafted conversion splits") {
+    import spark.implicits._
+    // 100 users per arm (ids 0..199): control (even) converts at
+    // `c0`/100, treatment (odd) at 10/100 — c0=40 gives z≈5 (flag),
+    // c0=15 gives z≈1.06 (no flag); each user emits a view + maybe a
+    // purchase, and duplicate purchases must not double-count
+    def ev(c0: Int) = {
+      val rows =
+        (0L until 200L).map(u => (u, "view")) ++
+        (0L until 200L by 2).take(c0).flatMap(u => Seq((u, "purchase"), (u, "purchase"))) ++
+        (1L until 200L by 2).take(10).map(u => (u, "purchase"))
+      rows.toDF("user_id", "event_type")
+        .withColumn("ts", org.apache.spark.sql.functions.lit(ts(1)))
+    }
+    val strong = Relational.abTestReportOf(ev(40)).collect().head
+    assert((strong.getLong(0), strong.getLong(1), strong.getLong(2), strong.getLong(3))
+      === ((100L, 40L, 100L, 10L)))
+    assert(strong.getInt(4) === 1 && strong.getInt(5) === 1, s"strong split: $strong")
+    val weak = Relational.abTestReportOf(ev(15)).collect().head
+    assert(weak.getInt(4) === 0, s"weak split must not flag: $weak")
+  }
+
   test("retentionCohorts: offsets are 7-day buckets from each user's own start") {
     import spark.implicits._
     val ev = Seq(
