@@ -359,6 +359,12 @@ object SparkEntry {
     // two-proportion A/B readout: |z| > 2 cross-multiplied to exact
     // integers, arm split by user-id parity
     "events_ab_test" -> Relational.abTestReport,
+    // Pareto/ABC: cumulative revenue share over the AGGREGATED parts,
+    // 80% verdict cross-multiplied to integers
+    "agg_pareto_parts" -> ((s, d) => Relational.paretoParts(s, d)),
+    // Markov transition counts: consecutive event pairs per user,
+    // event_id tiebreak for same-timestamp determinism
+    "events_transitions" -> Relational.eventTransitions,
     // winsorized robust stats: exact integer [P10, P90] order statistics
     // by histogram selection (no per-group sort), clamped sum off the
     // histogram itself — oracle is the rank formulation
@@ -3525,6 +3531,26 @@ object SparkEntry {
         |FROM clamped d JOIN act a
         |  ON a.day BETWEEN d.report_day - INTERVAL 6 DAY AND d.report_day
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_pareto_parts" ->
+      """WITH rev AS (SELECT l_partkey AS partkey,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS DECIMAL(18,0))) AS BIGINT)
+        |      AS rev_cents
+        |  FROM lineitem GROUP BY 1),
+        |r AS (SELECT *,
+        |    CAST(row_number() OVER (ORDER BY rev_cents DESC, partkey) AS BIGINT) AS rnk,
+        |    CAST(sum(rev_cents) OVER (ORDER BY rev_cents DESC, partkey) AS BIGINT) AS cum_cents,
+        |    CAST(sum(rev_cents) OVER () AS BIGINT) AS total_cents
+        |  FROM rev)
+        |SELECT rnk, partkey, rev_cents, cum_cents,
+        |  CASE WHEN 5 * cum_cents <= 4 * total_cents THEN 1 ELSE 0 END AS in_pareto_80
+        |FROM r WHERE rnk <= 100 ORDER BY rnk""".stripMargin,
+    "events_transitions" ->
+      """WITH x AS (SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |  FROM events)
+        |SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+        |FROM x WHERE next_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "events_ab_test" ->
       """WITH u AS (SELECT user_id,
         |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS conv,

@@ -1589,6 +1589,51 @@ object Relational {
       .orderBy("flag")
   }
 
+  /** PARETO / ABC analysis — "which parts carry 80% of revenue": rank
+    * parts by exact revenue (integer cents through DECIMAL — the
+    * winsorize discipline), cumulative share by window, and the 80%
+    * verdict cross-multiplied to integers (`5·cum ≤ 4·total` — no float
+    * shares). The sort runs over the AGGREGATED parts table (one row per
+    * part), never the lineitems — the scale contract of every ranking
+    * report here. Ties break on the part key, so the A-set is a pure
+    * function of the data. */
+  def paretoParts(s: SparkSession, dir: String, topN: Int = 100): DataFrame =
+    paretoOf(Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey").as("partkey"))
+      .agg(sum((col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("decimal(18,0)")).cast("long").as("rev_cents")), topN)
+
+  def paretoOf(rev: DataFrame, topN: Int): DataFrame = {
+    val wOrd = Window.orderBy(col("rev_cents").desc, col("partkey"))
+    rev
+      .withColumn("rnk", row_number().over(wOrd).cast("long"))
+      .withColumn("cum_cents", sum("rev_cents").over(wOrd))
+      .withColumn("total_cents", sum("rev_cents").over(
+        Window.partitionBy()))
+      .filter(col("rnk") <= topN)
+      .select(col("rnk"), col("partkey"), col("rev_cents"), col("cum_cents"),
+        (lit(5L) * col("cum_cents") <= lit(4L) * col("total_cents"))
+          .cast("int").as("in_pareto_80"))
+      .orderBy("rnk")
+  }
+
+  /** Event-type TRANSITION counts — the Markov structure of user
+    * behavior ("what follows a view?"): consecutive event pairs per
+    * user in time order, counted corpus-wide. One window `lead` per
+    * user (per-key, bounded histories) + one pair aggregation;
+    * same-timestamp ties break on event_id so the chain is
+    * deterministic. */
+  def eventTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("from_type", "to_type")
+  }
+
   /** Two-proportion A/B significance — the experiment readout: split
     * users into arms by id parity, conversion = the user ever purchased,
     * and test |z| > 2 on the pooled two-proportion statistic with the

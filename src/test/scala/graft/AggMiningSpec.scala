@@ -39,6 +39,19 @@ class AggMiningSpec extends SparkTestBase {
     assert(a.getLong(4) === 54L && a.getDouble(5) === 5.4)
   }
 
+  test("paretoOf: the 80% boundary is inclusive and integer-exact") {
+    import spark.implicits._
+    // revenues 80/10/5/5: the head part's cumulative share is EXACTLY
+    // 80% (5·80 == 4·100) and must still flag; the next must not
+    val rev = Seq((1L, 80L), (2L, 10L), (3L, 5L), (4L, 5L))
+      .toDF("partkey", "rev_cents")
+    val got = Relational.paretoOf(rev, topN = 4)
+      .collect().map(r => r.getLong(1) -> (r.getLong(0), r.getLong(3), r.getInt(4)))
+      .toMap
+    assert(got(1L) === ((1L, 80L, 1)), s"exact-80% head must flag: $got")
+    assert(got(2L) === ((2L, 90L, 0)) && got(3L)._3 === 0 && got(4L)._3 === 0)
+  }
+
   test("triangleCountsOf: K4 counts 3 per node, stars and paths count none") {
     import spark.implicits._
     // K4 on {1,2,3,4}: 4 triangles, every node in exactly 3; star at 9
