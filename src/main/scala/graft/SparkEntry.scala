@@ -401,6 +401,10 @@ object SparkEntry {
     // accuracy contract as deterministic booleans (the third sketch
     // family next to HLL distinct and KLL quantiles)
     "ta_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHittersCms(SharedCorpus.docsTok(s, d))),
+    // vocabulary dispersion: exact-integer Gini rational + 6-decimal
+    // quantized Shannon entropy per source — the template-mill signals
+    "ta_vocab_dispersion" -> ((s, d) =>
+      TextAnalysis.vocabDispersion(SharedCorpus.docsTok(s, d))),
     // STORED Datasketches-HLL distinct counts: the sketch as a persisted
     // mergeable artifact with the family build/append/manifest lifecycle;
     // probe unions KB-sized sketch rows, never rescans the corpus
@@ -4501,6 +4505,22 @@ object SparkEntry {
          |SELECT source, CAST(count(DISTINCT word) AS BIGINT) AS n_exact,
          |  1 AS ok
          |FROM tk GROUP BY source ORDER BY source""".stripMargin,
+    "ta_vocab_dispersion" ->
+      s"""WITH tk AS (SELECT source,
+         |    unnest(list_filter(regexp_split_to_array(lower(text), '$WS'),
+         |      t -> regexp_matches(t, '^[a-z0-9]+$$'))) AS word
+         |  FROM documents),
+         |cw AS (SELECT source, word, CAST(count(*) AS BIGINT) AS c
+         |  FROM tk GROUP BY 1, 2),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY source
+         |    ORDER BY c, word) AS BIGINT) AS i FROM cw)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_vocab,
+         |  CAST(sum(c) AS BIGINT) AS total_tokens,
+         |  CAST(2 * sum(i * c) - (count(*) + 1) * sum(c) AS BIGINT) AS gini_num,
+         |  CAST(count(*) * sum(c) AS BIGINT) AS gini_den,
+         |  round(ln(CAST(sum(c) AS DOUBLE))
+         |    - sum(c * ln(CAST(c AS DOUBLE))) / sum(c), 6) AS entropy6
+         |FROM r GROUP BY source ORDER BY source""".stripMargin,
     // stored-HLL gates: same oracle shape as ta_approx_distinct — the
     // sketch value is engine-specific, its accuracy contract is not
     "ta_distinct_hll_indexed" ->

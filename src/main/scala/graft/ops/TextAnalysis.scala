@@ -889,6 +889,45 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Vocabulary DISPERSION per source — the two classic "is this source
+    * a real corpus or a template mill" signals over the word-frequency
+    * distribution:
+    *
+    *  - GINI coefficient of word counts, computed EXACTLY as an integer
+    *    rational: with counts x₁≤…≤xₙ (rank i), `G = (2Σi·xᵢ − (n+1)·S)
+    *    / (n·S)` — numerator/denominator emitted as longs, the double is
+    *    one exact division. Rank ties don't matter mathematically (equal
+    *    x values contribute the same Σi·x under any tie order), but the
+    *    (count, word) tiebreak keeps the plan deterministic anyway.
+    *  - Shannon ENTROPY `ln(T) − (Σ c·ln c)/T`, rounded to 6 decimals —
+    *    the [[tfIdf]] discipline: JVM StrictMath.log and libm differ by
+    *    ≤1 ulp (~1e-16) and no corpus value sits near a 1e-6 boundary,
+    *    so the quantized value is engine-exact.
+    *
+    * The per-source rank window sorts the VOCABULARY histogram (tens of
+    * thousands of rows), never the token stream — the corpus contributes
+    * one counting aggregation. */
+  def vocabDispersion(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .select(col("source"), explode(SharedCorpus.alnumOf(docs)).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("c"), col("word"))
+    counts
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_vocab"), sum("c").as("total_tokens"),
+        sum(col("i") * col("c")).as("ixc"),
+        sum(col("c") * log(col("c").cast("double"))).as("clnc"))
+      .select(col("source"), col("n_vocab"), col("total_tokens"),
+        (lit(2L) * col("ixc") - (col("n_vocab") + 1) * col("total_tokens"))
+          .as("gini_num"),
+        (col("n_vocab") * col("total_tokens")).as("gini_den"),
+        round(log(col("total_tokens").cast("double")) -
+          col("clnc") / col("total_tokens"), 6).as("entropy6"))
+      .orderBy("source")
+  }
+
   // ---- stored HLL sketch lifecycle: the mergeable distinct-count
   // ARTIFACT (Datasketches HLL via Spark's hll_sketch_agg family) ----
 

@@ -613,4 +613,25 @@ class TextAnalysisSpec extends SparkTestBase {
     } finally Seq("graft_bm25_many_spec", "graft_bm25_many_spec_stats",
       "graft_lsh_many_spec").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
+
+  test("vocabDispersion: uniform vocab has Gini 0, max skew has (n-1)/n") {
+    import spark.implicits._
+    val docs = Seq(
+      // uniform: four words, one count each → gini_num must be EXACTLY 0
+      (1L, "aa bb cc dd", "u"),
+      // skewed: counts [1, 7] sorted → num = 2(1·1+2·7) − 3·8 = 6, den = 16
+      (2L, "zz zz zz zz zz zz zz ab", "s")
+    ).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.vocabDispersion(docs)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got("u") === ((4L, 4L, 0L, 16L)), s"uniform: ${got("u")}")
+    assert(got("s") === ((2L, 8L, 6L, 16L)), s"skewed: ${got("s")}")
+    // entropy: uniform over 4 words = ln(4); skew = ln(8) − (7·ln 7)/8
+    val ent = TextAnalysis.vocabDispersion(docs)
+      .collect().map(r => r.getString(0) -> r.getDouble(5)).toMap
+    assert(ent("u") === math.rint(math.log(4) * 1e6) / 1e6)
+    assert(ent("s") ===
+      math.rint((math.log(8) - 7 * math.log(7) / 8) * 1e6) / 1e6)
+  }
 }
