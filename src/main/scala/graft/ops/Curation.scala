@@ -63,15 +63,28 @@ object Curation {
     * mode of that composition is gate `stream_curation_admit`. */
   def qualityGate(docs: DataFrame, minQuality: Double = 0.6, lang: String = "en",
       maxDup2: Double = 0.05): DataFrame = {
-    val keep = docs.columns.toSeq
-    docs
-      .withColumn("a", SharedCorpus.wsOf(docs))
-      .withColumn("al", SharedCorpus.alnumOf(docs))
-      .filter(
-        TextAnalysis.qualityColOf(col("a"), col("al")) >= minQuality &&
-          TextAnalysis.predLangColOf(col("a")) === lang &&
-          TextAnalysis.dup2FracOfA <= maxDup2)
-      .select(keep.map(col): _*)
+    // LET-BINDING against predicate-pushdown re-tokenization: pushdown
+    // substitutes a projected column into the filter condition at EVERY
+    // reference with no cost guard (CollapseProject has one, pushdown
+    // does not), and this verdict references the token array ~12 times —
+    // including inside per-element lambdas, where an inlined split()
+    // re-tokenizes twice per token (measured: 7-10 s for 5,000 docs at
+    // sf0.1; the projection-path twins like filterFunnel never hit it
+    // because CollapseProject's guard keeps their arrays materialized).
+    // `transform(array(x), a -> body)[0]` binds the array ONCE per row:
+    // every inner reference is a lambda VARIABLE — an O(1) read the
+    // optimizer cannot substitute into. 0.5 s for the same gate.
+    // both projections bound (a struct lambda var), so pinned mode still
+    // reads its stored toks_alnum instead of re-filtering
+    val verdict = element_at(
+      transform(array(struct(SharedCorpus.wsOf(docs).as("w"),
+          SharedCorpus.alnumOf(docs).as("al"))), s => {
+        val (a, al) = (s.getField("w"), s.getField("al"))
+        TextAnalysis.qualityColOf(a, al) >= minQuality &&
+          TextAnalysis.predLangColOf(a) === lang &&
+          TextAnalysis.dup2FracOf(a) <= maxDup2
+      }), 1)
+    docs.filter(verdict)
   }
 
   /** The decision table: per batch document, each stage's verdict

@@ -1192,11 +1192,27 @@ object TextAnalysis {
     * named `a` — [[repetitionStats]]'s zero-shuffle form, shared by
     * [[filterFunnel]] and [[graft.ops.Curation.dailyBatch]] so the two
     * funnels cannot drift. */
-  private[ops] def dup2FracOfA: Column = {
-    val t2 = greatest(size(col("a")) - 1, lit(0)).cast("long")
-    val d2 = size(array_distinct(expr(
-      "CASE WHEN size(a) >= 2 THEN transform(sequence(0, size(a) - 2), " +
-        "i -> concat_ws(' ', a[i], a[i + 1])) ELSE array() END"))).cast("long")
+  private[ops] def dup2FracOfA: Column = dup2FracOf(col("a"))
+
+  /** Duplicate-bigram fraction of a token-array column. Callers that sit
+    * under a FILTER must pass a cheap reference (a lambda variable or a
+    * materialized column), not the raw `split()` expression: predicate
+    * pushdown substitutes blindly (no CollapseProject-style "referenced
+    * more than once and non-cheap" guard), so a split passed here would
+    * re-tokenize at every reference — including INSIDE the per-element
+    * lambda, i.e. twice per token (see [[graft.ops.Curation.qualityGate]]
+    * for the let-binding that prevents this). */
+  private[ops] def dup2FracOf(a: Column): Column = {
+    val t2 = greatest(size(a) - 1, lit(0)).cast("long")
+    // distinct bigrams as a ZIP of two slices into structs — one
+    // interpreted call per array instead of a per-element lambda
+    // building concat strings (measured 15-22x: the HOF interpreter's
+    // per-element eval + string allocation dominated the whole quality
+    // gate). Struct equality == string equality here: whitespace-split
+    // tokens cannot contain the separator, so (w1, w2) pairs and
+    // "w1 w2" strings have identical distinct counts.
+    val d2 = size(array_distinct(arrays_zip(
+      slice(a, lit(1), t2), slice(a, lit(2), t2)))).cast("long")
     when(t2 > 0, (t2 - d2).cast("double") / t2).otherwise(lit(0.0))
   }
 
