@@ -234,10 +234,24 @@ object SparkEntry {
         Tables.customer(s, d).filter(col("c_custkey") % 2 === 1),
         "c_custkey", "c_name", "graft_fuzzy_idx")
     }),
+    // forget half: %10==0 masters purged from the index (a subset of
+    // the built evens); the probe must never match a purged master —
+    // the oracle is the brute force over SURVIVING masters only
+    "join_fuzzy_purged" -> ((s, d) => {
+      buildOnce(s"fuzzyidx_purged:$d") {
+        val cust = Tables.customer(s, d)
+        Relational.buildFuzzyIndex(cust.filter(col("c_custkey") % 2 === 0),
+          "c_custkey", "c_name", "graft_fuzzy_prg")
+        Relational.purgeFromFuzzyIndex(s, "graft_fuzzy_prg",
+          cust.filter(col("c_custkey") % 10 === 0)
+            .select(col("c_custkey").as("id")))
+      }
+      Relational.fuzzyJoinIndexed(s,
+        Tables.customer(s, d).filter(col("c_custkey") % 2 === 1),
+        "c_custkey", "c_name", "graft_fuzzy_prg")
+    }),
     // incremental variant: half the master table bulk-built, half
-    // APPENDED under the frozen rarity order — verified pairs are
-    // bit-identical to a one-shot build (candidates may differ, the
-    // exact-distance verify keeps only true pairs), same oracle
+    // APPENDED as identical masked-key rows — same oracle
     "join_fuzzy_indexed_incr" -> ((s, d) => {
       buildOnce(s"fuzzyidx_incr:$d") {
         val cust = Tables.customer(s, d)
@@ -3004,6 +3018,14 @@ object SparkEntry {
         |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
         |FROM customer a JOIN customer b
         |  ON a.c_custkey % 2 = 1 AND b.c_custkey % 2 = 0
+        |  AND levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY 1, 2""".stripMargin,
+    "join_fuzzy_purged" ->
+      """SELECT a.c_custkey AS id_probe, b.c_custkey AS id_master,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM customer a JOIN customer b
+        |  ON a.c_custkey % 2 = 1 AND b.c_custkey % 2 = 0
+        |  AND b.c_custkey % 10 <> 0
         |  AND levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY 1, 2""".stripMargin,
     "join_fuzzy_indexed_incr" ->

@@ -1345,6 +1345,27 @@ object Relational {
       s"kind=fuzzy_masked,maxdist=1,buckets=$numBuckets", cn, fp)
   }
 
+  /** FORGET half of the fuzzy-index lifecycle (the family-wide
+    * delete-propagation contract — every stored index answers a
+    * takedown): drop the deleted master ids' masked-key rows through the
+    * same crash-safe ping-pong rewrite every purge rides, and fold their
+    * stamp OUT of the manifest (xor is self-inverse; only ids actually
+    * present fold, so over-broad requests are safe no-ops). No model
+    * tables exist in this family, so purge == rebuild-from-filtered
+    * exactly, row for row. */
+  def purgeFromFuzzyIndex(spark: SparkSession, table: String,
+      deleteIds: DataFrame, numBuckets: Int = 8): Unit = {
+    graft.sources.Formats.requireBuilt(spark, table)
+    val present = spark.table(table)
+      .join(broadcast(deleteIds.select("id").distinct()), "id")
+      .select("id").distinct()
+    val (dn, dfp) = graft.sources.Formats.corpusStamp(present, "id")
+    graft.sources.Formats.purgeBucketed(spark, table,
+      Seq("k"), numBuckets, "id", deleteIds)
+    graft.sources.Formats.foldBuildMeta(spark, table,
+      s"kind=fuzzy_masked,maxdist=1,buckets=$numBuckets", -dn, dfp)
+  }
+
   /** Probe: all (probe, master) pairs within distance 1 — the batch's
     * masked keys join the stored index bucket-locally, exact
     * `levenshtein` verifies, the distinct dedups the ≤L shared masks of

@@ -170,6 +170,40 @@ class PurgeSpec extends SparkTestBase {
       "graft_prg_ivfpq_meta", "graft_prg_store", "graft_prg_store_meta")
   }
 
+  test("fuzzy-index purge equals rebuild from surviving masters; idempotent") {
+    import graft.ops.Relational
+    val cust = Tables.customer(spark, sfDir)
+    val masters = cust.filter(col("c_custkey") % 2 === 0)
+    val dead = cust.filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey").as("id"))
+    try {
+      Relational.buildFuzzyIndex(masters, "c_custkey", "c_name", "graft_fz_prg")
+      Relational.purgeFromFuzzyIndex(spark, "graft_fz_prg", dead)
+      Relational.buildFuzzyIndex(
+        masters.filter(col("c_custkey") % 10 =!= 0),
+        "c_custkey", "c_name", "graft_fz_ref")
+      def rows(t: String) =
+        spark.table(t).collect().map(_.toString).sorted.toSeq
+      assert(rows("graft_fz_prg") === rows("graft_fz_ref"),
+        "purged index rows differ from a rebuild on survivors")
+      assert(stamp("graft_fz_prg") === stamp("graft_fz_ref"),
+        "purged manifest differs from the rebuild's")
+      // re-issued + over-broad request: nothing present folds, no-op
+      Relational.purgeFromFuzzyIndex(spark, "graft_fz_prg",
+        dead.union(spark.range(900000, 900005).select(col("id"))))
+      assert(rows("graft_fz_prg") === rows("graft_fz_ref") &&
+        stamp("graft_fz_prg") === stamp("graft_fz_ref"),
+        "re-issued purge was not a no-op")
+      // probes against the purged index never surface a dead master
+      val probed = Relational.fuzzyJoinIndexed(spark,
+          cust.filter(col("c_custkey") % 2 === 1),
+          "c_custkey", "c_name", "graft_fz_prg")
+        .select("id_master").collect().map(_.getLong(0))
+      assert(probed.nonEmpty && probed.forall(_ % 10 != 0))
+    } finally drop("graft_fz_prg", "graft_fz_prg_meta",
+      "graft_fz_ref", "graft_fz_ref_meta")
+  }
+
   test("forget composite: tombstone snapshot + index purge compose; crash mid-composite re-runs clean") {
     import graft.ops.{Curation, Snapshot}
     val corpus = docs.filter(col("doc_id") % 4 =!= 1)
