@@ -860,6 +860,49 @@ object SparkEntry {
         Similarity.lshTopK(emb, col("vec_id") < 10),
         Similarity.bruteForceTopK(emb, col("vec_id") < 10))
     }),
+    // recall@5 monitors for EVERY remaining ANN tier (VERDICT r12 item 4):
+    // the recall-vs-probe curve is the tuning surface an operator actually
+    // watches at scale, so each compression/coarsening tier gets the same
+    // per-query exact-scan audit as the LSH tier — oracle-replayed, with
+    // the measured recall values recorded in BASELINE.md as the tuning
+    // reference
+    "ann_recall_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.recallAtK(
+        Similarity.ivfTopK(emb, col("vec_id") < 10),
+        Similarity.bruteForceTopK(emb, col("vec_id") < 10))
+    }),
+    "ann_recall_sq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.recallAtK(
+        Similarity.sqTopK(emb, col("vec_id") < 10),
+        Similarity.bruteForceTopK(emb, col("vec_id") < 10))
+    }),
+    "ann_recall_pq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.recallAtK(
+        Similarity.pqTopK(emb, col("vec_id") < 10),
+        Similarity.bruteForceTopK(emb, col("vec_id") < 10))
+    }),
+    "ann_recall_ivfpq" -> ((s, d) => {
+      ensureIvfPqIndex(s, d)
+      val emb = Tables.embeddings(s, d)
+      Similarity.recallAtK(
+        Similarity.ivfPqTopKIndexed(s, "graft_ivfpq_idx",
+          emb.filter(col("vec_id") < 10)),
+        Similarity.bruteForceTopK(emb, col("vec_id") < 10))
+    }),
+    "ann_recall_refine" -> ((s, d) => {
+      ensureIvfPqIndex(s, d)
+      buildOnce(s"vecstore:$d") {
+        Similarity.buildVectorStore(Tables.embeddings(s, d), "graft_vec_store")
+      }
+      val emb = Tables.embeddings(s, d)
+      Similarity.recallAtK(
+        Similarity.ivfPqRefineTopKIndexed(s, "graft_ivfpq_idx",
+          "graft_vec_store", emb.filter(col("vec_id") < 10)),
+        Similarity.bruteForceTopK(emb, col("vec_id") < 10))
+    }),
     "sql_correlated" -> Relational.sqlCorrelatedSubquery,
     "hof_sampler" -> Relational.hofSampler,
     "date_arith_sampler" -> Relational.dateArithSampler,
@@ -1815,11 +1858,17 @@ object SparkEntry {
        |hd AS (SELECT doc_id, nu,
        |  regexp_extract(nu, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?]+)', 1) AS head FROM nf),
        |ch AS (SELECT doc_id, nu, head,
-       |  regexp_replace(regexp_replace(lower(head), '^([a-z0-9+.-]*://)www\\.', '\\1'),
-       |    ':(80|443)$$', '') AS chead FROM hd),
+       |  regexp_replace(regexp_replace(
+       |    regexp_replace(lower(head), '^([a-z0-9+.-]*://)www\\.', '\\1'),
+       |    '^(http://[^:]*):80$$', '\\1'), '^(https://[^:]*):443$$', '\\1')
+       |    AS chead FROM hd),
        |cu AS (SELECT doc_id,
-       |  regexp_replace(regexp_replace(chead || substring(nu, CAST(len(head) + 1 AS INT)),
-       |    'utm_[a-z]+=[^&#]*&?', '', 'g'), '[?&]$$', '') AS url_canonical FROM ch),
+       |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+       |    chead || substring(nu, CAST(len(head) + 1 AS INT)),
+       |    '&utm_[a-z]+=[^&#]*', '', 'g'),
+       |    '\\?utm_[a-z]+=[^&#]*&', '?', 'g'),
+       |    '\\?utm_[a-z]+=[^&#]*$$', '', 'g'),
+       |    '[?&]$$', '') AS url_canonical FROM ch),
        |dom AS (SELECT doc_id, url_canonical,
        |  regexp_extract(regexp_extract(url_canonical, '^[a-z0-9+.-]*://([^/:?]+)', 1),
        |    '([a-z0-9-]+\\.[a-z0-9-]+)$$', 1) AS domain FROM cu)""".stripMargin
@@ -2822,6 +2871,31 @@ object SparkEntry {
     * `cosine(q, ĉ_n)` over ONLY the probed cells' members — the exact
     * composition [[Similarity.ivfPqTopKIndexed]] executes off the stored
     * index. */
+  /** Wrap any tier's replayed top-k oracle into the recall@5 audit
+    * ([[Similarity.recallAtK]]'s DuckDB mirror, same composition as the
+    * hand-written ann_recall_lsh oracle): the tier statement runs as a
+    * derived table, the exact scan is the brute-force cosine ranking over
+    * the same `vec_id < 10` query set, hits are counted by exact join and
+    * the ratio is one division of exact integers. */
+  private def recallOracleSql(tierSql: String): String =
+    s"""WITH approx AS (SELECT query_id, neighbor_id FROM ($tierSql) tq),
+       |ep AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |  list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])) AS cos
+       |  FROM embeddings q JOIN embeddings n ON q.vec_id < 10 AND n.vec_id <> q.vec_id),
+       |exact AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+       |  FROM ep) WHERE rn <= 5),
+       |hits AS (SELECT e.query_id, count(a.neighbor_id) AS n_hits
+       |  FROM exact e LEFT JOIN approx a
+       |    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+       |  GROUP BY e.query_id),
+       |ex AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY query_id)
+       |SELECT ex.query_id, coalesce(h.n_hits, 0) AS n_hits, ex.n_exact,
+       |  CAST(coalesce(h.n_hits, 0) AS DOUBLE) / ex.n_exact AS recall
+       |FROM ex LEFT JOIN hits h ON h.query_id = ex.query_id
+       |ORDER BY ex.query_id""".stripMargin
+
   private val ivfPqOracleSql: String = ivfPqOracleSqlFor("vec_id < 10")
 
   /** CTE chain of the composed IVF×PQ probe, through the PQ-ranked `xr`,
@@ -4039,6 +4113,14 @@ object SparkEntry {
          |  CAST(coalesce(h.n_hits, 0) AS DOUBLE) / ex.n_exact AS recall
          |FROM ex LEFT JOIN hits h ON h.query_id = ex.query_id
          |ORDER BY ex.query_id""".stripMargin,
+    // recall@5 monitors for the remaining tiers (VERDICT r12 item 4):
+    // each tier's own replayed top-k, wrapped by the shared exact-scan /
+    // hit-count / ratio composition (recallOracleSql)
+    "ann_recall_ivf" -> recallOracleSql(ivfOracleSql),
+    "ann_recall_sq" -> recallOracleSql(sqTopKOracleSql),
+    "ann_recall_pq" -> recallOracleSql(pqTopKOracleSql),
+    "ann_recall_ivfpq" -> recallOracleSql(ivfPqOracleSql),
+    "ann_recall_refine" -> recallOracleSql(ivfPqRefineOracleSql),
     "ann_sq_topk" -> sqTopKOracleSql,
     "ann_sq_indexed" -> sqTopKOracleSql,
     "ann_pq_topk" -> pqTopKOracleSql,

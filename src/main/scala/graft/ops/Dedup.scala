@@ -631,9 +631,10 @@ object Dedup {
     *     the batch ([[appendToBandIndex]]) and both manifests fold the
     *     batch stamp, so the pair stays in sync for the next day.
     *
-    * The merged table is BIT-IDENTICAL to [[buildComponentsTable]] over
-    * the union corpus (PurgeSpec's incremental twin in DedupSpec proves
-    * table + manifest equality): the incremental edge set — build-time
+    * The merged label table is BIT-IDENTICAL to — and the stored edge
+    * SET equal to — [[buildComponentsTable]] over the union corpus
+    * (PurgeSpec's incremental twin in DedupSpec proves label + edge-set
+    * + manifest equality): the incremental edge set — build-time
     * intra-corpus pairs resolved into labels, index-mined cross pairs,
     * intra-batch pairs — is exactly the one-shot miner's pair set, and
     * component minima are invariant under contraction. Requires both
@@ -662,9 +663,15 @@ object Dedup {
     // the REAL (uncontracted) delta edges are appended into the stored
     // edge list first — [[purgeFromComponentsTable]]'s decremental solve
     // needs the true graph, and the append also materializes the two
-    // persisted pair caches the contraction below reuses
+    // persisted pair caches the contraction below reuses. Cross edges
+    // arrive (stored, batch)-oriented; normalize to the one-shot miner's
+    // doc_a < doc_b orientation (ADVICE r12) so the stored edge SET —
+    // not just its symmetric closure — matches a one-shot build's.
+    val crossNorm = cross.select(
+      least(col("doc_a"), col("doc_b")).as("doc_a"),
+      greatest(col("doc_a"), col("doc_b")).as("doc_b"))
     graft.sources.Formats.writeBucketedAppend(
-      cross.unionByName(intra), compTable + "_edges", Seq("doc_a"), numBuckets)
+      crossNorm.unionByName(intra), compTable + "_edges", Seq("doc_a"), numBuckets)
     val stored = spark.table(compTable)
     val crossL = cross.join(stored, cross("doc_a") === stored("doc_id"))
       .select(col("label").as("doc_a"), cross("doc_b")).distinct()

@@ -1149,11 +1149,18 @@ object Relational {
       .orderBy("o_orderkey")
 
   /** One masked key per character position: the string with position `i`
-    * replaced by a sentinel. Two equal-length strings within ONE
-    * substitution share the masked key at the substituted position
-    * (pigeonhole — dist-0 duplicates share all of them), so the bucket
-    * members of a masked key are EXACTLY its dist≤1 neighborhood: the
-    * candidate set is output-sized by construction, with no df-tail. */
+    * DELETED (the concat drops the character; ADVICE r12 — under the
+    * pos-equality join below this is equivalent to substituting a
+    * sentinel, because joining on (pos, deleted-form) pairs exactly the
+    * strings that agree everywhere EXCEPT position pos, and equal lengths
+    * are implied by equal deleted-form lengths at the same pos; a future
+    * relaxation that drops the pos constraint would inherit DELETION-
+    * neighborhood semantics — indel matches — and must revisit this).
+    * Two equal-length strings within ONE substitution share the masked
+    * key at the substituted position (pigeonhole — dist-0 duplicates
+    * share all of them), so the bucket members of a masked key are
+    * EXACTLY its dist≤1 neighborhood: the candidate set is output-sized
+    * by construction, with no df-tail. */
   private def maskedKeys(df: DataFrame, idCol: String, strCol: String): DataFrame =
     df.select(col(idCol).as("id"), col(strCol).as("s"))
       .select(col("id"), col("s"), posexplode(expr(

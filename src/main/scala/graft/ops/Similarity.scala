@@ -142,15 +142,24 @@ object Similarity {
     val out = rels.groupBy(_._1).toSeq.flatMap { case (q, cs) =>
       val cands = cs.map { case (_, c, rel) => (c, rel) }.sortBy(_._1)
       var selected = Vector.empty[(Long, Double)] // (vec_id, mmr)
-      for (_ <- 1 to k) {
+      // a shortlist smaller than k (tiny corpus, isolated vector) emits
+      // the partial selection — the fewer-than-k contract every top-k
+      // operator here shares — instead of maxBy on an empty set (ADVICE
+      // r12)
+      var exhausted = false
+      for (_ <- 1 to k if !exhausted) {
         val picked = selected.map(_._1).toSet
-        val best = cands.filter(c => !picked(c._1)).map { case (c, rel) =>
-          val pen =
-            if (selected.isEmpty) 0.0
-            else selected.map(s => simRows((q, c, s._1))).max
-          (c, lam * rel - (1.0 - lam) * pen)
-        }.maxBy { case (c, m) => (m, -c) } // mmr desc, vec_id asc
-        selected = selected :+ best
+        val remaining = cands.filter(c => !picked(c._1))
+        if (remaining.isEmpty) exhausted = true
+        else {
+          val best = remaining.map { case (c, rel) =>
+            val pen =
+              if (selected.isEmpty) 0.0
+              else selected.map(s => simRows((q, c, s._1))).max
+            (c, lam * rel - (1.0 - lam) * pen)
+          }.maxBy { case (c, m) => (m, -c) } // mmr desc, vec_id asc
+          selected = selected :+ best
+        }
       }
       selected.zipWithIndex.map { case ((c, m), i) => (q, (i + 1).toLong, c, m) }
     }

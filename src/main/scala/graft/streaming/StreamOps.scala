@@ -322,9 +322,19 @@ object StreamOps {
       }
       if (state.hasTimedOut) state.remove()
       else if (streaming) {
-        state.update(AdmitCount(c))
-        // the window can stop admitting once the watermark passes its end
-        state.setTimeoutTimestamp(key._2 + windowMs)
+        // Spark does NOT auto-drop late input for flatMapGroupsWithState:
+        // an event arriving after the watermark passed its window's end
+        // would compute a timeout below the current watermark, which
+        // throws and fails the query. Guard defensively (ADVICE r12) —
+        // skip the update for such a group: its window can no longer
+        // change the admitted set, and carrying no state for it is
+        // exactly the post-timeout condition.
+        val horizon = state.getCurrentWatermarkMs()
+        if (key._2 + windowMs > horizon) {
+          state.update(AdmitCount(c))
+          // the window can stop admitting once the watermark passes its end
+          state.setTimeoutTimestamp(key._2 + windowMs)
+        }
       }
       out.result().iterator
     }

@@ -149,7 +149,20 @@ class CurationSpec extends SparkTestBase {
       ("https://example.com/CaseSensitive/Path?id=2",
         "https://example.com/CaseSensitive/Path?id=2"),
       // non-default port survives
-      ("https://example.com:8443/x", "https://example.com:8443/x"))
+      ("https://example.com:8443/x", "https://example.com:8443/x"),
+      // ADVICE r12: a param NAME containing utm_ is not a tracking param
+      ("https://example.com/x?xutm_a=1&id=2",
+        "https://example.com/x?xutm_a=1&id=2"),
+      // ADVICE r12: consecutive utm params both stripped (the unanchored
+      // single-pass regex skipped the second — replaceAll resumes AFTER
+      // each replacement)
+      ("https://example.com/x?utm_a=1&utm_b=2&id=3",
+        "https://example.com/x?id=3"),
+      // ADVICE r12: default-port drop is scheme-aware — :443 on http and
+      // :80 on https are NOT default ports and survive
+      ("http://example.com:443/x", "http://example.com:443/x"),
+      ("https://example.com:80/x", "https://example.com:80/x"),
+      ("http://example.com:80/x", "http://example.com/x"))
     val got = cases.map(_._1).toDF("url")
       .select(col("url"), Curation.canonicalizeUrl(col("url")).as("canon"))
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap

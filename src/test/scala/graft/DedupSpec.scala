@@ -349,6 +349,13 @@ class DedupSpec extends SparkTestBase {
       // the band index stayed in sync: same stamp as the label table
       val (bn, bfp, _, _) = graft.sources.Formats.readBuildMeta(spark, "graft_ci_band").get
       assert((bn, bfp) === full)
+      // edge orientation (ADVICE r12): appended cross edges are
+      // normalized to doc_a < doc_b, so the stored edge SET — not just
+      // its symmetric closure — equals a one-shot build's
+      Dedup.buildComponentsTable(docs, "graft_ci_ref")
+      assert(spark.table("graft_ci_tbl_edges").collect().toSet ===
+        spark.table("graft_ci_ref_edges").collect().toSet,
+        "merged edge set must match the one-shot build's orientation")
       // generation guard: merging into a DESYNCED pair fails loudly
       Dedup.buildBandIndex(b1, "graft_ci_band2")
       val e = intercept[IllegalArgumentException] {
@@ -358,7 +365,8 @@ class DedupSpec extends SparkTestBase {
     } finally {
       Seq("graft_ci_band", "graft_ci_band_sigs", "graft_ci_band_meta",
         "graft_ci_band2", "graft_ci_band2_sigs", "graft_ci_band2_meta",
-        "graft_ci_tbl", "graft_ci_tbl_edges", "graft_ci_tbl_meta")
+        "graft_ci_tbl", "graft_ci_tbl_edges", "graft_ci_tbl_meta",
+        "graft_ci_ref", "graft_ci_ref_edges", "graft_ci_ref_meta")
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }

@@ -10,17 +10,37 @@ for the text/dedup gates — realistic near-dup structure:
   copy * (max_key + 1) of its key space, so joins (orders->customer,
   lineitem->orders/part/supplier) stay consistent and group cardinalities
   scale 10x. nation/region stay fixed (they are the bounded dimensions).
+- customer names: copies after the first are prefixed with a TWO-char
+  per-copy tag ('aa', 'bb', ...) — both tag chars differ between copies,
+  so cross-copy name pairs sit at edit distance >= 2 (and at a different
+  length from copy 0) and are INVISIBLE to the dist<=1 fuzzy join; the
+  within-copy typo-pair structure replicates, so fuzzy-join output scales
+  ~LINEARLY with the corpus, like a real crawl's typo density. (The r12
+  generator replicated c_name verbatim: every name gained 9 exact twins
+  and the dist<=1 pair OUTPUT multiplied ~100x — the scaling sweep then
+  measured the replication artifact, not the operator; VERDICT r12 #2.)
 - documents: 10 copies with offset doc_ids; each copy's word sequence is
   deterministically reordered by md5(copy || word || position) so copies
   are NOT near-duplicates of each other (a verbatim copy would give every
   document 9 exact dups and quadratically explode every pair-mining gate
   — that would benchmark an artifact of the replication, not the
-  operator). Word MULTISETS are preserved, so corpus-level token counts
-  scale exactly 10x.
+  operator), and ~1/16 of word POSITIONS per copy k>0 are mutated to a
+  fresh per-copy token (word || copy digit, chosen by an independent md5
+  bit) so the shingle VOCABULARY grows with the corpus instead of
+  staying closed — the r12 closed vocabulary made posting-list df grow
+  10x and the under-cap candidate mass grow ~99x (VERDICT r12 #2).
+  Token COUNTS still scale exactly 10x (mutation substitutes, never
+  inserts/deletes); word multisets are preserved up to the ~6% mutated
+  positions.
 - embeddings: 10 copies with offset vec_ids; each copy after the first
   gets a deterministic per-copy orthogonal-ish perturbation (rotate the
   component order by copy positions) so ANN structure is not 10
   coincident point sets.
+- the PNG/WAV media formulas are doc_id-periodic (the dHash space
+  saturates at 2,073 codes), so exact-duplicate media density GROWS with
+  the corpus — retained DELIBERATELY as the duplicate-dense stress case
+  the class-collapsed media miners must absorb (r13: measured 3.2-3.6x
+  at 10x data, vs 47-192x before the collapse).
 
 Usage: python3 tools/make_sf1.py [outdir]   (default /tmp/graft_sf1)
 """
@@ -58,8 +78,11 @@ for t in ["region", "nation"]:
     write(t, f"SELECT * FROM {src(t)}")
 
 write("customer", f"""
-  SELECT c_custkey + k * {K['c_custkey']} AS c_custkey, c_name, c_nationkey,
-         c_acctbal, c_mktsegment
+  SELECT c_custkey + k * {K['c_custkey']} AS c_custkey,
+         CASE WHEN k = 0 THEN c_name
+              ELSE chr(CAST(96 + k AS INTEGER)) || chr(CAST(96 + k AS INTEGER))
+                   || c_name END AS c_name,
+         c_nationkey, c_acctbal, c_mktsegment
   FROM {src('customer')}, {copies}""")
 
 write("supplier", f"""
@@ -91,10 +114,17 @@ write("events", f"""
          user_id + k * 100000 AS user_id, event_type, value, props
   FROM {src('events')}, {copies}""")
 
-# documents: per-copy deterministic word reorder (multiset-preserving)
+# documents: per-copy deterministic word reorder (token-count-preserving)
+# plus a ~1/16 per-position vocabulary mutation for copies k>0 — fresh
+# shingle vocabulary per copy, so df and candidate-pair mass scale like a
+# real growing crawl instead of a closed word set (VERDICT r12 #2)
 write("documents", f"""
   WITH w AS (
-    SELECT doc_id, k, a[i] AS word, i AS pos
+    SELECT doc_id, k,
+      CASE WHEN k > 0 AND md5('m' || CAST(k AS VARCHAR) || ':' || a[i] || ':'
+                             || CAST(i AS VARCHAR)) LIKE '0%'
+           THEN a[i] || CAST(k AS VARCHAR) ELSE a[i] END AS word,
+      i AS pos
     FROM (SELECT doc_id, string_split(text, ' ') AS a FROM {src('documents')}),
          {copies},
          unnest(generate_series(1, len(a))) AS t(i)),
