@@ -1037,6 +1037,47 @@ object SparkEntry {
       }
       graft.ops.Curation.dailyBatch(s, all, "graft_band_daily", bloomDecontam = true)
     }),
+    // the STREAMING daily composite (VERDICT r12 item 5): the whole
+    // admission → decontamination → packing → index/snapshot-commit
+    // lifecycle as a REAL structured-streaming query — file source,
+    // Trigger.AvailableNow, foreachBatch running the ledgered
+    // replay-idempotent commit — over today's crawl staged as ONE
+    // micro-batch, so the committed decision ledger equals
+    // pipeline_daily_batch's table and SHARES ITS ORACLE. The query +
+    // artifact mutations run once (buildOnce, the curation_forget
+    // discipline); the gate times the audit read of the committed
+    // ledger. Multi-batch sequential semantics, no-op replay, and
+    // failpoint recovery run in CurationSpec
+    "stream_pipeline_daily" -> ((s, d) => {
+      val root = s"/tmp/graft_sdaily_${java.lang.Integer.toHexString(d.hashCode)}"
+      buildOnce(s"sdaily:$d") {
+        val all = SharedCorpus.docsTok(s, d)
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        graft.ops.Curation.batchOf(all).select("doc_id", "text")
+          .coalesce(1).write.parquet(s"$root/stage")
+        Dedup.buildBandIndex(graft.ops.Curation.corpusOf(all), "graft_sdaily_band")
+        graft.sources.Formats.writeManaged(
+          graft.ops.Snapshot.baseSnapshot(graft.ops.Curation.corpusOf(all))
+            .select(col("doc_id"), col("version"), col("fp")),
+          "graft_sdaily_snap0")
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType)))
+        graft.ops.Curation.startStreamDailyPipeline(
+          s.readStream.schema(schema).parquet(s"$root/stage"),
+          graft.ops.Curation.benchOf(all), "graft_sdaily_band",
+          s"$root/ledger", "graft_sdaily_snap0", "graft_sdaily_snap",
+          s"$root/ckpt").awaitTermination()
+      }
+      s.read.parquet(s"$root/ledger")
+        .select("doc_id", "n_tokens", "q_ok", "lang_ok", "rep_ok",
+          "dedup_ok", "clean_ok", "survived", "bucket", "seq_id", "seq_offset")
+        .orderBy("doc_id")
+    }),
     // the forget composite (the daily commit's inverse): one takedown
     // request tombstoned into the next immutable snapshot AND physically
     // purged from the band index, with the one-row post-state audit a
@@ -3797,6 +3838,9 @@ object SparkEntry {
     "dedup_minhash_pairs" -> minhashOracleSql,
     "pipeline_daily_batch" -> dailyBatchOracleSql,
     "pipeline_daily_bloom" -> dailyBatchOracleSql,
+    // the streaming lifecycle commits the SAME decision table (one
+    // micro-batch == the daily batch), so it shares the composite oracle
+    "stream_pipeline_daily" -> dailyBatchOracleSql,
     // forget composite audit: every count is an exact integer derivable
     // from the %4 corpus split and the %11 forget split (band rows =
     // NumBands per surviving doc, sig rows = one per surviving doc);

@@ -121,6 +121,136 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("streaming daily pipeline: one-batch == batch composite; replay no-op; " +
+      "failpoint recovery; multi-batch sequential semantics") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val root = java.nio.file.Files.createTempDirectory("graft-sdaily").toString
+    def rows(t: String): Seq[String] =
+      spark.table(t).collect().map(_.toString).toSeq.sorted
+    def dropIdx(ts: String*): Unit = ts.foreach { t =>
+      Seq(t, t + "_sigs", t + "_meta").foreach(x =>
+        spark.sql(s"DROP TABLE IF EXISTS $x"))
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val batch = Curation.batchOf(all).select("doc_id", "text")
+    val bench = Curation.benchOf(all)
+    val decCols = Seq("doc_id", "n_tokens", "q_ok", "lang_ok", "rep_ok",
+      "dedup_ok", "clean_ok", "survived", "bucket", "seq_id", "seq_offset")
+    def decRows(dir: String): Seq[String] =
+      spark.read.parquet(dir).select(decCols.map(col): _*)
+        .collect().map(_.toString).toSeq.sorted
+    def snap0(name: String): Unit = Formats.writeManaged(
+      graft.ops.Snapshot.baseSnapshot(Curation.corpusOf(all))
+        .select(col("doc_id"), col("version"), col("fp")), name)
+    def runStream(stage: String, band: String, ledger: String, s0: String,
+        prefix: String, ckpt: String): Unit =
+      Curation.startStreamDailyPipeline(
+        spark.readStream.schema(schema).parquet(stage),
+        bench, band, ledger, s0, prefix, ckpt).awaitTermination()
+    try {
+      // ---- references: the batch composite's decision + committed state
+      Dedup.buildBandIndex(Curation.corpusOf(all), "graft_sd_refd")
+      val refDecision = Curation.dailyBatch(spark, all, "graft_sd_refd")
+        .select(decCols.map(col): _*).collect().map(_.toString).toSeq.sorted
+      Dedup.buildBandIndex(Curation.corpusOf(all), "graft_sd_ref")
+      Curation.commitDailyBatch(spark, all, "graft_sd_ref", None, "graft_sd_ref_snap")
+
+      // ---- streaming run, the day as ONE micro-batch --------------------
+      batch.coalesce(1).write.parquet(s"$root/stage1")
+      Dedup.buildBandIndex(Curation.corpusOf(all), "graft_sd_s1")
+      snap0("graft_sd_s1_snap0")
+      runStream(s"$root/stage1", "graft_sd_s1", s"$root/led1",
+        "graft_sd_s1_snap0", "graft_sd_s1s", s"$root/ck1")
+      // decision ledger == the batch composite's decision table
+      assert(decRows(s"$root/led1") === refDecision)
+      // committed artifacts == the batch composite's
+      assert(rows("graft_sd_s1") === rows("graft_sd_ref"))
+      assert(rows("graft_sd_s1_sigs") === rows("graft_sd_ref_sigs"))
+      assert(rows("graft_sd_s1s_b0") === rows("graft_sd_ref_snap"))
+      assert(spark.table("graft_sd_s1s_ledger").count() === 1L)
+      // same-checkpoint re-run: no new files, nothing changes
+      runStream(s"$root/stage1", "graft_sd_s1", s"$root/led1",
+        "graft_sd_s1_snap0", "graft_sd_s1s", s"$root/ck1")
+      assert(spark.table("graft_sd_s1s_ledger").count() === 1L)
+      // FRESH-checkpoint re-run = a forced at-least-once replay of batch 0:
+      // the commit ledger makes it an exactly-once no-op (no double append)
+      runStream(s"$root/stage1", "graft_sd_s1", s"$root/led1",
+        "graft_sd_s1_snap0", "graft_sd_s1s", s"$root/ck1b")
+      assert(rows("graft_sd_s1") === rows("graft_sd_ref"),
+        "replayed batch must not re-append into the index")
+      assert(spark.table("graft_sd_s1s_ledger").count() === 1L)
+
+      // ---- failpoint: crash after the snapshot write, before the commit
+      // ledger row — recovery replays the batch, REUSES the published
+      // decision (a recompute would see the batch's own survivors in the
+      // appended index and flag each a self-dup), skips the ledgered
+      // index append, and lands bit-identical to the uncrashed run
+      Dedup.buildBandIndex(Curation.corpusOf(all), "graft_sd_fp")
+      snap0("graft_sd_fp_snap0")
+      Formats.failpoint = "sdaily.after_snapshot"
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        runStream(s"$root/stage1", "graft_sd_fp", s"$root/ledfp",
+          "graft_sd_fp_snap0", "graft_sd_fps", s"$root/ckfp")
+      }
+      Formats.failpoint = ""
+      assert(!spark.catalog.tableExists("graft_sd_fps_ledger"),
+        "nothing commit-ledgered before the crash point")
+      runStream(s"$root/stage1", "graft_sd_fp", s"$root/ledfp",
+        "graft_sd_fp_snap0", "graft_sd_fps", s"$root/ckfp")
+      assert(decRows(s"$root/ledfp") === refDecision,
+        "recovered decision must be the published one, not a post-append recompute")
+      assert(rows("graft_sd_fp") === rows("graft_sd_ref"))
+      assert(rows("graft_sd_fps_b0") === rows("graft_sd_ref_snap"))
+      assert(spark.table("graft_sd_fps_ledger").count() === 1L)
+
+      // ---- multi-batch: arrivals decided against the index AS OF prior
+      // commits (sequential daily semantics) ------------------------------
+      val b1 = batch.filter(col("doc_id") % 8 === 1)
+      val b2 = batch.filter(col("doc_id") % 8 =!= 1)
+      Dedup.buildBandIndex(Curation.corpusOf(all), "graft_sd_m")
+      snap0("graft_sd_m_snap0")
+      b1.coalesce(1).write.parquet(s"$root/stagem")
+      runStream(s"$root/stagem", "graft_sd_m", s"$root/ledm",
+        "graft_sd_m_snap0", "graft_sd_ms", s"$root/ckm")
+      val s1Surv = spark.read.parquet(s"$root/ledm/batch_id=0")
+        .filter(col("survived")).select("doc_id")
+      b2.coalesce(1).write.mode("append").parquet(s"$root/stagem")
+      runStream(s"$root/stagem", "graft_sd_m", s"$root/ledm",
+        "graft_sd_m_snap0", "graft_sd_ms", s"$root/ckm")
+      assert(spark.table("graft_sd_ms_ledger").count() === 2L)
+      // batch 1's decision == decideBatch against corpus ∪ batch-0 survivors
+      Dedup.buildBandIndex(
+        Curation.corpusOf(all).select("doc_id", "text")
+          .unionByName(b1.join(s1Surv, Seq("doc_id"), "left_semi")),
+        "graft_sd_m_ref")
+      val refB2 = Curation.decideBatch(spark, b2, bench, "graft_sd_m_ref")
+        .select(decCols.map(col): _*).collect().map(_.toString).toSeq.sorted
+      assert(spark.read.parquet(s"$root/ledm/batch_id=1")
+        .select(decCols.map(col): _*).collect().map(_.toString).toSeq.sorted
+        === refB2)
+      // snapshot chain: _b1 holds version-1 rows for BOTH batches' survivors
+      val s2Surv = spark.read.parquet(s"$root/ledm/batch_id=1")
+        .filter(col("survived")).select("doc_id")
+      assert(spark.table("graft_sd_ms_b1").filter(col("version") === 1).count()
+        === s1Surv.count() + s2Surv.count())
+    } finally {
+      Formats.failpoint = ""
+      dropIdx("graft_sd_refd", "graft_sd_ref", "graft_sd_s1", "graft_sd_fp",
+        "graft_sd_m", "graft_sd_m_ref")
+      Seq("graft_sd_ref_snap", "graft_sd_ref_snap_ledger",
+        "graft_sd_s1_snap0", "graft_sd_s1s_b0", "graft_sd_s1s_ledger",
+        "graft_sd_s1s_idxledger",
+        "graft_sd_fp_snap0", "graft_sd_fps_b0", "graft_sd_fps_ledger",
+        "graft_sd_fps_idxledger",
+        "graft_sd_m_snap0", "graft_sd_ms_b0", "graft_sd_ms_b1",
+        "graft_sd_ms_ledger", "graft_sd_ms_idxledger")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+  }
+
   test("corpusReport reconciles with its component operators exactly") {
     val r = Curation.corpusReport(all).collect().head
     assert(r.getLong(0) === all.count())
