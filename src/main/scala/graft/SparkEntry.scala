@@ -1049,7 +1049,12 @@ object SparkEntry {
     // ledger. Multi-batch sequential semantics, no-op replay, and
     // failpoint recovery run in CurationSpec
     "stream_pipeline_daily" -> ((s, d) => {
-      val root = s"/tmp/graft_sdaily_${java.lang.Integer.toHexString(d.hashCode)}"
+      // artifact tables carry the SAME per-dataset tag as the staging
+      // root (ADVICE r13): session-global names would make a second
+      // dataset's run find batch_id=0 already commit-ledgered, skip the
+      // micro-batch, and fail reading its never-written ledger dir
+      val tag = java.lang.Integer.toHexString(d.hashCode)
+      val root = s"/tmp/graft_sdaily_$tag"
       buildOnce(s"sdaily:$d") {
         val all = SharedCorpus.docsTok(s, d)
         val fs = new org.apache.hadoop.fs.Path(root)
@@ -1057,11 +1062,11 @@ object SparkEntry {
         fs.delete(new org.apache.hadoop.fs.Path(root), true)
         graft.ops.Curation.batchOf(all).select("doc_id", "text")
           .coalesce(1).write.parquet(s"$root/stage")
-        Dedup.buildBandIndex(graft.ops.Curation.corpusOf(all), "graft_sdaily_band")
+        Dedup.buildBandIndex(graft.ops.Curation.corpusOf(all), s"graft_sdaily_band_$tag")
         graft.sources.Formats.writeManaged(
           graft.ops.Snapshot.baseSnapshot(graft.ops.Curation.corpusOf(all))
             .select(col("doc_id"), col("version"), col("fp")),
-          "graft_sdaily_snap0")
+          s"graft_sdaily_snap0_$tag")
         val schema = org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("doc_id",
             org.apache.spark.sql.types.LongType),
@@ -1069,8 +1074,8 @@ object SparkEntry {
             org.apache.spark.sql.types.StringType)))
         graft.ops.Curation.startStreamDailyPipeline(
           s.readStream.schema(schema).parquet(s"$root/stage"),
-          graft.ops.Curation.benchOf(all), "graft_sdaily_band",
-          s"$root/ledger", "graft_sdaily_snap0", "graft_sdaily_snap",
+          graft.ops.Curation.benchOf(all), s"graft_sdaily_band_$tag",
+          s"$root/ledger", s"graft_sdaily_snap0_$tag", s"graft_sdaily_snap_$tag",
           s"$root/ckpt").awaitTermination()
       }
       s.read.parquet(s"$root/ledger")

@@ -257,19 +257,40 @@ object Curation {
     *      containing this batch's survivors and flag each a near-dup of
     *      itself (the same self-observation hazard
     *      [[commitDailyBatch]]'s ledger-first ordering exists for);
-    *   2. the band-index append is guarded by its own `_idx` ledger row
-    *      committed immediately after it — the window between the two is
-    *      the standard at-least-once window of every incremental index
-    *      here (crash inside it ⇒ rebuild, the
-    *      [[graft.streaming.StreamOps.absorbStagedBatches]] contract),
-    *      injectable at `sdaily.after_index_append`;
+    *   2. the band-index append is made replay-DETECTABLE (ADVICE r13):
+    *      an `_idxintent` row recording the index manifest's PRE-append
+    *      stamp commits BEFORE the append, and the `_idxledger` row
+    *      commits immediately after it. A replay landing in the
+    *      `sdaily.after_index_append` window (append complete, ledger
+    *      row still missing) recognizes the completed append because the
+    *      manifest stamp equals `intent ⊕ batch` and SKIPS it — a blind
+    *      re-append would duplicate band/sig rows and double-fold the
+    *      manifest (xor fp cancels, n double-counts) while the commit
+    *      ledger then vouched for the corrupted index. A replay seeing
+    *      the intent's PRE stamp re-runs the append (the data append
+    *      never committed — the residual window INSIDE
+    *      [[graft.ops.Dedup.appendToBandIndex]] between its data append
+    *      and meta fold keeps that family's own single-writer
+    *      crash-means-rebuild contract); any OTHER stamp is a foreign
+    *      writer and fails loudly;
     *   3. the snapshot merge writes `<snapPrefix>_b<N>` — deterministic
     *      name, overwrite — so replaying it is idempotent; injectable at
     *      `sdaily.after_snapshot`;
     *   4. the commit ledger row (batch_id, snap) commits LAST; a crash
     *      anywhere before it replays from the earliest non-idempotent
-    *      step still pending, and CurationSpec proves crash-at-3 and
-    *      crash-at-2 recoveries land bit-identical to an uncrashed run.
+    *      step still pending, and CurationSpec proves crash-at-3 AND
+    *      crash-at-2 (`sdaily.after_index_append`) recoveries land
+    *      bit-identical to an uncrashed run.
+    *
+    * TAKEDOWN absorption (VERDICT r13): when `tombstones` names an
+    * existing table, every arriving document on that list is dropped
+    * BEFORE the decision is computed or reused
+    * ([[graft.streaming.StreamOps.streamTombstoneFiltered]]), so a
+    * taken-down document re-delivered in a later batch can never re-enter
+    * the decision ledger, the band index, or a snapshot — the
+    * admission-side half of [[forgetBatch]], standing in the pipeline
+    * itself. CurationSpec forgets a batch-N doc, re-delivers it in batch
+    * N+1, and proves it reaches neither artifact.
     *
     * At 100 TB this is [[commitDailyBatch]] amortized to arrival time:
     * per micro-batch cost is proportional to the batch (one signal scan,
@@ -280,7 +301,7 @@ object Curation {
       batchId: Long, benchmark: DataFrame, bandTable: String,
       ledgerDir: String, snap0: String, snapPrefix: String,
       minQuality: Double = 0.6, lang: String = "en", maxDup2: Double = 0.05,
-      nSpan: Int = 8): Unit = {
+      nSpan: Int = 8, tombstones: Option[String] = None): Unit = {
     import spark.implicits._
     val commitLedger = snapPrefix + "_ledger"
     val idxLedger = snapPrefix + "_idxledger"
@@ -288,6 +309,13 @@ object Curation {
       spark.catalog.tableExists(table) &&
         !spark.table(table).filter(col("batch_id") === batchId).isEmpty
     if (ledgered(commitLedger)) return // full replay: exactly-once no-op
+    // 0b. takedown absorption — tombstoned docs never reach the decision,
+    // the index, or a snapshot (see the TAKEDOWN paragraph above)
+    val live = tombstones.filter(spark.catalog.tableExists) match {
+      case Some(t) =>
+        graft.streaming.StreamOps.streamTombstoneFiltered(batch, spark.table(t))
+      case None => batch
+    }
     // 1. decision ledger — publish-or-reuse (see the replay contract)
     val decDir = s"$ledgerDir/batch_id=$batchId"
     val fs = new org.apache.hadoop.fs.Path(decDir)
@@ -295,16 +323,43 @@ object Curation {
     val published = fs.exists(
       new org.apache.hadoop.fs.Path(decDir + "/_SUCCESS"))
     if (!published)
-      decideBatch(spark, batch, benchmark, bandTable,
+      decideBatch(spark, live, benchmark, bandTable,
         minQuality, lang, maxDup2, nSpan)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(decDir)
     val decision = spark.read.parquet(decDir)
-    val surv = batch.join(
+    val surv = live.join(
       decision.filter(col("survived")).select("doc_id"), Seq("doc_id"), "left_semi")
     // 2. band-index append, ledgered (tomorrow's arrivals dedup against
-    // today's survivors)
+    // today's survivors) — intent-first so a replay can TELL whether the
+    // append already completed (the replay contract's step 2)
     if (!ledgered(idxLedger)) {
-      Dedup.appendToBandIndex(surv, bandTable)
+      val intentTable = snapPrefix + "_idxintent"
+      val (bn, bfp) = graft.sources.Formats.corpusStamp(surv, "doc_id")
+      val cur = graft.sources.Formats.readBuildMeta(spark, bandTable)
+        .map(m => (m._1, m._2)).getOrElse((0L, 0L))
+      val intent =
+        if (spark.catalog.tableExists(intentTable))
+          spark.table(intentTable).filter(col("batch_id") === batchId)
+            .select("pre_n", "pre_fp").collect().headOption
+            .map(r => (r.getLong(0), r.getLong(1)))
+        else None
+      val alreadyAppended =
+        intent.exists { case (pn, pf) => cur == ((pn + bn, pf ^ bfp)) }
+      if (!alreadyAppended) {
+        intent match {
+          case Some((pn, pf)) =>
+            require(cur == ((pn, pf)),
+              s"band index '$bandTable' manifest stamp $cur matches neither " +
+                s"batch $batchId's pre-append intent ($pn,$pf) nor its " +
+                "post-append fold — a foreign writer touched the index " +
+                "mid-recovery; rebuild before resuming the stream")
+          case None =>
+            Seq((batchId, cur._1, cur._2)).toDF("batch_id", "pre_n", "pre_fp")
+              .write.mode(org.apache.spark.sql.SaveMode.Append)
+              .format("parquet").saveAsTable(intentTable)
+        }
+        Dedup.appendToBandIndex(surv, bandTable)
+      }
       graft.sources.Formats.failIf("sdaily.after_index_append")
       Seq(batchId).toDF("batch_id").write
         .mode(org.apache.spark.sql.SaveMode.Append)
@@ -337,13 +392,15 @@ object Curation {
     * deployment). */
   def startStreamDailyPipeline(docs: DataFrame, benchmark: DataFrame,
       bandTable: String, ledgerDir: String, snap0: String, snapPrefix: String,
-      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpointDir: String,
+      tombstones: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         commitStreamDailyBatch(b.sparkSession, b.toDF(), id,
-          benchmark, bandTable, ledgerDir, snap0, snapPrefix))
+          benchmark, bandTable, ledgerDir, snap0, snapPrefix,
+          tombstones = tombstones))
       .start()
 
   /** The FORGET composite — [[commitDailyBatch]]'s inverse: one takedown

@@ -313,6 +313,19 @@ object StreamOps {
 
     def fold(key: (Long, Long), it: Iterator[Event],
         state: GroupState[AdmitCount]): Iterator[Admitted] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+      // Spark does NOT auto-drop late input for flatMapGroupsWithState:
+      // an event arriving after the watermark passed its window's end
+      // belongs to a window whose quota state already timed out and was
+      // evicted. Admitting it would restart the count at 0 and re-admit
+      // up to n events — silently EXCEEDING the per-window quota this
+      // operator exists to enforce (ADVICE r13; the r12 guard skipped
+      // only the state write, after the admission loop had already
+      // emitted). Drop the whole group BEFORE admission — the
+      // dropDuplicates late-input semantics — which also avoids the
+      // below-watermark setTimeoutTimestamp that would fail the query.
+      if (streaming && key._2 + windowMs <= state.getCurrentWatermarkMs())
+        return Iterator.empty
       val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
       var c = state.getOption.map(_.admitted).getOrElse(0L)
       val out = Seq.newBuilder[Admitted]
@@ -320,21 +333,10 @@ object StreamOps {
         c += 1
         out += Admitted(e.event_id, key._1, e.ts, new Timestamp(key._2))
       }
-      if (state.hasTimedOut) state.remove()
-      else if (streaming) {
-        // Spark does NOT auto-drop late input for flatMapGroupsWithState:
-        // an event arriving after the watermark passed its window's end
-        // would compute a timeout below the current watermark, which
-        // throws and fails the query. Guard defensively (ADVICE r12) —
-        // skip the update for such a group: its window can no longer
-        // change the admitted set, and carrying no state for it is
-        // exactly the post-timeout condition.
-        val horizon = state.getCurrentWatermarkMs()
-        if (key._2 + windowMs > horizon) {
-          state.update(AdmitCount(c))
-          // the window can stop admitting once the watermark passes its end
-          state.setTimeoutTimestamp(key._2 + windowMs)
-        }
+      if (streaming) {
+        state.update(AdmitCount(c))
+        // the window can stop admitting once the watermark passes its end
+        state.setTimeoutTimestamp(key._2 + windowMs)
       }
       out.result().iterator
     }

@@ -145,10 +145,10 @@ class CurationSpec extends SparkTestBase {
       graft.ops.Snapshot.baseSnapshot(Curation.corpusOf(all))
         .select(col("doc_id"), col("version"), col("fp")), name)
     def runStream(stage: String, band: String, ledger: String, s0: String,
-        prefix: String, ckpt: String): Unit =
+        prefix: String, ckpt: String, tomb: Option[String] = None): Unit =
       Curation.startStreamDailyPipeline(
         spark.readStream.schema(schema).parquet(stage),
-        bench, band, ledger, s0, prefix, ckpt).awaitTermination()
+        bench, band, ledger, s0, prefix, ckpt, tomb).awaitTermination()
     try {
       // ---- references: the batch composite's decision + committed state
       Dedup.buildBandIndex(Curation.corpusOf(all), "graft_sd_refd")
@@ -205,6 +205,69 @@ class CurationSpec extends SparkTestBase {
       assert(rows("graft_sd_fps_b0") === rows("graft_sd_ref_snap"))
       assert(spark.table("graft_sd_fps_ledger").count() === 1L)
 
+      // ---- failpoint: crash AFTER the index append, before the
+      // _idxledger row (ADVICE r13) — recovery must DETECT the completed
+      // append through the _idxintent stamp and skip it; a blind
+      // re-append would duplicate band/sig rows and double-fold the
+      // manifest (xor fp cancels, n double-counts) while the commit
+      // ledger then vouched for the corrupted index
+      def metaStamp(t: String): (Long, Long) = {
+        val r = spark.table(t + "_meta").select("corpus_n", "corpus_fp").head()
+        (r.getLong(0), r.getLong(1))
+      }
+      Dedup.buildBandIndex(Curation.corpusOf(all), "graft_sd_f2")
+      snap0("graft_sd_f2_snap0")
+      Formats.failpoint = "sdaily.after_index_append"
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        runStream(s"$root/stage1", "graft_sd_f2", s"$root/ledf2",
+          "graft_sd_f2_snap0", "graft_sd_f2s", s"$root/ckf2")
+      }
+      Formats.failpoint = ""
+      assert(!spark.catalog.tableExists("graft_sd_f2s_idxledger"),
+        "nothing idx-ledgered before the crash point")
+      assert(spark.catalog.tableExists("graft_sd_f2s_idxintent"),
+        "the intent row must be durable before the append runs")
+      runStream(s"$root/stage1", "graft_sd_f2", s"$root/ledf2",
+        "graft_sd_f2_snap0", "graft_sd_f2s", s"$root/ckf2")
+      assert(rows("graft_sd_f2") === rows("graft_sd_ref"),
+        "replay must not duplicate band rows of the completed append")
+      assert(rows("graft_sd_f2_sigs") === rows("graft_sd_ref_sigs"),
+        "replay must not duplicate signature rows of the completed append")
+      assert(metaStamp("graft_sd_f2") === metaStamp("graft_sd_ref"),
+        "replay must not double-fold the manifest stamp")
+      assert(rows("graft_sd_f2s_b0") === rows("graft_sd_ref_snap"))
+      assert(spark.table("graft_sd_f2s_ledger").count() === 1L)
+
+      // ---- takedown absorption (VERDICT r13): forget a document, then
+      // re-deliver it in a later batch — it must be rejected BEFORE the
+      // decision and reach neither the band index nor a snapshot
+      Dedup.buildBandIndex(Curation.corpusOf(all), "graft_sd_t")
+      snap0("graft_sd_t_snap0")
+      val victim = Curation.corpusOf(all).select("doc_id")
+        .orderBy("doc_id").limit(1)
+      val victimId = victim.head().getLong(0)
+      Curation.forgetBatch(spark, victim, "graft_sd_t",
+        "graft_sd_t_snap0", "graft_sd_t_snap0f")
+      Formats.writeManaged(victim, "graft_sd_t_tomb")
+      // today's crawl re-delivers the taken-down page alongside the batch
+      batch.unionByName(Curation.corpusOf(all)
+          .filter(col("doc_id") === victimId).select("doc_id", "text"))
+        .coalesce(1).write.parquet(s"$root/staget")
+      runStream(s"$root/staget", "graft_sd_t", s"$root/ledt",
+        "graft_sd_t_snap0f", "graft_sd_ts", s"$root/ckt",
+        tomb = Some("graft_sd_t_tomb"))
+      assert(spark.table("graft_sd_t_sigs")
+        .filter(col("doc_id") === victimId).isEmpty,
+        "a tombstoned doc must never re-enter the band index")
+      assert(spark.read.parquet(s"$root/ledt")
+        .filter(col("doc_id") === victimId).isEmpty,
+        "a tombstoned doc must be dropped before the decision ledger")
+      assert(spark.table("graft_sd_ts_b0")
+        .filter(col("doc_id") === victimId).isEmpty,
+        "a tombstoned doc must never reach a snapshot")
+      assert(spark.table("graft_sd_ts_ledger").count() === 1L,
+        "the rest of the batch must commit normally")
+
       // ---- multi-batch: arrivals decided against the index AS OF prior
       // commits (sequential daily semantics) ------------------------------
       val b1 = batch.filter(col("doc_id") % 8 === 1)
@@ -238,14 +301,19 @@ class CurationSpec extends SparkTestBase {
     } finally {
       Formats.failpoint = ""
       dropIdx("graft_sd_refd", "graft_sd_ref", "graft_sd_s1", "graft_sd_fp",
-        "graft_sd_m", "graft_sd_m_ref")
+        "graft_sd_f2", "graft_sd_t", "graft_sd_m", "graft_sd_m_ref")
       Seq("graft_sd_ref_snap", "graft_sd_ref_snap_ledger",
         "graft_sd_s1_snap0", "graft_sd_s1s_b0", "graft_sd_s1s_ledger",
-        "graft_sd_s1s_idxledger",
+        "graft_sd_s1s_idxledger", "graft_sd_s1s_idxintent",
         "graft_sd_fp_snap0", "graft_sd_fps_b0", "graft_sd_fps_ledger",
-        "graft_sd_fps_idxledger",
+        "graft_sd_fps_idxledger", "graft_sd_fps_idxintent",
+        "graft_sd_f2_snap0", "graft_sd_f2s_b0", "graft_sd_f2s_ledger",
+        "graft_sd_f2s_idxledger", "graft_sd_f2s_idxintent",
+        "graft_sd_t_snap0", "graft_sd_t_snap0f", "graft_sd_t_tomb",
+        "graft_sd_ts_b0", "graft_sd_ts_ledger",
+        "graft_sd_ts_idxledger", "graft_sd_ts_idxintent",
         "graft_sd_m_snap0", "graft_sd_ms_b0", "graft_sd_ms_b1",
-        "graft_sd_ms_ledger", "graft_sd_ms_idxledger")
+        "graft_sd_ms_ledger", "graft_sd_ms_idxledger", "graft_sd_ms_idxintent")
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     }

@@ -106,6 +106,34 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("rateLimit drops late events for expired windows instead of re-admitting") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[Event]
+    val q = StreamOps.rateLimit(stream.toDS(), n = 1, windowMs = 3600000L)
+      .writeStream.format("memory").queryName("rate_late")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 fills its window's quota (n=1); a far-future event
+      // pushes the watermark past that window's end
+      stream.addData(Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(200), 9, "click", 1.0))
+      q.processAllAvailable()
+      // batch 2: unrelated traffic — the expired (user 1, window 0) state
+      // times out and is evicted during this batch
+      stream.addData(Event(4, ts(215), 8, "click", 1.0))
+      q.processAllAvailable()
+      // batch 3: a LATE event for the expired window. With no surviving
+      // state a naive fold restarts the count at 0 and re-admits —
+      // exceeding the quota (ADVICE r13). It must be dropped outright.
+      stream.addData(Event(5, ts(1), 1, "click", 1.0))
+      q.processAllAvailable()
+      val admitted = spark.table("rate_late").collect().map(_.getLong(0)).toSet
+      assert(admitted === Set(1L, 2L, 4L),
+        s"late event for an expired window must be dropped, got $admitted")
+    } finally q.stop()
+  }
+
   test("sessionize on batch input closes gap sessions AND flushes final sessions") {
     import spark.implicits._
     // user 1: events at t0, t10, then t60 (gap > 30 min) -> two sessions
