@@ -266,6 +266,59 @@ object Formats {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Managed table DIRECTORY-PARTITIONED on `partCol` — the layout for
+    * derived tables probed on a low-cardinality key (e.g. an IVF cell id)
+    * where the prune should come from RUNTIME partition pruning (DPP — a
+    * join against the small probe side dynamically prunes the scan's
+    * partitions) instead of a driver-collected `isin` literal: no
+    * blocking collect before planning, and the pruned plan serves any
+    * query count in one shot. The pre-shuffle hashes `partCol` into
+    * `numTasks` tasks so each partition value's rows sit in ONE task and
+    * the write emits one file per (task, value) = one file per value. */
+  def writePartitionedTable(df: DataFrame, table: String, partCol: String,
+      numTasks: Int): Unit = {
+    dropForOverwrite(df.sparkSession, table)
+    df.repartition(numTasks, col(partCol))
+      .write.mode(SaveMode.Overwrite).partitionBy(partCol)
+      .format("parquet").saveAsTable(table)
+  }
+
+  /** Append a batch into a [[writePartitionedTable]] layout — dynamic
+    * partition insert, so only the batch's partitions gain files and the
+    * catalog's partition list is synced automatically. The first append
+    * creates the table (the bootstrap case of incremental builds). */
+  def appendPartitionedTable(df: DataFrame, table: String, partCol: String,
+      numTasks: Int): Unit =
+    df.repartition(numTasks, col(partCol))
+      .write.mode(SaveMode.Append).partitionBy(partCol)
+      .format("parquet").saveAsTable(table)
+
+  /** Delete-propagation rewrite for a [[writePartitionedTable]] layout —
+    * the partitioned twin of [[purgeBucketed]], riding the same
+    * crash-safe ping-pong swap. One extra step a partitioned table
+    * needs: the catalog tracks each partition's OWN location, so after
+    * the swap the partition entries are re-synced against the new
+    * directory (`MSCK … SYNC PARTITIONS`). A crash between the swap and
+    * the sync leaves catalog reads stale until the purge is re-run — the
+    * same re-run-to-recover contract as the swap's other windows (the
+    * rewrite itself reads the RAW path, so recovery never depends on the
+    * stale entries). */
+  def purgePartitionedTable(spark: SparkSession, table: String, partCol: String,
+      numTasks: Int, idCol: String, deleteIds: DataFrame): Unit = {
+    pingPongRewrite(spark, table) { (oldPath, newPath, staging) =>
+      spark.read.parquet(oldPath)
+        .join(broadcast(deleteIds.select(col(idCol)).distinct()),
+          Seq(idCol), "left_anti")
+        .repartition(numTasks, col(partCol))
+        .write.mode(SaveMode.Overwrite)
+        .option("path", newPath) // external: drops never delete data
+        .partitionBy(partCol)
+        .format("parquet").saveAsTable(staging)
+    }
+    spark.sql(s"MSCK REPAIR TABLE `$table` SYNC PARTITIONS")
+    spark.catalog.refreshTable(table)
+  }
+
   /** Test-only failure injection for the maintenance paths (VERDICT r10
     * item 3): when set to a window name, the operation throws AT that
     * window, so specs can kill mid-swap/mid-absorb and assert the
@@ -528,18 +581,23 @@ object Formats {
     * append's declared params are compatible with the build's, then
     * rewrites the row with the batch's stamp folded in.
     *
-    * HARD CONTRACT — single writer, crash means rebuild (ADVICE r11):
-    * this is a non-atomic read-modify-write of the one-row meta table,
-    * and every append* path runs it AFTER its data append. A crash in
-    * the window between the two leaves index rows committed with no
-    * stamp folded (the manifest understates the corpus), and two
-    * concurrent appenders can lose one batch's stamp entirely — in both
-    * cases `corpus_n`/`corpus_fp` disagree with the stored rows while
-    * [[requireBuilt]] still passes. Run at most one appender per index
-    * family at a time, and treat any append that crashed mid-way as
-    * index corruption: rebuild (the same recovery the bucketed-append
-    * data path itself requires — Spark's `SaveMode.Append` is not
-    * transactional either).
+    * HARD CONTRACT — single writer PER PROCESS-SET, crash means rebuild
+    * (ADVICE r11): this is a read-modify-write of the one-row meta
+    * table, and every append* path runs it AFTER its data append. A
+    * crash in the window between the two leaves index rows committed
+    * with no stamp folded (the manifest understates the corpus) —
+    * [[stampAudit]] is the detector. WITHIN one JVM the fold is
+    * serialized on a per-table lock (r14, ADVICE r11's concurrent-append
+    * refusal): two same-session appenders — e.g. a streaming foreachBatch
+    * racing a maintenance job — can no longer interleave the
+    * read-modify-write and silently lose one batch's stamp; FormatsSpec
+    * hammers the fold from many threads and proves the manifest equals
+    * the full sum/xor. ACROSS processes no lock exists (there is no
+    * external coordinator in this engine): run at most one appender
+    * process per index family at a time, and treat any append that
+    * crashed mid-way as index corruption: rebuild (the same recovery the
+    * bucketed-append data path itself requires — Spark's
+    * `SaveMode.Append` is not transactional either).
     *
     * `bootstrap` covers the one legitimate manifest-less append: families
     * whose derivation is stateless per document (SQ codes, LSH bands,
@@ -548,22 +606,55 @@ object Formats {
     * bootstrap = "the main table did not exist before this append";
     * a missing manifest NEXT TO an existing table stays a loud failure
     * (that is the partially-deleted / foreign-index case). */
+  private val metaLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   def foldBuildMeta(spark: SparkSession, table: String, params: String,
       batchN: Long, batchFp: Long, bootstrap: Boolean = false): Unit = {
-    val (n, fp, built, appends) = readBuildMeta(spark, table).getOrElse {
-      if (bootstrap) (0L, 0L, params, -1L) // -1: the +1 below counts this append
-      else throw new IllegalStateException(
-        s"index '$table' has no build manifest ('${metaTable(table)}'): " +
-          "built by an incompatible version or partially deleted — rebuild before appending")
+    val lock = metaLocks.computeIfAbsent(metaTable(table), _ => new Object)
+    lock.synchronized {
+      val (n, fp, built, appends) = readBuildMeta(spark, table).getOrElse {
+        if (bootstrap) (0L, 0L, params, -1L) // -1: the +1 below counts this append
+        else throw new IllegalStateException(
+          s"index '$table' has no build manifest ('${metaTable(table)}'): " +
+            "built by an incompatible version or partially deleted — rebuild before appending")
+      }
+      require(paramsCompatible(built, params),
+        s"append params '$params' are incompatible with '$table' build params " +
+          s"'$built' — appending with a different spec would silently corrupt the index")
+      import spark.implicits._
+      writeManaged(
+        Seq((n + batchN, fp ^ batchFp, built, appends + 1, System.currentTimeMillis()))
+          .toDF("corpus_n", "corpus_fp", "params", "appends", "built_at_ms"),
+        metaTable(table))
     }
-    require(paramsCompatible(built, params),
-      s"append params '$params' are incompatible with '$table' build params " +
-        s"'$built' — appending with a different spec would silently corrupt the index")
+  }
+
+  /** DEBUG COMPANION of the xor corpus stamp (r14, ADVICE r11): the
+    * disjointness precondition is what makes the fold sound — xor is
+    * self-cancelling, so a batch that overlaps the indexed corpus folds
+    * the duplicate ids AWAY and the manifest can come to vouch for a
+    * corpus it does not describe. This audit makes the violation
+    * DETECTABLE after the fact: recompute the stamp over the DISTINCT
+    * ids actually stored (one scan of the id side-table every index
+    * family keeps — `_sigs`, `_codes`, the store itself) and compare to
+    * the manifest. Overlapping appends leave `manifest_n` counting the
+    * duplicate ids twice while the distinct recount does not (and the
+    * fps diverge because the cancelled ids reappear once), so
+    * `disjoint_ok=false` pinpoints exactly the silent-corruption case
+    * the contract forbids — without this row the failure mode is
+    * invisible until [[isStaleFor]] lies. One-row result:
+    * (manifest_n, manifest_fp, stored_n, stored_fp, disjoint_ok). */
+  def stampAudit(spark: SparkSession, table: String, storedIds: DataFrame,
+      idCol: String): DataFrame = {
     import spark.implicits._
-    writeManaged(
-      Seq((n + batchN, fp ^ batchFp, built, appends + 1, System.currentTimeMillis()))
-        .toDF("corpus_n", "corpus_fp", "params", "appends", "built_at_ms"),
-      metaTable(table))
+    val (mn, mfp) = readBuildMeta(spark, table)
+      .map(m => (m._1, m._2))
+      .getOrElse(throw new IllegalStateException(
+        s"index '$table' has no build manifest ('${metaTable(table)}') to audit"))
+    val (sn, sfp) = corpusStamp(storedIds.select(col(idCol)).distinct(), idCol)
+    Seq((mn, mfp, sn, sfp, mn == sn && mfp == sfp))
+      .toDF("manifest_n", "manifest_fp", "stored_n", "stored_fp", "disjoint_ok")
   }
 
   /** Probe-side gate: the family must have a build manifest. A catalog

@@ -425,6 +425,60 @@ class FormatsSpec extends SparkTestBase {
     assert(nH + nA !== nR) // the count component DOES flag this overlap
   }
 
+  test("stampAudit detects an overlapping append; concurrent folds never lose a stamp") {
+    import spark.implicits._
+    val ids = (1L to 100L).toDF("vec_id")
+    val batch = (101L to 150L).toDF("vec_id")
+    val overlap = (140L to 160L).toDF("vec_id") // 11 ids already stored
+    try {
+      // build + disjoint append: manifest equals the distinct-id recount
+      Formats.writeManaged(ids, "t_audit_spec")
+      val (n0, fp0) = Formats.corpusStamp(ids, "vec_id")
+      Formats.writeBuildMeta(spark, "t_audit_spec", "kind=test", n0, fp0)
+      Formats.writeManaged(ids.unionByName(batch), "t_audit_spec")
+      val (bn, bfp) = Formats.corpusStamp(batch, "vec_id")
+      Formats.foldBuildMeta(spark, "t_audit_spec", "kind=test", bn, bfp)
+      val ok = Formats.stampAudit(spark, "t_audit_spec",
+        spark.table("t_audit_spec"), "vec_id").head()
+      assert(ok.getBoolean(4), s"disjoint appends must audit clean: $ok")
+      // contract-violating OVERLAPPING append: rows appended, stamp folded
+      // — xor cancels the 11 duplicate ids, count double-counts them, and
+      // the audit catches BOTH divergences
+      Formats.writeManaged(
+        ids.unionByName(batch).unionByName(overlap), "t_audit_spec")
+      val (on, ofp) = Formats.corpusStamp(overlap, "vec_id")
+      Formats.foldBuildMeta(spark, "t_audit_spec", "kind=test", on, ofp)
+      val bad = Formats.stampAudit(spark, "t_audit_spec",
+        spark.table("t_audit_spec"), "vec_id").head()
+      assert(!bad.getBoolean(4), "an overlapping append must fail the audit")
+      assert(bad.getLong(0) === bad.getLong(2) + 11,
+        "manifest count double-counts exactly the overlap")
+      assert(bad.getLong(1) !== bad.getLong(3),
+        "cancelled ids must surface as a fingerprint divergence")
+    } finally {
+      Seq("t_audit_spec", "t_audit_spec_meta")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+    // concurrent same-JVM folds: without the per-table lock the one-row
+    // read-modify-write loses stamps under interleaving; the manifest
+    // must end at the exact sum/xor of every batch
+    try {
+      Formats.writeBuildMeta(spark, "t_lock_spec", "kind=test", 0L, 0L)
+      val batches = (1 to 8).map(i => (i.toLong, 1L << i))
+      val threads = batches.map { case (bn2, bfp2) =>
+        new Thread(() =>
+          Formats.foldBuildMeta(spark, "t_lock_spec", "kind=test", bn2, bfp2))
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      val Some((n, fp, _, appends)) = Formats.readBuildMeta(spark, "t_lock_spec")
+      assert(n === batches.map(_._1).sum, s"lost stamp count: $n")
+      assert(fp === batches.map(_._2).reduce(_ ^ _), s"lost stamp fp: $fp")
+      assert(appends === 8L)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS t_lock_spec_meta")
+    }
+  }
+
   test("build manifest: fresh stateless family bootstraps via append") {
     import graft.ops.Similarity
     val emb = Tables.embeddings(spark, sfDir)
