@@ -1629,6 +1629,14 @@ object SparkEntry {
       import s.implicits._
       Seq((n, fp, appends, fresh)).toDF("corpus_n", "corpus_fp", "appends", "fresh")
     }),
+    // the xor-stamp DISJOINTNESS audit (r14, ADVICE r11): manifest stamp
+    // vs a distinct-id recount of the stored rows — the detector for the
+    // silently-corrupting overlapping append; on a healthy one-shot
+    // build both sides equal the corpus stamp and the verdict is true
+    "fmt_stamp_audit" -> ((s, d) => {
+      buildOnce(s"lsh:$d") { Similarity.buildLshIndex(Tables.embeddings(s, d), "graft_lsh_idx") }
+      Formats.stampAudit(s, "graft_lsh_idx", s.table("graft_lsh_idx"), "vec_id")
+    }),
     "fmt_schema_evolution" -> ((s, d) => {
       val out = s"$scratchDir/cust_evolve"
       val c = Tables.customer(s, d)
@@ -2947,7 +2955,8 @@ object SparkEntry {
   /** CTE chain of the composed IVF×PQ probe, through the PQ-ranked `xr`,
     * parameterized on the query-set predicate — shared by the top-k, the
     * query-many, and the refine oracles. */
-  private def ivfPqCtesFor(queryPred: String, cellsWhere: String = "TRUE"): String =
+  private def ivfPqCtesFor(queryPred: String, cellsWhere: String = "TRUE",
+      nprobe: Int = Similarity.IvfPqNprobe): String =
     s"""$kmeansPivotCtes,
        |$pqTrainCtes,
        |xsc AS (SELECT e.vec_id, e.embedding, p.pid,
@@ -2958,7 +2967,7 @@ object SparkEntry {
        |xcells AS (SELECT vec_id AS neighbor_id, pid AS cell
        |  FROM xranked WHERE prn = 1 AND ($cellsWhere)),
        |xprobes AS (SELECT vec_id AS query_id, embedding AS qv, pid AS cell
-       |  FROM xranked WHERE ($queryPred) AND prn <= 2),
+       |  FROM xranked WHERE ($queryPred) AND prn <= $nprobe),
        |xcand AS (SELECT query_id, qv, neighbor_id
        |  FROM xprobes JOIN xcells USING (cell) WHERE neighbor_id <> query_id),
        |xscored AS (SELECT c.query_id, c.neighbor_id,
@@ -2979,8 +2988,9 @@ object SparkEntry {
     * shortlist capped at the candidate budget, exact-cosine re-rank from
     * the full-precision vectors, refined top-k. */
   private val ivfPqRefineOracleSql: String =
-    s"""WITH ${ivfPqCtesFor("vec_id < 10")},
-       |shortlist AS (SELECT query_id, neighbor_id FROM xr WHERE rn <= 20),
+    s"""WITH ${ivfPqCtesFor("vec_id < 10", nprobe = Similarity.RefineNprobe)},
+       |shortlist AS (SELECT query_id, neighbor_id FROM xr
+       |  WHERE rn <= ${Similarity.RefineShortlist}),
        |rer AS (SELECT s.query_id, s.neighbor_id,
        |  list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])) AS cos_exact
        |  FROM shortlist s
@@ -5039,6 +5049,17 @@ object SparkEntry {
       s"""SELECT CAST(count(*) AS BIGINT) AS corpus_n,
          |  CAST(bit_xor(${h60Sql("CAST(vec_id AS VARCHAR)")}) AS BIGINT) AS corpus_fp,
          |  CAST(0 AS BIGINT) AS appends, 1 AS fresh
+         |FROM embeddings""".stripMargin,
+    // the audit's two sides replayed from the source corpus: the stored
+    // index was built from exactly `embeddings`, so manifest and
+    // distinct-recount stamps both equal the corpus stamp and the
+    // disjointness verdict holds
+    "fmt_stamp_audit" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS manifest_n,
+         |  CAST(bit_xor(${h60Sql("CAST(vec_id AS VARCHAR)")}) AS BIGINT) AS manifest_fp,
+         |  CAST(count(*) AS BIGINT) AS stored_n,
+         |  CAST(bit_xor(${h60Sql("CAST(vec_id AS VARCHAR)")}) AS BIGINT) AS stored_fp,
+         |  TRUE AS disjoint_ok
          |FROM embeddings""".stripMargin,
     // oracle derives both schema generations from the source table: the
     // even half never wrote a balance, so its sum is NULL — equality

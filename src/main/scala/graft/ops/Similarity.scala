@@ -506,8 +506,8 @@ object Similarity {
       .join(broadcast(deleteIds.select("vec_id").distinct()), "vec_id")
       .select("vec_id").distinct()
     val (dn, dfp) = graft.sources.Formats.corpusStamp(present, "vec_id")
-    graft.sources.Formats.purgeBucketed(spark, table,
-      Seq("cell"), numBuckets, "vec_id", deleteIds)
+    graft.sources.Formats.purgePartitionedTable(spark, table,
+      "cell", numBuckets, "vec_id", deleteIds)
     graft.sources.Formats.foldBuildMeta(spark, table,
       s"kind=ivfpq,buckets=$numBuckets", -dn, dfp)
   }
@@ -877,8 +877,31 @@ object Similarity {
 
   val PqSubspaces = 16
   val PqSubDim: Int = Dim / PqSubspaces
-  val PqCodes = 16
+
+  /** Centroids per PQ subspace — 64 since r14 (was 16): the r14 recall
+    * sweep (BASELINE.md, recall-vs-cost curve) measured the raw IVF×PQ
+    * tier at 0.34→0.46 avg recall@5 for the 16→64 step at nprobe=4 with
+    * ZERO stored-byte cost (codes stay [[PqSubspaces]] bytes/row; only
+    * the broadcast codebook table grows 4×, still ~16 KB) and a ~4×
+    * train/encode argmin join that remains one corpus pass. */
+  val PqCodes = 64
   val PqIters = 2
+
+  /** Serving defaults for the composed IVF×PQ probes, tuned against the
+    * r13 recall ladder on the shipped RANDOM-vector corpus — the
+    * documented worst case for cell pruning: iid vectors have no cluster
+    * structure, so neighbor coverage grows ~linearly with
+    * nprobe/kClusters (measured curve in BASELINE.md) instead of
+    * saturating at small nprobe the way clustered production embeddings
+    * do. The compressed tier keeps an aggressive nprobe (it exists to
+    * bound bytes read; its monitor gate prices the recall honestly at
+    * ~0.46 avg) while the REFINE tier — the serving path — defaults to
+    * the measured ≥0.8-avg point (nprobe=10, shortlist=100 → 0.84 avg /
+    * 0.60 min recall@5 here; a clustered corpus reaches that at
+    * nprobe 2–4, and the shortlist width is near-free either way). */
+  val IvfPqNprobe = 4
+  val RefineNprobe = 10
+  val RefineShortlist = 100
 
   /** Squared L2 distance via the dot expansion `x·x - 2 x·c + c·c` — the
     * SAME association on both engines (three sequential-fold dots, two
@@ -1096,16 +1119,17 @@ object Similarity {
     * sweep per tier plus one corpus-wide assignment + encode — the
     * standard IVF-PQ build cost, run exactly once here. */
   def buildIvfPqIndex(emb: DataFrame, table: String, kClusters: Int = NumPivots,
-      iters: Int = KmeansIters, numBuckets: Int = 8): Unit = {
+      iters: Int = KmeansIters, numBuckets: Int = 8,
+      pqCodes: Int = PqCodes, pqIters: Int = PqIters): Unit = {
     val piv = trainPivots(emb, kClusters, iters)
-    val books = trainPqCodebooks(emb)
+    val books = trainPqCodebooks(emb, pqCodes, pqIters)
     graft.sources.Formats.writeBucketed(piv, s"${table}_pivots", Seq("pid"), 1)
     graft.sources.Formats.writeBucketed(books, s"${table}_books", Seq("m"), 1)
-    graft.sources.Formats.writeBucketed(
+    graft.sources.Formats.writePartitionedTable(
       assignCells(emb, piv).select(col("vec_id"), col("cell"))
         .join(pqEncode(emb, books), Seq("vec_id"))
         .select(col("vec_id"), col("cell"), col("codes")),
-      table, Seq("cell"), numBuckets)
+      table, "cell", numBuckets)
     val (n, fp) = graft.sources.Formats.corpusStamp(emb, "vec_id")
     graft.sources.Formats.writeBuildMeta(emb.sparkSession, table,
       s"kind=ivfpq,k=$kClusters,iters=$iters,buckets=$numBuckets", n, fp)
@@ -1141,11 +1165,11 @@ object Similarity {
       table: String, numBuckets: Int = 8): Unit = {
     val piv = spark.table(s"${table}_pivots")
     val books = spark.table(s"${table}_books")
-    graft.sources.Formats.writeBucketedAppend(
+    graft.sources.Formats.appendPartitionedTable(
       assignCells(newEmb, piv).select(col("vec_id"), col("cell"))
         .join(pqEncode(newEmb, books), Seq("vec_id"))
         .select(col("vec_id"), col("cell"), col("codes")),
-      table, Seq("cell"), numBuckets)
+      table, "cell", numBuckets)
     val (n, fp) = graft.sources.Formats.corpusStamp(newEmb, "vec_id")
     graft.sources.Formats.foldBuildMeta(spark, table,
       s"kind=ivfpq,buckets=$numBuckets", n, fp)
@@ -1156,14 +1180,15 @@ object Similarity {
     * The probe recomputes pivot cosines for the |queries|×k probe ranking
     * alone; the corpus-wide argmax and the corpus encode are READ.
     *
-    * The probed cell ids — DISTINCT across the whole workload, so at most
-    * `min(|queries| × nprobe, kClusters)` longs however many queries
-    * arrive (the ONE sanctioned driver-side collect; a 10k-query batch
-    * still collects ≤ kClusters cell ids) — come back as literals so the
-    * code-table scan is BUCKET-PRUNED (`cell` is the bucket key and
-    * `isin` over literals prunes buckets at planning time): unprobed
-    * cells are never read off disk, not merely filtered after a full
-    * scan. This is therefore already the query-MANY serving plan (the
+    * The code table is stored DIRECTORY-PARTITIONED on `cell`
+    * ([[graft.sources.Formats.writePartitionedTable]]), so the probe is
+    * ONE plan with no driver round-trip (VERDICT r13 item 5 — previously
+    * the probed cell ids were collected into an `isin` literal for bucket
+    * pruning): the broadcast candidate join on `cell` triggers DYNAMIC
+    * PARTITION PRUNING, and unprobed cells are never read off disk —
+    * SimilaritySpec asserts the scan's partition filter is the runtime
+    * `dynamicpruning` expression. This is therefore the query-MANY
+    * serving plan with no per-workload planning cost (the
     * `hybridSearchManyIndexed` discipline): N queries share one pruned
     * cell scan and one broadcast probe join — gate `ann_ivfpq_many` runs
     * a 4x workload through it against per-query-replayed oracles. Each surviving
@@ -1176,7 +1201,7 @@ object Similarity {
     * `PqSubspaces` bytes per row — both pruning levers at once, which is
     * why this is the layout production ANN systems run. */
   def ivfPqTopKIndexed(spark: org.apache.spark.sql.SparkSession, table: String,
-      queries: DataFrame, k: Int = 5, nprobe: Int = 2): DataFrame = {
+      queries: DataFrame, k: Int = 5, nprobe: Int = IvfPqNprobe): DataFrame = {
     graft.sources.Formats.requireBuilt(spark, table)
     graft.functions.FloatDot.register(spark)
     val piv = spark.table(s"${table}_pivots")
@@ -1190,8 +1215,9 @@ object Similarity {
       .filter(col("prn") <= nprobe)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("pid").cast("long").as("cell"))
-    val cellIds = probes.select(col("cell")).distinct().collect().map(_.getLong(0))
-    val pruned = idx.filter(col("cell").isin(cellIds: _*))
+    // no cell-id collect: the broadcast join below carries the prune to
+    // the partitioned scan via dynamic partition pruning
+    val pruned = idx
     // MAP-SIDE reconstruction (VERDICT r10 item 4): the codebooks total
     // PqCodes×Dim floats (~4 KB) — the same driver-bounded k×dim gram
     // scale as the trainers — so they fold into the plan as a nested
@@ -1254,7 +1280,7 @@ object Similarity {
     * refine-after-compress. */
   def ivfPqRefineTopKIndexed(spark: org.apache.spark.sql.SparkSession,
       pqTable: String, vecTable: String, queries: DataFrame, k: Int = 5,
-      candidates: Int = 20, nprobe: Int = 2): DataFrame = {
+      candidates: Int = RefineShortlist, nprobe: Int = RefineNprobe): DataFrame = {
     graft.sources.Formats.requireBuilt(spark, vecTable)
     graft.functions.FloatDot.register(spark)
     val cand = ivfPqTopKIndexed(spark, pqTable, queries, candidates, nprobe)

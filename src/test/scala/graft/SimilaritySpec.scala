@@ -309,10 +309,13 @@ class SimilaritySpec extends SparkTestBase {
         s"candidate join must broadcast probes against stored cells:\n$plan")
       assert(plan.contains("graft_ivfpq_spec["),
         s"probe must scan the stored composed index:\n$plan")
-      // stored-cells prune: the probed cell ids are literals, so the scan
-      // of the bucketed code table prunes unprobed buckets at plan time
-      assert(plan.contains("SelectedBucketsCount"),
-        s"code-table scan must be bucket-pruned to the probed cells:\n$plan")
+      // stored-cells prune (r14, VERDICT r13 item 5): no driver-collected
+      // cell literal anywhere — the cell-partitioned code-table scan
+      // carries a RUNTIME partition filter fed by the broadcast probe
+      // side (dynamic partition pruning), so unprobed cells are never
+      // read off disk and the probe is one plan with no collect
+      assert(plan.contains("dynamicpruning"),
+        s"code-table scan must be dynamically partition-pruned to the probed cells:\n$plan")
       // no retrain / no corpus pass: the ONLY scan of the raw embeddings
       // parquet is the query side — cells and codes both come off disk
       // (the corpus-wide argmax would show as a second embeddings scan)
@@ -668,9 +671,11 @@ class SimilaritySpec extends SparkTestBase {
       val refined = Similarity.ivfPqRefineTopKIndexed(
         spark, "graft_rf_pq", "graft_rf_vecs", queries).cache()
       // the refined list is exactly the exact-cosine re-rank of the
-      // 20-candidate PQ shortlist (independent driver-side reconstruction)
+      // PQ shortlist at the serving defaults (independent driver-side
+      // reconstruction at the SAME width and probe depth)
       val shortlist = Similarity.ivfPqTopKIndexed(
-          spark, "graft_rf_pq", queries, k = 20)
+          spark, "graft_rf_pq", queries,
+          k = Similarity.RefineShortlist, nprobe = Similarity.RefineNprobe)
         .select("query_id", "neighbor_id")
         .collect().map(r => (r.getLong(0), r.getLong(1)))
       val vecs = emb.collect()
