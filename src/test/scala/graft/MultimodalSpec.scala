@@ -218,6 +218,47 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("classPairs shards a mega-class: exactly-once pairs, no single-task quadratic stream") {
+    import spark.implicits._
+    // one saturated code (300 members) far above the test block size, two
+    // small classes at Hamming 1 of each other (cross-class pair), one
+    // unrelated distant code
+    val hot = (0L until 300L).map(id => (id, 0xF0F0F0F0F0F0FFL))
+    val sA = Seq((1000L, 0x0F0F0F0F0F0F0FL), (1001L, 0x0F0F0F0F0F0F0FL))
+    val sB = Seq((1002L, 0x0F0F0F0F0F0F0EL)) // Hamming 1 from sA's code
+    val far = Seq((2000L, 0x123456789ABCDL))
+    val codes = (hot ++ sA ++ sB ++ far).toDF("doc_id", "phash")
+    val pairs = Multimodal.classPairs(codes, "phash", Multimodal.phashBands,
+      maxHamming = 3, blockSize = 64).cache()
+    // exactly-once enumeration: every intra-pair of the hot class once,
+    // the small intra pair once, the cross-class pair once
+    val expectedIntraHot = 300L * 299L / 2
+    assert(pairs.filter(col("hamming") === 0).count() === expectedIntraHot + 1)
+    assert(pairs.count() === pairs.dropDuplicates("doc_a", "doc_b").count(),
+      "no pair may be enumerated twice")
+    assert(pairs.filter(col("doc_a") === 1000L && col("doc_b") === 1002L)
+      .count() === 1, "cross-class Hamming-1 pair must survive")
+    assert(pairs.filter(col("doc_a") >= col("doc_b")).count() === 0)
+    // per-task bound: the hot class's quadratic stream must NOT serialize
+    // through one task — with blockSize 64 the 300-member class splits
+    // into 5 blocks (5 same-block + 10 cross-block shards), so no
+    // explode-stage partition may hold more than ~blockSize² pairs, far
+    // under the class's 44850 (measured on the pre-sort intra stream —
+    // the miner's final orderBy would re-range the rows and hide this)
+    val perPartition = Multimodal.intraClassPairs(
+        Multimodal.codeClasses(codes, "phash"), "phash", blockSize = 64)
+      .rdd.mapPartitions(it => Iterator.single(it.size)).collect()
+    assert(perPartition.count(_ > 0) > 1,
+      "hot-class pairs must spread across multiple tasks")
+    // a shard is one same-block row (≤ B(B-1)/2 pairs) or one cross-block
+    // row (B² pairs); hash placement may co-locate a few shards on one
+    // task but never the whole class — allow 4 colliding shards of slack
+    assert(perPartition.max <= 4 * 64 * 64,
+      s"one task streamed ${perPartition.max} of ${expectedIntraHot} pairs — " +
+        "the block decomposition is not spreading")
+    pairs.unpersist()
+  }
+
   test("decodeStub: schema contract and deterministic byte statistics") {
     val out = Multimodal.decodeStub(blobs).cache()
     assert(out.schema === Multimodal.decodedSchema)
