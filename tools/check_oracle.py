@@ -18,22 +18,30 @@ for t in TABLES:
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 fails = 0
+import os
+results = {}
+def record(name, **kw):
+    r = {"rows_match": False, "schema_match": False, "hash_match": False,
+         "spark_rows": None, "oracle_rows": None, "err": None}
+    r.update(kw); results[name] = r
 for name, sql in sorted(oracle.items()):
     try:
         odf = con.execute(sql).df()
     except Exception as e:
-        print(f"FAIL {name}: oracle SQL error: {e}"); fails += 1; continue
+        print(f"FAIL {name}: oracle SQL error: {e}"); record(name, err=str(e)); fails += 1; continue
     try:
         sdf = con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
     except Exception as e:
-        print(f"FAIL {name}: spark result missing: {e}"); fails += 1; continue
+        print(f"FAIL {name}: spark result missing: {e}"); record(name, err=str(e)); fails += 1; continue
     ocols, scols = sorted(odf.columns), sorted(sdf.columns)
     if ocols != scols:
-        print(f"FAIL {name}: columns differ oracle={ocols} spark={scols}"); fails += 1; continue
+        print(f"FAIL {name}: columns differ oracle={ocols} spark={scols}")
+        record(name, spark_rows=len(sdf), oracle_rows=len(odf)); fails += 1; continue
     o = odf[ocols].sort_values(ocols).reset_index(drop=True)
     s = sdf[scols].sort_values(scols).reset_index(drop=True)
     if len(o) != len(s):
-        print(f"FAIL {name}: rows oracle={len(o)} spark={len(s)}"); fails += 1; continue
+        print(f"FAIL {name}: rows oracle={len(o)} spark={len(s)}")
+        record(name, schema_match=True, spark_rows=len(s), oracle_rows=len(o)); fails += 1; continue
     ok, worst = True, 0.0
     # dtype gate: the driver hashes typed Python values, so int64-vs-float64
     # (e.g. a DuckDB HUGEINT sum surfacing as float64) must FAIL even though
@@ -59,6 +67,14 @@ for name, sql in sorted(oracle.items()):
                 else: worst = float("inf")
     if ok:
         print(f"PASS {name} ({len(o)} rows)")
+        record(name, rows_match=True, schema_match=True, hash_match=True,
+               spark_rows=len(s), oracle_rows=len(o))
     else:
         print(f"FAIL {name}: value mismatch, max_abs_float_diff={worst}"); fails += 1
+        record(name, rows_match=True, schema_match=True,
+               spark_rows=len(s), oracle_rows=len(o))
+jp = os.environ.get("CHECK_ORACLE_JSON")
+if jp:
+    json.dump(results, open(jp, "w"), indent=2, sort_keys=True)
+    print(f"wrote {jp} ({len(results)} gates)")
 sys.exit(1 if fails else 0)
