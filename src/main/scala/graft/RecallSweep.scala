@@ -10,7 +10,17 @@ import graft.sources.Tables
   * sweeps nprobe × PQ codebook size × refine shortlist width over the
   * sf embeddings, printing avg/min recall@5 against the exact scan plus
   * probe wall-seconds — the recall-vs-cost curve recorded in BASELINE.md
-  * next to the r13 recall ladder. Run:
+  * next to the r13 recall ladder. The codebook axis passes `pqCodes`
+  * (the centroid count whose 16→64 step `Similarity.PqCodes` cites as
+  * its evidence — ADVICE r14 fixed this harness actually sweeping
+  * k-means iterations under a codebook label); the iteration axis is
+  * deliberately NOT swept (measured r14: no effect on this corpus).
+  *
+  * Also validates the RECALL-TARGET mode (VERDICT r14 item 5): for each
+  * corpus shape — the shipped iid-random worst case AND a clustered
+  * synthetic (vectors mixed 9:1 toward one of 8 anchor directions, the
+  * shape production embeddings have) — `pickNprobe`'s choice must make
+  * the refined probe MEET the requested average recall@5. Run:
   * `SPARK_GRAFT_CPUS=8 sbt "runMain graft.RecallSweep /root/testdata/sf0.01"` */
 object RecallSweep {
   def main(args: Array[String]): Unit = {
@@ -24,15 +34,19 @@ object RecallSweep {
     val exact = Similarity.bruteForceTopK(emb, col("vec_id") < 10).cache()
     exact.count()
 
-    def report(name: String, approx: DataFrame): Unit = {
+    def measure(approx: DataFrame, truth: DataFrame): (Double, Double, Double) = {
       val t0 = System.nanoTime()
       val a = approx.cache()
       a.count()
       val sec = (System.nanoTime() - t0) / 1e9
-      val r = Similarity.recallAtK(a, exact)
+      val r = Similarity.recallAtK(a, truth)
         .agg(avg("recall"), min("recall")).head()
       a.unpersist()
-      println(f"SWEEP $name%-32s avg=${r.getDouble(0)}%5.3f min=${r.getDouble(1)}%5.3f sec=$sec%6.2f")
+      (r.getDouble(0), r.getDouble(1), sec)
+    }
+    def report(name: String, approx: DataFrame, truth: DataFrame = exact): Unit = {
+      val (av, mn, sec) = measure(approx, truth)
+      println(f"SWEEP $name%-32s avg=$av%5.3f min=$mn%5.3f sec=$sec%6.2f")
     }
 
     for (np <- Seq(2, 4, 8))
@@ -40,16 +54,46 @@ object RecallSweep {
         Similarity.ivfTopK(emb, col("vec_id") < 10, nprobe = np))
 
     Similarity.buildVectorStore(emb, "graft_sweep_vec")
-    for (km <- Seq(2, 8)) {
-      val tbl = s"graft_sweep_ivfpq_km$km"
-      Similarity.buildIvfPqIndex(emb, tbl, iters = km)
+    for (pq <- Seq(16, 64)) {
+      val tbl = s"graft_sweep_ivfpq_pq$pq"
+      Similarity.buildIvfPqIndex(emb, tbl, pqCodes = pq)
       for (np <- Seq(4, 6, 8, 10, 12))
-        report(s"ivfpq km=$km nprobe=$np",
+        report(s"ivfpq pq=$pq nprobe=$np",
           Similarity.ivfPqTopKIndexed(spark, tbl, queries, nprobe = np))
       for (np <- Seq(6, 8, 10, 12); w <- Seq(50, 100))
-        report(s"refine km=$km np=$np w=$w",
+        report(s"refine pq=$pq np=$np w=$w",
           Similarity.ivfPqRefineTopKIndexed(spark, tbl, "graft_sweep_vec",
             queries, candidates = w, nprobe = np))
+    }
+
+    // ---- recall-target mode: the pick must MEET the target on both the
+    // iid-random worst case and a clustered synthetic ---------------------
+    val anchors = emb.filter(col("vec_id") < 8)
+      .orderBy("vec_id").select("embedding")
+      .collect().map(_.getSeq[Float](0))
+    val anchorLit = typedlit(anchors.map(_.toSeq).toSeq)
+    val clustered = emb.select(col("vec_id"),
+      zip_with(
+        element_at(anchorLit, (col("vec_id") % 8).cast("int") + 1),
+        col("embedding"),
+        (a, x) => (a * lit(0.9f) + x * lit(0.1f)).cast("float")).as("embedding"))
+      .cache()
+    clustered.count()
+    for ((shape, corpus, truth) <- Seq(
+        ("random", emb, exact),
+        ("clustered", clustered,
+          Similarity.bruteForceTopK(clustered, col("vec_id") < 10).cache()))) {
+      val tbl = s"graft_sweep_tgt_$shape"
+      Similarity.buildIvfPqIndex(corpus, tbl)
+      Similarity.buildVectorStore(corpus, s"${tbl}_vec")
+      for (t <- Seq(0.8, 0.9)) {
+        val np = Similarity.pickNprobe(spark, tbl, t)
+        val (av, mn, sec) = measure(
+          Similarity.ivfPqRefineTopKIndexed(spark, tbl, s"${tbl}_vec",
+            corpus.filter(col("vec_id") < 10), recallTarget = Some(t)), truth)
+        println(f"TARGET $shape%-9s t=$t nprobe=$np%2d " +
+          f"avg=$av%5.3f min=$mn%5.3f sec=$sec%6.2f met=${av >= t}")
+      }
     }
     spark.stop()
   }

@@ -167,6 +167,97 @@ object SparkEntry {
       graft.ops.Classifier.train(SharedCorpus.docsTok(s, d)).last
     }
 
+  /** Index families the sweep-wide STAMP AUDIT covers (r15, VERDICT r14
+    * item 3): after the full gate sweep, `graft.Verify` runs
+    * [[graft.sources.Formats.stampAudit]] once per family that exists —
+    * manifest stamp vs a distinct-id recount of the stored rows, plus the
+    * non-distinct row-count cross-check where the layout stores a FIXED
+    * number of rows per id — and WITHHOLDS the family's gates on a
+    * failure, so the one silent-corruption case the manifest contract
+    * admits (an overlapping or duplicated append) is detectable
+    * engine-wide for the cost of one id-column scan per family.
+    *
+    * Tuple: (family table, stored-id table, id column, fixed rows-per-id
+    * if the layout has one, gate-name PREFIXES the family vouches for).
+    * Sketch-delta families (HLL, LM counts, profile, TextRank edges)
+    * store per-batch AGGREGATES, not per-id rows — their manifest stamps
+    * cannot be recomputed from stored state by design, so they are out
+    * of audit scope (their disjointness contract is enforced upstream by
+    * the id-split batch derivations, like everything here). */
+  def auditFamilies: Seq[(String, String, String, Option[Long], Seq[String])] = {
+    val bands = Some(Similarity.SigBands.toLong)
+    val one = Some(1L)
+    Seq(
+      ("graft_lsh_idx", "graft_lsh_idx", "vec_id", bands,
+        Seq("ann_lsh_indexed", "ann_lsh_topk", "ann_recall_lsh",
+          "fmt_index_manifest", "fmt_stamp_audit", "sim_neardup_lsh")),
+      ("graft_lsh_incr", "graft_lsh_incr", "vec_id", bands,
+        Seq("ann_lsh_indexed_incr")),
+      ("graft_lsh_prg", "graft_lsh_prg", "vec_id", bands,
+        Seq("ann_lsh_purged")),
+      ("graft_hemb_lsh_idx", "graft_hemb_lsh_idx", "vec_id", bands,
+        Seq("ann_hash_embed_lsh", "ta_hybrid_indexed", "ta_hybrid_many")),
+      ("graft_sq_codes", "graft_sq_codes", "vec_id", one,
+        Seq("ann_sq_", "ann_recall_sq")),
+      ("graft_ivf_idx", "graft_ivf_idx", "vec_id", one,
+        Seq("ann_ivf_indexed", "ann_ivf_topk", "ann_recall_ivf",
+          "ann_cluster_sample_indexed", "dedup_semantic")),
+      ("graft_ivf_incr", "graft_ivf_incr", "vec_id", one,
+        Seq("ann_ivf_indexed_incr")),
+      ("graft_ivf_prg", "graft_ivf_prg", "vec_id", one,
+        Seq("ann_ivf_purged")),
+      ("graft_pq_idx", "graft_pq_idx", "vec_id", one,
+        Seq("ann_pq_indexed")),
+      ("graft_pq_incr", "graft_pq_incr", "vec_id", one,
+        Seq("ann_pq_indexed_incr")),
+      ("graft_ivfpq_idx", "graft_ivfpq_idx", "vec_id", one,
+        Seq("ann_ivfpq_indexed", "ann_ivfpq_many", "ann_ivfpq_refine",
+          "ann_recall_ivfpq", "ann_recall_refine", "ann_nprobe_target")),
+      ("graft_ivfpq_incr", "graft_ivfpq_incr", "vec_id", one,
+        Seq("ann_ivfpq_indexed_incr")),
+      ("graft_ivfpq_prg", "graft_ivfpq_prg", "vec_id", one,
+        Seq("ann_ivfpq_purged")),
+      ("graft_vec_store", "graft_vec_store", "vec_id", one,
+        Seq("ann_ivfpq_refine", "ann_recall_refine")),
+      ("graft_bm25_idx", "graft_bm25_idx", "doc_id", None,
+        Seq("ta_bm25_indexed", "ta_bm25_many", "ta_hybrid_indexed",
+          "ta_hybrid_many", "ta_filter_funnel")),
+      ("graft_bm25_incr", "graft_bm25_incr", "doc_id", None,
+        Seq("ta_bm25_indexed_incr")),
+      ("graft_bm25_cpt", "graft_bm25_cpt", "doc_id", None,
+        Seq("ta_bm25_compacted")),
+      ("graft_bm25_prg", "graft_bm25_prg", "doc_id", None,
+        Seq("ta_bm25_purged")),
+      ("graft_band_idx", "graft_band_idx_sigs", "doc_id", one,
+        Seq("dedup_cross_indexed")),
+      ("graft_band_incr", "graft_band_incr_sigs", "doc_id", one,
+        Seq("dedup_cross_indexed_incr")),
+      ("graft_band_prg", "graft_band_prg_sigs", "doc_id", one,
+        Seq("dedup_cross_purged")),
+      ("graft_band_daily", "graft_band_daily_sigs", "doc_id", one,
+        Seq("pipeline_daily_batch", "pipeline_daily_bloom")),
+      ("graft_comp_band", "graft_comp_band_sigs", "doc_id", one,
+        Seq("dedup_components_incr")),
+      ("graft_comp_tbl", "graft_comp_tbl", "doc_id", one,
+        Seq("dedup_components_incr")),
+      ("graft_comp_prg", "graft_comp_prg", "doc_id", one,
+        Seq("dedup_components_purged")),
+      ("graft_forget_band", "graft_forget_band_sigs", "doc_id", one,
+        Seq("curation_forget")),
+      ("graft_fuzzy_idx", "graft_fuzzy_idx", "id", None,
+        Seq("join_fuzzy_indexed")),
+      ("graft_fuzzy_incr", "graft_fuzzy_incr", "id", None,
+        Seq("join_fuzzy_indexed_incr")),
+      ("graft_fuzzy_prg", "graft_fuzzy_prg", "id", None,
+        Seq("join_fuzzy_purged")),
+      ("graft_phash_idx", "graft_phash_idx_codes", "doc_id", one,
+        Seq("mm_phash_indexed")),
+      ("graft_phash_incr", "graft_phash_incr_codes", "doc_id", one,
+        Seq("mm_phash_indexed_incr")),
+      ("graft_phash_prg", "graft_phash_prg_codes", "doc_id", one,
+        Seq("mm_phash_purged")))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "wordcount" -> ((s, d) => TextOps.wordCount(Tables.documents(s, d))),
@@ -1385,6 +1476,16 @@ object SparkEntry {
       Similarity.ivfPqTopKIndexed(s, "graft_ivfpq_prg",
         Tables.embeddings(s, d).filter(col("vec_id") < 10))
     }),
+    // recall-target-driven probe width (VERDICT r14 item 5): the operator
+    // API over the r14 recall-vs-cost curve — nprobe picked from the
+    // STORED index's cell-occupancy histogram as the smallest width whose
+    // worst-case (smallest-cells-first) coverage meets each target; the
+    // oracle replays assignment, occupancy, and the cumulative pick
+    "ann_nprobe_target" -> ((s, d) => {
+      ensureIvfPqIndex(s, d)
+      Similarity.nprobePlanIndexed(s, "graft_ivfpq_idx",
+        Seq(0.5, 0.8, 0.9, 0.95))
+    }),
     // query-MANY serving path (VERDICT r11 item 8): a 4x-larger workload
     // through the SAME one-plan probe — the distinct probed-cell literal
     // is bounded by kClusters however many queries arrive (cells collapse
@@ -1456,23 +1557,34 @@ object SparkEntry {
         .select(col("doc_id"), col("byte_len"), col("frame_idx").cast("long").as("frame_idx"),
           hex(col("frame_bytes")).as("frame_hex"))
         .orderBy("doc_id", "frame_idx")),
-    // feature vector projected to scalar columns: array-typed result cells
-    // compare unreliably through pandas (same rule as arrayAggStatuses)
-    "mm_decode_features" -> ((s, d) =>
-      Multimodal.decodeStub(Multimodal.asBlobTable(Tables.documents(s, d)))
-        .select(col("doc_id"), col("n_bytes"), col("mean_byte"),
-          element_at(col("feature"), 1).as("f_min"),
-          element_at(col("feature"), 2).as("f_max"),
-          element_at(col("feature"), 3).as("f_mean"),
-          element_at(col("feature"), 4).as("f_n"))
-        .orderBy("doc_id")),
+    // REAL mixed-media feature extraction (VERDICT r14 item 6 — the
+    // fake-feature stub is retired): one mime-dispatched pass over the
+    // PNG ∪ WAV blob corpus, pixel/sample moments per blob. Feature
+    // vector projected to scalar columns: array-typed result cells
+    // compare unreliably through pandas (same rule as arrayAggStatuses);
+    // the stored PNG byte length is encoder output, not formula-
+    // replayable, so the gate projects the decoded-domain columns
+    "mm_decode_features" -> ((s, d) => {
+      ensurePngBlobs(s, d); ensureWavBlobs(s, d)
+      Multimodal.decodeFeatures(
+        s.table("graft_png_blobs")
+          .select(col("doc_id"), col("bytes"), lit("image/png").as("mime"))
+          .unionByName(s.table("graft_wav_blobs")
+            .select(col("doc_id"), col("bytes"), lit("audio/wav").as("mime"))))
+        .select(col("doc_id"), col("mime"),
+          element_at(col("feature"), 1).as("f_n"),
+          element_at(col("feature"), 2).as("f_min"),
+          element_at(col("feature"), 3).as("f_max"),
+          element_at(col("feature"), 4).as("f_mean"),
+          element_at(col("feature"), 5).as("f_energy"))
+        .orderBy("doc_id", "mime")
+    }),
     // REAL codec path: deterministic grayscale PNGs synthesized ONCE into
     // a stored blob table (in a real pipeline the media bytes are inputs
     // on disk, not something the decode query re-encodes), then decoded
     // with javax.imageio to pixel stats; the oracle replays the
     // generating formula in SQL — hash equality proves the
-    // encode→PNG→store→decode round trip is exact (decodeStub stays as
-    // the dependency-free stand-in for non-JVM codecs)
+    // encode→PNG→store→decode round trip is exact
     "mm_decode_png" -> ((s, d) => {
       ensurePngBlobs(s, d)
       Multimodal.decodePng(s.table("graft_png_blobs")).orderBy("doc_id")
@@ -1635,7 +1747,8 @@ object SparkEntry {
     // build both sides equal the corpus stamp and the verdict is true
     "fmt_stamp_audit" -> ((s, d) => {
       buildOnce(s"lsh:$d") { Similarity.buildLshIndex(Tables.embeddings(s, d), "graft_lsh_idx") }
-      Formats.stampAudit(s, "graft_lsh_idx", s.table("graft_lsh_idx"), "vec_id")
+      Formats.stampAudit(s, "graft_lsh_idx", s.table("graft_lsh_idx"), "vec_id",
+        rowsPerId = Some(Similarity.SigBands.toLong))
     }),
     "fmt_schema_evolution" -> ((s, d) => {
       val out = s"$scratchDir/cust_evolve"
@@ -4187,6 +4300,33 @@ object SparkEntry {
     "ann_ivfpq_purged" -> ivfPqOracleSqlFor("vec_id < 10", "vec_id % 7 <> 3"),
     "ann_ivfpq_many" -> ivfPqOracleSqlFor("vec_id < 40"),
     "ann_ivfpq_refine" -> ivfPqRefineOracleSql,
+    // the recall-target nprobe pick replayed end to end: k-means pivots,
+    // final-centroid argmax assignment, cell-occupancy histogram, then
+    // the smallest-cells-first cumulative walk and min-width pick per
+    // target — the worst-case-coverage model the operator implements
+    "ann_nprobe_target" ->
+      s"""WITH $kmeansPivotCtes,
+         |sx AS (SELECT e.vec_id, c.pid,
+         |  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.pv AS DOUBLE[])) AS pcos
+         |  FROM embeddings e CROSS JOIN piv c),
+         |asg AS (SELECT vec_id, pid AS cell FROM (
+         |  SELECT vec_id, pid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY pcos DESC, pid) AS r
+         |  FROM sx) WHERE r = 1),
+         |occ AS (SELECT cell, count(*) AS c FROM asg GROUP BY cell),
+         |cov AS (SELECT row_number() OVER (ORDER BY c, cell) AS j,
+         |  CAST(sum(c) OVER (ORDER BY c, cell
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         |    / sum(c) OVER () AS cov
+         |  FROM occ),
+         |t AS (SELECT CAST(x AS DOUBLE) AS recall_target
+         |  FROM unnest([0.5, 0.8, 0.9, 0.95]) AS tt(x)),
+         |pick AS (SELECT recall_target, min(j) AS nj
+         |  FROM t JOIN cov ON cov >= recall_target GROUP BY recall_target)
+         |SELECT p.recall_target, CAST(p.nj AS BIGINT) AS nprobe,
+         |  c.cov AS coverage_lb
+         |FROM pick p JOIN cov c ON c.j = p.nj
+         |ORDER BY recall_target""".stripMargin,
     // two-batch model-stored append == one-shot build (per-vector given
     // fixed pivots + books) → same replayed oracle
     "ann_ivfpq_indexed_incr" -> ivfPqOracleSql,
@@ -4750,20 +4890,34 @@ object SparkEntry {
         |  hex(encode(substring(text, CAST(k * greatest(length(text) // 4, 1) + 1 AS INT), 16))) AS frame_hex
         |FROM documents, unnest(generate_series(0, 3)) AS t(k)
         |ORDER BY doc_id, frame_idx""".stripMargin,
-    // decode stub mirrored per-byte: the corpus is pure ASCII, so DuckDB's
-    // char-level ascii() over every position reproduces the byte stats
+    // the mixed-media moment extraction replayed decoder-free: pixel
+    // values from the synthesizePng generating formula, sample values
+    // from the synthesizeWav formula, the same 5 exact-integer moments
+    // per blob (one IEEE division each for mean and energy)
     "mm_decode_features" ->
-      """WITH c AS (SELECT doc_id, octet_length(encode(text)) AS nb,
-        |  list_transform(generate_series(1, length(text)),
-        |    i -> ascii(substring(text, CAST(i AS INT), 1))) AS codes
-        |  FROM documents)
-        |SELECT doc_id, CAST(nb AS BIGINT) AS n_bytes,
-        |  CAST(list_sum(codes) AS DOUBLE) / nb AS mean_byte,
-        |  CAST(list_min(codes) AS DOUBLE) AS f_min,
-        |  CAST(list_max(codes) AS DOUBLE) AS f_max,
-        |  CAST(list_sum(codes) AS DOUBLE) / nb AS f_mean,
-        |  CAST(nb AS DOUBLE) AS f_n
-        |FROM c ORDER BY doc_id""".stripMargin,
+      """WITH px AS (SELECT doc_id,
+        |  (doc_id * 31 + x * 7 + y * 13 + (doc_id % 9 + 1) * x * y) % 256 AS v
+        |  FROM documents,
+        |    unnest(generate_series(0, CAST(doc_id % 16 + 7 AS INT))) AS tx(x),
+        |    unnest(generate_series(0, CAST(doc_id % 12 + 7 AS INT))) AS ty(y)),
+        |sm AS (SELECT doc_id,
+        |  (doc_id * 37 + i * i * 17 + (doc_id % 13 + 1) * i) % 65536 - 32768 AS v
+        |  FROM documents,
+        |    unnest(generate_series(0, CAST(doc_id % 400 + 99 AS INT))) AS g(i)),
+        |pf AS (SELECT doc_id, 'image/png' AS mime,
+        |    CAST(count(*) AS DOUBLE) AS f_n,
+        |    CAST(min(v) AS DOUBLE) AS f_min, CAST(max(v) AS DOUBLE) AS f_max,
+        |    CAST(sum(v) AS DOUBLE) / count(*) AS f_mean,
+        |    CAST(sum(v * v) AS DOUBLE) / count(*) AS f_energy
+        |  FROM px GROUP BY doc_id),
+        |wf AS (SELECT doc_id, 'audio/wav' AS mime,
+        |    CAST(count(*) AS DOUBLE) AS f_n,
+        |    CAST(min(v) AS DOUBLE) AS f_min, CAST(max(v) AS DOUBLE) AS f_max,
+        |    CAST(sum(v) AS DOUBLE) / count(*) AS f_mean,
+        |    CAST(sum(v * v) AS DOUBLE) / count(*) AS f_energy
+        |  FROM sm GROUP BY doc_id)
+        |SELECT * FROM (SELECT * FROM pf UNION ALL SELECT * FROM wf)
+        |ORDER BY doc_id, mime""".stripMargin,
     // replays Multimodal.synthesizePng's generating formula: pixel
     // (x, y) = (doc_id*31 + x*7 + y*13) mod 256 over the per-doc
     // dimensions — no decoder needed oracle-side, which is exactly what
@@ -5059,7 +5213,8 @@ object SparkEntry {
          |  CAST(bit_xor(${h60Sql("CAST(vec_id AS VARCHAR)")}) AS BIGINT) AS manifest_fp,
          |  CAST(count(*) AS BIGINT) AS stored_n,
          |  CAST(bit_xor(${h60Sql("CAST(vec_id AS VARCHAR)")}) AS BIGINT) AS stored_fp,
-         |  TRUE AS disjoint_ok
+         |  CAST(count(*) * ${graft.ops.Similarity.SigBands} AS BIGINT) AS stored_rows,
+         |  TRUE AS disjoint_ok, TRUE AS rows_ok
          |FROM embeddings""".stripMargin,
     // oracle derives both schema generations from the source table: the
     // even half never wrote a balance, so its sum is NULL — equality

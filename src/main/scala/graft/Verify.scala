@@ -82,6 +82,49 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Stamp-audit sweep invariant (r15, VERDICT r14 item 3): after the
+    // sweep, every index family the run built gets its manifest stamp
+    // recomputed from the STORED ids (one id-column scan each) plus the
+    // fixed-rows-per-id cross-check — and a failing family WITHHOLDS its
+    // gates' parquet, so the driver's oracle compare fails loudly instead
+    // of hashing results served off a silently corrupted index (the same
+    // enforcement shape as raw_parity). One row per audited family lands
+    // in `audit_stamps.json`.
+    val audits = scala.collection.mutable.SortedMap.empty[String, String]
+    SparkEntry.auditFamilies.foreach { case (fam, idTable, idCol, rowsPer, gates) =>
+      val auditable =
+        spark.catalog.tableExists(graft.sources.Formats.metaTable(fam)) &&
+          spark.catalog.tableExists(idTable)
+      if (auditable) {
+        try {
+          val r = graft.sources.Formats
+            .stampAudit(spark, fam, spark.table(idTable), idCol, rowsPer).head()
+          val ok = r.getBoolean(5) && r.getBoolean(6)
+          audits.put(fam,
+            s"""{"ok": $ok, "manifest_n": ${r.getLong(0)}, """ +
+              s""""stored_n": ${r.getLong(2)}, "stored_rows": ${r.getLong(4)}, """ +
+              s""""disjoint_ok": ${r.getBoolean(5)}, "rows_ok": ${r.getBoolean(6)}}""")
+          if (!ok) {
+            System.err.println(s"[verify] STAMP AUDIT FAILED for '$fam' " +
+              s"($r) - withholding gates ${gates.mkString(", ")}")
+            gates.foreach(prefix =>
+              SparkEntry.queries.keys.filter(_.startsWith(prefix)).foreach(g =>
+                org.apache.commons.io.FileUtils
+                  .deleteQuietly(new java.io.File(s"$outDir/$g"))))
+          }
+        } catch { case e: Throwable =>
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+          audits.put(fam, s"""{"ok": false, "err": ${q(msg)}}""")
+          System.err.println(s"[verify] stamp audit of '$fam' errored: $msg")
+        }
+      }
+    }
+    if (audits.nonEmpty) {
+      Files.writeString(Paths.get(s"$outDir/audit_stamps.json"),
+        audits.map { case (k, v) => s"\"$k\": $v" }.mkString("{", ",", "}"))
+      System.err.println(s"[verify] stamp audit: " +
+        s"${audits.values.count(_.contains("\"ok\": true"))}/${audits.size} families ok")
+    }
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -1280,10 +1280,12 @@ object Similarity {
     * refine-after-compress. */
   def ivfPqRefineTopKIndexed(spark: org.apache.spark.sql.SparkSession,
       pqTable: String, vecTable: String, queries: DataFrame, k: Int = 5,
-      candidates: Int = RefineShortlist, nprobe: Int = RefineNprobe): DataFrame = {
+      candidates: Int = RefineShortlist, nprobe: Int = RefineNprobe,
+      recallTarget: Option[Double] = None): DataFrame = {
     graft.sources.Formats.requireBuilt(spark, vecTable)
     graft.functions.FloatDot.register(spark)
-    val cand = ivfPqTopKIndexed(spark, pqTable, queries, candidates, nprobe)
+    val np = recallTarget.map(pickNprobe(spark, pqTable, _)).getOrElse(nprobe)
+    val cand = ivfPqTopKIndexed(spark, pqTable, queries, candidates, np)
       .select(col("query_id"), col("neighbor_id"))
     val vecs = spark.table(vecTable)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
@@ -1297,6 +1299,60 @@ object Similarity {
       .filter(col("rn") <= k)
       .select("query_id", "neighbor_id", "rn", "cos_exact")
       .orderBy("query_id", "rn")
+  }
+
+  /** RECALL-TARGET-driven probe width (VERDICT r14 item 5): the r14
+    * recall-vs-cost curve showed IVF cell COVERAGE is the binding
+    * constraint of the refine tier — so instead of a fixed default, pick
+    * nprobe from the STORED index's own cell-occupancy stats. Model: a
+    * query's nprobe cells are its nearest by pivot cosine, which is
+    * independent of cell SIZE, so the guaranteed coverage of any probe is
+    * the total occupancy of the nprobe SMALLEST cells; on the iid-random
+    * corpus (the documented worst case, where recall ≈ coverage because
+    * neighbors have no cell affinity) that lower bound transfers to
+    * recall, while clustered corpora concentrate true neighbors in the
+    * probed (nearest) cells and land ABOVE it — both measured by
+    * `graft.RecallSweep`. Returns one row per requested target:
+    * (recall_target, nprobe, coverage_lb), where nprobe is the smallest
+    * width whose worst-case coverage meets the target and coverage_lb is
+    * that width's guaranteed fraction.
+    *
+    * Cost: ONE single-column aggregation of the code table to cell
+    * granularity (the corpus scan every occupancy stat needs), then
+    * windows over the ≤kClusters histogram rows — nothing corpus-sized
+    * crosses anything, and the unpartitioned window is bounded by the
+    * cell count, not the corpus. */
+  def nprobePlanIndexed(spark: org.apache.spark.sql.SparkSession, table: String,
+      targets: Seq[Double]): DataFrame = {
+    graft.sources.Formats.requireBuilt(spark, table)
+    import spark.implicits._
+    val occ = spark.table(table).groupBy("cell").agg(count(lit(1)).as("c"))
+    val wCum = Window.orderBy(col("c"), col("cell"))
+    val cum = occ
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("j", row_number().over(wCum))
+      .withColumn("total", sum("c").over(Window.partitionBy()))
+      .select(col("j"), (col("cum").cast("double") / col("total")).as("cov"))
+    val t = targets.toDF("recall_target")
+    broadcast(t).join(cum, col("cov") >= col("recall_target"))
+      .groupBy("recall_target")
+      .agg(min("j").as("nj"))
+      .join(cum, col("nj") === col("j"))
+      .select(col("recall_target"), col("nj").cast("long").as("nprobe"),
+        col("cov").as("coverage_lb"))
+      .orderBy("recall_target")
+  }
+
+  /** The scalar form [[ivfPqRefineTopKIndexed]]'s `recallTarget` mode
+    * consumes: the chosen nprobe for ONE target (a cell-count-bounded
+    * driver read of [[nprobePlanIndexed]]'s row). A target no probe
+    * width can guarantee (unreachable above 1.0) fails loudly. */
+  def pickNprobe(spark: org.apache.spark.sql.SparkSession, table: String,
+      recallTarget: Double): Int = {
+    val rows = nprobePlanIndexed(spark, table, Seq(recallTarget)).collect()
+    require(rows.nonEmpty,
+      s"no probe width of '$table' guarantees recall target $recallTarget")
+    rows.head.getLong(1).toInt
   }
 
   /** Fixed-point grid for centroid accumulation: component sums are taken

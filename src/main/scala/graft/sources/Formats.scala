@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col, count, lit, max, min, shiftleft, shiftright, sum}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, expr, lit, max, min, shiftleft, shiftright, sum}
 import org.apache.spark.sql.types.StructType
 
 /** Source/sink format surface beyond the reference's text blobs (SURVEY
@@ -298,11 +298,19 @@ object Formats {
     * crash-safe ping-pong swap. One extra step a partitioned table
     * needs: the catalog tracks each partition's OWN location, so after
     * the swap the partition entries are re-synced against the new
-    * directory (`MSCK … SYNC PARTITIONS`). A crash between the swap and
-    * the sync leaves catalog reads stale until the purge is re-run — the
-    * same re-run-to-recover contract as the swap's other windows (the
-    * rewrite itself reads the RAW path, so recovery never depends on the
-    * stale entries). */
+    * directory. The stale entries are DROPPED EXPLICITLY before the
+    * `MSCK … SYNC PARTITIONS` (ADVICE r14): Spark's repair adds missing
+    * specs (ignoreIfExists) BEFORE dropping specs whose location is
+    * gone, so on a catalog that resolves partition paths through the
+    * stored entries, a surviving partition value whose stale entry still
+    * pointed into the superseded directory could be dropped and never
+    * re-added. With every entry dropped first, MSCK rebuilds the list
+    * purely from the new directory layout — entries are derived state,
+    * so the drop is always safe. A crash between the swap and the sync
+    * leaves catalog reads stale until the purge is re-run — the same
+    * re-run-to-recover contract as the swap's other windows (the rewrite
+    * itself reads the RAW path, so recovery never depends on the stale
+    * entries). */
   def purgePartitionedTable(spark: SparkSession, table: String, partCol: String,
       numTasks: Int, idCol: String, deleteIds: DataFrame): Unit = {
     pingPongRewrite(spark, table) { (oldPath, newPath, staging) =>
@@ -314,6 +322,10 @@ object Formats {
         .option("path", newPath) // external: drops never delete data
         .partitionBy(partCol)
         .format("parquet").saveAsTable(staging)
+    }
+    spark.sql(s"SHOW PARTITIONS `$table`").collect().foreach { row =>
+      val Array(k, v) = row.getString(0).split("=", 2)
+      spark.sql(s"ALTER TABLE `$table` DROP IF EXISTS PARTITION (`$k`='$v')")
     }
     spark.sql(s"MSCK REPAIR TABLE `$table` SYNC PARTITIONS")
     spark.catalog.refreshTable(table)
@@ -459,6 +471,23 @@ object Formats {
     * swap visibility with one ALTER and reclaim the old directory. The
     * `compact.after_stage` / `compact.after_swap` failpoint windows fire
     * here, so every caller inherits the proven recovery contract. */
+  /** Crash-safe whole-table rewrite for a PLAIN managed parquet table —
+    * the un-bucketed twin of [[rewriteBucketed]], riding the same
+    * ping-pong swap (and its proven failpoint windows): the ledger/intent
+    * compactions of the streaming daily pipeline's retention policy run
+    * through here. `xform`'s result is written as ONE file (these tables
+    * are watermark-row-sized by contract), and an EMPTY result still
+    * lands one footer-bearing part file so the table stays readable. */
+  private[graft] def rewritePlain(spark: SparkSession, table: String)(
+      xform: DataFrame => DataFrame): Unit =
+    pingPongRewrite(spark, table) { (oldPath, newPath, staging) =>
+      xform(spark.read.parquet(oldPath))
+        .repartition(1)
+        .write.mode(SaveMode.Overwrite)
+        .option("path", newPath) // external: drops never delete data
+        .format("parquet").saveAsTable(staging)
+    }
+
   private def pingPongRewrite(spark: SparkSession, table: String)(
       stage: (String, String, String) => Unit): Unit = {
     val staging = table + "__compacting"
@@ -643,18 +672,45 @@ object Formats {
     * fps diverge because the cancelled ids reappear once), so
     * `disjoint_ok=false` pinpoints exactly the silent-corruption case
     * the contract forbids — without this row the failure mode is
-    * invisible until [[isStaleFor]] lies. One-row result:
-    * (manifest_n, manifest_fp, stored_n, stored_fp, disjoint_ok). */
+    * invisible until [[isStaleFor]] lies.
+    *
+    * `rowsPerId` (r15, ADVICE r14) closes the one blind spot of the
+    * distinct recount: an append whose DATA committed but whose meta
+    * fold did not (the residual crash window inside every append*) gets
+    * blindly RE-RUN by a pre-stamp replay, duplicating every physical
+    * row while the manifest folds the batch once — the distinct recount
+    * dedups the duplicates away, so `disjoint_ok` stays true. For
+    * families whose physical layout stores a FIXED number of rows per
+    * id (signatures: 1/doc, LSH bands: [[graft.ops.Similarity.SigBands]]
+    * per vec, …), passing that constant adds a NON-distinct row-count
+    * cross-check: `rows_ok = (stored physical rows == manifest_n ×
+    * rowsPerId)`, which the duplicated rows fail. Variable-rows-per-id
+    * families (postings, masked keys) pass None and `rows_ok` is
+    * vacuously true. One-row result: (manifest_n, manifest_fp,
+    * stored_n, stored_fp, stored_rows, disjoint_ok, rows_ok). */
   def stampAudit(spark: SparkSession, table: String, storedIds: DataFrame,
-      idCol: String): DataFrame = {
+      idCol: String, rowsPerId: Option[Long] = None): DataFrame = {
     import spark.implicits._
     val (mn, mfp) = readBuildMeta(spark, table)
       .map(m => (m._1, m._2))
       .getOrElse(throw new IllegalStateException(
         s"index '$table' has no build manifest ('${metaTable(table)}') to audit"))
-    val (sn, sfp) = corpusStamp(storedIds.select(col(idCol)).distinct(), idCol)
-    Seq((mn, mfp, sn, sfp, mn == sn && mfp == sfp))
-      .toDF("manifest_n", "manifest_fp", "stored_n", "stored_fp", "disjoint_ok")
+    // one pass: per-id physical row counts (h is functional in id, so the
+    // group key is still just the id), then the same count+xor fold as
+    // [[corpusStamp]] over the distinct groups — bit-identical fp semantics
+    val r = storedIds
+      .select(col(idCol).as("id"),
+        graft.functions.CrossHash.h60(col(idCol).cast("string")).as("h"))
+      .groupBy("id", "h").agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum("c"), lit(0L)).as("rows"),
+        count(lit(1)).as("n"), expr("bit_xor(h)").as("fp"))
+      .head()
+    val (rows, sn) = (r.getLong(0), r.getLong(1))
+    val sfp = if (r.isNullAt(2)) 0L else r.getLong(2)
+    val rowsOk = rowsPerId.forall(f => rows == mn * f)
+    Seq((mn, mfp, sn, sfp, rows, mn == sn && mfp == sfp, rowsOk))
+      .toDF("manifest_n", "manifest_fp", "stored_n", "stored_fp",
+        "stored_rows", "disjoint_ok", "rows_ok")
   }
 
   /** Probe-side gate: the family must have a build manifest. A catalog

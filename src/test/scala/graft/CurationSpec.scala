@@ -319,6 +319,106 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("retention: 20 micro-batches keep bounded artifacts, equal the " +
+      "unretained final state, and a post-retention replay is exactly-once") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val root = java.nio.file.Files.createTempDirectory("graft-sret").toString
+    def rows(t: String): Seq[String] =
+      spark.table(t).collect().map(_.toString).toSeq.sorted
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val batch = Curation.batchOf(all).select("doc_id", "text")
+    val bench = Curation.benchOf(all)
+    val nBatches = 20
+    val keep = 3
+    def runStream(band: String, snap0: String, prefix: String, ckpt: String,
+        retain: Option[Int]): Unit =
+      Curation.startStreamDailyPipeline(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$root/stage"),
+        bench, band, s"$root/led_$prefix", snap0, prefix,
+        s"$root/$ckpt", retainSnapshots = retain).awaitTermination()
+    def snapTables(prefix: String): Seq[String] =
+      spark.catalog.listTables().collect().map(_.name).toSeq
+        .filter(_.matches(java.util.regex.Pattern.quote(prefix) + "_b\\d+"))
+    try {
+      // one file per day: maxFilesPerTrigger=1 turns them into 20
+      // sequential micro-batches (some slices empty — the empty-batch
+      // path rides along)
+      (0 until nBatches).foreach { i =>
+        batch.filter(col("doc_id") % nBatches === i)
+          .coalesce(1).write.mode("append").parquet(s"$root/stage")
+      }
+      Dedup.buildBandIndex(Curation.corpusOf(all), "graft_sr_s")
+      Formats.writeManaged(
+        graft.ops.Snapshot.baseSnapshot(Curation.corpusOf(all))
+          .select(col("doc_id"), col("version"), col("fp")), "graft_sr_s_snap0")
+      runStream("graft_sr_s", "graft_sr_s_snap0", "graft_sr_s_p", "cks", Some(keep))
+      // bounded: keep-last-K snapshots, watermark-row ledgers, zero
+      // committed intents — regardless of 20 batches having run
+      assert(snapTables("graft_sr_s_p").sorted ===
+        (nBatches - keep until nBatches).map(n => s"graft_sr_s_p_b$n"),
+        "exactly the newest K snapshots survive retention")
+      assert(spark.table("graft_sr_s_p_ledger").count() === 1,
+        "commit ledger folds to its watermark row")
+      val wm = spark.table("graft_sr_s_p_ledger").head()
+      assert(wm.getLong(0) === (nBatches - 1).toLong &&
+        wm.getString(1) === s"graft_sr_s_p_b${nBatches - 1}")
+      assert(spark.table("graft_sr_s_p_idxledger").count() === 1,
+        "idx ledger folds to its watermark row")
+      assert(spark.table("graft_sr_s_p_idxintent").count() === 0,
+        "every committed batch's intent row is vacuumed")
+      // the retained run's final state equals an UNRETAINED twin's over
+      // the same staged files — retention must never change what the
+      // pipeline computes, only what it keeps
+      Dedup.buildBandIndex(Curation.corpusOf(all), "graft_sr_u")
+      Formats.writeManaged(
+        graft.ops.Snapshot.baseSnapshot(Curation.corpusOf(all))
+          .select(col("doc_id"), col("version"), col("fp")), "graft_sr_u_snap0")
+      runStream("graft_sr_u", "graft_sr_u_snap0", "graft_sr_u_p", "cku", None)
+      assert(spark.table("graft_sr_u_p_ledger").count() === nBatches.toLong,
+        "the unretained twin keeps every ledger row (the r14 baseline shape)")
+      assert(rows(s"graft_sr_s_p_b${nBatches - 1}") ===
+        rows(s"graft_sr_u_p_b${nBatches - 1}"),
+        "final snapshot is bit-identical with and without retention")
+      assert(rows("graft_sr_s") === rows("graft_sr_u"))
+      assert(rows("graft_sr_s_sigs") === rows("graft_sr_u_sigs"))
+      // post-retention replay from a FRESH checkpoint: all 20 batches
+      // re-delivered, every one recognized as committed through the
+      // WATERMARK row — exactly-once end state, artifacts still bounded
+      val bandBefore = rows("graft_sr_s")
+      runStream("graft_sr_s", "graft_sr_s_snap0", "graft_sr_s_p", "cks2", Some(keep))
+      assert(rows("graft_sr_s") === bandBefore,
+        "a replayed batch must not re-append through a folded ledger")
+      assert(spark.table("graft_sr_s_p_ledger").count() === 1)
+      assert(snapTables("graft_sr_s_p").length === keep)
+      assert(spark.table("graft_sr_s_p_idxintent").count() === 0)
+    } finally {
+      Seq("graft_sr_s", "graft_sr_s_sigs", "graft_sr_s_meta",
+        "graft_sr_u", "graft_sr_u_sigs", "graft_sr_u_meta",
+        "graft_sr_s_snap0", "graft_sr_u_snap0",
+        "graft_sr_s_p_ledger", "graft_sr_s_p_idxledger", "graft_sr_s_p_idxintent",
+        "graft_sr_u_p_ledger", "graft_sr_u_p_idxledger", "graft_sr_u_p_idxintent")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      (snapTables("graft_sr_s_p") ++ snapTables("graft_sr_u_p"))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+  }
+
+  test("a configured-but-missing tombstone table fails loudly (no silent no-op)") {
+    // ADVICE r14: a typo'd takedown-list name must never degrade the
+    // compliance path to "admit everything" — configured means enforced
+    val ex = intercept[IllegalArgumentException] {
+      Curation.commitStreamDailyBatch(spark,
+        Curation.batchOf(all).select("doc_id", "text"), 0L,
+        Curation.benchOf(all), "graft_sr_nonexistent_band",
+        "/tmp/graft-sr-noled", "graft_sr_nosnap", "graft_sr_noprefix",
+        tombstones = Some("graft_sr_no_such_tombstone_table"))
+    }
+    assert(ex.getMessage.contains("tombstone table"), ex.getMessage)
+  }
+
   test("corpusReport reconciles with its component operators exactly") {
     val r = Curation.corpusReport(all).collect().head
     assert(r.getLong(0) === all.count())

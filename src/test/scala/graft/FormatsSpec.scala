@@ -439,8 +439,24 @@ class FormatsSpec extends SparkTestBase {
       val (bn, bfp) = Formats.corpusStamp(batch, "vec_id")
       Formats.foldBuildMeta(spark, "t_audit_spec", "kind=test", bn, bfp)
       val ok = Formats.stampAudit(spark, "t_audit_spec",
-        spark.table("t_audit_spec"), "vec_id").head()
-      assert(ok.getBoolean(4), s"disjoint appends must audit clean: $ok")
+        spark.table("t_audit_spec"), "vec_id", rowsPerId = Some(1L)).head()
+      assert(ok.getBoolean(5), s"disjoint appends must audit clean: $ok")
+      assert(ok.getBoolean(6), s"1-row-per-id layout must pass rows_ok: $ok")
+      // the crash window the DISTINCT recount cannot see (ADVICE r14): an
+      // append whose data committed twice (pre-stamp replay after a crash
+      // between data append and meta fold) while the manifest folded once
+      // — every physical row of the batch duplicated, distinct ids and
+      // fps unchanged. Only the non-distinct row-count cross-check trips.
+      Formats.writeManaged(
+        ids.unionByName(batch).unionByName(batch), "t_audit_spec")
+      val dup = Formats.stampAudit(spark, "t_audit_spec",
+        spark.table("t_audit_spec"), "vec_id", rowsPerId = Some(1L)).head()
+      assert(dup.getBoolean(5),
+        "the distinct recount is blind to duplicated physical rows by design")
+      assert(!dup.getBoolean(6),
+        "rows_ok must catch the duplicated-data / single-fold crash window")
+      assert(dup.getLong(4) === dup.getLong(0) + 50,
+        "stored_rows must expose exactly the duplicated batch")
       // contract-violating OVERLAPPING append: rows appended, stamp folded
       // — xor cancels the 11 duplicate ids, count double-counts them, and
       // the audit catches BOTH divergences
@@ -450,7 +466,8 @@ class FormatsSpec extends SparkTestBase {
       Formats.foldBuildMeta(spark, "t_audit_spec", "kind=test", on, ofp)
       val bad = Formats.stampAudit(spark, "t_audit_spec",
         spark.table("t_audit_spec"), "vec_id").head()
-      assert(!bad.getBoolean(4), "an overlapping append must fail the audit")
+      assert(!bad.getBoolean(5), "an overlapping append must fail the audit")
+      assert(bad.getBoolean(6), "rows_ok is vacuous when no constant is declared")
       assert(bad.getLong(0) === bad.getLong(2) + 11,
         "manifest count double-counts exactly the overlap")
       assert(bad.getLong(1) !== bad.getLong(3),

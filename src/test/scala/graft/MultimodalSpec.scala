@@ -259,20 +259,63 @@ class MultimodalSpec extends SparkTestBase {
     pairs.unpersist()
   }
 
-  test("decodeStub: schema contract and deterministic byte statistics") {
-    val out = Multimodal.decodeStub(blobs).cache()
-    assert(out.schema === Multimodal.decodedSchema)
-    assert(out.count() === blobs.count())
-    assert(out.filter(col("mean_byte") < 0 || col("mean_byte") > 255).count() === 0)
-    assert(out.filter(size(col("feature")) =!= 4).count() === 0)
-    // n_bytes agrees with the declarative byte_len
-    val meta = Multimodal.blobMetadata(blobs).select("doc_id", "byte_len")
-    assert(out.join(meta, "doc_id")
-      .filter(col("n_bytes") =!= col("byte_len")).count() === 0)
-    // determinism: run twice, same features
-    val again = Multimodal.decodeStub(blobs)
-    assert(out.select("doc_id", "mean_byte").except(
-      again.select("doc_id", "mean_byte")).count() === 0)
+  test("decodeFeatures: real PNG/WAV moments, mime dispatch, loud unknown kind") {
+    import spark.implicits._
+    val docs = spark.range(1, 21).select(col("id").as("doc_id"))
+    val png = Multimodal.synthesizePng(docs.toDF())
+      .select(col("doc_id"), col("bytes"), lit("image/png").as("mime"))
+    val wav = Multimodal.synthesizeWav(docs.toDF())
+      .select(col("doc_id"), col("bytes"), lit("audio/wav").as("mime"))
+    val out = Multimodal.decodeFeatures(png.unionByName(wav)).cache()
+    assert(out.schema === Multimodal.featureSchema)
+    assert(out.count() === 40)
+    assert(out.filter(size(col("feature")) =!= 5).count() === 0)
+    // the image moments must agree with the independent decodePng stats
+    val pngStats = Multimodal.decodePng(png)
+      .select(col("doc_id"), (col("width") * col("height")).cast("double").as("e_n"),
+        col("min_px").cast("double").as("e_min"),
+        col("max_px").cast("double").as("e_max"), col("mean_px").as("e_mean"))
+    assert(out.filter(col("mime") === "image/png")
+      .select(col("doc_id"),
+        element_at(col("feature"), 1).as("f_n"),
+        element_at(col("feature"), 2).as("f_min"),
+        element_at(col("feature"), 3).as("f_max"),
+        element_at(col("feature"), 4).as("f_mean"))
+      .join(pngStats, "doc_id")
+      .filter(col("f_n") =!= col("e_n") || col("f_min") =!= col("e_min") ||
+        col("f_max") =!= col("e_max") || col("f_mean") =!= col("e_mean"))
+      .count() === 0, "PNG moments must match the standalone decoder's stats")
+    // the audio moments must agree with the independent decodeWav stats
+    val wavStats = Multimodal.decodeWav(wav)
+      .select(col("doc_id"), col("n_samples").cast("double").as("e_n"),
+        col("min_s").cast("double").as("e_min"),
+        col("max_s").cast("double").as("e_max"), col("mean_s").as("e_mean"))
+    assert(out.filter(col("mime") === "audio/wav")
+      .select(col("doc_id"),
+        element_at(col("feature"), 1).as("f_n"),
+        element_at(col("feature"), 2).as("f_min"),
+        element_at(col("feature"), 3).as("f_max"),
+        element_at(col("feature"), 4).as("f_mean"))
+      .join(wavStats, "doc_id")
+      .filter(col("f_n") =!= col("e_n") || col("f_min") =!= col("e_min") ||
+        col("f_max") =!= col("e_max") || col("f_mean") =!= col("e_mean"))
+      .count() === 0, "WAV moments must match the standalone decoder's stats")
+    // energy is the exact second moment: Σv² / n ≥ mean² (Jensen), and
+    // determinism across runs
+    assert(out.filter(element_at(col("feature"), 5) <
+      element_at(col("feature"), 4) * element_at(col("feature"), 4)).count() === 0)
+    val again = Multimodal.decodeFeatures(png.unionByName(wav))
+    assert(out.select("doc_id", "mime", "feature")
+      .except(again.select("doc_id", "mime", "feature")).count() === 0)
+    // an unrecognized kind fails loudly instead of silently skipping
+    val ex = intercept[Exception] {
+      Multimodal.decodeFeatures(
+        png.limit(1).withColumn("mime", lit("video/mp4"))).collect()
+    }
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("; ")
+    assert(msgs.contains("unsupported media kind"), msgs)
+    out.unpersist()
   }
 
   test("framePairs: crafted shared-keyframe clips pair; the df cap kills a hot frame") {

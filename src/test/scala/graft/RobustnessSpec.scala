@@ -72,7 +72,8 @@ class RobustnessSpec extends SparkTestBase {
   test("multimodal on empty corpus") {
     val blobs = Multimodal.asBlobTable(emptyDocs)
     assert(Multimodal.blobMetadata(blobs).count() === 0)
-    assert(Multimodal.decodeStub(blobs).count() === 0)
+    assert(Multimodal.decodeFeatures(
+      blobs.withColumn("mime", lit("image/png"))).count() === 0)
     assert(Multimodal.sampleFrames(blobs).count() === 0)
   }
 }
