@@ -405,6 +405,30 @@ object SparkEntry {
     // buckets survive skew where equal-width collapses); per-group sorts,
     // never a global one
     "agg_equidepth_hist" -> ((s, d) => Relational.equiDepthHistogram(s, d)),
+    // STORED equi-width histogram (r15): the mergeable QUANTILE artifact
+    // next to the HLL and CMS lifecycles — per-(flag, price-bin) counter
+    // rows, quantile probe = first bin whose cumulative count reaches
+    // ceil(pq%·N), exact integer arithmetic over the bounded bin
+    // relation; the oracle replays the estimate bucket for bucket
+    "agg_hist_quantiles_indexed" -> ((s, d) => {
+      buildOnce(s"hist:$d") {
+        Relational.buildHistIndex(Tables.lineitem(s, d), "graft_hist_idx")
+      }
+      Relational.histQuantiles(s, "graft_hist_idx")
+    }),
+    // ingest lifecycle: orderkey-split halves built + APPENDED as counter
+    // deltas, compacted by the bucketed ping-pong rewrite — counter
+    // addition is exact, so the probe matches the one-shot build and the
+    // gate shares the family oracle
+    "agg_hist_quantiles_incr" -> ((s, d) => {
+      buildOnce(s"hist_incr:$d") {
+        val li = Tables.lineitem(s, d)
+        Relational.buildHistIndex(li.filter(col("l_orderkey") % 2 === 0), "graft_hist_incr")
+        Relational.appendToHistIndex(li.filter(col("l_orderkey") % 2 =!= 0), "graft_hist_incr")
+        Relational.compactHistIndex(s, "graft_hist_incr")
+      }
+      Relational.histQuantiles(s, "graft_hist_incr")
+    }),
     // sketch quantiles: the VALUES are engine-specific, so the gate hashes
     // the error-bound booleans instead (oracle asserts literal 1s);
     // SketchSpec additionally bounds it against the exact version
@@ -506,6 +530,31 @@ object SparkEntry {
     // accuracy contract as deterministic booleans (the third sketch
     // family next to HLL distinct and KLL quantiles)
     "ta_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHittersCms(SharedCorpus.docsTok(s, d))),
+    // STORED count-min sketch (r15): the frequency sketch as a persisted
+    // RELATION — (d, slot, cnt) counter rows merged by grouped sum,
+    // probed by one broadcast join of the ≤ depth·width folded sketch —
+    // so the ESTIMATE itself is oracle-replayed slot for slot (strictly
+    // stronger than ta_heavy_hitters' accuracy booleans). Probe reads
+    // only the stored sketch; the exact side exists for the oracle
+    "ta_heavy_hitters_indexed" -> ((s, d) => {
+      buildOnce(s"cms:$d") {
+        TextAnalysis.buildCmsIndex(SharedCorpus.docsTok(s, d), "graft_cms_idx")
+      }
+      TextAnalysis.heavyHittersFromCms(s, SharedCorpus.docsTok(s, d), "graft_cms_idx")
+    }),
+    // ingest lifecycle: half built, half APPENDED as counter-row deltas,
+    // then compacted back to one row per slot (ping-pong rewrite) — CMS
+    // merge is counter ADDITION, so append+compact == one-shot exactly
+    // and the gate shares the family oracle (SketchSpec pins bit-equality)
+    "ta_heavy_hitters_incr" -> ((s, d) => {
+      buildOnce(s"cms_incr:$d") {
+        val all = SharedCorpus.docsTok(s, d)
+        TextAnalysis.buildCmsIndex(all.filter(col("doc_id") % 2 === 0), "graft_cms_incr")
+        TextAnalysis.appendToCmsIndex(all.filter(col("doc_id") % 2 =!= 0), "graft_cms_incr")
+        TextAnalysis.compactCmsIndex(s, "graft_cms_incr")
+      }
+      TextAnalysis.heavyHittersFromCms(s, SharedCorpus.docsTok(s, d), "graft_cms_incr")
+    }),
     // vocabulary dispersion: exact-integer Gini rational + 6-decimal
     // quantized Shannon entropy per source — the template-mill signals
     "ta_vocab_dispersion" -> ((s, d) =>
@@ -1106,6 +1155,14 @@ object SparkEntry {
     // pass, reshaped plan-side to a row per column — the ingestion
     // data-quality report
     "audit_schema_report" -> Relational.schemaProfile,
+    // pre-flight KEY-SKEW report (r15): top-5 heaviest values per
+    // candidate join/agg key with exact-integer share (ppm) and multiple
+    // of the mean per-key count — the diagnostic that decides between
+    // the plain shuffle, AQE, and Skew.saltedJoin BEFORE a 100 TB join.
+    // One scan for all audited columns; wide state is vocabulary-scale
+    "audit_skew_report" -> ((s, d) =>
+      graft.ops.Skew.keySkewReport(Tables.lineitem(s, d),
+        Seq("l_suppkey", "l_partkey", "l_returnflag"))),
     // the daily-batch curation COMPOSITE (VERDICT r11 missing 3): today's
     // crawl (%4==1) decided against the accumulated corpus's STORED band
     // index — quality/lang/repetition signals, indexed near-dup rejection,
@@ -2465,6 +2522,54 @@ object SparkEntry {
     * is rounded to an integer BEFORE the incoming sum (matching the
     * engine), so both sides do exact integer aggregation — no float
     * summation order anywhere. */
+  /** DuckDB replay of the stored-histogram quantile probe
+    * ([[graft.ops.Relational.histQuantiles]]): rebuild the per-(flag,
+    * price-bin) counter relation, then pick per percentile the first bin
+    * whose cumulative count reaches `ceil(pq%·N)` — exact integer
+    * arithmetic, so the estimate is pinned cross-engine. */
+  private def histQuantilesOracleSql: String = {
+    val w = graft.ops.Relational.HistWidth
+    s"""WITH h AS MATERIALIZED (SELECT l_returnflag AS grp,
+       |    CAST(floor(l_extendedprice / $w.0) AS BIGINT) AS bucket,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM lineitem GROUP BY 1, 2),
+       |c AS (SELECT grp, bucket,
+       |    CAST(sum(cnt) OVER (PARTITION BY grp ORDER BY bucket) AS BIGINT) AS cum,
+       |    CAST(sum(cnt) OVER (PARTITION BY grp) AS BIGINT) AS n_total FROM h),
+       |f AS (SELECT grp, bucket, cum, n_total, CAST(pq AS BIGINT) AS pq
+       |  FROM c CROSS JOIN (VALUES (25), (50), (75), (90)) p(pq))
+       |SELECT grp, pq, CAST(min(n_total) AS BIGINT) AS n_total,
+       |  CAST(min(bucket) AS BIGINT) AS bucket,
+       |  (CAST(min(bucket) AS BIGINT) + 1) * $w AS est_hi
+       |FROM f WHERE cum >= (n_total * pq + 99) // 100
+       |GROUP BY 1, 2 ORDER BY grp, pq""".stripMargin
+  }
+
+  /** DuckDB replay of the stored-CMS heavy-hitters probe
+    * ([[graft.ops.TextAnalysis.heavyHittersFromCms]]): rebuild the
+    * `(d, slot, cnt)` counter relation from the token stream with the
+    * same seeded-MD5 slot hash, then estimate each exact-top-20 word as
+    * the min over its depth rows — the sketch CONTENT, not just its
+    * accuracy contract, is pinned cross-engine. */
+  private def cmsOracleSql: String = {
+    val w = graft.ops.TextAnalysis.CmsWidth
+    def slot(wordExpr: String) =
+      s"CAST(('0x' || substring(md5('cms' || CAST(t.d AS VARCHAR) || ':' || " +
+        s"$wordExpr), 1, 8)) AS BIGINT) % $w"
+    s"""WITH tk AS (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '$WS'),
+       |    t -> regexp_matches(t, '^[a-z0-9]+$$'))) AS word FROM documents),
+       |vc AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY 1),
+       |sk AS MATERIALIZED (SELECT t.d AS d, ${slot("word")} AS slot,
+       |  CAST(sum(c) AS BIGINT) AS cnt
+       |  FROM vc CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(d) GROUP BY 1, 2),
+       |top AS (SELECT word, c FROM vc ORDER BY c DESC, word LIMIT 20),
+       |fan AS (SELECT word, c, t.d AS d, ${slot("word")} AS slot
+       |  FROM top CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(d))
+       |SELECT f.word, f.c AS cnt, CAST(min(coalesce(sk.cnt, 0)) AS BIGINT) AS est
+       |FROM fan f LEFT JOIN sk ON sk.d = f.d AND sk.slot = f.slot
+       |GROUP BY 1, 2 ORDER BY cnt DESC, word""".stripMargin
+  }
+
   private def textRankOracleSql(iters: Int, k: Int): String = {
     val base =
       s"""WITH f AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '$WS'),
@@ -4850,6 +4955,10 @@ object SparkEntry {
          |SELECT word, CAST(count(*) AS BIGINT) AS cnt,
          |  1 AS ok_lower, 1 AS ok_upper
          |FROM tk GROUP BY word ORDER BY cnt DESC, word LIMIT 50""".stripMargin,
+    // stored-CMS gates share one oracle: counter addition is exact, so
+    // the appended+compacted sketch answers identically to the one-shot
+    "ta_heavy_hitters_indexed" -> cmsOracleSql,
+    "ta_heavy_hitters_incr" -> cmsOracleSql,
     "ta_curation_pipeline" ->
       s"""WITH c AS (SELECT doc_id,
          |  CAST(len(regexp_split_to_array(lower(text), '$WS')) AS BIGINT) AS nt,
@@ -5308,6 +5417,26 @@ object SparkEntry {
         branch("o_orderdate"), branch("o_orderpriority"))
         .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
     },
+    // key-skew report: one histogram per audited column (from a single
+    // UNION'd pair stream, mirroring the engine's one-scan explode), all
+    // measures exact integer division
+    "audit_skew_report" ->
+      """WITH pairs AS (
+        |  SELECT 'l_partkey' AS key_col, CAST(l_partkey AS VARCHAR) AS key_value FROM lineitem
+        |  UNION ALL SELECT 'l_returnflag', CAST(l_returnflag AS VARCHAR) FROM lineitem
+        |  UNION ALL SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR) FROM lineitem),
+        |hist AS MATERIALIZED (SELECT key_col, key_value, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM pairs GROUP BY 1, 2),
+        |stats AS (SELECT key_col, CAST(sum(cnt) AS BIGINT) AS n_total,
+        |  CAST(count(*) AS BIGINT) AS n_distinct FROM hist GROUP BY 1),
+        |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY key_col
+        |    ORDER BY cnt DESC, key_value) AS BIGINT) AS rk FROM hist)
+        |SELECT r.key_col, rk, key_value, cnt,
+        |  cnt * 1000000 // n_total AS ppm,
+        |  cnt * n_distinct * 100 // n_total AS x_mean_pct,
+        |  n_total, n_distinct
+        |FROM rk r JOIN stats s USING (key_col)
+        |WHERE rk <= 5 ORDER BY key_col, rk""".stripMargin,
     "fmt_schema_drift" -> {
       def branch(c: String, where: String, expr: String = ""): String = {
         val e = if (expr.isEmpty) c else expr
@@ -5350,6 +5479,10 @@ object SparkEntry {
         |    ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS BIGINT) AS bucket
         |  FROM lineitem)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // stored-histogram quantile gates share one oracle: counter addition
+    // is exact, so the appended+compacted artifact answers identically
+    "agg_hist_quantiles_indexed" -> histQuantilesOracleSql,
+    "agg_hist_quantiles_incr" -> histQuantilesOracleSql,
     // sketch quantiles: the Spark side emits |approx − exact| <= eps as
     // 0/1 columns; the oracle asserts the contract holds (literal 1s) plus
     // the exact group counts — deterministic hash pass/fail without

@@ -1082,6 +1082,85 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  // ---- stored equi-width HISTOGRAM lifecycle (r15): the mergeable
+  // QUANTILE artifact, completing the persisted-sketch trio next to the
+  // HLL distinct counts and the CMS frequency counters (both in
+  // TextAnalysis). percentile_approx above answers one query in one
+  // pass; the stored histogram answers corpus-LIFETIME quantiles across
+  // daily batches without rereading a single old row — counter addition
+  // is exact, so append+compact == one-shot, and (unlike a KLL sketch,
+  // whose compaction path is engine-private) every estimate is
+  // replayable in DuckDB bucket for bucket. ----
+
+  /** Histogram bin width over `l_extendedprice` (~105 bins at TPC-H's
+    * price range). Deterministic cross-engine: IEEE double division is
+    * correctly rounded in both engines, so `floor(x / 1000.0)` can only
+    * disagree if a price sat within one ulp of an exact multiple of
+    * 1000 — money values are 2-decimal, so none can. */
+  val HistWidth = 1000L
+
+  private def histRows(li: DataFrame): DataFrame =
+    li.select(col("l_returnflag").as("grp"),
+        floor(col("l_extendedprice") / HistWidth.toDouble).cast("long").as("bucket"))
+      .groupBy("grp", "bucket").agg(count(lit(1)).as("cnt"))
+
+  /** Unique row id for the manifest stamp (lineitem's natural key). */
+  private def liStamp(li: DataFrame): (Long, Long) =
+    graft.sources.Formats.corpusStamp(
+      li.select(concat_ws("-", col("l_orderkey"), col("l_linenumber")).as("rid")), "rid")
+
+  /** Build the stored per-group histogram: ≤ groups·bins counter rows +
+    * the family's one-row build manifest. The fact table contributes one
+    * map-side-combined counting pass; the artifact is KB-scale. */
+  def buildHistIndex(li: DataFrame, table: String): Unit = {
+    graft.sources.Formats.writeBucketed(histRows(li), table, Seq("bucket"), 4)
+    val (n, fp) = liStamp(li)
+    graft.sources.Formats.writeBuildMeta(li.sparkSession, table,
+      s"kind=hist,w=$HistWidth", n, fp)
+  }
+
+  /** Ingest half: the batch's own counter rows appended as deltas (the
+    * CMS/LM delta discipline — accumulated rows are neither read nor
+    * rewritten); row-disjointness guarded by the manifest stamp. */
+  def appendToHistIndex(newLi: DataFrame, table: String): Unit = {
+    graft.sources.Formats.writeBucketedAppend(histRows(newLi), table, Seq("bucket"), 4)
+    val (n, fp) = liStamp(newLi)
+    graft.sources.Formats.foldBuildMeta(newLi.sparkSession, table,
+      s"kind=hist,w=$HistWidth", n, fp)
+  }
+
+  /** Collapse appended deltas to one row per `(grp, bucket)` — the
+    * crash-safe bucketed ping-pong rewrite. */
+  def compactHistIndex(spark: SparkSession, table: String): Unit =
+    graft.sources.Formats.rewriteBucketed(spark, table, Seq("bucket"), 4)(
+      _.groupBy("grp", "bucket").agg(sum("cnt").as("cnt")))
+
+  /** Quantile probe from the stored histogram: per group and percentile
+    * `pq`, the first bin whose cumulative count reaches
+    * `ceil(pq% · N)` (exact integer arithmetic), reported with its upper
+    * edge — the estimate is within one bin width of the exact quantile
+    * by construction, and is a pure function of the counter relation, so
+    * the oracle replays it exactly. All windows run over the
+    * bins-per-group histogram (bounded ~105 rows/group), never the fact
+    * table; no corpus access. */
+  def histQuantiles(spark: SparkSession, table: String,
+      pcts: Seq[Int] = Seq(25, 50, 75, 90)): DataFrame = {
+    graft.sources.Formats.requireBuilt(spark, table)
+    val folded = spark.table(table).groupBy("grp", "bucket").agg(sum("cnt").as("cnt"))
+    val cum = folded
+      .withColumn("cum", sum("cnt").over(Window.partitionBy("grp")
+        .orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n_total", sum("cnt").over(Window.partitionBy("grp")))
+    cum.select(col("grp"), col("bucket"), col("cum"), col("n_total"),
+        explode(array(pcts.map(p => lit(p.toLong)): _*)).as("pq"))
+      .filter(col("cum") >= expr("(n_total * pq + 99) div 100"))
+      .groupBy("grp", "pq")
+      .agg(min("n_total").as("n_total"), min("bucket").as("bucket"))
+      .select(col("grp"), col("pq"), col("n_total"), col("bucket"),
+        ((col("bucket") + 1L) * HistWidth).as("est_hi"))
+      .orderBy("grp", "pq")
+  }
+
   /** Navigation + ranking window sampler: lag/lead, dense_rank, ntile,
     * first value over an explicit ROWS frame — the window-function surface
     * beyond the aggregating windows already covered. */

@@ -22,6 +22,40 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Pre-flight KEY-SKEW report for a planned join/aggregation — the
+    * diagnostic a 100 TB pipeline runs BEFORE picking between the plain
+    * shuffle, AQE, and [[saltedJoin]]: for each candidate key column, the
+    * top-`topK` heaviest values with their share of the table (ppm) and
+    * their multiple of the mean per-key count. A key whose `x_mean_pct`
+    * is in the thousands is the one that pins a reducer (exactly the
+    * reference's `std::hash(word) % R` failure mode,
+    * srics96/SDC_Mapreduce `src/worker/worker.cpp:244-250`).
+    *
+    * Scale design: ONE pass over the table for ALL audited columns — each
+    * row explodes to one `(key_col, key_value)` entry per column, so the
+    * scan happens once and the only wide state is the per-column value
+    * HISTOGRAM (vocabulary-scale, not row-scale); the top-k sits on the
+    * histogram. All derived measures are exact integer arithmetic
+    * (`div`), so the report is engine- and partitioning-exact. */
+  def keySkewReport(df: DataFrame, keyCols: Seq[String], topK: Int = 5): DataFrame = {
+    val pairs = df.select(explode(array(keyCols.map(c =>
+        struct(lit(c).as("key_col"), col(c).cast("string").as("key_value"))): _*)).as("kv"))
+      .select(col("kv.key_col"), col("kv.key_value"))
+    val hist = pairs.groupBy("key_col", "key_value").agg(count(lit(1)).as("cnt"))
+    val stats = hist.groupBy("key_col").agg(
+      sum("cnt").as("n_total"), count(lit(1)).as("n_distinct"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key_col").orderBy(col("cnt").desc, col("key_value"))
+    hist.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= topK)
+      .join(broadcast(stats), Seq("key_col"))
+      .select(col("key_col"), col("rk"), col("key_value"), col("cnt"),
+        expr("cnt * CAST(1000000 AS BIGINT) div n_total").as("ppm"),
+        expr("cnt * n_distinct * CAST(100 AS BIGINT) div n_total").as("x_mean_pct"),
+        col("n_total"), col("n_distinct"))
+      .orderBy("key_col", "rk")
+  }
+
   /** Equi-join `big ⋈ small` on `bigKey == smallKey`, salted `salt` ways.
     * The big side's salt must be uniform PER ROW — a content hash would
     * send byte-identical duplicate rows of a hot key (the classic

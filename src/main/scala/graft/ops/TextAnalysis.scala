@@ -1031,6 +1031,116 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("word"))
   }
 
+  // ---- stored COUNT-MIN SKETCH lifecycle (r15): the mergeable
+  // point-FREQUENCY artifact, completing the persisted-sketch trio
+  // (HLL distinct counts above, the moments/profile artifacts in
+  // Formats/events, and now CMS frequencies) ----
+
+  /** CMS depth (independent hash rows). */
+  val CmsDepth = 4
+  /** CMS width (counter slots per row). */
+  val CmsWidth = 2048
+
+  /** Slot of `word` in CMS hash row `d`: one [[CrossHash.h32]] family
+    * member per row — the same seeded-MD5 discipline as the MinHash
+    * permutations, so the sketch CONTENT (not just its contract) has an
+    * exact DuckDB mirror. */
+  private def cmsSlot(word: Column, d: Int): Column =
+    pmod(graft.functions.CrossHash.h32(concat(lit(s"cms$d:"), word)),
+      lit(CmsWidth.toLong))
+
+  /** DuckDB equivalent of [[cmsSlot]], for oracle authoring. */
+  def cmsSlotSql(wordExpr: String, d: Int): String =
+    s"${graft.functions.CrossHash.h32Sql(s"'cms$d:' || $wordExpr")} % $CmsWidth"
+
+  /** The batch's sketch rows: `(d, slot, cnt)` counter increments.
+    * Computed vocabulary-first (one word-keyed count, map-side combined),
+    * then each VOCAB row fans out to [[CmsDepth]] slot increments — the
+    * depth replication touches the histogram, never the token stream.
+    * Unlike Spark's `stat.countMinSketch` (an opaque driver-side blob),
+    * the sketch here is a RELATION: merge = slot-wise ADD = a grouped
+    * sum, probe = a broadcast join, compaction = the same ping-pong
+    * rewrite every stored family uses — and the estimate itself is
+    * oracle-replayable because [[cmsSlot]] is cross-engine. */
+  private def cmsRows(docs: DataFrame): DataFrame = {
+    val vc = docs.select(explode(SharedCorpus.alnumOf(docs)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("c"))
+    vc.select(explode(array((0 until CmsDepth).map(d =>
+        struct(lit(d).as("d"), cmsSlot(col("word"), d).as("slot"))): _*)).as("ds"),
+        col("c"))
+      .groupBy(col("ds.d").as("d"), col("ds.slot").as("slot"))
+      .agg(sum("c").as("cnt"))
+  }
+
+  /** Build the stored CMS: ≤ depth·width counter rows + the family's
+    * one-row build manifest. At 100 TB the corpus contributes one
+    * map-side-combined count; the stored artifact is KB-scale. */
+  def buildCmsIndex(docs: DataFrame, table: String): Unit = {
+    graft.sources.Formats.writeBucketed(cmsRows(docs), table, Seq("slot"), 4)
+    val (n, fp) = graft.sources.Formats.corpusStamp(docs, "doc_id")
+    graft.sources.Formats.writeBuildMeta(docs.sparkSession, table,
+      s"kind=cms,d=$CmsDepth,w=$CmsWidth", n, fp)
+  }
+
+  /** Ingest half: the batch's OWN counter rows appended as deltas (the
+    * accumulated sketch is neither read nor rewritten — the LM-counts
+    * delta discipline); the probe folds duplicates by summation, and
+    * [[compactCmsIndex]] collapses them back to one row per slot. CMS
+    * merge is counter addition, so append-then-fold == one-shot exactly
+    * (SketchSpec pins it), PROVIDED batches are doc-disjoint — CMS adds,
+    * so re-inserting a batch double-counts; the manifest stamp xor is
+    * exactly the guard that makes a replayed append detectable. */
+  def appendToCmsIndex(newDocs: DataFrame, table: String): Unit = {
+    graft.sources.Formats.writeBucketedAppend(cmsRows(newDocs), table, Seq("slot"), 4)
+    val (n, fp) = graft.sources.Formats.corpusStamp(newDocs, "doc_id")
+    graft.sources.Formats.foldBuildMeta(newDocs.sparkSession, table,
+      s"kind=cms,d=$CmsDepth,w=$CmsWidth", n, fp)
+  }
+
+  /** Collapse appended delta rows to one row per `(d, slot)` — rides the
+    * crash-safe BUCKETED ping-pong rewrite (the table is slot-bucketed,
+    * so the rewrite must restage bucketed files — the plain rewrite
+    * would leave a bucketed catalog entry pointing at unbucketed files). */
+  def compactCmsIndex(spark: org.apache.spark.sql.SparkSession, table: String): Unit =
+    graft.sources.Formats.rewriteBucketed(spark, table, Seq("slot"), 4)(
+      _.groupBy("d", "slot").agg(sum("cnt").as("cnt")))
+
+  /** Point-frequency estimates for `queries` (a one-column `word` frame)
+    * from the stored sketch: fan each query word to its [[CmsDepth]]
+    * slots, broadcast-join the folded counter rows, estimate = min over
+    * rows. The folded sketch is BROADCAST — it is bounded at depth·width
+    * rows by construction, so the probe joins with no shuffle however
+    * large the query set. No corpus access; an unseen word whose slots
+    * are all empty estimates 0 (left join + coalesce — the inner-join
+    * form would silently drop it). */
+  def cmsEstimates(spark: org.apache.spark.sql.SparkSession,
+      table: String, queries: DataFrame): DataFrame = {
+    graft.sources.Formats.requireBuilt(spark, table)
+    val folded = spark.table(table).groupBy("d", "slot").agg(sum("cnt").as("cnt"))
+    val fan = queries.select(col("word"),
+        explode(array((0 until CmsDepth).map(d =>
+          struct(lit(d).as("d"), cmsSlot(col("word"), d).as("slot"))): _*)).as("ds"))
+      .select(col("word"), col("ds.d").as("d"), col("ds.slot").as("slot"))
+    fan.join(broadcast(folded), Seq("d", "slot"), "left")
+      .groupBy("word").agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
+  /** Gate form: the exact top-`k` words (computed corpus-side for the
+    * ORACLE's benefit — a deployment reads only [[cmsEstimates]]) joined
+    * with their stored-sketch estimates. Every column hash-compares:
+    * the DuckDB oracle replays the sketch construction slot for slot,
+    * which is strictly stronger evidence than [[heavyHittersCms]]'s
+    * accuracy booleans — the estimate VALUE is pinned cross-engine. */
+  def heavyHittersFromCms(spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, table: String, k: Int = 20): DataFrame = {
+    val top = docs.select(explode(SharedCorpus.alnumOf(docs)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word")).limit(k)
+    top.join(broadcast(cmsEstimates(spark, table, top.select("word"))), Seq("word"))
+      .select(col("word"), col("cnt"), col("est"))
+      .orderBy(col("cnt").desc, col("word"))
+  }
+
   /** One-pass pipeline audit counters via Spark's `Observation` API: the
     * curation filter runs ONCE and its input count, input token total and
     * survivor count ride the SAME pass as accumulator-backed observed

@@ -84,6 +84,64 @@ class SketchSpec extends SparkTestBase {
     assert(estOf("graft_hll_incr") === oneShot)
   }
 
+  test("stored CMS: append+compact == one-shot, never underestimates, " +
+      "unseen words survive the probe") {
+    val all = graft.ops.SharedCorpus.docsTok(spark, sfDir)
+    TextAnalysis.buildCmsIndex(all, "graft_cms_one")
+    TextAnalysis.buildCmsIndex(all.filter(col("doc_id") % 2 === 0), "graft_cms_two")
+    TextAnalysis.appendToCmsIndex(all.filter(col("doc_id") % 2 =!= 0), "graft_cms_two")
+    TextAnalysis.compactCmsIndex(spark, "graft_cms_two")
+    // counter addition is exact: the compacted two-batch sketch must be
+    // BIT-EQUAL to the one-shot relation, not just estimate-equal
+    def rows(t: String) = spark.table(t).collect().map(_.toString).sorted.toSeq
+    assert(rows("graft_cms_one") === rows("graft_cms_two"),
+      "appended+compacted CMS relation diverged from one-shot")
+    // probe contract on the exact top-20: estimate >= exact always
+    val hh = TextAnalysis.heavyHittersFromCms(spark, all, "graft_cms_one").collect()
+    assert(hh.length == 20)
+    hh.foreach(r => assert(r.getLong(2) >= r.getLong(1),
+      s"CMS underestimated '${r.getString(0)}': ${r.getLong(2)} < ${r.getLong(1)}"))
+    // a word the corpus never saw must SURVIVE the probe (left join +
+    // coalesce — an inner-join regression would silently drop it) and
+    // estimate below any real heavy hitter
+    import spark.implicits._
+    val unseen = TextAnalysis.cmsEstimates(spark, "graft_cms_one",
+      Seq("zzqqxunseenzz").toDF("word")).collect()
+    assert(unseen.length == 1 && unseen.head.getLong(1) >= 0L)
+  }
+
+  test("stored histogram: append+compact == one-shot, quantile bracketed " +
+      "within its bin") {
+    val li = Tables.lineitem(spark, sfDir)
+    Relational.buildHistIndex(li, "graft_hist_one")
+    Relational.buildHistIndex(li.filter(col("l_orderkey") % 2 === 0), "graft_hist_two")
+    Relational.appendToHistIndex(li.filter(col("l_orderkey") % 2 =!= 0), "graft_hist_two")
+    Relational.compactHistIndex(spark, "graft_hist_two")
+    def rows(t: String) = spark.table(t).collect().map(_.toString).sorted.toSeq
+    assert(rows("graft_hist_one") === rows("graft_hist_two"),
+      "appended+compacted histogram diverged from one-shot")
+    val probe = Relational.histQuantiles(spark, "graft_hist_one").collect()
+    assert(probe.length == 12) // 3 flags x 4 percentiles
+    // bracket property: the exact ceil(pq% * N)-th smallest price per
+    // flag must lie inside the reported bin [bucket*w, (bucket+1)*w)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_returnflag")
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    val ranked = li.select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_orderkey"), col("l_linenumber"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+    probe.foreach { r =>
+      val (grp, pq, n, bucket) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val target = (n * pq + 99) / 100
+      val exact = ranked.filter(col("l_returnflag") === grp && col("rn") === target)
+        .select("l_extendedprice").head().getDouble(0)
+      val width = Relational.HistWidth.toDouble
+      assert(exact >= bucket * width && exact < (bucket + 1) * width,
+        s"$grp p$pq: exact $exact outside bin $bucket")
+    }
+  }
+
   test("profile index: build+append fold == one-shot build, bit-equal") {
     import org.apache.spark.sql.functions._
     val o = graft.sources.Tables.orders(spark, sfDir)

@@ -34,6 +34,34 @@ class SkewSpec extends SparkTestBase {
     assert(saltCards.length === 8, "hot key rows spread over all 8 salt buckets")
   }
 
+  test("keySkewReport surfaces the hot key with exact integer measures") {
+    import spark.implicits._
+    // crafted distribution: 'hot' 90 rows, 'a' 5, 'b' 3, 'c' 2 over one
+    // audited column, next to a perfectly uniform second column
+    val rows = (Seq.fill(90)("hot") ++ Seq.fill(5)("a") ++
+      Seq.fill(3)("b") ++ Seq.fill(2)("c")).zipWithIndex
+      .map { case (k, i) => (k, (i % 10).toString) }
+    val df = rows.toDF("skewed", "uniform")
+    val rep = Skew.keySkewReport(df, Seq("skewed", "uniform"), topK = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    // hot: cnt 90 of 100 => 900000 ppm; 4 distinct keys => mean 25, so
+    // 90 is 360% of the mean — every measure exact integer arithmetic
+    assert(rep(("skewed", 1L)) === (("hot", 90L, 900000L, 360L)))
+    assert(rep(("skewed", 2L)) === (("a", 5L, 50000L, 20L)))
+    // uniform column: every value 10 of 100, 10 distinct => exactly the
+    // mean (100%); rank-1 is the lexicographically first value
+    val (uv, uc, uppm, ux) = rep(("uniform", 1L))
+    assert(uv == "0" && uc == 10L && uppm == 100000L && ux == 100L)
+    // one-scan shape: the report must not re-scan the input per column —
+    // the explode fans columns out of a single projection, so exactly one
+    // scan node reads the input in the analyzed plan
+    val plan = Skew.keySkewReport(df, Seq("skewed", "uniform"), topK = 2)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Union"), s"per-column rescan (Union) in:\n$plan")
+  }
+
   test("AQE skew-join splits the hot partition automatically (OptimizeSkewedJoin fires)") {
     import spark.implicits._
     // the automatic path a user gets at scale WITHOUT salting: AQE detects
