@@ -970,6 +970,12 @@ object SparkEntry {
     // hash-order token walk keeps a doc iff its span crosses a multiple
     // of the step — inclusion ∝ document length, exact integer arithmetic
     "sample_pps" -> ((s, d) => Sampling.ppsSample(SharedCorpus.docsTok(s, d))),
+    // deterministic train/val/test assignment (r15): hash-bucket ranges,
+    // disjoint+exhaustive by construction, stable under repartitioning
+    // and retries — the reproducibility contract randomSplit cannot give
+    "sample_split_assign" -> ((s, d) =>
+      Sampling.splitAssign(Tables.documents(s, d), "doc_id")
+        .select("doc_id", "lang", "split").orderBy("doc_id")),
     // URL canonicalization (C4/RefinedWeb-style): tracking params,
     // fragments, default ports, host case and www. collapse to ONE key;
     // URLs injected deterministically (the ta_pii_redact discipline)
@@ -1163,6 +1169,15 @@ object SparkEntry {
     "audit_skew_report" -> ((s, d) =>
       graft.ops.Skew.keySkewReport(Tables.lineitem(s, d),
         Seq("l_suppkey", "l_partkey", "l_returnflag"))),
+    // pre-flight JOIN-CARDINALITY report (r15): the exact output size of
+    // a planned self-join on l_partkey (the copurchase shape) from the
+    // key histograms alone — Σ cntA·cntB without materializing a joined
+    // row — plus the top keys by contribution; the advance warning for
+    // the one-hot-key candidate blowup the fuzzy-join family once hit
+    "audit_join_cardinality" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      graft.ops.Skew.joinCardinalityReport(li, "l_partkey", li, "l_partkey")
+    }),
     // the daily-batch curation COMPOSITE (VERDICT r11 missing 3): today's
     // crawl (%4==1) decided against the accumulated corpus's STORED band
     // index — quality/lang/repetition signals, indexed near-dup rejection,
@@ -5231,6 +5246,9 @@ object SparkEntry {
          |SELECT doc_id, source, n_tokens, cum_before FROM c
          |WHERE (cum_before + n_tokens) // 400 > cum_before // 400
          |ORDER BY doc_id""".stripMargin,
+    "sample_split_assign" ->
+      s"""SELECT doc_id, lang, ${Sampling.splitAssignSql("doc_id")} AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "sql_correlated" ->
       """WITH per_cust AS (
         |  SELECT c.c_custkey, c.c_nationkey, count(o.o_orderkey) AS n_orders
@@ -5417,6 +5435,22 @@ object SparkEntry {
         branch("o_orderdate"), branch("o_orderpriority"))
         .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
     },
+    // join-cardinality report: both key histograms, their join, the exact
+    // Σ cntA·cntB total and top contributing keys — all integer-exact
+    "audit_join_cardinality" ->
+      """WITH hl AS (SELECT CAST(l_partkey AS VARCHAR) AS key_value,
+        |    CAST(count(*) AS BIGINT) AS cnt_left FROM lineitem GROUP BY 1),
+        |hr AS (SELECT CAST(l_partkey AS VARCHAR) AS key_value,
+        |    CAST(count(*) AS BIGINT) AS cnt_right FROM lineitem GROUP BY 1),
+        |c AS MATERIALIZED (SELECT key_value, cnt_left, cnt_right,
+        |    cnt_left * cnt_right AS contrib FROM hl JOIN hr USING (key_value)),
+        |t AS (SELECT CAST(sum(contrib) AS BIGINT) AS total_pairs,
+        |    CAST(count(*) AS BIGINT) AS n_keys_matched FROM c),
+        |rk AS (SELECT *, CAST(row_number() OVER (ORDER BY contrib DESC, key_value)
+        |    AS BIGINT) AS rk FROM c)
+        |SELECT rk, key_value, cnt_left, cnt_right, contrib,
+        |  contrib * 1000000 // total_pairs AS ppm, total_pairs, n_keys_matched
+        |FROM rk CROSS JOIN t WHERE rk <= 5 ORDER BY rk""".stripMargin,
     // key-skew report: one histogram per audited column (from a single
     // UNION'd pair stream, mirroring the engine's one-scan explode), all
     // measures exact integer division

@@ -52,6 +52,40 @@ object Sampling {
       .drop("rn")
   }
 
+  /** Deterministic train/validation/test split assignment: each row's
+    * key-hash bucket (0..99) lands in exactly one of the cumulative
+    * percentage ranges, so the assignment is (a) DISJOINT and EXHAUSTIVE
+    * by construction, (b) stable under re-partitioning, re-ingestion and
+    * engine choice (the reproducibility contract an eval split must
+    * carry — a `randomSplit` re-deals the corpus on every retry), and
+    * (c) pure projection: no shuffle, no state. `splits` maps name →
+    * percentage and must sum to 100 (fail loudly — a silent 95% split
+    * would leak 5% of documents out of every split). */
+  def splitAssign(df: DataFrame, keyCol: String,
+      splits: Seq[(String, Int)] = Seq("train" -> 80, "val" -> 10, "test" -> 10),
+      salt: String = "split"): DataFrame = {
+    require(splits.map(_._2).sum == 100,
+      s"split percentages must sum to 100: $splits")
+    val edges = splits.scanLeft(0) { case (acc, (_, p)) => acc + p }
+    val b = bucket100(keyCol, salt)
+    val assign = splits.zip(edges).foldLeft(lit(null).cast("string")) {
+      case (acc, ((name, _), lo)) => when(b >= lo, name).otherwise(acc)
+    }
+    df.withColumn("split", assign)
+  }
+
+  /** DuckDB mirror of [[splitAssign]]'s rule, for oracle authoring. */
+  def splitAssignSql(keyExpr: String,
+      splits: Seq[(String, Int)] = Seq("train" -> 80, "val" -> 10, "test" -> 10),
+      salt: String = "split"): String = {
+    val edges = splits.scanLeft(0) { case (acc, (_, p)) => acc + p }
+    val b = bucket100Sql(keyExpr, salt)
+    val cases = splits.zip(edges).reverse.map { case ((name, _), lo) =>
+      s"WHEN $b >= $lo THEN '$name'"
+    }.mkString(" ")
+    s"CASE $cases END"
+  }
+
   /** Systematic probability-proportional-to-size document sampling: walk
     * each `source`'s documents in deterministic hash order accumulating
     * token counts, and keep a document iff its token span crosses a

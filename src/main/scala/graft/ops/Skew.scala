@@ -56,6 +56,45 @@ object Skew {
       .orderBy("key_col", "rk")
   }
 
+  /** Pre-flight JOIN-CARDINALITY report — the second pre-flight
+    * diagnostic next to [[keySkewReport]]: the EXACT output size of a
+    * planned equi-join computed from the two sides' key histograms
+    * (`|A ⋈ B| = Σ_k cntA(k)·cntB(k)`) without materializing a single
+    * joined row, plus the top-`topK` keys by output contribution — the
+    * keys that would explode the join (this engine's own fuzzy-join
+    * candidate blowup, a ~56M-pair join from ONE hot q-gram, is exactly
+    * the shape this report surfaces in advance for the price of two
+    * counting aggregations and a vocabulary-scale histogram join).
+    *
+    * All measures exact integers (`contrib`, its ppm share of
+    * `total_pairs`); DECIMAL under the sums so a 100 TB total cannot
+    * overflow a long mid-aggregation. */
+  def joinCardinalityReport(left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String, topK: Int = 5): DataFrame = {
+    val hl = left.groupBy(col(leftKey).cast("string").as("key_value"))
+      .agg(count(lit(1)).as("cnt_left"))
+    val hr = right.groupBy(col(rightKey).cast("string").as("key_value"))
+      .agg(count(lit(1)).as("cnt_right"))
+    val contrib = hl.join(hr, Seq("key_value"))
+      .withColumn("contrib", col("cnt_left") * col("cnt_right"))
+    val total = contrib.agg(
+      sum(col("contrib").cast("decimal(38,0)")).as("total_dec"),
+      count(lit(1)).as("n_keys_matched"))
+    // distributed top-k (TakeOrdered), then rank the K survivors — never
+    // a global single-task sort of the key histogram
+    val top = contrib.orderBy(col("contrib").desc, col("key_value")).limit(topK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("contrib").desc, col("key_value"))
+    top.withColumn("rk", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(total))
+      .withColumn("total_pairs", col("total_dec").cast("long"))
+      .select(col("rk"), col("key_value"), col("cnt_left"), col("cnt_right"),
+        col("contrib"),
+        expr("contrib * CAST(1000000 AS BIGINT) div total_pairs").as("ppm"),
+        col("total_pairs"), col("n_keys_matched"))
+      .orderBy("rk")
+  }
+
   /** Equi-join `big ⋈ small` on `bigKey == smallKey`, salted `salt` ways.
     * The big side's salt must be uniform PER ROW — a content hash would
     * send byte-identical duplicate rows of a hot key (the classic

@@ -60,4 +60,27 @@ class SamplingSpec extends SparkTestBase {
     val again = Sampling.ppsSample(docs.repartition(7), step)
     assert(out.exceptAll(again).count() === 0 && again.exceptAll(out).count() === 0)
   }
+
+  test("splitAssign is disjoint, exhaustive, repartition-stable, and " +
+      "refuses percentages that do not cover the corpus") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = Sampling.splitAssign(docs, "doc_id")
+    // exhaustive: every row lands in exactly one named split
+    assert(out.filter(col("split").isNull).count() === 0)
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet === Set("train", "val", "test"))
+    assert(counts.values.sum === docs.count())
+    // the 80/10/10 shape holds to hash tolerance
+    val n = docs.count().toDouble
+    assert(counts("train") / n > 0.7 && counts("train") / n < 0.9)
+    // stable under repartitioning (the randomSplit failure mode)
+    val again = Sampling.splitAssign(docs.repartition(7), "doc_id")
+      .select("doc_id", "split")
+    assert(out.select("doc_id", "split").exceptAll(again).count() === 0)
+    // an under-covering split spec fails loudly instead of leaking rows
+    intercept[IllegalArgumentException] {
+      Sampling.splitAssign(docs, "doc_id", Seq("train" -> 80, "val" -> 15))
+    }
+  }
 }

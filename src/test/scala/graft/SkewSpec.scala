@@ -62,6 +62,33 @@ class SkewSpec extends SparkTestBase {
     assert(!plan.contains("Union"), s"per-column rescan (Union) in:\n$plan")
   }
 
+  test("joinCardinalityReport predicts the exact join output size") {
+    import spark.implicits._
+    // crafted histograms: key 'x' 4x3=12 pairs, 'y' 2x5=10, 'z' 1x1=1,
+    // 'only_left' matches nothing => total 23 over 3 matched keys
+    val left = (Seq.fill(4)("x") ++ Seq.fill(2)("y") ++ Seq("z", "only_left"))
+      .toDF("k")
+    val right = (Seq.fill(3)("x") ++ Seq.fill(5)("y") ++ Seq("z")).toDF("k")
+    val rep = Skew.joinCardinalityReport(left, "k", right, "k", topK = 2).collect()
+    assert(rep.length == 2)
+    val actual = left.join(right, "k").count()
+    assert(actual === 23L)
+    rep.foreach { r =>
+      assert(r.getLong(6) === 23L, "total_pairs != materialized join size")
+      assert(r.getLong(7) === 3L)
+    }
+    // rank 1 is the explosive key with its exact contribution and share
+    val r1 = rep.head
+    assert(r1.getString(1) == "x" && r1.getLong(4) == 12L &&
+      r1.getLong(5) == 12L * 1000000L / 23L)
+    // and on real tables the prediction still equals the materialized join
+    val li = Tables.lineitem(spark, sfDir).select("l_partkey")
+    val predicted = Skew.joinCardinalityReport(li, "l_partkey", li, "l_partkey")
+      .head().getLong(6)
+    assert(predicted === li.as("a").join(li.as("b"),
+      col("a.l_partkey") === col("b.l_partkey")).count())
+  }
+
   test("AQE skew-join splits the hot partition automatically (OptimizeSkewedJoin fires)") {
     import spark.implicits._
     // the automatic path a user gets at scale WITHOUT salting: AQE detects
