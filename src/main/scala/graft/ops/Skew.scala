@@ -33,9 +33,11 @@ object Skew {
     *
     * Scale design: ONE pass over the table for ALL audited columns — each
     * row explodes to one `(key_col, key_value)` entry per column, so the
-    * scan happens once and the only wide state is the per-column value
-    * HISTOGRAM (vocabulary-scale, not row-scale); the top-k sits on the
-    * histogram. All derived measures are exact integer arithmetic
+    * scan happens once (the top-k and stats branches both read the
+    * shared histogram aggregation, deduped at runtime by exchange reuse
+    * — PlanAuditSpec pins it) and the only wide state is the per-column
+    * value HISTOGRAM (vocabulary-scale, not row-scale); the top-k sits
+    * on the histogram. All derived measures are exact integer arithmetic
     * (`div`), so the report is engine- and partitioning-exact. */
   def keySkewReport(df: DataFrame, keyCols: Seq[String], topK: Int = 5): DataFrame = {
     val pairs = df.select(explode(array(keyCols.map(c =>

@@ -110,6 +110,46 @@ class PlanAuditSpec extends SparkTestBase {
       s"drift totals must broadcast:\n$dr")
   }
 
+  test("round-15 diagnostics and sketch probes plan their intended shapes") {
+    val d = "/root/testdata/sf0.001"
+    // join-cardinality: the top-k must be a distributed TakeOrdered, not
+    // a single-task global sort of the key histogram
+    val li = graft.sources.Tables.lineitem(spark, d)
+    val jc = graft.ops.Skew.joinCardinalityReport(li, "l_partkey", li, "l_partkey")
+      .queryExecution.executedPlan.toString
+    assert(jc.contains("TakeOrderedAndProject"),
+      s"histogram top-k must plan as TakeOrdered:\n$jc")
+    // skew report: ONE scan feeds all audited columns (the explode fans
+    // out of a single projection — a per-column rescan would Union), and
+    // the top-k/stats branches over the shared histogram dedupe at
+    // runtime via exchange reuse — so the EXECUTED plan either kept one
+    // scan or replaced the second branch with a ReusedExchange
+    val skDf = graft.ops.Skew.keySkewReport(li, Seq("l_suppkey", "l_returnflag"))
+    skDf.collect()
+    val sk = skDf.queryExecution.executedPlan.toString
+    val scans = "FileScan".r.findAllIn(sk).length
+    val reused = "ReusedExchange".r.findAllIn(sk).length
+    assert(scans == 1 || reused >= 1,
+      s"keySkewReport re-scanned the table ($scans scans, $reused reuses):\n$sk")
+    // CMS probe: the folded sketch (bounded at depth*width rows) must be
+    // the BROADCAST side, and the probe must not touch the corpus
+    SparkEntry.queries("ta_heavy_hitters_indexed")(spark, d) // ensure built
+    import spark.implicits._
+    val cp = graft.ops.TextAnalysis.cmsEstimates(spark, "graft_cms_idx",
+      Seq("alpha", "beta").toDF("word")).queryExecution.executedPlan.toString
+    assert(cp.contains("BroadcastHashJoin") || cp.contains("BroadcastExchange"),
+      s"CMS probe must broadcast the folded sketch:\n$cp")
+    assert(!cp.contains("documents.parquet"),
+      s"CMS probe must not rescan the corpus:\n$cp")
+    // hist quantile probe: reads ONLY the stored counter relation — no
+    // lineitem access at probe time
+    SparkEntry.queries("agg_hist_quantiles_indexed")(spark, d) // ensure built
+    val hq = graft.ops.Relational.histQuantiles(spark, "graft_hist_idx")
+      .queryExecution.executedPlan.toString
+    assert(hq.contains("graft_hist_idx") && !hq.contains("lineitem"),
+      s"hist probe must read only the stored artifact:\n$hq")
+  }
+
   test("shared-projection mode keeps the broadcasts raw mode gets") {
     // VERDICT r11 item 1: the r11 row-RDD pin had no stats, so every
     // auto-broadcast in the MinHash family silently degraded to a
