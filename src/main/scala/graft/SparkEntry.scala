@@ -2258,9 +2258,9 @@ object SparkEntry {
        |  fc.doc_id NOT IN (SELECT doc_id FROM nd) AS dedup_ok,
        |  fc.doc_id NOT IN (SELECT doc_id FROM ccon) AS clean_ok
        |  FROM fc LEFT JOIN fg2 ON fg2.doc_id = fc.doc_id),
-       |fs AS (SELECT *, q_ok AND lang_ok AND rep_ok AND dedup_ok AND clean_ok AS survived
+       |fs AS MATERIALIZED (SELECT *, q_ok AND lang_ok AND rep_ok AND dedup_ok AND clean_ok AS survived
        |  FROM fl),
-       |pd AS (SELECT doc_id, n_tokens, CAST(h % 16 AS BIGINT) AS bucket,
+       |pd AS MATERIALIZED (SELECT doc_id, n_tokens, CAST(h % 16 AS BIGINT) AS bucket,
        |    row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id) AS rn
        |  FROM (SELECT doc_id, n_tokens, ${Packing.orderHashSql} AS h
        |    FROM fs WHERE survived)),
@@ -2288,7 +2288,7 @@ object SparkEntry {
   private val survivorsOracleSql: String =
     s"""WITH RECURSIVE $minhashCtes,
        |pairs AS (SELECT doc_a, doc_b FROM scored WHERE sig_sim >= 0.5),
-       |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+       |edges AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM pairs
        |  UNION SELECT doc_b AS s, doc_a AS d FROM pairs),
        |reach(s, d) AS (
        |  SELECT s, d FROM edges
@@ -2306,7 +2306,7 @@ object SparkEntry {
   private def componentsOracleSqlWhere(where: String): String =
     s"""WITH RECURSIVE ${minhashCtesWhere(where)},
        |pairs AS (SELECT doc_a, doc_b FROM scored WHERE sig_sim >= 0.5),
-       |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+       |edges AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM pairs
        |  UNION SELECT doc_b AS s, doc_a AS d FROM pairs),
        |reach(s, d) AS (
        |  SELECT s, d FROM edges
@@ -2326,7 +2326,7 @@ object SparkEntry {
   private val qualitySurvivorsOracleSql: String =
     s"""WITH RECURSIVE $minhashCtes,
        |pairs AS (SELECT doc_a, doc_b FROM scored WHERE sig_sim >= 0.5),
-       |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+       |edges AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM pairs
        |  UNION SELECT doc_b AS s, doc_a AS d FROM pairs),
        |reach(s, d) AS (
        |  SELECT s, d FROM edges
@@ -2409,12 +2409,20 @@ object SparkEntry {
   /** Shared recursive-CTE replay of [[Packing.packGreedy]]'s per-bucket
     * next-fit walk (whitespace counts, default budget/buckets) — the
     * layout gate and the fill-stats ledger aggregate over the SAME walk
-    * so they cannot drift. Callers prepend `WITH RECURSIVE`. */
+    * so they cannot drift. Callers prepend `WITH RECURSIVE`.
+    *
+    * `d` is MATERIALIZED (r15): the recursive member joins it once per
+    * recursion STEP, and recursion depth here is docs-per-bucket — an
+    * inlined `d` re-tokenizes the whole corpus every step, which is
+    * invisible at sf0.01 (~30 docs/bucket) and quadratic death at sf1
+    * (~3k steps × a 50k-doc scan; the pipeline twin of this walk burned
+    * 10+ CPU-hours in the sf1 sweep before the fix). Same discipline as
+    * the classifier/BPE/TextRank chains' MATERIALIZED rounds. */
   private val greedyWalkCtes: String =
     s"""base AS (SELECT doc_id,
        |    CAST(len(regexp_split_to_array(lower(text), '$WS')) AS BIGINT) AS n_tokens,
        |    ${Packing.orderHashSql} AS h FROM documents),
-       |d AS (SELECT doc_id, n_tokens, CAST(h % 16 AS BIGINT) AS bucket,
+       |d AS MATERIALIZED (SELECT doc_id, n_tokens, CAST(h % 16 AS BIGINT) AS bucket,
        |    row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id) AS rn
        |  FROM base),
        |walk AS (
