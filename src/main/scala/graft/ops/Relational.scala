@@ -33,13 +33,31 @@ object Relational {
     val price = col("l_extendedprice").cast(money)
     val disc  = col("l_discount").cast(rate)
     val tax   = col("l_tax").cast(rate)
+    // quantity rides DECIMAL like the money columns (r15): a plain DOUBLE
+    // sum is partial-order-dependent — identical through sf0.1, but at
+    // sf1's ~6M rows/group the engines' different summation orders drift
+    // the last bits (measured 7.6e-6 absolute). Exact decimal sum, ONE
+    // double rounding at the end; averages divide the exact sum as
+    // doubles (correctly-rounded IEEE division both engines).
+    val qty = col("l_quantity").cast(money)
+    // wide-scale sums (disc_price scale 4, charge scale 6) exit through
+    // an exact BIGINT bridge instead of a direct decimal→double cast:
+    // once the scaled integer passes 2^53 (sum_charge reaches 5.2e16
+    // micro-units at sf1) engines disagree by 1 ulp on decimal→double
+    // (Spark rounds the full decimal once; DuckDB converts int128 then
+    // divides by 10^scale — two roundings). int64→double and the final
+    // division are single correctly-rounded IEEE ops in BOTH engines, so
+    // the bridged double is bit-identical. Headroom: 9.2e18 micro-units
+    // ≈ sf200 per group; beyond that, drop to 10^4 units.
+    def bridged(c: Column, scale: Long): Column =
+      (c * lit(scale)).cast("long").cast("double") / lit(scale.toDouble)
     li.groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(col("l_quantity")).as("sum_qty"),
+        sum(qty).cast("double").as("sum_qty"),
         sum(price).cast("double").as("sum_base_price"),
-        sum(price * (lit(1) - disc)).cast("double").as("sum_disc_price"),
-        sum(price * (lit(1) - disc) * (lit(1) + tax)).cast("double").as("sum_charge"),
-        (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        bridged(sum(price * (lit(1) - disc)), 10000L).as("sum_disc_price"),
+        bridged(sum(price * (lit(1) - disc) * (lit(1) + tax)), 1000000L).as("sum_charge"),
+        (sum(qty).cast("double") / count(lit(1))).as("avg_qty"),
         (sum(price).cast("double") / count(lit(1))).as("avg_price"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
