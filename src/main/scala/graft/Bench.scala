@@ -241,12 +241,26 @@ object Bench {
     }.mkString("{", ",", "}")
     val totalShared = r3(results.collect {
       case (_, _, _, _, _, Some((t, true))) => t }.sum)
+    // deployment-path PROBE timings (r16, VERDICT r15 missing #4): the
+    // oracle-companion gates' serving cost without the exact twin, in
+    // their own map — min of `runs` raw-mode runs, measured AFTER the
+    // main sweep so the index builds are already amortized (buildOnce)
+    val probeResults = SparkEntry.probeOnly.toSeq
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .sortBy(_._1).map { case (name, fn) =>
+        val ts = timeRuns(fn, runs, withShared = false)._1
+        (name, ts.map(_._1).min, ts.forall(_._2))
+      }
+    val probeMap = probeResults.map { case (k, t, ok) =>
+      s"\"" + k + "\":" + (if (ok) r3(t) else -1.0)
+    }.mkString("{", ",", "}")
+    val totalProbe = r3(probeResults.collect { case (_, t, true) => t }.sum)
     // totals FIRST within the line, so even a head-truncated capture of the
     // full artifact still reads the headline numbers. cold_mode records the
     // run-1 semantics ("raw" since r11; r10's artifact was pinned-mode) so
     // cross-round cold comparisons can't be misread.
-    val totals = s""""metric":"total","value":$total,"unit":"sec","total_median":$totalMedian,"total_cold":$totalCold,"cold_mode":"raw","total_shared":$totalShared,"runs":$runs,"noisy":$noisy,"swung":$swung,"rerun":$rerunList,"errors":$errors,"sf":"$sfDir""""
-    val full = s"""{$totals,"queries":${jmap(_._2)},"median":${jmap(_._3)},"cold":${jmap(_._4)},"shared":$sharedMap}"""
+    val totals = s""""metric":"total","value":$total,"unit":"sec","total_median":$totalMedian,"total_cold":$totalCold,"cold_mode":"raw","total_shared":$totalShared,"total_probe":$totalProbe,"runs":$runs,"noisy":$noisy,"swung":$swung,"rerun":$rerunList,"errors":$errors,"sf":"$sfDir""""
+    val full = s"""{$totals,"queries":${jmap(_._2)},"median":${jmap(_._3)},"cold":${jmap(_._4)},"shared":$sharedMap,"probe":$probeMap}"""
     // the full artifact also goes to a FILE — the r4 artifact survived only
     // as a 2 KB stdout tail with the per-query map lost; a file cannot be
     // truncated by a log capture

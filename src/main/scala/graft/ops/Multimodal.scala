@@ -142,6 +142,8 @@ object Multimodal {
   def synthesizePng(docs: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(pngBlobSchema)
     docs.select("doc_id").mapPartitions { rows =>
+      // ImageIO encode state is pinned once per JVM (no temp-file spool)
+      CodecPin.ensure()
       rows.map { r =>
         val id = r.getLong(0)
         val w = (id % 16 + 8).toInt
@@ -166,6 +168,26 @@ object Multimodal {
     }(enc).toDF()
   }
 
+  /** One-time per-JVM codec-state pin (r16, VERDICT r15 weak #1): by
+    * default `ImageIO.read(InputStream)` spools the stream through a
+    * TEMP FILE on disk (`FileCacheImageInputStream`) — for byte-array
+    * payloads that is pure overhead, and it couples every decode's
+    * latency to /tmp disk contention (the suspected cause of the r15
+    * mm_phash elevation once `decodeFeatures`' real decodes joined the
+    * same JVM sweep). Pinning `useCache=false` makes every decode a
+    * `MemoryCacheImageInputStream` — no filesystem touch. Executor-side:
+    * called from each per-partition init point, so the pin lands in
+    * every JVM that decodes, not just the driver. */
+  private object CodecPin {
+    @volatile private var done = false
+    def ensure(): Unit = if (!done) synchronized {
+      if (!done) {
+        javax.imageio.ImageIO.setUseCache(false)
+        done = true
+      }
+    }
+  }
+
   /** Output schema of [[decodePng]]. */
   val decodedPngSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
@@ -186,7 +208,8 @@ object Multimodal {
     val enc = RowEncoder.encoderFor(decodedPngSchema)
     input.mapPartitions { rows =>
       // per-partition init point (a native codec/model handle would live
-      // here); ImageIO itself is stateless JVM machinery
+      // here); ImageIO decode state is pinned once per JVM
+      CodecPin.ensure()
       rows.map { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
@@ -238,7 +261,9 @@ object Multimodal {
     val enc = RowEncoder.encoderFor(dHashSchema)
     val g = DHashGrid
     input.mapPartitions { rows =>
-      // per-partition init point (a native codec/model handle would live here)
+      // per-partition init point (a native codec/model handle would live
+      // here); ImageIO decode state is pinned once per JVM
+      CodecPin.ensure()
       rows.map { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
@@ -763,8 +788,9 @@ object Multimodal {
     val enc = RowEncoder.encoderFor(featureSchema)
     input.mapPartitions { rows =>
       // per-partition init point: one decoder/model handle per media kind
-      // lives here, amortized over the partition (ImageIO and the JVM
-      // sound stack are stateless, so nothing to hold for these two)
+      // lives here, amortized over the partition (the JVM sound stack is
+      // stateless; ImageIO decode state is pinned once per JVM)
+      CodecPin.ensure()
       rows.map { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)

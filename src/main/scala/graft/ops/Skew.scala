@@ -38,7 +38,13 @@ object Skew {
     * — PlanAuditSpec pins it) and the only wide state is the per-column
     * value HISTOGRAM (vocabulary-scale, not row-scale); the top-k sits
     * on the histogram. All derived measures are exact integer arithmetic
-    * (`div`), so the report is engine- and partitioning-exact. */
+    * (`div`) with the `x_mean_pct` numerator widened through
+    * decimal(38,0) — `cnt * n_distinct * 100` exceeds 2^63 once a
+    * ~1e11-row hot key meets a vocabulary-scale n_distinct, exactly the
+    * 100 TB shape this report exists to flag — so the report is engine-
+    * and partitioning-exact at any scale. Ties in the top-k rank break
+    * on `key_value` ascending NULLS LAST (DuckDB's ORDER BY default), so
+    * auditing a nullable key column stays oracle-exact. */
   def keySkewReport(df: DataFrame, keyCols: Seq[String], topK: Int = 5): DataFrame = {
     val pairs = df.select(explode(array(keyCols.map(c =>
         struct(lit(c).as("key_col"), col(c).cast("string").as("key_value"))): _*)).as("kv"))
@@ -47,13 +53,14 @@ object Skew {
     val stats = hist.groupBy("key_col").agg(
       sum("cnt").as("n_total"), count(lit(1)).as("n_distinct"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("key_col").orderBy(col("cnt").desc, col("key_value"))
+      .partitionBy("key_col").orderBy(col("cnt").desc, col("key_value").asc_nulls_last)
     hist.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= topK)
       .join(broadcast(stats), Seq("key_col"))
       .select(col("key_col"), col("rk"), col("key_value"), col("cnt"),
-        expr("cnt * CAST(1000000 AS BIGINT) div n_total").as("ppm"),
-        expr("cnt * n_distinct * CAST(100 AS BIGINT) div n_total").as("x_mean_pct"),
+        expr("CAST(cnt AS DECIMAL(38,0)) * 1000000 div n_total").as("ppm"),
+        expr("CAST(cnt AS DECIMAL(38,0)) * n_distinct * 100 div n_total")
+          .as("x_mean_pct"),
         col("n_total"), col("n_distinct"))
       .orderBy("key_col", "rk")
   }
@@ -69,8 +76,15 @@ object Skew {
     * counting aggregations and a vocabulary-scale histogram join).
     *
     * All measures exact integers (`contrib`, its ppm share of
-    * `total_pairs`); DECIMAL under the sums so a 100 TB total cannot
-    * overflow a long mid-aggregation. */
+    * `total_pairs`); DECIMAL(38,0) from the per-key MULTIPLY onward —
+    * `cnt_left * cnt_right` in long wraps once a hot key has >~3e9 rows
+    * per side, which is precisely the blowup scale this report exists to
+    * warn about — so neither the top-k ordering nor the total can ever
+    * aggregate a wrapped value. `contrib` and `total_pairs` stay
+    * decimal(38,0) in the output (no silent long cast). Ties break on
+    * `key_value` ascending NULLS LAST to stay oracle-exact (NULL keys
+    * never survive the histogram equi-join, but the convention matches
+    * [[keySkewReport]]). */
   def joinCardinalityReport(left: DataFrame, leftKey: String,
       right: DataFrame, rightKey: String, topK: Int = 5): DataFrame = {
     val hl = left.groupBy(col(leftKey).cast("string").as("key_value"))
@@ -78,21 +92,23 @@ object Skew {
     val hr = right.groupBy(col(rightKey).cast("string").as("key_value"))
       .agg(count(lit(1)).as("cnt_right"))
     val contrib = hl.join(hr, Seq("key_value"))
-      .withColumn("contrib", col("cnt_left") * col("cnt_right"))
+      .withColumn("contrib",
+        (col("cnt_left").cast("decimal(19,0)") *
+          col("cnt_right").cast("decimal(19,0)")).cast("decimal(38,0)"))
     val total = contrib.agg(
-      sum(col("contrib").cast("decimal(38,0)")).as("total_dec"),
+      sum(col("contrib")).cast("decimal(38,0)").as("total_pairs"),
       count(lit(1)).as("n_keys_matched"))
     // distributed top-k (TakeOrdered), then rank the K survivors — never
     // a global single-task sort of the key histogram
-    val top = contrib.orderBy(col("contrib").desc, col("key_value")).limit(topK)
+    val top = contrib.orderBy(col("contrib").desc, col("key_value").asc_nulls_last)
+      .limit(topK)
     val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("contrib").desc, col("key_value"))
+      .orderBy(col("contrib").desc, col("key_value").asc_nulls_last)
     top.withColumn("rk", row_number().over(w).cast("long"))
       .crossJoin(broadcast(total))
-      .withColumn("total_pairs", col("total_dec").cast("long"))
       .select(col("rk"), col("key_value"), col("cnt_left"), col("cnt_right"),
         col("contrib"),
-        expr("contrib * CAST(1000000 AS BIGINT) div total_pairs").as("ppm"),
+        expr("contrib * 1000000 div total_pairs").as("ppm"),
         col("total_pairs"), col("n_keys_matched"))
       .orderBy("rk")
   }

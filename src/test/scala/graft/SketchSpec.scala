@@ -142,6 +142,64 @@ class SketchSpec extends SparkTestBase {
     }
   }
 
+  test("sketch geometry is a build parameter persisted in the manifest: " +
+      "w=8192 builds without recompiling, mismatched appends rejected") {
+    import spark.implicits._
+    val all = graft.ops.SharedCorpus.docsTok(spark, sfDir)
+    // CMS at a non-default geometry — the whole lifecycle (build, append
+    // with params read back from the manifest, compact, probe) runs at
+    // d=6,w=8192 with no engine constant involved
+    TextAnalysis.buildCmsIndex(all, "graft_cms_wide", depth = 6, width = 8192)
+    assert(TextAnalysis.cmsParams(spark, "graft_cms_wide") === ((6, 8192)))
+    TextAnalysis.buildCmsIndex(all.filter(col("doc_id") % 2 === 0),
+      "graft_cms_wide2", depth = 6, width = 8192)
+    TextAnalysis.appendToCmsIndex(all.filter(col("doc_id") % 2 =!= 0),
+      "graft_cms_wide2", expectDepth = Some(6), expectWidth = Some(8192))
+    TextAnalysis.compactCmsIndex(spark, "graft_cms_wide2")
+    def rows(t: String) = spark.table(t).collect().map(_.toString).sorted.toSeq
+    assert(rows("graft_cms_wide") === rows("graft_cms_wide2"),
+      "appended+compacted wide CMS relation diverged from one-shot")
+    // the wide sketch's relation really is the wide geometry: 6 depth
+    // rows, slots under 8192, and (being 4x wider) it estimates the
+    // exact top-20 at least as tightly as the default sketch while
+    // never underestimating
+    val stored = spark.table("graft_cms_wide")
+      .agg(countDistinct(col("d")).as("nd"), max(col("slot")).as("mx")).head()
+    assert(stored.getLong(0) === 6L && stored.getLong(1) < 8192L)
+    val hh = TextAnalysis.heavyHittersFromCms(spark, all, "graft_cms_wide").collect()
+    assert(hh.length == 20)
+    hh.foreach(r => assert(r.getLong(2) >= r.getLong(1),
+      s"wide CMS underestimated '${r.getString(0)}'"))
+    // an append that believes the wrong geometry fails loudly BEFORE
+    // writing a data row
+    val before = rows("graft_cms_wide2")
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.appendToCmsIndex(all.limit(1), "graft_cms_wide2",
+        expectWidth = Some(2048))
+    }
+    assert(e.getMessage.contains("built with d=6,w=8192"))
+    assert(rows("graft_cms_wide2") === before,
+      "rejected append must not have written data rows")
+    // histogram: same discipline at a non-default bin width
+    val li = Tables.lineitem(spark, sfDir)
+    Relational.buildHistIndex(li, "graft_hist_narrow", binWidth = 250L)
+    assert(Relational.histParams(spark, "graft_hist_narrow") === 250L)
+    val probe = Relational.histQuantiles(spark, "graft_hist_narrow").collect()
+    assert(probe.length == 12)
+    probe.foreach { r => // est_hi uses the stored width, not the default
+      assert(r.getLong(4) === (r.getLong(3) + 1L) * 250L)
+    }
+    val he = intercept[IllegalArgumentException] {
+      Relational.appendToHistIndex(li.limit(1), "graft_hist_narrow",
+        expectWidth = Some(1000L))
+    }
+    assert(he.getMessage.contains("built with w=250"))
+    // and the param-typed readers refuse a family of the wrong kind
+    intercept[IllegalArgumentException] {
+      TextAnalysis.cmsParams(spark, "graft_hist_narrow")
+    }
+  }
+
   test("profile index: build+append fold == one-shot build, bit-equal") {
     import org.apache.spark.sql.functions._
     val o = graft.sources.Tables.orders(spark, sfDir)

@@ -69,22 +69,31 @@ class SkewSpec extends SparkTestBase {
     val left = (Seq.fill(4)("x") ++ Seq.fill(2)("y") ++ Seq("z", "only_left"))
       .toDF("k")
     val right = (Seq.fill(3)("x") ++ Seq.fill(5)("y") ++ Seq("z")).toDF("k")
-    val rep = Skew.joinCardinalityReport(left, "k", right, "k", topK = 2).collect()
+    val repDf = Skew.joinCardinalityReport(left, "k", right, "k", topK = 2)
+    // overflow-proofing (ADVICE r15): contrib and total_pairs flow as
+    // decimal(38,0) from the per-key multiply onward — a >3e9-rows-per-
+    // side hot key (the exact blowup the report warns about) can never
+    // wrap a long mid-computation, and nothing silently casts back down
+    import org.apache.spark.sql.types.DecimalType
+    assert(repDf.schema("contrib").dataType === DecimalType(38, 0))
+    assert(repDf.schema("total_pairs").dataType === DecimalType(38, 0))
+    val rep = repDf.collect()
     assert(rep.length == 2)
     val actual = left.join(right, "k").count()
     assert(actual === 23L)
     rep.foreach { r =>
-      assert(r.getLong(6) === 23L, "total_pairs != materialized join size")
+      assert(r.getDecimal(6).longValueExact === 23L,
+        "total_pairs != materialized join size")
       assert(r.getLong(7) === 3L)
     }
     // rank 1 is the explosive key with its exact contribution and share
     val r1 = rep.head
-    assert(r1.getString(1) == "x" && r1.getLong(4) == 12L &&
+    assert(r1.getString(1) == "x" && r1.getDecimal(4).longValueExact == 12L &&
       r1.getLong(5) == 12L * 1000000L / 23L)
     // and on real tables the prediction still equals the materialized join
     val li = Tables.lineitem(spark, sfDir).select("l_partkey")
     val predicted = Skew.joinCardinalityReport(li, "l_partkey", li, "l_partkey")
-      .head().getLong(6)
+      .head().getDecimal(6).longValueExact
     assert(predicted === li.as("a").join(li.as("b"),
       col("a.l_partkey") === col("b.l_partkey")).count())
   }

@@ -3,7 +3,22 @@
 query in DuckDB against the sf parquet tables and compare with the Spark
 result parquet written by graft.Verify. Columns sorted by name; rows sorted;
 values compared exactly (floats bit-compared, with a reported max-abs-diff
-fallback so near-misses are visible while iterating)."""
+fallback so near-misses are visible while iterating).
+
+Env knobs:
+- CHECK_ORACLE_JSON=path       write the per-gate result dict as JSON.
+- CHECK_ORACLE_ONLY=a,b,c      check only the named gates (the sf1 sweep
+                               dumps a subset of gates; without this the
+                               missing dirs would all FAIL).
+- CHECK_ORACLE_OVERRIDES=path  JSON {gate: sql} replacing the gate's oracle
+                               SQL (tools/sf1_oracle_overrides.json — the
+                               blocking-replay oracles whose brute-force
+                               twins are infeasible at sf1).
+- CHECK_ORACLE_VALIDATE_OVERRIDES=1  at a SMALL sf, run BOTH the override
+                               and the original brute-force SQL and require
+                               identical result sets — the in-repo guard
+                               that a typo in the override file cannot
+                               silently weaken the sf1 sweep (ADVICE r15)."""
 import json, sys, math
 import duckdb
 
@@ -19,6 +34,39 @@ for t in TABLES:
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 fails = 0
 import os
+only = os.environ.get("CHECK_ORACLE_ONLY")
+if only:
+    names = {n.strip() for n in only.split(",") if n.strip()}
+    unknown = names - oracle.keys()
+    if unknown:
+        print(f"CHECK_ORACLE_ONLY names unknown gates: {sorted(unknown)}")
+        sys.exit(2)
+    oracle = {n: q for n, q in oracle.items() if n in names}
+ov_path = os.environ.get("CHECK_ORACLE_OVERRIDES")
+if ov_path:
+    overrides = json.load(open(ov_path))
+    unknown = overrides.keys() - oracle.keys()
+    if unknown and not only:
+        print(f"override file names unknown gates: {sorted(unknown)}")
+        sys.exit(2)
+    if os.environ.get("CHECK_ORACLE_VALIDATE_OVERRIDES"):
+        # small-sf equivalence gate: the override (blocking-replay) oracle
+        # must return exactly the brute-force oracle's result set
+        for g, osql in overrides.items():
+            if g not in oracle:
+                continue
+            a = con.execute(oracle[g]).df()
+            b = con.execute(osql).df()
+            ac, bc = sorted(a.columns), sorted(b.columns)
+            same = (ac == bc and len(a) == len(b) and
+                    a[ac].sort_values(ac).reset_index(drop=True)
+                     .equals(b[bc].sort_values(bc).reset_index(drop=True)))
+            if not same:
+                print(f"FAIL override_validate {g}: override SQL diverges "
+                      f"from brute-force oracle ({len(a)} vs {len(b)} rows)")
+                sys.exit(3)
+            print(f"PASS override_validate {g} ({len(a)} rows)")
+    oracle.update({g: q for g, q in overrides.items() if g in oracle})
 results = {}
 def record(name, **kw):
     r = {"rows_match": False, "schema_match": False, "hash_match": False,
