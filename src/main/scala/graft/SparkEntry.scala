@@ -206,6 +206,8 @@ object SparkEntry {
         Seq("ann_ivf_indexed_incr")),
       ("graft_ivf_prg", "graft_ivf_prg", "vec_id", one,
         Seq("ann_ivf_purged")),
+      ("graft_ivf64", "graft_ivf64", "vec_id", one,
+        Seq("ann_nprobe_cal")),
       ("graft_pq_idx", "graft_pq_idx", "vec_id", one,
         Seq("ann_pq_indexed")),
       ("graft_pq_incr", "graft_pq_incr", "vec_id", one,
@@ -1557,6 +1559,20 @@ object SparkEntry {
       ensureIvfPqIndex(s, d)
       Similarity.nprobePlanIndexed(s, "graft_ivfpq_idx",
         Seq(0.5, 0.8, 0.9, 0.95))
+    }),
+    // occupancy-aware nprobe CALIBRATION on a many-cell (64) index (r16,
+    // VERDICT r15 missing 3): sample queries' exact top-5 neighbors
+    // located by their cell's rank in each query's pivot order — the
+    // smallest probe width whose SAMPLE recall meets each target; the
+    // oracle replays the 64-pivot training, the assignment, the sample
+    // top-5, and the curve, pinning the calibrated widths cross-engine
+    "ann_nprobe_cal" -> ((s, d) => {
+      buildOnce(s"ivf64:$d") {
+        Similarity.buildIvfIndex(Tables.embeddings(s, d), "graft_ivf64",
+          kClusters = 64)
+      }
+      Similarity.nprobeCalibration(s, "graft_ivf64",
+        col("vec_id") < 32, Seq(0.6, 0.8, 0.9))
     }),
     // query-MANY serving path (VERDICT r11 item 8): a 4x-larger workload
     // through the SAME one-plan probe — the distinct probed-cell literal
@@ -3040,8 +3056,11 @@ object SparkEntry {
     * any order, so the Spark-side shuffle layout cannot leak into the
     * trained centroids and the two engines agree bit-for-bit (see
     * [[Similarity.QuantScale]]). */
-  private val kmeansPivotCtes: String = {
-    val k = Similarity.NumPivots
+  private val kmeansPivotCtes: String = kmeansPivotCtesK(Similarity.NumPivots)
+
+  /** The k-means pivot replay parameterized on the cell count — shared by
+    * the default 16-pivot oracles and the 64-cell calibration gate. */
+  private def kmeansPivotCtesK(k: Int): String = {
     val q = s"${Similarity.QuantScale}.0"
     val rounds = (1 to Similarity.KmeansIters).map { i =>
       val prev = s"c${i - 1}"
@@ -4508,6 +4527,47 @@ object SparkEntry {
          |SELECT p.recall_target, CAST(p.nj AS BIGINT) AS nprobe,
          |  c.cov AS coverage_lb
          |FROM pick p JOIN cov c ON c.j = p.nj
+         |ORDER BY recall_target""".stripMargin,
+    // nprobe calibration: replay the 64-pivot training + assignment, the
+    // 32-query sample's exact top-5, each neighbor-cell's rank in its
+    // query's pivot order, the sample recall curve, and the min-width
+    // pick — the calibrated nprobe is pinned cross-engine end to end
+    "ann_nprobe_cal" ->
+      s"""WITH ${kmeansPivotCtesK(64)},
+         |sx AS (SELECT e.vec_id, e.embedding, c.pid,
+         |  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.pv AS DOUBLE[])) AS pcos
+         |  FROM embeddings e CROSS JOIN piv c),
+         |asg AS (SELECT vec_id, embedding, pid AS cell FROM (
+         |  SELECT vec_id, embedding, pid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY pcos DESC, pid) AS r
+         |  FROM sx) WHERE r = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM asg WHERE vec_id < 32),
+         |truth AS (SELECT query_id, ncell FROM (
+         |  SELECT q.query_id, n.cell AS ncell,
+         |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |      list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])) DESC,
+         |      n.vec_id) AS rn
+         |  FROM q CROSS JOIN asg n WHERE q.query_id <> n.vec_id) WHERE rn <= 5),
+         |cr AS (SELECT query_id, CAST(pid AS BIGINT) AS ncell,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY pcos DESC, pid) AS BIGINT)
+         |      AS cell_rank FROM (
+         |  SELECT q.query_id, c.pid,
+         |    list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(c.pv AS DOUBLE[])) AS pcos
+         |  FROM q CROSS JOIN piv c)),
+         |ranked AS (SELECT t.query_id, cr.cell_rank
+         |  FROM truth t JOIN cr ON cr.query_id = t.query_id AND cr.ncell = t.ncell),
+         |np AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM ranked),
+         |curve AS (SELECT cell_rank AS j,
+         |    CAST(sum(count(*)) OVER (ORDER BY cell_rank) AS DOUBLE)
+         |      / (SELECT n_pairs FROM np) AS rec
+         |  FROM ranked GROUP BY cell_rank),
+         |t AS (SELECT CAST(x AS DOUBLE) AS recall_target
+         |  FROM unnest([0.6, 0.8, 0.9]) AS tt(x)),
+         |pick AS (SELECT recall_target, min(j) AS nj
+         |  FROM t JOIN curve ON rec >= recall_target GROUP BY recall_target)
+         |SELECT p.recall_target, CAST(p.nj AS BIGINT) AS nprobe,
+         |  c.rec AS sample_recall
+         |FROM pick p JOIN curve c ON c.j = p.nj
          |ORDER BY recall_target""".stripMargin,
     // two-batch model-stored append == one-shot build (per-vector given
     // fixed pivots + books) → same replayed oracle

@@ -800,6 +800,59 @@ class SimilaritySpec extends SparkTestBase {
     assert(got === Seq((1L, 1L), (2L, 3L), (3L, 2L)), s"MMR order wrong: $got")
   }
 
+  test("nprobeCalibration: exact-on-sample and minimal on any corpus; " +
+      "prunes hard where neighbors have cell affinity") {
+    val cells = 64
+    val sample = col("vec_id") >= 10 && col("vec_id") < 42
+    // clustered synthetic (RecallSweep's production shape): vectors mixed
+    // 9:1 toward one of 8 anchor directions — neighbors share cells
+    val anchors = emb.filter(col("vec_id") < 8)
+      .orderBy("vec_id").select("embedding")
+      .collect().map(_.getSeq[Float](0))
+    val anchorLit = typedlit(anchors.map(_.toSeq).toSeq)
+    val clustered = emb.select(col("vec_id"),
+      zip_with(
+        element_at(anchorLit, (col("vec_id") % 8).cast("int") + 1),
+        col("embedding"),
+        (a, x) => (a * lit(0.9f) + x * lit(0.1f)).cast("float")).as("embedding"))
+    for ((shape, corpus, tbl) <- Seq(
+        ("random", emb, "graft_cal_ivf_r"),
+        ("clustered", clustered, "graft_cal_ivf_c"))) {
+      Similarity.buildIvfIndex(corpus, tbl, kClusters = cells)
+      for (t <- Seq(0.8, 0.9)) {
+        val cons = Similarity.pickNprobe(spark, tbl, t)
+        // margin 0: the exact-on-sample minimal width (the minimality
+        // assertion below is the margin-free contract)
+        val cal = Similarity.calibrateNprobe(spark, tbl, sample, t, margin = 0.0)
+        // neighbors concentrate in near cells, so the empirical width can
+        // never exceed the any-cells worst-case width
+        assert(cal <= cons, s"$shape t=$t: calibrated $cal > conservative $cons")
+        // exact-on-sample: the calibrated width's served recall over the
+        // calibration queries IS the sample recall the pick met...
+        val truth = Similarity.bruteForceTopK(corpus, sample)
+        val rec = Similarity.recallAtK(
+            Similarity.ivfTopKIndexed(spark, tbl, sample, nprobe = cal), truth)
+          .agg(avg("recall")).head().getDouble(0)
+        assert(rec >= t, s"$shape t=$t: calibrated nprobe=$cal serves recall $rec")
+        // ...and one cell narrower must MISS on the sample (minimality —
+        // the pick is the smallest sufficient width, not merely one)
+        if (cal > 1) {
+          val recNarrow = Similarity.recallAtK(
+            Similarity.ivfTopKIndexed(spark, tbl, sample, nprobe = cal - 1),
+            truth).agg(avg("recall")).head().getDouble(0)
+          assert(recNarrow < t,
+            s"$shape t=$t: nprobe=${cal - 1} already serves $recNarrow — not minimal")
+        }
+        // where affinity exists the calibration must PRUNE — the property
+        // the conservative model structurally cannot deliver (it needs
+        // ~t of the mass from the smallest cells up, so ~t*cells here)
+        if (shape == "clustered")
+          assert(cal < cells / 2,
+            s"clustered t=$t: no pruning power ($cal of $cells cells)")
+      }
+    }
+  }
+
   test("mmrTopK: first pick is the relevance argmax; selections distinct") {
     val got = Similarity.mmrTopK(emb, col("vec_id") < 10).collect()
     assert(got.length === 50)
