@@ -210,8 +210,6 @@ object Bench {
     def jmap(f: ((String, Double, Double, Double, Boolean, Option[(Double, Boolean)])) => Double): String =
       results.map { case r @ (k, _, _, _, ok, _) => s"\"" + k + "\":" + (if (ok) r3(f(r)) else -1.0) }
         .mkString("{", ",", "}")
-    val errors = results.collect { case (k, _, _, _, false, _) => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
     // still-noisy AFTER the adaptive re-run: the spread reproduced across
     // two separated measurement windows — read those numbers with suspicion
     val noisy = results.collect {
@@ -255,11 +253,33 @@ object Bench {
       s"\"" + k + "\":" + (if (ok) r3(t) else -1.0)
     }.mkString("{", ",", "}")
     val totalProbe = r3(probeResults.collect { case (_, t, true) => t }.sum)
+    // failed PROBE runs fold into the headline errors list too (ADVICE
+    // r16): a -1 buried in the probe map alone would slip past an
+    // errors==0 artifact check and hide a broken deployment-path timing
+    val errors = (results.collect { case (k, _, _, _, false, _) => "\"" + k + "\"" } ++
+      probeResults.collect { case (k, _, false) => "\"probe:" + k + "\"" })
+      .mkString("[", ",", "]")
+    // in-sweep CALIBRATION probe (VERDICT r16 item 3/4): a fixed synthetic
+    // CPU+shuffle job over GENERATED data — no I/O, no data dependence, no
+    // per-round code path — timed at the end of every sweep. Cross-round
+    // ledger rows divide per-gate ratios by the calib ratio to separate
+    // the ambient machine level (r15 1.13x, r16 1.2x median on untouched
+    // code) from real plan changes, mechanically instead of by hand.
+    def calibOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 8000000L, 1L, 32)
+        .selectExpr("md5(CAST(id AS STRING)) AS h")
+        .selectExpr("pmod(hash(h), 1024) AS k", "length(h) AS n")
+        .groupBy("k").agg(Map("n" -> "sum", "k" -> "count"))
+        .queryExecution.toRdd.count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calib = r3((1 to runs).map(_ => calibOnce()).min)
     // totals FIRST within the line, so even a head-truncated capture of the
     // full artifact still reads the headline numbers. cold_mode records the
     // run-1 semantics ("raw" since r11; r10's artifact was pinned-mode) so
     // cross-round cold comparisons can't be misread.
-    val totals = s""""metric":"total","value":$total,"unit":"sec","total_median":$totalMedian,"total_cold":$totalCold,"cold_mode":"raw","total_shared":$totalShared,"total_probe":$totalProbe,"runs":$runs,"noisy":$noisy,"swung":$swung,"rerun":$rerunList,"errors":$errors,"sf":"$sfDir""""
+    val totals = s""""metric":"total","value":$total,"unit":"sec","total_median":$totalMedian,"total_cold":$totalCold,"cold_mode":"raw","total_shared":$totalShared,"total_probe":$totalProbe,"calib":$calib,"runs":$runs,"noisy":$noisy,"swung":$swung,"rerun":$rerunList,"errors":$errors,"sf":"$sfDir""""
     val full = s"""{$totals,"queries":${jmap(_._2)},"median":${jmap(_._3)},"cold":${jmap(_._4)},"shared":$sharedMap,"probe":$probeMap}"""
     // the full artifact also goes to a FILE — the r4 artifact survived only
     // as a 2 KB stdout tail with the per-query map lost; a file cannot be

@@ -4839,7 +4839,7 @@ object SparkEntry {
          |base AS (SELECT doc_id, coalesce(cnt.n, 0) AS n_tokens,
          |    ${Packing.orderHashSql} AS h
          |  FROM documents LEFT JOIN cnt USING (doc_id)),
-         |d AS (SELECT doc_id, n_tokens, CAST(h % 16 AS BIGINT) AS bucket,
+         |d AS MATERIALIZED (SELECT doc_id, n_tokens, CAST(h % 16 AS BIGINT) AS bucket,
          |    row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id) AS rn
          |  FROM base),
          |walk AS (
@@ -5558,24 +5558,27 @@ object SparkEntry {
         .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
     },
     // join-cardinality report: both key histograms, their join, the exact
-    // Σ cntA·cntB total and top contributing keys — contrib/total_pairs
-    // in DECIMAL(38,0) mirroring the engine's overflow-proof widening
+    // Σ cntA·cntB total and top contributing keys — HUGEINT under the
+    // aggregation mirroring the engine's internal decimal(38,0) widening,
+    // but the OUTWARD contrib/total_pairs are BIGINT per the outward-type
+    // rule (BASELINE.md): DECIMAL never appears in a gate's final schema
     "audit_join_cardinality" ->
       """WITH hl AS (SELECT CAST(l_partkey AS VARCHAR) AS key_value,
         |    CAST(count(*) AS BIGINT) AS cnt_left FROM lineitem GROUP BY 1),
         |hr AS (SELECT CAST(l_partkey AS VARCHAR) AS key_value,
         |    CAST(count(*) AS BIGINT) AS cnt_right FROM lineitem GROUP BY 1),
         |c AS MATERIALIZED (SELECT key_value, cnt_left, cnt_right,
-        |    CAST(CAST(cnt_left AS HUGEINT) * cnt_right AS DECIMAL(38,0))
+        |    CAST(cnt_left AS HUGEINT) * cnt_right
         |      AS contrib FROM hl JOIN hr USING (key_value)),
-        |t AS (SELECT CAST(sum(CAST(contrib AS HUGEINT)) AS DECIMAL(38,0))
-        |      AS total_pairs,
+        |t AS (SELECT sum(contrib) AS total_pairs,
         |    CAST(count(*) AS BIGINT) AS n_keys_matched FROM c),
         |rk AS (SELECT *, CAST(row_number() OVER (ORDER BY contrib DESC, key_value)
         |    AS BIGINT) AS rk FROM c)
-        |SELECT rk, key_value, cnt_left, cnt_right, contrib,
-        |  CAST(CAST(contrib AS HUGEINT) * 1000000 // CAST(total_pairs AS HUGEINT)
-        |    AS BIGINT) AS ppm, total_pairs, n_keys_matched
+        |SELECT rk, key_value, cnt_left, cnt_right,
+        |  CAST(contrib AS BIGINT) AS contrib,
+        |  CAST(contrib * 1000000 // CAST(total_pairs AS HUGEINT)
+        |    AS BIGINT) AS ppm,
+        |  CAST(total_pairs AS BIGINT) AS total_pairs, n_keys_matched
         |FROM rk CROSS JOIN t WHERE rk <= 5 ORDER BY rk""".stripMargin,
     // key-skew report: one histogram per audited column (from a single
     // UNION'd pair stream, mirroring the engine's one-scan explode), all

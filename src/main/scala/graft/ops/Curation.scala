@@ -500,15 +500,28 @@ object Curation {
     *   - deletion is always LAST, after the batch's rows are re-counted
     *     in the table, so no crash point loses an audit row.
     *
-    * PRECONDITION (documented, caller-enforced): `upToBatchId` must not
-    * exceed the pipeline's COMMIT watermark. Folding an uncommitted
-    * batch's dir would defeat [[commitStreamDailyBatch]]'s
-    * publish-or-reuse check — a replay would re-DECIDE the batch against
-    * a band index that has since moved, and the re-made decisions could
-    * differ from the ones the committed artifacts were built from.
+    * The fold NEVER passes the pipeline's COMMIT watermark (enforced
+    * here, not by a caller convention — ADVICE r16): `commitLedger` is
+    * the pipeline's commit-ledger table (`snapPrefix_ledger`), and the
+    * effective bound is `min(upToBatchId, max committed batch_id)`.
+    * A decision dir can be PUBLISHED (`_SUCCESS` present) while its
+    * batch never committed — the decide-then-crash window — and folding
+    * that dir would defeat [[commitStreamDailyBatch]]'s publish-or-reuse
+    * check: the replay would re-DECIDE the batch against a band index
+    * that has since moved, and the re-made decisions could differ from
+    * the ones the committed artifacts were built from. Capping at the
+    * watermark leaves such a dir alone for the replay to reuse.
     * Returns the number of batch dirs folded. */
   def compactDecisionLedger(spark: SparkSession, ledgerDir: String,
-      compactedTable: String, upToBatchId: Long): Long = {
+      compactedTable: String, upToBatchId: Long, commitLedger: String): Long = {
+    require(spark.catalog.tableExists(commitLedger),
+      s"commit ledger '$commitLedger' not found — refusing to fold decision " +
+        "dirs without the commit watermark (an uncommitted batch's published " +
+        "dir must survive for crash replay)")
+    val watermark = Option(
+        spark.table(commitLedger).agg(max("batch_id")).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(return 0L)
+    val bound = math.min(upToBatchId, watermark)
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(ledgerDir)
     val fs = root.getFileSystem(conf)
@@ -521,7 +534,7 @@ object Curation {
           case _ => None
         }
       }
-      .filter { case (n, p) => n <= upToBatchId &&
+      .filter { case (n, p) => n <= bound &&
         fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")) }
       .sortBy(_._1)
     if (dirs.isEmpty) return 0L
@@ -540,10 +553,14 @@ object Curation {
           .mode(org.apache.spark.sql.SaveMode.Append)
           .format("parquet").saveAsTable(compactedTable)
       } else if (tableN != srcN) {
-        // mid-append crash repair: replace exactly this partition
-        // (insertInto is positional — `src` carries batch_id LAST,
-        // matching the partitioned table's schema order)
-        src.write.option("partitionOverwriteMode", "dynamic")
+        // mid-append crash repair: replace exactly this partition.
+        // insertInto is POSITIONAL, so project `src` into the table's
+        // exact column order first (ADVICE r16) — a ledger dir whose
+        // parquet column order drifted from the compacted table (schema
+        // evolution in decideBatch) must not silently land audit values
+        // in wrong same-typed columns
+        src.select(spark.table(compactedTable).columns.map(col): _*)
+          .write.option("partitionOverwriteMode", "dynamic")
           .mode(org.apache.spark.sql.SaveMode.Overwrite)
           .insertInto(compactedTable)
       } // tableN == srcN: fully folded, only the delete remains

@@ -1442,11 +1442,18 @@ object Similarity {
   def calibrateNprobe(spark: org.apache.spark.sql.SparkSession, table: String,
       samplePred: Column, recallTarget: Double, k: Int = 5,
       margin: Double = 0.05): Int = {
+    val adjusted = math.min(recallTarget + margin, 1.0)
     val rows = nprobeCalibration(spark, table, samplePred,
-      Seq(math.min(recallTarget + margin, 1.0)), k).collect()
+      Seq(adjusted), k).collect()
+    // the sample curve always reaches 1.0 at full width and the target is
+    // capped at 1.0, so an empty result means an empty calibration SAMPLE
+    // (the predicate selected no queries, or they have no true neighbors)
+    // — name that cause, not a phantom recall shortfall (ADVICE r16)
     require(rows.nonEmpty,
-      s"no probe width of '$table' reaches sample recall $recallTarget — " +
-        "the calibration sample finds neighbors outside every probed cell")
+      s"calibration sample for '$table' is empty (predicate selected no " +
+        s"queries with neighbors) — cannot calibrate nprobe to " +
+        s"margin-adjusted recall $adjusted (target $recallTarget + margin " +
+        s"$margin); widen samplePred")
     rows.head.getLong(1).toInt
   }
 

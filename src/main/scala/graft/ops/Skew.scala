@@ -80,8 +80,11 @@ object Skew {
     * `cnt_left * cnt_right` in long wraps once a hot key has >~3e9 rows
     * per side, which is precisely the blowup scale this report exists to
     * warn about — so neither the top-k ordering nor the total can ever
-    * aggregate a wrapped value. `contrib` and `total_pairs` stay
-    * decimal(38,0) in the output (no silent long cast). Ties break on
+    * aggregate a wrapped value. The OUTWARD `contrib`/`total_pairs`
+    * columns are BIGINT (decimal stays internal, under the aggregation):
+    * a report whose total exceeds 2^63 pairs (~9e18 — beyond any
+    * runnable join) fails LOUDLY via [[guardedLong]] instead of either
+    * wrapping or silently widening the output schema. Ties break on
     * `key_value` ascending NULLS LAST to stay oracle-exact (NULL keys
     * never survive the histogram equi-join, but the convention matches
     * [[keySkewReport]]). */
@@ -107,11 +110,25 @@ object Skew {
     top.withColumn("rk", row_number().over(w).cast("long"))
       .crossJoin(broadcast(total))
       .select(col("rk"), col("key_value"), col("cnt_left"), col("cnt_right"),
-        col("contrib"),
+        guardedLong(col("contrib"), "contrib"),
         expr("contrib * 1000000 div total_pairs").as("ppm"),
-        col("total_pairs"), col("n_keys_matched"))
+        guardedLong(col("total_pairs"), "total_pairs"),
+        col("n_keys_matched"))
       .orderBy("rk")
   }
+
+  /** Narrow an internal DECIMAL(38,0) measure to the BIGINT outward
+    * contract, failing LOUDLY (runtime `raise_error`, not a wrap and not
+    * an ANSI-config-dependent cast) if the value exceeds the long range.
+    * Outward gate schemas use BIGINT/DOUBLE/STRING only — DECIMAL stays
+    * internal, under aggregations (BASELINE.md, outward-type rule). */
+  private[graft] def guardedLong(c: Column, name: String): Column =
+    when(c > lit(Long.MaxValue).cast("decimal(38,0)") ||
+         c < lit(Long.MinValue).cast("decimal(38,0)"),
+      raise_error(concat(
+        lit(s"Skew report: $name overflows BIGINT outward contract: "),
+        c.cast("string"))))
+      .otherwise(c.cast("long")).as(name)
 
   /** Equi-join `big ⋈ small` on `bigKey == smallKey`, salted `salt` ways.
     * The big side's salt must be uniform PER ROW — a content hash would

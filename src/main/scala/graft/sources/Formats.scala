@@ -605,7 +605,14 @@ object Formats {
           "partially deleted — rebuild first")
       case Some((_, _, params, _)) =>
         params.split(",").iterator.map(_.trim).filter(_.nonEmpty)
-          .map { f => val i = f.indexOf('='); (f.take(i), f.drop(i + 1)) }.toMap
+          .map { f =>
+            val i = f.indexOf('=')
+            // loud on a field with no '=' (ADVICE r16): a silent
+            // ("" -> field) entry would break the 'loud when wrong'
+            // parameter-recovery contract
+            require(i > 0, s"malformed manifest field '$f' in '$table'")
+            (f.take(i), f.drop(i + 1))
+          }.toMap
     }
 
   /** `k=v` fields conflict only when BOTH sides declare the same key with

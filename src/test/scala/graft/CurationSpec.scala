@@ -403,11 +403,29 @@ class CurationSpec extends SparkTestBase {
           .collect().map(_.toString).toSeq.sorted
       val auditBefore = audit()
       assert(auditBefore.nonEmpty)
+      val commitLed = "graft_sr_s_p_ledger"
       // two-step fold: the resume-after-partial-pass shape
-      assert(Curation.compactDecisionLedger(spark, ledDir, decTable, 9L) > 0L)
+      assert(Curation.compactDecisionLedger(spark, ledDir, decTable, 9L,
+        commitLed) > 0L)
       assert(audit() === auditBefore, "audit rows must survive a partial fold")
+      // the commit-watermark cap is ENFORCED, not a caller convention
+      // (ADVICE r16): a published-but-uncommitted dir past the watermark
+      // — the decide-then-crash window — must survive every fold for the
+      // crash replay to reuse, however large upToBatchId is
+      val orphanId = nBatches + 79
+      spark.table(decTable).filter(col("batch_id") === 1L).drop("batch_id")
+        .write.mode("overwrite").parquet(s"$ledDir/batch_id=$orphanId")
       Curation.compactDecisionLedger(spark, ledDir, decTable,
-        (nBatches - 1).toLong)
+        Long.MaxValue, commitLed)
+      val ledFs0 = new org.apache.hadoop.fs.Path(ledDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(ledFs0.exists(
+        new org.apache.hadoop.fs.Path(s"$ledDir/batch_id=$orphanId")),
+        "an uncommitted batch's published decision dir must never fold")
+      ledFs0.delete(new org.apache.hadoop.fs.Path(s"$ledDir/batch_id=$orphanId"),
+        true)
+      Curation.compactDecisionLedger(spark, ledDir, decTable,
+        (nBatches - 1).toLong, commitLed)
       assert(audit() === auditBefore,
         "audit rows must survive the full fold byte-for-byte")
       // the live listing is now bounded: every committed dir folded away
@@ -418,14 +436,14 @@ class CurationSpec extends SparkTestBase {
         "all committed batch dirs folded out of the listing")
       // idempotent: re-running folds nothing and changes nothing
       assert(Curation.compactDecisionLedger(spark, ledDir, decTable,
-        (nBatches - 1).toLong) === 0L)
+        (nBatches - 1).toLong, commitLed) === 0L)
       assert(audit() === auditBefore)
       // post-append pre-delete crash window: a batch already fully in the
       // table whose source dir reappears is deleted, never duplicated
       spark.table(decTable).filter(col("batch_id") === 5L).drop("batch_id")
         .write.mode("overwrite").parquet(s"$ledDir/batch_id=5")
       assert(Curation.compactDecisionLedger(spark, ledDir, decTable,
-        (nBatches - 1).toLong) === 1L)
+        (nBatches - 1).toLong, commitLed) === 1L)
       assert(audit() === auditBefore,
         "re-presenting a folded batch's dir must not duplicate audit rows")
     } finally {

@@ -42,14 +42,17 @@ for the text/dedup gates — realistic near-dup structure:
   the class-collapsed media miners must absorb (r13: measured 3.2-3.6x
   at 10x data, vs 47-192x before the collapse).
 
-Usage: python3 tools/make_sf1.py [outdir]   (default /tmp/graft_sf1)
+Usage: python3 tools/make_sf1.py [outdir] [copies]
+  (defaults /tmp/graft_sf1, 10 copies = sf1; 30 copies = sf3 for the
+   >10x probe-scaling point — same construction, so every per-copy
+   property above holds at any copy count ≤ the embedding dim)
 """
 import os, sys
 import duckdb
 
 SRC = "/root/testdata/sf0.1"
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_sf1"
-COPIES = 10
+COPIES = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 
 os.makedirs(OUT, exist_ok=True)
 con = duckdb.connect()
