@@ -978,6 +978,12 @@ object SparkEntry {
     "sample_split_assign" -> ((s, d) =>
       Sampling.splitAssign(Tables.documents(s, d), "doc_id")
         .select("doc_id", "lang", "split").orderBy("doc_id")),
+    // LEAKAGE-FREE split (r17): the unit of assignment is the whole
+    // near-dup COMPONENT (hash split on the component label), so a
+    // document and its near-duplicate can never straddle train/test —
+    // the contamination-through-splitting hole a per-doc split leaves
+    "sample_split_leakfree" -> ((s, d) =>
+      Sampling.splitAssignLeakFree(SharedCorpus.docsTok(s, d))),
     // URL canonicalization (C4/RefinedWeb-style): tracking params,
     // fragments, default ports, host case and www. collapse to ONE key;
     // URLs injected deterministically (the ta_pii_redact discipline)
@@ -1360,6 +1366,12 @@ object SparkEntry {
     // query sets.
     "sim_topk_cosine" -> ((s, d) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, d), col("vec_id") < 10)),
+    // late-interaction MaxSim (r17): a "document" is a GROUP of token
+    // vectors (vec_id div 8), score = Σ per-query-token best cosine —
+    // the multi-vector serving op single-vector pooling can't express;
+    // token sums ride fixed-point longs so the ranking is engine-exact
+    "ann_maxsim_topk" -> ((s, d) =>
+      Similarity.maxSimTopK(Tables.embeddings(s, d), expr("dkey % 10 = 0"))),
     "sim_neardup_lsh" -> ((s, d) =>
       Similarity.embeddingNearDupPairsLSH(Tables.embeddings(s, d))),
     "ann_lsh_topk" -> ((s, d) =>
@@ -4383,6 +4395,26 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn, cos
         |  FROM p)
         |SELECT query_id, neighbor_id, rn, cos FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+    // MaxSim: per-(query doc, cand doc, query token) best cosine, summed
+    // over query tokens in exact fixed-point — max is order-independent
+    // and long addition associative, so the score replays bit-for-bit
+    "ann_maxsim_topk" ->
+      """WITH t AS (SELECT vec_id // 8 AS dkey, vec_id, embedding FROM embeddings),
+        |q AS (SELECT dkey AS query_doc, vec_id AS qtok, embedding AS qv
+        |  FROM t WHERE dkey % 10 = 0),
+        |best AS (SELECT q.query_doc, c.dkey AS neighbor_doc, q.qtok,
+        |    max(list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+        |        CAST(c.embedding AS DOUBLE[]))) AS m
+        |  FROM q JOIN t c ON c.dkey <> q.query_doc GROUP BY 1, 2, 3),
+        |s AS (SELECT query_doc, neighbor_doc,
+        |    CAST(sum(CAST(floor(m * 16777216.0) AS BIGINT)) AS BIGINT) AS score
+        |  FROM best GROUP BY 1, 2),
+        |r AS (SELECT query_doc, neighbor_doc,
+        |    CAST(row_number() OVER (PARTITION BY query_doc
+        |      ORDER BY score DESC, neighbor_doc) AS BIGINT) AS rn, score
+        |  FROM s)
+        |SELECT query_doc, neighbor_doc, rn, score FROM r
+        |WHERE rn <= 5 ORDER BY query_doc, rn""".stripMargin,
     "ann_lsh_topk" -> annOracleSql,
     // hard negatives: the brute-force oracle with the self AND +7-positive
     // exclusions applied before the rank
@@ -5371,6 +5403,13 @@ object SparkEntry {
     "sample_split_assign" ->
       s"""SELECT doc_id, lang, ${Sampling.splitAssignSql("doc_id")} AS split
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // leak-free split: the components oracle's recursive-CTE closure
+    // labels, split-bucketed on the LABEL with the same hash rule — every
+    // near-dup pair provably shares a split because it shares a label
+    "sample_split_leakfree" ->
+      s"""WITH lab AS (${componentsOracleSql})
+         |SELECT doc_id, label, ${Sampling.splitAssignSql("label")} AS split
+         |FROM lab ORDER BY doc_id""".stripMargin,
     "sql_correlated" ->
       """WITH per_cust AS (
         |  SELECT c.c_custkey, c.c_nationkey, count(o.o_orderkey) AS n_orders

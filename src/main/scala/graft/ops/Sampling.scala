@@ -86,6 +86,39 @@ object Sampling {
     s"CASE $cases END"
   }
 
+  /** LEAKAGE-FREE train/val/test split — [[splitAssign]] lifted from
+    * documents to NEAR-DUP COMPONENTS: a plain per-document hash split
+    * routinely places a document in train and its near-duplicate in test,
+    * silently turning the eval set into memorization credit (the classic
+    * contamination-through-splitting failure every LLM data pipeline must
+    * close). Here the unit of assignment is the whole near-dup component:
+    * resolve components exactly as [[Dedup.nearDupComponents]] (MinHash
+    * band collisions → hybrid union-find / min-label propagation), then
+    * hash-split on the component LABEL, so every member of a component —
+    * and therefore every near-dup pair — lands in the SAME split by
+    * construction. Singletons (label == doc_id) degrade to the plain
+    * per-document split.
+    *
+    * Scale shape: the component resolution is the already-bounded hybrid
+    * (banded pair list, never all-pairs; ≤4M-edge driver union-find or
+    * distributed pointer jumping), and the split itself stays a pure
+    * projection over the label — deterministic, disjoint + exhaustive,
+    * stable under repartitioning, engine-replayable (the oracle computes
+    * the same labels via recursive-CTE closure and the same bucket rule).
+    * Returns `(doc_id, label, split)`. */
+  def splitAssignLeakFree(docs: DataFrame,
+      splits: Seq[(String, Int)] = Seq("train" -> 80, "val" -> 10, "test" -> 10),
+      salt: String = "split"): DataFrame = {
+    val labels = Dedup.nearDupComponents(docs)
+    val out = splitAssign(labels, "label", splits, salt)
+      .select(col("doc_id"), col("label"), col("split"))
+      .orderBy("doc_id")
+      .persist()
+    out.count() // materialize before releasing the label table
+    labels.unpersist()
+    out
+  }
+
   /** Systematic probability-proportional-to-size document sampling: walk
     * each `source`'s documents in deterministic hash order accumulating
     * token counts, and keep a document iff its token span crosses a

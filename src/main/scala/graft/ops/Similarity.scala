@@ -66,6 +66,50 @@ object Similarity {
       .orderBy("query_id", "rn")
   }
 
+  /** LATE-INTERACTION (ColBERT-style MaxSim) retrieval — multi-vector
+    * scoring for the serving stack: a "document" is a GROUP of token
+    * vectors (here `vec_id div groupSize` over the embeddings table — the
+    * plumbing a real corpus feeds with per-token encoder outputs), and
+    * `score(q, d) = Σ_{t ∈ q} max_{u ∈ d} cos(t, u)` — each query token
+    * finds its best-matching document token, so a long document can't
+    * dilute a strong local match the way single-vector pooling does.
+    *
+    * Scale shape: the query panel's tokens broadcast against ONE corpus
+    * token scan (the [[bruteForceTopK]] form); the per-(query, doc,
+    * q-token) max and the per-(query, doc) sum are ordinary partial-
+    * aggregating shuffles on bounded keys. Exactness: `max` is
+    * order-independent, and the token-sum is taken over fixed-point
+    * `floor(cos · 2^24)` LONGs ([[QuantScale]] — exact, associative,
+    * engine-replayable) rather than floats, so the score and its ranking
+    * are bit-stable across partition layouts AND engines (a double sum
+    * would depend on Spark's reduce order and could never be
+    * oracle-replayed). Output `score` is the quantized long (BIGINT
+    * outward per the outward-type rule); ties break on neighbor id. */
+  def maxSimTopK(emb: DataFrame, queryPred: Column, groupSize: Int = 8,
+      k: Int = 5): DataFrame = {
+    graft.functions.FloatDot.register(emb.sparkSession)
+    val t = emb.select(expr(s"vec_id div $groupSize").as("dkey"),
+      col("vec_id"), col("embedding"))
+    val q = t.filter(queryPred)
+      .select(col("dkey").as("query_doc"), col("vec_id").as("qtok"),
+        col("embedding").as("qv"), sqrt(dot("embedding", "embedding")).as("qnorm"))
+    val c = t.select(col("dkey").as("neighbor_doc"), col("embedding").as("nv"),
+      sqrt(dot("embedding", "embedding")).as("nnorm"))
+    val best = broadcast(q).join(c, col("query_doc") =!= col("neighbor_doc"))
+      .withColumn("cos", dot("qv", "nv") / (col("qnorm") * col("nnorm")))
+      .groupBy("query_doc", "neighbor_doc", "qtok")
+      .agg(max("cos").as("m"))
+    val w = Window.partitionBy(col("query_doc"))
+      .orderBy(col("score").desc, col("neighbor_doc"))
+    best
+      .groupBy("query_doc", "neighbor_doc")
+      .agg(sum(floor(col("m") * lit(QuantScale.toDouble)).cast("long")).as("score"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select("query_doc", "neighbor_doc", "rn", "score")
+      .orderBy("query_doc", "rn")
+  }
+
   /** HARD-NEGATIVE mining — the contrastive-training data op: for each
     * query, the top-k corpus vectors most similar to it that are NOT the
     * query and NOT among its known positives. These "closest wrong

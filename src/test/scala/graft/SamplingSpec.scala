@@ -83,4 +83,32 @@ class SamplingSpec extends SparkTestBase {
       Sampling.splitAssign(docs, "doc_id", Seq("train" -> 80, "val" -> 15))
     }
   }
+
+  test("splitAssignLeakFree: no near-dup pair straddles a split, " +
+      "exhaustive, and singletons degrade to the per-label hash split") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = Sampling.splitAssignLeakFree(docs)
+    // exhaustive and one row per document
+    assert(out.count() === docs.count())
+    assert(out.filter(col("split").isNull).count() === 0)
+    // THE leakage contract: every MinHash near-dup pair shares a split
+    val pairs = graft.ops.Dedup.minHashPairs(docs).select("doc_a", "doc_b")
+    val a = out.select(col("doc_id").as("doc_a"), col("split").as("split_a"))
+    val b = out.select(col("doc_id").as("doc_b"), col("split").as("split_b"))
+    val straddle = pairs.join(a, "doc_a").join(b, "doc_b")
+      .filter(col("split_a") =!= col("split_b"))
+    assert(pairs.count() > 0, "corpus must carry near-dup pairs to test on")
+    assert(straddle.count() === 0,
+      "a near-dup pair crossed train/val/test - the leak this op closes")
+    // every member of a component shares its label's split (label-pure)
+    assert(out.groupBy("label").agg(countDistinct("split").as("k"))
+      .filter(col("k") > 1).count() === 0)
+    // singleton labels (label == doc_id, no near-dup) match splitAssign
+    // on the label key directly - the degenerate per-doc split
+    val singles = out.filter(col("label") === col("doc_id"))
+    val plain = Sampling.splitAssign(
+      out.select("doc_id", "label"), "label").select("doc_id", "split")
+    assert(singles.select("doc_id", "split").exceptAll(plain).count() === 0)
+    out.unpersist()
+  }
 }

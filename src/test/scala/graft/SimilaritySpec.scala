@@ -31,6 +31,50 @@ class SimilaritySpec extends SparkTestBase {
     assert(out.toSeq === Seq((3L, 1.0), (2L, 0.0)))
   }
 
+  test("maxSimTopK: per-token best-match sum replayed exactly, " +
+      "long document cannot dilute a strong local match, layout-invariant") {
+    // 4 docs x 2 tokens (groupSize 2). Query doc 0's tokens point at x and
+    // y. Doc 1 has ONE perfect x-match plus a token orthogonal to both
+    // query tokens; doc 2's tokens are uniformly mediocre (cos 1/sqrt(34)
+    // to each query token, so even SUMMED over both they total ~0.34);
+    // doc 3 is orthogonal to everything. Mean-pooling doc 1 would halve
+    // its match toward doc 2's level; MaxSim must keep doc 1 first - the
+    // strong local match survives the unrelated second token.
+    val df = mkVecs(Seq(
+      0L -> Seq(1f, 0f, 0f, 0f), 1L -> Seq(0f, 1f, 0f, 0f), // query doc 0
+      2L -> Seq(1f, 0f, 0f, 0f), 3L -> Seq(0f, 0f, 1f, 0f), // doc 1
+      4L -> Seq(1f, 1f, 4f, 4f), 5L -> Seq(1f, 1f, 4f, 4f), // doc 2
+      6L -> Seq(0f, 0f, 0f, 1f), 7L -> Seq(0f, 0f, 0f, 1f)  // doc 3
+    ))
+    val out = Similarity.maxSimTopK(df, expr("dkey = 0"), groupSize = 2, k = 3)
+      .collect()
+    assert(out.map(_.getLong(0)).distinct.toSeq === Seq(0L))
+    assert(out.map(r => (r.getLong(2), r.getLong(1))).toSeq ===
+      Seq((1L, 1L), (2L, 2L), (3L, 3L)))
+    // exact expected scores: sum over the 2 query tokens of
+    // floor(best cosine * 2^24); doc1 = floor(1*2^24) + 0 (orthogonal to
+    // both q tokens... token (0,0,1,0) gives 0 to qx and qy; token
+    // (1,0,0,0) gives 1 to qx, 0 to qy) => qx best 1, qy best 0
+    val q = Similarity.QuantScale
+    val s1 = out.find(_.getLong(1) == 1L).get.getLong(3)
+    assert(s1 === q) // qx: floor(1.0*2^24) = 2^24; qy: floor(0.0) = 0
+    val s2 = out.find(_.getLong(1) == 2L).get.getLong(3)
+    // both q tokens best-match cos = 1/sqrt(34) against (1,1,4,4); allow
+    // one quantum of float-association slack per token
+    val exp2 = 2L * math.floor(q.toDouble / math.sqrt(34.0)).toLong
+    assert(math.abs(s2 - exp2) <= 2L, s"s2=$s2 expected~$exp2")
+    assert(out.find(_.getLong(1) == 3L).get.getLong(3) === 0L)
+    // layout invariance: fixed-point sums are associative, so the result
+    // is a pure function of the data, not the partitioning
+    val again = Similarity.maxSimTopK(df.repartition(7), expr("dkey = 0"),
+      groupSize = 2, k = 3).collect()
+    assert(again.map(_.toSeq).toSeq === out.map(_.toSeq).toSeq)
+    // and on the real corpus: k rows per query, self-group excluded
+    val real = Similarity.maxSimTopK(emb, expr("dkey % 10 = 0"), 8, 5)
+    assert(real.filter(col("query_doc") === col("neighbor_doc")).count() === 0)
+    assert(real.groupBy("query_doc").count().filter(col("count") > 5).count() === 0)
+  }
+
   test("bruteForceTopK contract: k rows per query, ranked, no self-pairs") {
     val out = Similarity.bruteForceTopK(emb, col("vec_id") < 5, k = 5).cache()
     assert(out.count() === 25)
