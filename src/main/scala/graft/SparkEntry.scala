@@ -1372,6 +1372,19 @@ object SparkEntry {
     // token sums ride fixed-point longs so the ranking is engine-exact
     "ann_maxsim_topk" -> ((s, d) =>
       Similarity.maxSimTopK(Tables.embeddings(s, d), expr("dkey % 10 = 0"))),
+    // its stored-index serving twin: per-token IVF cell probes build a
+    // partial-MaxSim shortlist off the SAME stored index the single-
+    // vector tiers use, then the exact fixed-point re-rank fetches the
+    // candidates' full token sets by ARITHMETIC id range from the
+    // id-bucketed vector store (the refine tier's store, reused)
+    "ann_maxsim_indexed" -> ((s, d) => {
+      ensureIvfIndex(s, d)
+      buildOnce(s"vecstore:$d") {
+        Similarity.buildVectorStore(Tables.embeddings(s, d), "graft_vec_store")
+      }
+      Similarity.maxSimTopKIndexed(s, "graft_ivf_idx", "graft_vec_store",
+        expr("dkey % 10 = 0"))
+    }),
     "sim_neardup_lsh" -> ((s, d) =>
       Similarity.embeddingNearDupPairsLSH(Tables.embeddings(s, d))),
     "ann_lsh_topk" -> ((s, d) =>
@@ -4415,6 +4428,51 @@ object SparkEntry {
         |  FROM s)
         |SELECT query_doc, neighbor_doc, rn, score FROM r
         |WHERE rn <= 5 ORDER BY query_doc, rn""".stripMargin,
+    // indexed MaxSim: the k-means pivot replay feeds per-token cell
+    // probes (prn <= nprobe over the SAME ranked relation that assigns
+    // cells at prn = 1), partial fixed-point MaxSim over probed cells
+    // picks the 20-doc shortlist, and the exact stage re-ranks each
+    // candidate's full arithmetic token range — both stages' sums in
+    // floor(cos*2^24) longs, so every tie and every rank replays
+    "ann_maxsim_indexed" ->
+      s"""WITH $kmeansPivotCtes,
+         |sc AS (SELECT e.vec_id, e.embedding, p.pid,
+         |  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(p.pv AS DOUBLE[])) AS pcos
+         |  FROM embeddings e CROSS JOIN piv p),
+         |ranked AS (SELECT vec_id, embedding, pid,
+         |  row_number() OVER (PARTITION BY vec_id ORDER BY pcos DESC, pid) AS prn FROM sc),
+         |cells AS (SELECT vec_id // 8 AS neighbor_doc, embedding AS nv, pid AS cell
+         |  FROM ranked WHERE prn = 1),
+         |qp AS (SELECT vec_id // 8 AS query_doc, vec_id AS qtok, embedding AS qv, pid AS cell
+         |  FROM ranked WHERE (vec_id // 8) % 10 = 0 AND prn <= 2),
+         |hit AS (SELECT DISTINCT query_doc, qtok, qv, neighbor_doc, nv
+         |  FROM qp JOIN cells USING (cell) WHERE neighbor_doc <> query_doc),
+         |pm AS (SELECT query_doc, neighbor_doc, qtok,
+         |  max(list_cosine_similarity(CAST(qv AS DOUBLE[]), CAST(nv AS DOUBLE[]))) AS m
+         |  FROM hit GROUP BY 1, 2, 3),
+         |part AS (SELECT query_doc, neighbor_doc,
+         |  CAST(sum(CAST(floor(m * 16777216.0) AS BIGINT)) AS BIGINT) AS partial
+         |  FROM pm GROUP BY 1, 2),
+         |short AS (SELECT query_doc, neighbor_doc FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_doc
+         |    ORDER BY partial DESC, neighbor_doc) AS srn FROM part) WHERE srn <= 20),
+         |qt AS (SELECT vec_id // 8 AS query_doc, vec_id AS qtok, embedding AS qv
+         |  FROM embeddings WHERE (vec_id // 8) % 10 = 0),
+         |ct AS (SELECT s.query_doc, s.neighbor_doc, e.embedding AS nv
+         |  FROM (SELECT query_doc, neighbor_doc, neighbor_doc * 8 + i AS vid
+         |        FROM short, unnest(generate_series(0, 7)) AS t(i)) s
+         |  JOIN embeddings e ON e.vec_id = s.vid),
+         |em AS (SELECT c.query_doc, c.neighbor_doc, q.qtok,
+         |  max(list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(c.nv AS DOUBLE[]))) AS m
+         |  FROM ct c JOIN qt q USING (query_doc) GROUP BY 1, 2, 3),
+         |msum AS (SELECT query_doc, neighbor_doc,
+         |  CAST(sum(CAST(floor(m * 16777216.0) AS BIGINT)) AS BIGINT) AS score
+         |  FROM em GROUP BY 1, 2),
+         |r AS (SELECT query_doc, neighbor_doc,
+         |  CAST(row_number() OVER (PARTITION BY query_doc
+         |    ORDER BY score DESC, neighbor_doc) AS BIGINT) AS rn, score FROM msum)
+         |SELECT query_doc, neighbor_doc, rn, score FROM r
+         |WHERE rn <= 5 ORDER BY query_doc, rn""".stripMargin,
     "ann_lsh_topk" -> annOracleSql,
     // hard negatives: the brute-force oracle with the self AND +7-positive
     // exclusions applied before the rank

@@ -110,6 +110,91 @@ object Similarity {
       .orderBy("query_doc", "rn")
   }
 
+  /** Stored-index serving twin of [[maxSimTopK]] — two-stage
+    * late-interaction retrieval over the SAME stored artifacts the
+    * single-vector tiers use (nothing multi-vector-specific has to be
+    * built or maintained):
+    *
+    *  - stage 1 (shortlist): each query TOKEN probes its `nprobe`
+    *    nearest IVF cells (stored pivots, broadcast) and scores a
+    *    PARTIAL MaxSim against only the token vectors in probed cells —
+    *    cell-bucketed index side, so the scan is bucket-pruned exactly
+    *    like [[ivfTopKIndexed]]; per query doc the top `shortlist`
+    *    candidate docs survive;
+    *  - stage 2 (exact): a candidate doc's token ids are ARITHMETIC
+    *    (`dkey·groupSize + 0..groupSize−1` — the group layout is a key
+    *    range, not a lookup), so the exact re-rank fetches exactly those
+    *    rows from the id-bucketed full-precision vector store
+    *    ([[buildVectorStore]] — the same store the IVF×PQ refine tier
+    *    reads; store side never shuffles) and recomputes [[maxSimTopK]]'s
+    *    fixed-point score over ALL the candidate's tokens. Approximation
+    *    affects WHICH docs make the shortlist, never their final order
+    *    or score — the refine-after-compress contract.
+    *
+    * Both stages quantize per-token maxima to `floor(cos·2^24)` longs
+    * before summing, so shortlist and final ranking are bit-stable
+    * across partition layouts and engines. */
+  def maxSimTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+      ivfTable: String, vecTable: String, queryPred: Column,
+      groupSize: Int = 8, k: Int = 5, nprobe: Int = 2,
+      shortlist: Int = 20): DataFrame = {
+    graft.sources.Formats.requireBuilt(spark, ivfTable)
+    graft.sources.Formats.requireBuilt(spark, vecTable)
+    graft.functions.FloatDot.register(spark)
+    val piv = spark.table(s"${ivfTable}_pivots")
+    val toks = spark.table(ivfTable)
+      .select(expr(s"vec_id div $groupSize").as("dkey"), col("vec_id"),
+        col("embedding"), col("cell"))
+    def quantSum(m: Column): Column =
+      sum(floor(m * lit(QuantScale.toDouble)).cast("long"))
+    val q = toks.filter(queryPred)
+      .select(col("dkey").as("query_doc"), col("vec_id").as("qtok"),
+        col("embedding").as("qv"))
+    // per-token probed cells off the stored pivots
+    val wProbe = Window.partitionBy(col("qtok"))
+      .orderBy(col("pcos").desc, col("pid"))
+    val qprobe = q.crossJoin(broadcast(piv))
+      .withColumn("pcos", cosine("qv", "pv"))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nprobe)
+      .select(col("query_doc"), col("qtok"), col("qv"),
+        col("pid").cast("long").as("cell"))
+    // stage 1: partial MaxSim over probed cells only, then the shortlist
+    val cells = toks.select(col("dkey").as("neighbor_doc"),
+      col("embedding").as("nv"), col("cell"))
+    val wShort = Window.partitionBy(col("query_doc"))
+      .orderBy(col("partial").desc, col("neighbor_doc"))
+    val cand = broadcast(qprobe).join(cells, Seq("cell"))
+      .filter(col("query_doc") =!= col("neighbor_doc"))
+      .select("query_doc", "qtok", "qv", "neighbor_doc", "nv")
+      .distinct() // a (q-token, token) pair reachable via 2 cells scores once
+      .withColumn("cos", cosine("qv", "nv"))
+      .groupBy("query_doc", "neighbor_doc", "qtok").agg(max("cos").as("m"))
+      .groupBy("query_doc", "neighbor_doc").agg(quantSum(col("m")).as("partial"))
+      .withColumn("srn", row_number().over(wShort))
+      .filter(col("srn") <= shortlist)
+      .select("query_doc", "neighbor_doc")
+    // stage 2: exact fixed-point MaxSim over the candidates' FULL token
+    // sets, fetched by arithmetic id range from the bucketed store
+    val candToks = cand
+      .withColumn("i", explode(sequence(lit(0), lit(groupSize - 1))))
+      .select(col("query_doc"), col("neighbor_doc"),
+        (col("neighbor_doc") * groupSize + col("i")).as("vec_id"))
+    val store = spark.table(vecTable)
+      .select(col("vec_id"), col("embedding").as("nv"))
+    val w = Window.partitionBy(col("query_doc"))
+      .orderBy(col("score").desc, col("neighbor_doc"))
+    candToks.join(store, Seq("vec_id"))
+      .join(broadcast(q), Seq("query_doc"))
+      .withColumn("cos", cosine("qv", "nv"))
+      .groupBy("query_doc", "neighbor_doc", "qtok").agg(max("cos").as("m"))
+      .groupBy("query_doc", "neighbor_doc").agg(quantSum(col("m")).as("score"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select("query_doc", "neighbor_doc", "rn", "score")
+      .orderBy("query_doc", "rn")
+  }
+
   /** HARD-NEGATIVE mining — the contrastive-training data op: for each
     * query, the top-k corpus vectors most similar to it that are NOT the
     * query and NOT among its known positives. These "closest wrong

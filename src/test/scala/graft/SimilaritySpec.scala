@@ -75,6 +75,48 @@ class SimilaritySpec extends SparkTestBase {
     assert(real.groupBy("query_doc").count().filter(col("count") > 5).count() === 0)
   }
 
+  test("maxSimTopKIndexed: exact re-rank (shared scores == brute), " +
+      "shortlist recall, and the store fetch is id-range arithmetic") {
+    try {
+      Similarity.buildIvfIndex(emb, "graft_ms_ivf")
+      Similarity.buildVectorStore(emb, "graft_ms_vec")
+      val idx = Similarity.maxSimTopKIndexed(spark, "graft_ms_ivf",
+        "graft_ms_vec", expr("dkey % 10 = 0"))
+      val got = idx.collect()
+      val brute = Similarity.maxSimTopK(emb, expr("dkey % 10 = 0")).collect()
+      assert(got.nonEmpty && brute.nonEmpty)
+      // EXACTNESS of stage 2: any (query, neighbor) pair served by both
+      // paths carries the IDENTICAL fixed-point score - approximation
+      // may only affect which docs make the shortlist, never a score
+      val bm = brute.map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+      val shared = got.flatMap(r =>
+        bm.get((r.getLong(0), r.getLong(1))).map(_ == r.getLong(3)))
+      assert(shared.nonEmpty && shared.forall(identity),
+        "an indexed score diverged from the exact brute-force score")
+      // recall@5 against the exact twin - nprobe=2/16 cells on the random
+      // corpus is the documented worst case; the shortlist re-rank must
+      // still recover a solid fraction
+      val truth = brute.groupBy(_.getLong(0))
+      val served = got.groupBy(_.getLong(0))
+      val recalls = truth.map { case (q, rows) =>
+        val t = rows.map(_.getLong(1)).toSet
+        val g = served.getOrElse(q, Array.empty).map(_.getLong(1)).toSet
+        t.intersect(g).size.toDouble / t.size
+      }
+      val avg = recalls.sum / recalls.size
+      assert(avg >= 0.4, s"avg recall@5 $avg below floor")
+      // no corpus-wide argmax recompute: the probe reads the STORED index
+      val plan = idx.queryExecution.executedPlan.toString
+      assert(plan.contains("graft_ms_ivf["),
+        s"stage 1 must scan the stored index:\n$plan")
+      assert(plan.contains("graft_ms_vec["),
+        s"stage 2 must fetch from the id-bucketed store:\n$plan")
+    } finally {
+      Seq("graft_ms_ivf", "graft_ms_ivf_pivots", "graft_ms_vec")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("bruteForceTopK contract: k rows per query, ranked, no self-pairs") {
     val out = Similarity.bruteForceTopK(emb, col("vec_id") < 5, k = 5).cache()
     assert(out.count() === 25)
