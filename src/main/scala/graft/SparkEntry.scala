@@ -984,6 +984,16 @@ object SparkEntry {
     // the contamination-through-splitting hole a per-doc split leaves
     "sample_split_leakfree" -> ((s, d) =>
       Sampling.splitAssignLeakFree(SharedCorpus.docsTok(s, d))),
+    // the split-STABILITY audit under corpus growth (r17): yesterday's
+    // corpus (%4!=1, the daily-batch convention) vs today's full corpus,
+    // both leak-free-assigned, joined on the common docs → the split
+    // transition matrix; off-diagonal rows are docs a bridging arrival
+    // flipped (component labels merged under a new minimum) — the leak
+    // a release pipeline must gate on BEFORE trusting eval history
+    "sample_split_drift" -> ((s, d) => {
+      val all = SharedCorpus.docsTok(s, d)
+      Sampling.splitDriftReport(all.filter(col("doc_id") % 4 =!= 1), all)
+    }),
     // URL canonicalization (C4/RefinedWeb-style): tracking params,
     // fragments, default ports, host case and www. collapse to ONE key;
     // URLs injected deterministically (the ta_pii_redact discipline)
@@ -5468,6 +5478,18 @@ object SparkEntry {
       s"""WITH lab AS (${componentsOracleSql})
          |SELECT doc_id, label, ${Sampling.splitAssignSql("label")} AS split
          |FROM lab ORDER BY doc_id""".stripMargin,
+    // split drift: BOTH corpora's closure labels (yesterday = %4!=1,
+    // today = all), each split-bucketed on its own label, joined on the
+    // common docs → the transition matrix the engine reports
+    "sample_split_drift" ->
+      s"""WITH la AS (${componentsOracleSqlWhere("doc_id % 4 <> 1")}),
+         |lb AS (${componentsOracleSql}),
+         |wa AS (SELECT doc_id, ${Sampling.splitAssignSql("label")} AS split_was FROM la),
+         |wb AS (SELECT doc_id, ${Sampling.splitAssignSql("label")} AS split_now FROM lb)
+         |SELECT split_was, split_now, CAST(count(*) AS BIGINT) AS n_docs,
+         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         |FROM wa JOIN wb USING (doc_id)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "sql_correlated" ->
       """WITH per_cust AS (
         |  SELECT c.c_custkey, c.c_nationkey, count(o.o_orderkey) AS n_orders

@@ -119,6 +119,41 @@ object Sampling {
     out
   }
 
+  /** SPLIT-STABILITY audit for [[splitAssignLeakFree]] under corpus
+    * growth — the operational question the component-keyed split raises
+    * that the plain per-doc split never does: a new document can BRIDGE
+    * two components, merging them under a new (smaller) minimum label,
+    * and every member of the absorbed component flips split. A training
+    * pipeline must SEE that before it happens silently (an eval doc
+    * flipping into train invalidates history; train flipping into test
+    * leaks memorized data into eval). This report computes the leak-free
+    * assignment over yesterday's corpus and today's, joins on the common
+    * documents, and returns the split TRANSITION MATRIX — one row per
+    * (split_was, split_now) with the doc count and the id range, so the
+    * off-diagonal mass (the flips) is one glance and the flipped ids are
+    * range-boundable for a follow-up listing. The diagonal-only matrix
+    * is the stability certificate a release pipeline gates on.
+    *
+    * Scale shape: two component resolutions (each the bounded hybrid)
+    * plus one equi-join on doc_id and a ≤|splits|² aggregation — nothing
+    * new shuffles beyond what the assignments themselves cost. */
+  def splitDriftReport(docsOld: DataFrame, docsNew: DataFrame,
+      splits: Seq[(String, Int)] = Seq("train" -> 80, "val" -> 10, "test" -> 10),
+      salt: String = "split"): DataFrame = {
+    val a = splitAssignLeakFree(docsOld, splits, salt)
+    val b = splitAssignLeakFree(docsNew, splits, salt)
+    val out = a.select(col("doc_id"), col("split").as("split_was"))
+      .join(b.select(col("doc_id"), col("split").as("split_now")), Seq("doc_id"))
+      .groupBy("split_was", "split_now")
+      .agg(count(lit(1)).as("n_docs"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .orderBy("split_was", "split_now")
+      .persist()
+    out.count() // materialize before releasing the two assignment tables
+    a.unpersist(); b.unpersist()
+    out
+  }
+
   /** Systematic probability-proportional-to-size document sampling: walk
     * each `source`'s documents in deterministic hash order accumulating
     * token counts, and keep a document iff its token span crosses a

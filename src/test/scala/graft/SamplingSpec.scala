@@ -84,6 +84,31 @@ class SamplingSpec extends SparkTestBase {
     }
   }
 
+  test("splitDriftReport: identical corpora certify a diagonal-only " +
+      "matrix; growth accounts every old doc and matches direct compute") {
+    val docs = Tables.documents(spark, sfDir)
+    // self-vs-self: the stability certificate - zero off-diagonal mass
+    val same = Sampling.splitDriftReport(docs, docs)
+    assert(same.filter(col("split_was") =!= col("split_now")).count() === 0)
+    assert(same.agg(sum("n_docs")).head().getLong(0) === docs.count())
+    same.unpersist()
+    // growth: every yesterday-doc appears exactly once in the matrix
+    val old = docs.filter(col("doc_id") % 4 =!= 1)
+    val drift = Sampling.splitDriftReport(old, docs)
+    assert(drift.agg(sum("n_docs")).head().getLong(0) === old.count())
+    // and the matrix equals the directly computed transition counts
+    val a = Sampling.splitAssignLeakFree(old)
+    val b = Sampling.splitAssignLeakFree(docs)
+    val direct = a.select(col("doc_id"), col("split").as("w"))
+      .join(b.select(col("doc_id"), col("split").as("n")), Seq("doc_id"))
+      .groupBy("w", "n").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val got = drift.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === direct)
+    a.unpersist(); b.unpersist(); drift.unpersist()
+  }
+
   test("splitAssignLeakFree: no near-dup pair straddles a split, " +
       "exhaustive, and singletons degrade to the per-label hash split") {
     val docs = Tables.documents(spark, sfDir)
