@@ -127,6 +127,30 @@ object RecallSweep {
           f"avg=$av%5.3f min=$mn%5.3f sec=$sec%6.2f met=${av >= t}")
       }
     }
+    // ---- MaxSim per-token probe (r18, VERDICT r17 item 4): the
+    // (nprobe × shortlist) recall surface over the stored IVF index +
+    // vector store, then the calibrated pick per target — the
+    // late-interaction analogue of the CELLS256 calibration, recorded in
+    // BASELINE.md next to the single-vector ladder. The exact ground
+    // truth is the late-interaction scan itself (single-vector brute
+    // force is the wrong truth for this tier).
+    Similarity.buildIvfIndex(emb, "graft_sweep_ms_ivf")
+    Similarity.buildVectorStore(emb, "graft_sweep_ms_vec")
+    Similarity.maxSimProbeCalibration(spark, "graft_sweep_ms_ivf",
+        "graft_sweep_ms_vec", expr("dkey % 10 = 0"))
+      .collect().foreach(r => println(
+        f"MAXSIM np=${r.getInt(0)}%2d sl=${r.getInt(1)}%3d " +
+          f"recall=${r.getDouble(2)}%5.3f"))
+    for (t <- Seq(0.8, 0.9)) {
+      scala.util.Try(Similarity.calibrateMaxSimProbe(spark,
+          "graft_sweep_ms_ivf", "graft_sweep_ms_vec",
+          expr("dkey % 10 = 0"), t)) match {
+        case scala.util.Success((np, sl)) =>
+          println(f"MAXSIM TARGET t=$t np=$np%2d sl=$sl%3d met=true")
+        case scala.util.Failure(e) =>
+          println(s"MAXSIM TARGET t=$t UNREACHABLE on grid: ${e.getMessage}")
+      }
+    }
     spark.stop()
   }
 }

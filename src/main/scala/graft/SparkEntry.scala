@@ -78,12 +78,44 @@ object SparkEntry {
         "graft_hemb")
     }
 
+  /** The windowed (per-token-vector) hash-embed table behind the MaxSim
+    * text-composition gate — the multi-vector analogue of
+    * [[ensureHembTable]]: featurization materialized once (the sanctioned
+    * build/apply split), steady runs measure the MaxSim serving plan over
+    * the STORED window vectors. */
+  private def ensureHembWinTable(s: SparkSession, d: String): Unit =
+    buildOnce(s"hemb_win:$d") {
+      Formats.writeManaged(
+        TextAnalysis.hashEmbedWindows(SharedCorpus.docsTok(s, d)),
+        "graft_hemb_win")
+    }
+
   private def ensureHembLshIndex(s: SparkSession, d: String): Unit = {
     ensureHembTable(s, d)
     buildOnce(s"hemb_lsh:$d") {
       Similarity.buildLshIndex(s.table("graft_hemb"), "graft_hemb_lsh_idx")
     }
   }
+
+  /** The split-lifecycle build shared by `sample_split_incr` and
+    * `sample_split_drift_indexed` — one DAY of the production pipeline:
+    * yesterday's corpus (%4!=1, the daily-batch convention) clustered
+    * one-shot with its band index, yesterday's leak-free assignment
+    * PUBLISHED, then today's batch (%4==1) folded into the stored
+    * components by the batch-delta merge. The assignment table keeps
+    * yesterday's generation (republish happens AFTER the drift audit in
+    * the pipeline order), so the drift gate reads it as the immutable
+    * prior while the components table already describes today. */
+  private def ensureSplitLifecycle(s: SparkSession, d: String): Unit =
+    buildOnce(s"split_lifecycle:$d") {
+      val all = SharedCorpus.docsTok(s, d)
+      val old = all.filter(col("doc_id") % 4 =!= 1)
+      Dedup.buildBandIndex(old, "graft_split_band")
+      Dedup.buildComponentsTable(old, "graft_split_comp")
+      Sampling.publishSplitAssignment(s, "graft_split_comp", "graft_split_assign")
+      Dedup.mergeComponentsIncr(s, "graft_split_comp", "graft_split_band",
+        all.filter(col("doc_id") % 4 === 1))
+    }
 
   /** The stored IVF index is shared by the ANN probe gate AND the
     * cluster-balanced-sampling gate — one canonical key, one build. */
@@ -201,7 +233,8 @@ object SparkEntry {
         Seq("ann_sq_", "ann_recall_sq")),
       ("graft_ivf_idx", "graft_ivf_idx", "vec_id", one,
         Seq("ann_ivf_indexed", "ann_ivf_topk", "ann_recall_ivf",
-          "ann_cluster_sample_indexed", "dedup_semantic")),
+          "ann_cluster_sample_indexed", "dedup_semantic",
+          "ann_maxsim_indexed", "ann_recall_maxsim")),
       ("graft_ivf_incr", "graft_ivf_incr", "vec_id", one,
         Seq("ann_ivf_indexed_incr")),
       ("graft_ivf_prg", "graft_ivf_prg", "vec_id", one,
@@ -220,7 +253,8 @@ object SparkEntry {
       ("graft_ivfpq_prg", "graft_ivfpq_prg", "vec_id", one,
         Seq("ann_ivfpq_purged")),
       ("graft_vec_store", "graft_vec_store", "vec_id", one,
-        Seq("ann_ivfpq_refine", "ann_recall_refine")),
+        Seq("ann_ivfpq_refine", "ann_recall_refine",
+          "ann_maxsim_indexed", "ann_recall_maxsim")),
       ("graft_bm25_idx", "graft_bm25_idx", "doc_id", None,
         Seq("ta_bm25_indexed", "ta_bm25_many", "ta_hybrid_indexed",
           "ta_hybrid_many", "ta_filter_funnel")),
@@ -257,7 +291,20 @@ object SparkEntry {
       ("graft_phash_incr", "graft_phash_incr_codes", "doc_id", one,
         Seq("mm_phash_indexed_incr")),
       ("graft_phash_prg", "graft_phash_prg_codes", "doc_id", one,
-        Seq("mm_phash_purged")))
+        Seq("mm_phash_purged")),
+      // split-lifecycle families (r18): one-shot full clustering behind
+      // sample_split_indexed; yesterday-corpus band+components merged with
+      // the daily batch behind the incr/drift pair; the published
+      // assignment keeps yesterday's stamp (it is NOT republished by the
+      // gate — the drift audit reads it as the immutable prior)
+      ("graft_split_full", "graft_split_full", "doc_id", one,
+        Seq("sample_split_indexed")),
+      ("graft_split_band", "graft_split_band_sigs", "doc_id", one,
+        Seq("sample_split_incr", "sample_split_drift_indexed")),
+      ("graft_split_comp", "graft_split_comp", "doc_id", one,
+        Seq("sample_split_incr", "sample_split_drift_indexed")),
+      ("graft_split_assign", "graft_split_assign", "doc_id", one,
+        Seq("sample_split_drift_indexed")))
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -983,7 +1030,40 @@ object SparkEntry {
     // document and its near-duplicate can never straddle train/test —
     // the contamination-through-splitting hole a per-doc split leaves
     "sample_split_leakfree" -> ((s, d) =>
-      Sampling.splitAssignLeakFree(SharedCorpus.docsTok(s, d))),
+      // gate-only sort: the op returns unsorted (a 100 TB caller never
+      // needs the global order; the dump's determinism does)
+      Sampling.splitAssignLeakFree(SharedCorpus.docsTok(s, d))
+        .orderBy("doc_id")),
+    // the STORED-LIFECYCLE split (r18, VERDICT r17 item 1): the one-shot
+    // full clustering published once, the assignment a pure bucketed-table
+    // projection — the corpus is never re-banded on the serving path
+    // (SamplingSpec asserts the probe plan). Same oracle as the
+    // from-scratch form: the table changes where labels come from, not
+    // what they are.
+    "sample_split_indexed" -> ((s, d) => {
+      buildOnce(s"split_full:$d") {
+        Dedup.buildComponentsTable(SharedCorpus.docsTok(s, d), "graft_split_full")
+      }
+      Sampling.splitAssignIndexed(s, "graft_split_full").orderBy("doc_id")
+    }),
+    // incremental lifecycle: yesterday's corpus (%4!=1) clustered one-shot
+    // (band index + components table built together, assignment published),
+    // today's batch folded by mergeComponentsIncr — only the batch is
+    // signed and mined. The merged table equals a one-shot clustering of
+    // the union, so the projected split shares the leak-free oracle.
+    "sample_split_incr" -> ((s, d) => {
+      ensureSplitLifecycle(s, d)
+      Sampling.splitAssignIndexed(s, "graft_split_comp").orderBy("doc_id")
+    }),
+    // the drift audit's production form (VERDICT r17 item 1): yesterday's
+    // assignment READ from its published table, today's a projection of
+    // the post-merge components table — O(batch + flips), two bucketed
+    // tables joined zero-exchange, never two corpus re-clusterings. Same
+    // matrix, same oracle, as the from-scratch sample_split_drift.
+    "sample_split_drift_indexed" -> ((s, d) => {
+      ensureSplitLifecycle(s, d)
+      Sampling.splitDriftReportIndexed(s, "graft_split_assign", "graft_split_comp")
+    }),
     // the split-STABILITY audit under corpus growth (r17): yesterday's
     // corpus (%4!=1, the daily-batch convention) vs today's full corpus,
     // both leak-free-assigned, joined on the common docs → the split
@@ -1394,6 +1474,41 @@ object SparkEntry {
       }
       Similarity.maxSimTopKIndexed(s, "graft_ivf_idx", "graft_vec_store",
         expr("dkey % 10 = 0"))
+    }),
+    // recall monitor for the MaxSim tier (r18, VERDICT r17 item 4):
+    // per-query recall@5 of the two-stage per-token probe against the
+    // exact late-interaction scan. The five single-vector monitors don't
+    // transfer — a doc shortlists here if ANY token lands a strong
+    // partial hit, so this tier needs its own audit; oracle-replayed
+    // end to end like the others (both tiers' full replays composed
+    // through the shared hit-count/ratio form)
+    "ann_recall_maxsim" -> ((s, d) => {
+      ensureIvfIndex(s, d)
+      buildOnce(s"vecstore:$d") {
+        Similarity.buildVectorStore(Tables.embeddings(s, d), "graft_vec_store")
+      }
+      def qn(df: org.apache.spark.sql.DataFrame) = df
+        .withColumnRenamed("query_doc", "query_id")
+        .withColumnRenamed("neighbor_doc", "neighbor_id")
+      Similarity.recallAtK(
+        qn(Similarity.maxSimTopKIndexed(s, "graft_ivf_idx", "graft_vec_store",
+          expr("dkey % 10 = 0"))),
+        qn(Similarity.maxSimTopK(Tables.embeddings(s, d), expr("dkey % 10 = 0"))))
+    }),
+    // closes the text→token-vectors loop for the late-interaction stack
+    // (r18, VERDICT r17 item 5 — the ann_hash_embed_lsh analogue for
+    // multi-vector): per-WINDOW vectors derived from the corpus itself
+    // (8-token windows of the alnum stream → signed feature hashing,
+    // first 4 windows = the truncated-encoding convention), then the
+    // SAME MaxSim fixed-point scoring serves doc-level retrieval — a
+    // real doc_id is the group key, no synthetic id-range grouping and
+    // no given embeddings table anywhere in the chain
+    "ann_maxsim_text" -> ((s, d) => {
+      ensureHembWinTable(s, d)
+      Similarity.maxSimTopKTokens(
+        s.table("graft_hemb_win").select(col("doc_id").as("dkey"),
+          col("win").as("tok_id"), col("embedding")),
+        col("dkey") < 8)
     }),
     "sim_neardup_lsh" -> ((s, d) =>
       Similarity.embeddingNearDupPairsLSH(Tables.embeddings(s, d))),
@@ -3245,6 +3360,145 @@ object SparkEntry {
        |FROM ex LEFT JOIN hits h ON h.query_id = ex.query_id
        |ORDER BY ex.query_id""".stripMargin
 
+  /** DuckDB replay of [[Similarity.maxSimTopK]] over the synthetic
+    * `vec_id div 8` groups: per-(query doc, cand doc, query token) best
+    * cosine, summed over query tokens in exact fixed-point — max is
+    * order-independent and long addition associative, so the score
+    * replays bit-for-bit. Lifted to a val (r18) so the recall monitor
+    * composes it as the exact side. */
+  private val maxSimTopKOracleSql: String =
+    """WITH t AS (SELECT vec_id // 8 AS dkey, vec_id, embedding FROM embeddings),
+      |q AS (SELECT dkey AS query_doc, vec_id AS qtok, embedding AS qv
+      |  FROM t WHERE dkey % 10 = 0),
+      |best AS (SELECT q.query_doc, c.dkey AS neighbor_doc, q.qtok,
+      |    max(list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+      |        CAST(c.embedding AS DOUBLE[]))) AS m
+      |  FROM q JOIN t c ON c.dkey <> q.query_doc GROUP BY 1, 2, 3),
+      |s AS (SELECT query_doc, neighbor_doc,
+      |    CAST(sum(CAST(floor(m * 16777216.0) AS BIGINT)) AS BIGINT) AS score
+      |  FROM best GROUP BY 1, 2),
+      |r AS (SELECT query_doc, neighbor_doc,
+      |    CAST(row_number() OVER (PARTITION BY query_doc
+      |      ORDER BY score DESC, neighbor_doc) AS BIGINT) AS rn, score
+      |  FROM s)
+      |SELECT query_doc, neighbor_doc, rn, score FROM r
+      |WHERE rn <= 5 ORDER BY query_doc, rn""".stripMargin
+
+  /** DuckDB replay of [[Similarity.maxSimTopKIndexed]]: the k-means pivot
+    * replay feeds per-token cell probes (prn <= nprobe over the SAME
+    * ranked relation that assigns cells at prn = 1), partial fixed-point
+    * MaxSim over probed cells picks the 20-doc shortlist, and the exact
+    * stage re-ranks each candidate's full arithmetic token range — both
+    * stages' sums in floor(cos*2^24) longs, so every tie and every rank
+    * replays. */
+  private val maxSimIndexedOracleSql: String =
+    s"""WITH $kmeansPivotCtes,
+       |sc AS (SELECT e.vec_id, e.embedding, p.pid,
+       |  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(p.pv AS DOUBLE[])) AS pcos
+       |  FROM embeddings e CROSS JOIN piv p),
+       |ranked AS (SELECT vec_id, embedding, pid,
+       |  row_number() OVER (PARTITION BY vec_id ORDER BY pcos DESC, pid) AS prn FROM sc),
+       |cells AS (SELECT vec_id // 8 AS neighbor_doc, embedding AS nv, pid AS cell
+       |  FROM ranked WHERE prn = 1),
+       |qp AS (SELECT vec_id // 8 AS query_doc, vec_id AS qtok, embedding AS qv, pid AS cell
+       |  FROM ranked WHERE (vec_id // 8) % 10 = 0 AND prn <= 2),
+       |hit AS (SELECT DISTINCT query_doc, qtok, qv, neighbor_doc, nv
+       |  FROM qp JOIN cells USING (cell) WHERE neighbor_doc <> query_doc),
+       |pm AS (SELECT query_doc, neighbor_doc, qtok,
+       |  max(list_cosine_similarity(CAST(qv AS DOUBLE[]), CAST(nv AS DOUBLE[]))) AS m
+       |  FROM hit GROUP BY 1, 2, 3),
+       |part AS (SELECT query_doc, neighbor_doc,
+       |  CAST(sum(CAST(floor(m * 16777216.0) AS BIGINT)) AS BIGINT) AS partial
+       |  FROM pm GROUP BY 1, 2),
+       |short AS (SELECT query_doc, neighbor_doc FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_doc
+       |    ORDER BY partial DESC, neighbor_doc) AS srn FROM part) WHERE srn <= 20),
+       |qt AS (SELECT vec_id // 8 AS query_doc, vec_id AS qtok, embedding AS qv
+       |  FROM embeddings WHERE (vec_id // 8) % 10 = 0),
+       |ct AS (SELECT s.query_doc, s.neighbor_doc, e.embedding AS nv
+       |  FROM (SELECT query_doc, neighbor_doc, neighbor_doc * 8 + i AS vid
+       |        FROM short, unnest(generate_series(0, 7)) AS t(i)) s
+       |  JOIN embeddings e ON e.vec_id = s.vid),
+       |em AS (SELECT c.query_doc, c.neighbor_doc, q.qtok,
+       |  max(list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(c.nv AS DOUBLE[]))) AS m
+       |  FROM ct c JOIN qt q USING (query_doc) GROUP BY 1, 2, 3),
+       |msum AS (SELECT query_doc, neighbor_doc,
+       |  CAST(sum(CAST(floor(m * 16777216.0) AS BIGINT)) AS BIGINT) AS score
+       |  FROM em GROUP BY 1, 2),
+       |r AS (SELECT query_doc, neighbor_doc,
+       |  CAST(row_number() OVER (PARTITION BY query_doc
+       |    ORDER BY score DESC, neighbor_doc) AS BIGINT) AS rn, score FROM msum)
+       |SELECT query_doc, neighbor_doc, rn, score FROM r
+       |WHERE rn <= 5 ORDER BY query_doc, rn""".stripMargin
+
+  /** DuckDB replay of the text→token-vectors MaxSim composition
+    * ([[TextAnalysis.hashEmbedWindows]] → [[Similarity.maxSimTopKTokens]]):
+    * the hashEmbed vote/normalize chain per (doc, 8-token window) over the
+    * ordered alnum stream (both tokenizers preserve stream order, so the
+    * position-dependent chunking replays), first 4 windows kept, zero-norm
+    * windows dropped on both sides, then the standard fixed-point MaxSim
+    * ranking with the real doc_id as the group key. */
+  private val maxSimTextOracleSql: String = {
+    val dim = graft.ops.Similarity.Dim
+    s"""WITH f AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '$WS'),
+       |    t -> regexp_matches(t, '^[a-z0-9]+$$')) AS a FROM documents),
+       |ftk AS (SELECT doc_id, a[i] AS tok, CAST((i - 1) // 8 AS BIGINT) AS win
+       |  FROM f, unnest(generate_series(1, len(a))) AS u(i)
+       |  WHERE (i - 1) // 8 < 4),
+       |hp AS (SELECT doc_id, win, ${h60Sql("'he:' || tok")} % $dim AS idx,
+       |    CASE WHEN ${h60Sql("'hs:' || tok")} % 2 = 0 THEN 1 ELSE -1 END AS sgn
+       |  FROM ftk),
+       |hsums AS MATERIALIZED (SELECT doc_id, win, idx, CAST(sum(sgn) AS BIGINT) AS v
+       |  FROM hp GROUP BY 1, 2, 3),
+       |wins AS (SELECT DISTINCT doc_id, win FROM ftk),
+       |hdims AS (SELECT doc_id, win, i AS dim_idx FROM wins,
+       |  unnest(generate_series(0, ${dim - 1})) AS g(i)),
+       |vv AS MATERIALIZED (SELECT hdims.doc_id, hdims.win, hdims.dim_idx,
+       |    coalesce(s.v, 0) AS v
+       |  FROM hdims LEFT JOIN hsums s ON s.doc_id = hdims.doc_id
+       |    AND s.win = hdims.win AND s.idx = hdims.dim_idx),
+       |nrm AS (SELECT doc_id, win, sqrt(sum(CAST(v * v AS DOUBLE))) AS norm
+       |  FROM vv GROUP BY 1, 2),
+       |wemb AS MATERIALIZED (SELECT vv.doc_id, vv.win,
+       |    list(CAST(v / norm AS FLOAT) ORDER BY dim_idx) AS embedding
+       |  FROM vv JOIN nrm USING (doc_id, win) WHERE norm > 0
+       |  GROUP BY vv.doc_id, vv.win),
+       |q AS (SELECT doc_id AS query_doc, win AS qtok, embedding AS qv
+       |  FROM wemb WHERE doc_id < 8),
+       |best AS (SELECT q.query_doc, c.doc_id AS neighbor_doc, q.qtok,
+       |    max(list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+       |        CAST(c.embedding AS DOUBLE[]))) AS m
+       |  FROM q JOIN wemb c ON c.doc_id <> q.query_doc GROUP BY 1, 2, 3),
+       |s AS (SELECT query_doc, neighbor_doc,
+       |    CAST(sum(CAST(floor(m * 16777216.0) AS BIGINT)) AS BIGINT) AS score
+       |  FROM best GROUP BY 1, 2),
+       |r AS (SELECT query_doc, neighbor_doc,
+       |    CAST(row_number() OVER (PARTITION BY query_doc
+       |      ORDER BY score DESC, neighbor_doc) AS BIGINT) AS rn, score
+       |  FROM s)
+       |SELECT query_doc, neighbor_doc, rn, score FROM r
+       |WHERE rn <= 5 ORDER BY query_doc, rn""".stripMargin
+  }
+
+  /** Recall@5 of the MaxSim indexed tier against the exact MaxSim scan —
+    * [[recallOracleSql]]'s composition with BOTH sides the late-
+    * interaction replays above (the exact side there is single-vector
+    * brute force, which is the wrong ground truth for this tier). */
+  private val maxSimRecallOracleSql: String =
+    s"""WITH approx AS (SELECT query_doc AS query_id, neighbor_doc AS neighbor_id
+       |  FROM ($maxSimIndexedOracleSql) ta),
+       |exact AS (SELECT query_doc AS query_id, neighbor_doc AS neighbor_id
+       |  FROM ($maxSimTopKOracleSql) te),
+       |hits AS (SELECT e.query_id, count(a.neighbor_id) AS n_hits
+       |  FROM exact e LEFT JOIN approx a
+       |    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+       |  GROUP BY e.query_id),
+       |ex AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY query_id)
+       |SELECT ex.query_id, coalesce(h.n_hits, 0) AS n_hits, ex.n_exact,
+       |  CAST(coalesce(h.n_hits, 0) AS DOUBLE) / ex.n_exact AS recall
+       |FROM ex LEFT JOIN hits h ON h.query_id = ex.query_id
+       |ORDER BY ex.query_id""".stripMargin
+
   private val ivfPqOracleSql: String = ivfPqOracleSqlFor("vec_id < 10")
 
   /** CTE chain of the composed IVF×PQ probe, through the PQ-ranked `xr`,
@@ -3382,7 +3636,44 @@ object SparkEntry {
         .agg(expr(
           "percentile_approx(l_quantity, array(0.25D, 0.5D, 0.75D), 10000)").as("q"),
           count(lit(1)).as("n"))
-        .orderBy("l_returnflag")))
+        .orderBy("l_returnflag")),
+    // ---- headline serving probes (r18, VERDICT r17 item 7): the
+    // deployment-path cost of each flagship indexed tier, re-timed with
+    // its builds already amortized (same buildOnce keys as the gates).
+    // Unlike the sketch companions above these gates are ALREADY
+    // probe-shaped — the value of the probe row is a clean post-build
+    // steady timing in the artifact, no targeted sweep needed to read
+    // what a 100 TB serving deployment actually pays per query batch.
+    "ann_ivfpq_indexed" -> ((s, d) => {
+      ensureIvfPqIndex(s, d)
+      Similarity.ivfPqTopKIndexed(s, "graft_ivfpq_idx",
+        Tables.embeddings(s, d).filter(col("vec_id") < 10))
+    }),
+    "ta_bm25_many" -> ((s, d) => {
+      ensureBm25Index(s, d)
+      TextAnalysis.bm25SearchManyIndexed(s, "graft_bm25_idx", hybridWorkload)
+    }),
+    "ann_maxsim_indexed" -> ((s, d) => {
+      ensureIvfIndex(s, d)
+      buildOnce(s"vecstore:$d") {
+        Similarity.buildVectorStore(Tables.embeddings(s, d), "graft_vec_store")
+      }
+      Similarity.maxSimTopKIndexed(s, "graft_ivf_idx", "graft_vec_store",
+        expr("dkey % 10 = 0"))
+    }),
+    "dedup_cross_indexed" -> ((s, d) => {
+      val all = SharedCorpus.docsTok(s, d)
+      buildOnce(s"band:$d") {
+        Dedup.buildBandIndex(all.filter(col("doc_id") % 3 =!= 0), "graft_band_idx")
+      }
+      Dedup.nearDupPairsIndexed(s, "graft_band_idx", all.filter(col("doc_id") % 3 === 0))
+    }),
+    // the drift AUDIT alone — the gate's cold run carries the lifecycle
+    // build + merge; this row is the daily read a release pipeline pays
+    "sample_split_drift_indexed" -> ((s, d) => {
+      ensureSplitLifecycle(s, d)
+      Sampling.splitDriftReportIndexed(s, "graft_split_assign", "graft_split_comp")
+    }))
 
   /** Fixed query set for the CMS probe timing (the deployment shape: ask
     * the stored sketch for specific words' frequencies). */
@@ -4421,68 +4712,14 @@ object SparkEntry {
     // MaxSim: per-(query doc, cand doc, query token) best cosine, summed
     // over query tokens in exact fixed-point — max is order-independent
     // and long addition associative, so the score replays bit-for-bit
-    "ann_maxsim_topk" ->
-      """WITH t AS (SELECT vec_id // 8 AS dkey, vec_id, embedding FROM embeddings),
-        |q AS (SELECT dkey AS query_doc, vec_id AS qtok, embedding AS qv
-        |  FROM t WHERE dkey % 10 = 0),
-        |best AS (SELECT q.query_doc, c.dkey AS neighbor_doc, q.qtok,
-        |    max(list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
-        |        CAST(c.embedding AS DOUBLE[]))) AS m
-        |  FROM q JOIN t c ON c.dkey <> q.query_doc GROUP BY 1, 2, 3),
-        |s AS (SELECT query_doc, neighbor_doc,
-        |    CAST(sum(CAST(floor(m * 16777216.0) AS BIGINT)) AS BIGINT) AS score
-        |  FROM best GROUP BY 1, 2),
-        |r AS (SELECT query_doc, neighbor_doc,
-        |    CAST(row_number() OVER (PARTITION BY query_doc
-        |      ORDER BY score DESC, neighbor_doc) AS BIGINT) AS rn, score
-        |  FROM s)
-        |SELECT query_doc, neighbor_doc, rn, score FROM r
-        |WHERE rn <= 5 ORDER BY query_doc, rn""".stripMargin,
-    // indexed MaxSim: the k-means pivot replay feeds per-token cell
-    // probes (prn <= nprobe over the SAME ranked relation that assigns
-    // cells at prn = 1), partial fixed-point MaxSim over probed cells
-    // picks the 20-doc shortlist, and the exact stage re-ranks each
-    // candidate's full arithmetic token range — both stages' sums in
-    // floor(cos*2^24) longs, so every tie and every rank replays
-    "ann_maxsim_indexed" ->
-      s"""WITH $kmeansPivotCtes,
-         |sc AS (SELECT e.vec_id, e.embedding, p.pid,
-         |  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(p.pv AS DOUBLE[])) AS pcos
-         |  FROM embeddings e CROSS JOIN piv p),
-         |ranked AS (SELECT vec_id, embedding, pid,
-         |  row_number() OVER (PARTITION BY vec_id ORDER BY pcos DESC, pid) AS prn FROM sc),
-         |cells AS (SELECT vec_id // 8 AS neighbor_doc, embedding AS nv, pid AS cell
-         |  FROM ranked WHERE prn = 1),
-         |qp AS (SELECT vec_id // 8 AS query_doc, vec_id AS qtok, embedding AS qv, pid AS cell
-         |  FROM ranked WHERE (vec_id // 8) % 10 = 0 AND prn <= 2),
-         |hit AS (SELECT DISTINCT query_doc, qtok, qv, neighbor_doc, nv
-         |  FROM qp JOIN cells USING (cell) WHERE neighbor_doc <> query_doc),
-         |pm AS (SELECT query_doc, neighbor_doc, qtok,
-         |  max(list_cosine_similarity(CAST(qv AS DOUBLE[]), CAST(nv AS DOUBLE[]))) AS m
-         |  FROM hit GROUP BY 1, 2, 3),
-         |part AS (SELECT query_doc, neighbor_doc,
-         |  CAST(sum(CAST(floor(m * 16777216.0) AS BIGINT)) AS BIGINT) AS partial
-         |  FROM pm GROUP BY 1, 2),
-         |short AS (SELECT query_doc, neighbor_doc FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY query_doc
-         |    ORDER BY partial DESC, neighbor_doc) AS srn FROM part) WHERE srn <= 20),
-         |qt AS (SELECT vec_id // 8 AS query_doc, vec_id AS qtok, embedding AS qv
-         |  FROM embeddings WHERE (vec_id // 8) % 10 = 0),
-         |ct AS (SELECT s.query_doc, s.neighbor_doc, e.embedding AS nv
-         |  FROM (SELECT query_doc, neighbor_doc, neighbor_doc * 8 + i AS vid
-         |        FROM short, unnest(generate_series(0, 7)) AS t(i)) s
-         |  JOIN embeddings e ON e.vec_id = s.vid),
-         |em AS (SELECT c.query_doc, c.neighbor_doc, q.qtok,
-         |  max(list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(c.nv AS DOUBLE[]))) AS m
-         |  FROM ct c JOIN qt q USING (query_doc) GROUP BY 1, 2, 3),
-         |msum AS (SELECT query_doc, neighbor_doc,
-         |  CAST(sum(CAST(floor(m * 16777216.0) AS BIGINT)) AS BIGINT) AS score
-         |  FROM em GROUP BY 1, 2),
-         |r AS (SELECT query_doc, neighbor_doc,
-         |  CAST(row_number() OVER (PARTITION BY query_doc
-         |    ORDER BY score DESC, neighbor_doc) AS BIGINT) AS rn, score FROM msum)
-         |SELECT query_doc, neighbor_doc, rn, score FROM r
-         |WHERE rn <= 5 ORDER BY query_doc, rn""".stripMargin,
+    "ann_maxsim_topk" -> maxSimTopKOracleSql,
+    "ann_maxsim_indexed" -> maxSimIndexedOracleSql,
+    // MaxSim recall monitor: both tiers' full replays composed through
+    // the shared hit-count/ratio form (the recallOracleSql pattern, with
+    // the exact side the late-interaction scan instead of single-vector
+    // brute force)
+    "ann_recall_maxsim" -> maxSimRecallOracleSql,
+    "ann_maxsim_text" -> maxSimTextOracleSql,
     "ann_lsh_topk" -> annOracleSql,
     // hard negatives: the brute-force oracle with the self AND +7-positive
     // exclusions applied before the rank
@@ -5478,10 +5715,33 @@ object SparkEntry {
       s"""WITH lab AS (${componentsOracleSql})
          |SELECT doc_id, label, ${Sampling.splitAssignSql("label")} AS split
          |FROM lab ORDER BY doc_id""".stripMargin,
+    // stored-lifecycle twins (r18): the indexed projection and the
+    // incremental merge must both land on exactly the one-shot leak-free
+    // assignment of the full corpus — the same closure-label oracle
+    "sample_split_indexed" ->
+      s"""WITH lab AS (${componentsOracleSql})
+         |SELECT doc_id, label, ${Sampling.splitAssignSql("label")} AS split
+         |FROM lab ORDER BY doc_id""".stripMargin,
+    "sample_split_incr" ->
+      s"""WITH lab AS (${componentsOracleSql})
+         |SELECT doc_id, label, ${Sampling.splitAssignSql("label")} AS split
+         |FROM lab ORDER BY doc_id""".stripMargin,
     // split drift: BOTH corpora's closure labels (yesterday = %4!=1,
     // today = all), each split-bucketed on its own label, joined on the
     // common docs → the transition matrix the engine reports
     "sample_split_drift" ->
+      s"""WITH la AS (${componentsOracleSqlWhere("doc_id % 4 <> 1")}),
+         |lb AS (${componentsOracleSql}),
+         |wa AS (SELECT doc_id, ${Sampling.splitAssignSql("label")} AS split_was FROM la),
+         |wb AS (SELECT doc_id, ${Sampling.splitAssignSql("label")} AS split_now FROM lb)
+         |SELECT split_was, split_now, CAST(count(*) AS BIGINT) AS n_docs,
+         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         |FROM wa JOIN wb USING (doc_id)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the stored-lifecycle drift form reports the SAME matrix (yesterday
+    // %4!=1 vs merged full corpus) — published-table reads change where
+    // the assignments come from, not the transitions
+    "sample_split_drift_indexed" ->
       s"""WITH la AS (${componentsOracleSqlWhere("doc_id % 4 <> 1")}),
          |lb AS (${componentsOracleSql}),
          |wa AS (SELECT doc_id, ${Sampling.splitAssignSql("label")} AS split_was FROM la),

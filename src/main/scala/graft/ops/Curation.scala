@@ -518,9 +518,14 @@ object Curation {
       s"commit ledger '$commitLedger' not found — refusing to fold decision " +
         "dirs without the commit watermark (an uncommitted batch's published " +
         "dir must survive for crash replay)")
-    val watermark = Option(
-        spark.table(commitLedger).agg(max("batch_id")).head().get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(return 0L)
+    // explicit match, not getOrElse(return ...): the non-local return from
+    // inside a by-name thunk rides NonLocalReturnControl, which a future
+    // catch-all handler would silently swallow into "folded 0" (ADVICE r17)
+    val watermark: Long =
+      spark.table(commitLedger).agg(max("batch_id")).head().get(0) match {
+        case null => return 0L // empty commit ledger: nothing safely foldable
+        case w: java.lang.Long => w.longValue()
+      }
     val bound = math.min(upToBatchId, watermark)
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(ledgerDir)
@@ -558,7 +563,16 @@ object Curation {
         // exact column order first (ADVICE r16) — a ledger dir whose
         // parquet column order drifted from the compacted table (schema
         // evolution in decideBatch) must not silently land audit values
-        // in wrong same-typed columns
+        // in wrong same-typed columns. Order may drift; the column SET
+        // may not (ADVICE r17): projecting a dir that carries an extra
+        // column would silently DROP it and the delete below would then
+        // destroy the only copy of that audit data — fail loudly instead.
+        require(src.columns.toSet == spark.table(compactedTable).columns.toSet,
+          s"decision-ledger dir for batch $n has columns " +
+            s"${src.columns.sorted.mkString(",")} but compacted table " +
+            s"'$compactedTable' has ${spark.table(compactedTable).columns.sorted
+              .mkString(",")} — a column-set mismatch cannot be repaired by " +
+            "reordering; migrate the table schema before folding")
         src.select(spark.table(compactedTable).columns.map(col): _*)
           .write.option("partitionOverwriteMode", "dynamic")
           .mode(org.apache.spark.sql.SaveMode.Overwrite)

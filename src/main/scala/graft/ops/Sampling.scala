@@ -105,18 +105,41 @@ object Sampling {
     * projection over the label — deterministic, disjoint + exhaustive,
     * stable under repartitioning, engine-replayable (the oracle computes
     * the same labels via recursive-CTE closure and the same bucket rule).
-    * Returns `(doc_id, label, split)`. */
+    * Returns `(doc_id, label, split)`, UNSORTED — a 100 TB caller never
+    * needs the global sort (the gate adds its own `orderBy` for the
+    * deterministic dump). The result is persisted+materialized (its
+    * lineage runs through the since-released component labels); callers
+    * that hold it should unpersist when done, and callers that cannot
+    * (the bench/verify harnesses evaluate returned frames without a
+    * release hook — ADVICE r17) are covered by the one-slot handoff:
+    * each call releases the PREVIOUS call's cached assignment, bounding
+    * leaked executor storage to one table regardless of run count. */
   def splitAssignLeakFree(docs: DataFrame,
       splits: Seq[(String, Int)] = Seq("train" -> 80, "val" -> 10, "test" -> 10),
-      salt: String = "split"): DataFrame = {
+      salt: String = "split"): DataFrame =
+    handoff(splitAssignLeakFreeRaw(docs, splits, salt))
+
+  /** Caller-managed form of [[splitAssignLeakFree]] (no handoff): for
+    * internal composition that joins TWO live assignments — the handoff
+    * would release the first while the second still needs it. */
+  private def splitAssignLeakFreeRaw(docs: DataFrame,
+      splits: Seq[(String, Int)], salt: String): DataFrame = {
     val labels = Dedup.nearDupComponents(docs)
     val out = splitAssign(labels, "label", splits, salt)
       .select(col("doc_id"), col("label"), col("split"))
-      .orderBy("doc_id")
       .persist()
     out.count() // materialize before releasing the label table
     labels.unpersist()
     out
+  }
+
+  private val lastHandoff =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
+  private def handoff(df: DataFrame): DataFrame = {
+    val prev = lastHandoff.getAndSet(df)
+    if (prev != null) prev.unpersist() // no-op if a test already released it
+    df
   }
 
   /** SPLIT-STABILITY audit for [[splitAssignLeakFree]] under corpus
@@ -136,22 +159,118 @@ object Sampling {
     *
     * Scale shape: two component resolutions (each the bounded hybrid)
     * plus one equi-join on doc_id and a ≤|splits|² aggregation — nothing
-    * new shuffles beyond what the assignments themselves cost. */
+    * new shuffles beyond what the assignments themselves cost. This is
+    * the FROM-SCRATCH form (both corpora re-clustered per call) — its
+    * oracle anchor; a daily pipeline uses the stored-lifecycle twin
+    * [[splitDriftReportIndexed]], which reads yesterday's PUBLISHED
+    * assignment and folds today's batch as a delta. The ≤|splits|²-row
+    * matrix is collected and rebuilt as a local frame, so nothing stays
+    * persisted after the call (ADVICE r17). */
   def splitDriftReport(docsOld: DataFrame, docsNew: DataFrame,
       splits: Seq[(String, Int)] = Seq("train" -> 80, "val" -> 10, "test" -> 10),
       salt: String = "split"): DataFrame = {
-    val a = splitAssignLeakFree(docsOld, splits, salt)
-    val b = splitAssignLeakFree(docsNew, splits, salt)
-    val out = a.select(col("doc_id"), col("split").as("split_was"))
-      .join(b.select(col("doc_id"), col("split").as("split_now")), Seq("doc_id"))
+    val a = splitAssignLeakFreeRaw(docsOld, splits, salt)
+    val b = splitAssignLeakFreeRaw(docsNew, splits, salt)
+    val out = transitionMatrix(
+      a.select(col("doc_id"), col("split").as("split_was")),
+      b.select(col("doc_id"), col("split").as("split_now")))
+    a.unpersist(); b.unpersist()
+    out
+  }
+
+  /** The split transition matrix of two `(doc_id, split)` assignments
+    * joined on their common documents — shared by both drift forms. The
+    * result is at most |splits|² rows, so it is collected and returned as
+    * a LOCAL frame: no persisted state survives the call. */
+  /** The distributed half of [[transitionMatrix]] as a PLAN (package-
+    * visible so SamplingSpec can assert the stored-lifecycle form joins
+    * the two bucketed tables without an exchange on either input). */
+  private[graft] def transitionPlan(was: DataFrame, now: DataFrame): DataFrame =
+    was.join(now, Seq("doc_id"))
       .groupBy("split_was", "split_now")
       .agg(count(lit(1)).as("n_docs"),
         min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
-      .orderBy("split_was", "split_now")
-      .persist()
-    out.count() // materialize before releasing the two assignment tables
-    a.unpersist(); b.unpersist()
-    out
+
+  private def transitionMatrix(was: DataFrame, now: DataFrame): DataFrame = {
+    val spark = was.sparkSession
+    import spark.implicits._
+    val rows = transitionPlan(was, now)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(t => (t._1, t._2))
+      .toSeq
+    rows.toDF("split_was", "split_now", "n_docs", "min_doc", "max_doc")
+  }
+
+  /** STORED-LIFECYCLE form of [[splitAssignLeakFree]]: a pure projection
+    * over the PUBLISHED components table that
+    * [[Dedup.buildComponentsTable]] / [[Dedup.mergeComponentsIncr]] /
+    * [[Dedup.purgeFromComponentsTable]] maintain — the corpus is never
+    * re-shingled, re-signed, or re-banded here (VERDICT r17 item 1: the
+    * from-scratch form was the only operator ignoring the engine's own
+    * publish-the-artifact discipline). Because a stored label IS its
+    * component's minimum and the incremental merge keeps the table
+    * bit-identical to a one-shot clustering of the union corpus, this
+    * projection equals [[splitAssignLeakFree]] over that corpus exactly —
+    * the `sample_split_indexed`/`sample_split_incr` gates share its
+    * oracle. Unsorted, unpersisted, shuffle-free: at 100 TB the daily
+    * cost of the leak-free split is reading a 16-byte-per-doc table. */
+  def splitAssignIndexed(spark: org.apache.spark.sql.SparkSession,
+      compTable: String,
+      splits: Seq[(String, Int)] = Seq("train" -> 80, "val" -> 10, "test" -> 10),
+      salt: String = "split"): DataFrame = {
+    graft.sources.Formats.requireBuilt(spark, compTable)
+    splitAssign(spark.table(compTable), "label", splits, salt)
+      .select(col("doc_id"), col("label"), col("split"))
+  }
+
+  /** Publish the leak-free assignment as its own bucketed table (the
+    * artifact downstream training jobs and tomorrow's drift audit read):
+    * `(doc_id, label, split)` bucketed on `doc_id` with the standard
+    * build manifest, stamped with the COMPONENT table's corpus stamp so a
+    * reader can verify which corpus generation the assignment describes
+    * (the same generation-alignment contract [[Dedup.mergeComponentsIncr]]
+    * enforces between its two artifacts). */
+  def publishSplitAssignment(spark: org.apache.spark.sql.SparkSession,
+      compTable: String, splitTable: String,
+      splits: Seq[(String, Int)] = Seq("train" -> 80, "val" -> 10, "test" -> 10),
+      salt: String = "split", numBuckets: Int = 8): Unit = {
+    val assign = splitAssignIndexed(spark, compTable, splits, salt)
+    graft.sources.Formats.writeBucketed(assign, splitTable, Seq("doc_id"), numBuckets)
+    val (n, fp) = graft.sources.Formats.readBuildMeta(spark, compTable)
+      .map(m => (m._1, m._2))
+      .getOrElse(throw new IllegalStateException(
+        s"components table '$compTable' has no build manifest — publish " +
+          "from a table built by buildComponentsTable"))
+    graft.sources.Formats.writeBuildMeta(spark, splitTable,
+      s"kind=split,salt=$salt,buckets=$numBuckets", n, fp)
+  }
+
+  /** STORED-LIFECYCLE drift audit — [[splitDriftReport]]'s production
+    * twin, O(batch + flips) instead of two corpus re-clusterings:
+    * yesterday's assignment is READ from its published table
+    * (`prevSplitTable`, written by [[publishSplitAssignment]] before
+    * today's ingest), today's is a pure projection of the components
+    * table AFTER [[Dedup.mergeComponentsIncr]] folded the day's batch
+    * (batch-delta cost, corpus never re-read), and the transition matrix
+    * is one doc_id equi-join of two tables bucketed the same way —
+    * zero-exchange on both sides (SamplingSpec asserts the plan) — plus
+    * a ≤|splits|² aggregation returned as a local frame. The daily
+    * pipeline order is: publish → merge batch → drift-audit → republish.
+    *
+    * Both inputs are published artifacts, so the audit is also REPLAYABLE
+    * after the fact (yesterday's table is immutable until republished) —
+    * the from-scratch form loses that the moment the corpus grows. */
+  def splitDriftReportIndexed(spark: org.apache.spark.sql.SparkSession,
+      prevSplitTable: String, compTable: String,
+      splits: Seq[(String, Int)] = Seq("train" -> 80, "val" -> 10, "test" -> 10),
+      salt: String = "split"): DataFrame = {
+    graft.sources.Formats.requireBuilt(spark, prevSplitTable)
+    transitionMatrix(
+      spark.table(prevSplitTable)
+        .select(col("doc_id"), col("split").as("split_was")),
+      splitAssignIndexed(spark, compTable, splits, salt)
+        .select(col("doc_id"), col("split").as("split_now")))
   }
 
   /** Systematic probability-proportional-to-size document sampling: walk

@@ -86,15 +86,49 @@ object Similarity {
     * oracle-replayed). Output `score` is the quantized long (BIGINT
     * outward per the outward-type rule); ties break on neighbor id. */
   def maxSimTopK(emb: DataFrame, queryPred: Column, groupSize: Int = 8,
-      k: Int = 5): DataFrame = {
-    graft.functions.FloatDot.register(emb.sparkSession)
-    val t = emb.select(expr(s"vec_id div $groupSize").as("dkey"),
-      col("vec_id"), col("embedding"))
-    val q = t.filter(queryPred)
-      .select(col("dkey").as("query_doc"), col("vec_id").as("qtok"),
+      k: Int = 5): DataFrame =
+    maxSimTopKTokens(
+      emb.select(expr(s"vec_id div $groupSize").as("dkey"),
+        col("vec_id").as("tok_id"), col("embedding")),
+      queryPred, k)
+
+  /** Hard bound on the exact tier's broadcast query panel, in TOKEN rows.
+    * The panel rides a [[broadcast]] hint into a nested-loop join (the
+    * only join shape the non-equi `query_doc =!= neighbor_doc` predicate
+    * admits without an index), so a corpus-scale panel would hit the 8 GB
+    * broadcast cap / driver memory long before the join even starts
+    * (ADVICE r17). 1M rows × ~(4·dim + 24) B ≈ 150 MB at dim=32 —
+    * comfortably broadcastable; anything larger is a workload for
+    * [[maxSimTopKIndexed]], whose per-token cell probes are equi-joins
+    * that never broadcast the corpus side. Enforced loudly (the
+    * guardedLong discipline): a silent fallback would be a
+    * CartesianProduct — the one plan shape this engine bans. */
+  val MaxSimExactPanelRows: Long = 1_000_000L
+
+  private def requireBroadcastablePanel(q: DataFrame, op: String): Unit = {
+    val qn = q.count()
+    require(qn <= MaxSimExactPanelRows,
+      s"$op query panel has $qn token rows — the exact MaxSim tier " +
+        s"broadcasts the panel into a nested-loop join and is bounded at " +
+        s"$MaxSimExactPanelRows rows; route corpus-scale panels through " +
+        "maxSimTopKIndexed (cell-probed equi-joins, no panel broadcast)")
+  }
+
+  /** [[maxSimTopK]] over an EXPLICIT token table `(dkey, tok_id,
+    * embedding)` — the form a real late-interaction corpus feeds (per-token
+    * encoder outputs keyed by their document), extracted so the text
+    * composition path ([[graft.ops.TextAnalysis.hashEmbedWindows]] →
+    * MaxSim) runs the identical scoring plan as the synthetic-group gate.
+    * Same exactness contract: fixed-point `floor(cos·2^24)` LONG sums,
+    * ties on neighbor id. */
+  def maxSimTopKTokens(toks: DataFrame, queryPred: Column, k: Int = 5): DataFrame = {
+    graft.functions.FloatDot.register(toks.sparkSession)
+    val q = toks.filter(queryPred)
+      .select(col("dkey").as("query_doc"), col("tok_id").as("qtok"),
         col("embedding").as("qv"), sqrt(dot("embedding", "embedding")).as("qnorm"))
-    val c = t.select(col("dkey").as("neighbor_doc"), col("embedding").as("nv"),
+    val c = toks.select(col("dkey").as("neighbor_doc"), col("embedding").as("nv"),
       sqrt(dot("embedding", "embedding")).as("nnorm"))
+    requireBroadcastablePanel(q, "maxSimTopKTokens")
     val best = broadcast(q).join(c, col("query_doc") =!= col("neighbor_doc"))
       .withColumn("cos", dot("qv", "nv") / (col("qnorm") * col("nnorm")))
       .groupBy("query_doc", "neighbor_doc", "qtok")
@@ -150,6 +184,10 @@ object Similarity {
     val q = toks.filter(queryPred)
       .select(col("dkey").as("query_doc"), col("vec_id").as("qtok"),
         col("embedding").as("qv"))
+    // the probe panel (q × nprobe rows) broadcasts too — same loud bound
+    // as the exact tier (ADVICE r17); unlike there, the corpus side here
+    // is equi-joined on cell, so only the panel size is at stake
+    requireBroadcastablePanel(q, "maxSimTopKIndexed")
     // per-token probed cells off the stored pivots
     val wProbe = Window.partitionBy(col("qtok"))
       .orderBy(col("pcos").desc, col("pid"))
@@ -193,6 +231,84 @@ object Similarity {
       .filter(col("rn") <= k)
       .select("query_doc", "neighbor_doc", "rn", "score")
       .orderBy("query_doc", "rn")
+  }
+
+  /** Default (nprobe × shortlist) grid for [[maxSimProbeCalibration]]:
+    * covers the cheap corner (1,5) through 4× the serving defaults on
+    * both axes — wide enough that the pick is a real optimum, small
+    * enough that calibration stays a handful of sample-sized probes. */
+  val DefaultMaxSimGrid: Seq[(Int, Int)] =
+    Seq((1, 5), (1, 10), (1, 20), (2, 5), (2, 10), (2, 20), (4, 10), (4, 20))
+
+  /** Recall surface of the per-token probe ([[maxSimTopKIndexed]]) over
+    * an (nprobe × shortlist) grid, against the exact MaxSim tier on the
+    * SAME stored corpus — the late-interaction analogue of
+    * [[nprobeCalibration]] (VERDICT r17 item 4). The per-token probe's
+    * recall behaves structurally unlike single-vector IVF, so the
+    * single-axis monitors don't transfer: a document reaches the
+    * shortlist if ANY of its tokens lands a strong partial hit in a
+    * probed cell, and widening `shortlist` recovers docs whose partial
+    * score under-ranks their exact score — a failure mode `nprobe` alone
+    * cannot buy back. The two axes must be swept TOGETHER; returns one
+    * row per grid point `(nprobe, shortlist, sample_recall)` with the
+    * mean per-query recall@k over the sample.
+    *
+    * Scale shape: the expensive exact ground truth runs ONCE over the
+    * sample (the deployment pattern — recall audits run on a query
+    * sample, not the workload) and each grid point is one bucket-pruned
+    * probe; per-point driver traffic is a single averaged double. */
+  def maxSimProbeCalibration(spark: org.apache.spark.sql.SparkSession,
+      ivfTable: String, vecTable: String, samplePred: Column,
+      grid: Seq[(Int, Int)] = DefaultMaxSimGrid,
+      groupSize: Int = 8, k: Int = 5): DataFrame = {
+    graft.sources.Formats.requireBuilt(spark, ivfTable)
+    import spark.implicits._
+    def asQn(df: DataFrame): DataFrame = df
+      .withColumnRenamed("query_doc", "query_id")
+      .withColumnRenamed("neighbor_doc", "neighbor_id")
+    val emb = spark.table(ivfTable).select(col("vec_id"), col("embedding"))
+    val exact = asQn(maxSimTopK(emb, samplePred, groupSize, k)).persist()
+    // loud empty-sample contract, same cause-naming as calibrateNprobe
+    // (ADVICE r16): an empty grid sweep must not read as zero recall
+    require(exact.count() > 0,
+      s"MaxSim calibration sample for '$ivfTable' is empty (predicate " +
+        "selected no query docs with neighbors) — widen samplePred")
+    val rows = grid.map { case (np, sl) =>
+      val approx = asQn(maxSimTopKIndexed(spark, ivfTable, vecTable,
+        samplePred, groupSize, k, np, sl))
+      val rec = recallAtK(approx, exact)
+        .agg(avg("recall")).head().getDouble(0)
+      (np, sl, rec)
+    }
+    exact.unpersist()
+    rows.toDF("nprobe", "shortlist", "sample_recall")
+  }
+
+  /** Scalar pick over [[maxSimProbeCalibration]]'s surface: the CHEAPEST
+    * grid point whose sample recall clears `recallTarget + margin`
+    * (margin cushions the sample estimate's binomial error exactly as
+    * [[calibrateNprobe]] documents). Cost order is `nprobe · shortlist`
+    * first (stage-1 probed-cell volume × stage-2 exact re-rank fetches —
+    * the two terms a serving deployment pays), then the narrower probe.
+    * Loud when even the widest grid point misses the adjusted target on
+    * the sample: that is an index-build/grid problem, not a default to
+    * silently under-serve. */
+  def calibrateMaxSimProbe(spark: org.apache.spark.sql.SparkSession,
+      ivfTable: String, vecTable: String, samplePred: Column,
+      recallTarget: Double, grid: Seq[(Int, Int)] = DefaultMaxSimGrid,
+      groupSize: Int = 8, k: Int = 5, margin: Double = 0.05): (Int, Int) = {
+    val adjusted = math.min(recallTarget + margin, 1.0)
+    val surface = maxSimProbeCalibration(spark, ivfTable, vecTable,
+      samplePred, grid, groupSize, k)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    val met = surface.filter(_._3 >= adjusted)
+    require(met.nonEmpty,
+      s"no (nprobe, shortlist) in grid ${grid.mkString(",")} reaches " +
+        s"margin-adjusted recall $adjusted (target $recallTarget + margin " +
+        s"$margin) on the sample for '$ivfTable' — best was " +
+        f"${surface.map(_._3).max}%.3f; widen the grid or retrain the index")
+    val (np, sl, _) = met.minBy { case (n, s, _) => (n.toLong * s, n, s) }
+    (np, sl)
   }
 
   /** HARD-NEGATIVE mining — the contrastive-training data op: for each

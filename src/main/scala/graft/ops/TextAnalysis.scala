@@ -1508,4 +1508,48 @@ object TextAnalysis {
           when(col("norm") > 0, col("v")(i).cast("double") / col("norm"))
             .otherwise(lit(0.0d)).cast("float")): _*).as("embedding"))
   }
+
+  /** PER-TOKEN-WINDOW featurization — [[hashEmbed]] lifted from documents
+    * to consecutive `winTokens`-token windows of the alnum token stream:
+    * one L2-normalized signed-hash vector per (doc, window), capped at the
+    * first `maxWins` windows (the truncated-encoding convention every
+    * late-interaction encoder applies — ColBERT truncates documents to a
+    * fixed token budget). This is the corpus-derived multi-vector input
+    * the MaxSim stack serves ([[graft.ops.Similarity.maxSimTopKTokens]]):
+    * text → window vectors → late-interaction retrieval end-to-end with
+    * no given embeddings table, closing the same loop for the multi-vector
+    * stack that [[hashEmbed]] + LSH closed for the single-vector one.
+    *
+    * Unlike [[hashEmbed]] the result is position-DEPENDENT (windows chunk
+    * the ordered token stream), but both engines' tokenizers preserve
+    * stream order, so the replay is still exact. All-cancelled (zero-norm)
+    * windows are dropped on both sides — a zero vector has no cosine and
+    * would ride engine-specific NaN semantics into the ranking. Scale
+    * shape: one explode + two hash-aggregations, map-side combinable,
+    * shuffle bounded by docs × maxWins × dim partial sums. Returns
+    * `(doc_id, win, embedding)`. */
+  def hashEmbedWindows(docs: DataFrame, dim: Int = Similarity.Dim,
+      winTokens: Int = 8, maxWins: Int = 4): DataFrame = {
+    val voted = docs
+      .select(col("doc_id"), posexplode(SharedCorpus.alnumOf(docs)).as(Seq("pos", "tok")))
+      .withColumn("win", expr(s"pos div $winTokens"))
+      .filter(col("win") < maxWins)
+      .groupBy(col("doc_id"), col("win"),
+        pmod(CrossHash.h60(concat(lit("he:"), col("tok"))), lit(dim.toLong)).as("idx"))
+      .agg(sum(when(
+        pmod(CrossHash.h60(concat(lit("hs:"), col("tok"))), lit(2L)) === 0, 1L)
+        .otherwise(-1L)).as("v"))
+    voted.groupBy(col("doc_id"), col("win"))
+      .agg(
+        map_from_entries(collect_list(struct(col("idx"), col("v")))).as("m"),
+        sum(col("v") * col("v")).as("ss"))
+      .filter(col("ss") > 0) // all-cancelled window: no direction to keep
+      .select(col("doc_id"), col("win"),
+        array((0 until dim).map(i =>
+          coalesce(element_at(col("m"), lit(i.toLong)), lit(0L))): _*).as("v"),
+        sqrt(col("ss").cast("double")).as("norm"))
+      .select(col("doc_id"), col("win"),
+        array((0 until dim).map(i =>
+          (col("v")(i).cast("double") / col("norm")).cast("float")): _*).as("embedding"))
+  }
 }

@@ -109,6 +109,63 @@ class SamplingSpec extends SparkTestBase {
     a.unpersist(); b.unpersist(); drift.unpersist()
   }
 
+  test("stored-lifecycle split: indexed projection == from-scratch, the " +
+      "probe never re-bands the corpus, and the drift join is exchange-free") {
+    val docs = Tables.documents(spark, sfDir)
+    val old = docs.filter(col("doc_id") % 4 =!= 1)
+    // one day of the pipeline: cluster yesterday, publish, fold the batch
+    graft.ops.Dedup.buildBandIndex(old, "t_split_band")
+    graft.ops.Dedup.buildComponentsTable(old, "t_split_comp")
+    Sampling.publishSplitAssignment(spark, "t_split_comp", "t_split_assign")
+    graft.ops.Dedup.mergeComponentsIncr(spark, "t_split_comp", "t_split_band",
+      docs.filter(col("doc_id") % 4 === 1))
+    // the merged table's projection equals the from-scratch leak-free
+    // split of the full corpus, row for row
+    val indexed = Sampling.splitAssignIndexed(spark, "t_split_comp")
+    val scratch = Sampling.splitAssignLeakFree(docs)
+    assert(indexed.exceptAll(scratch).count() === 0 &&
+      scratch.exceptAll(indexed).count() === 0)
+    scratch.unpersist()
+    // published yesterday-assignment equals the from-scratch split of old
+    val pubWas = spark.table("t_split_assign")
+    val scratchOld = Sampling.splitAssignLeakFree(old)
+    assert(pubWas.exceptAll(scratchOld).count() === 0 &&
+      scratchOld.exceptAll(pubWas).count() === 0)
+    scratchOld.unpersist()
+    // THE lifecycle contract: the serving projection reads only the
+    // stored label table — no shingling, no signatures, no band mining
+    val probePlan = indexed.queryExecution.executedPlan.toString
+    assert(probePlan.contains("t_split_comp"),
+      s"probe must read the stored components table:\n$probePlan")
+    // (md5 is NOT in the banned list: the split-bucket hash itself is an
+    // md5 over the stored label — corpus re-derivation shows up as the
+    // tokenize/shingle/band machinery below, or a documents scan)
+    Seq("Explode", "RegExpReplace", "documents.parquet").foreach(bad =>
+      assert(!probePlan.contains(bad),
+        s"stored-split probe re-derives the corpus ('$bad' in plan):\n$probePlan"))
+    // drift = one join of two doc_id-bucketed tables: with broadcast off
+    // (at 100 TB both sides are corpus-sized — the sort-merge form is the
+    // scale plan), neither join input may shuffle; the only exchange is
+    // the tiny matrix aggregation's on (split_was, split_now)
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Sampling.transitionPlan(
+        spark.table("t_split_assign").select(col("doc_id"), col("split").as("split_was")),
+        Sampling.splitAssignIndexed(spark, "t_split_comp")
+          .select(col("doc_id"), col("split").as("split_now")))
+      val driftPlan = joined.queryExecution.executedPlan.toString
+      assert(!driftPlan.contains("Exchange hashpartitioning(doc_id"),
+        s"drift join shuffled a bucketed input:\n$driftPlan")
+      assert(driftPlan.contains("SortMergeJoin"),
+        s"expected the bucketed sort-merge form:\n$driftPlan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    // and the indexed drift report equals the from-scratch one
+    val viaIndex = Sampling.splitDriftReportIndexed(spark, "t_split_assign", "t_split_comp")
+    val viaScratch = Sampling.splitDriftReport(old, docs)
+    assert(viaIndex.collect().toSeq === viaScratch.collect().toSeq)
+  }
+
   test("splitAssignLeakFree: no near-dup pair straddles a split, " +
       "exhaustive, and singletons degrade to the per-label hash split") {
     val docs = Tables.documents(spark, sfDir)

@@ -117,6 +117,48 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("maxSim probe calibration: shortlist axis is monotone, the pick is " +
+      "the cheapest grid point meeting the adjusted target, empty sample is loud") {
+    try {
+      Similarity.buildIvfIndex(emb, "graft_msc_ivf")
+      Similarity.buildVectorStore(emb, "graft_msc_vec")
+      val surface = Similarity.maxSimProbeCalibration(spark, "graft_msc_ivf",
+        "graft_msc_vec", expr("dkey % 10 = 0")).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      assert(surface.length === Similarity.DefaultMaxSimGrid.length)
+      // at fixed nprobe a wider shortlist re-ranks a SUPERSET of
+      // candidates exactly, so recall along that axis cannot drop (the
+      // nprobe axis carries no such guarantee: partial scores shift
+      // non-uniformly as cells are added, which is exactly why the two
+      // axes are calibrated together)
+      for {
+        (n1, s1, r1) <- surface
+        (n2, s2, r2) <- surface if n2 == n1 && s2 > s1
+      } assert(r2 >= r1 - 1e-12,
+        s"shortlist widening lost recall: ($n1,$s1)=$r1 -> ($n2,$s2)=$r2")
+      // the pick: cheapest (nprobe*shortlist) point clearing target+margin
+      val best = surface.map(_._3).max
+      assert(best > 0.3, s"grid never exceeds recall 0.3 — surface $best")
+      val target = best - 0.051 // margin 0.05 keeps the target reachable
+      val (np, sl) = Similarity.calibrateMaxSimProbe(spark, "graft_msc_ivf",
+        "graft_msc_vec", expr("dkey % 10 = 0"), target)
+      val met = surface.filter(_._3 >= math.min(target + 0.05, 1.0))
+      val cheapest = met.minBy { case (n, s, _) => (n.toLong * s, n, s) }
+      assert((np, sl) === ((cheapest._1, cheapest._2)))
+      assert(surface.find(p => p._1 == np && p._2 == sl).get._3 >= target)
+      // an empty calibration sample names its cause instead of reading
+      // as zero recall (the calibrateNprobe contract)
+      val e = intercept[IllegalArgumentException] {
+        Similarity.maxSimProbeCalibration(spark, "graft_msc_ivf",
+          "graft_msc_vec", lit(false))
+      }
+      assert(e.getMessage.contains("sample"), e.getMessage)
+    } finally {
+      Seq("graft_msc_ivf", "graft_msc_ivf_pivots", "graft_msc_vec")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("bruteForceTopK contract: k rows per query, ranked, no self-pairs") {
     val out = Similarity.bruteForceTopK(emb, col("vec_id") < 5, k = 5).cache()
     assert(out.count() === 25)

@@ -563,6 +563,43 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out(3L).exists(_ !== 0.0f))
   }
 
+  test("hashEmbedWindows: window chunking equals hashEmbed of each chunk, " +
+      "window cap holds, unit norms, layout-invariant") {
+    import spark.implicits._
+    // 10 alnum tokens -> windows [t0..t7], [t8 t9]; cap 4 is not hit.
+    // ("tok8","tok9" would be a one-in-32 accident: both hash to dim 9
+    // with opposite signs, so THAT window correctly cancels to zero and
+    // is dropped — "word*" verified non-cancelling)
+    val toks = (0 until 10).map(i => s"word$i")
+    val one = Seq((7L, toks.mkString(" "))).toDF("doc_id", "text")
+    val out = TextAnalysis.hashEmbedWindows(one, dim = 16).collect()
+      .map(r => (r.getLong(1), r.getSeq[Float](2).toArray)).toMap
+    assert(out.keySet === Set(0L, 1L))
+    // each window vector IS hashEmbed of a doc holding just that chunk —
+    // the chunking adds position structure, not new featurization
+    def embedOf(text: String): Array[Float] =
+      TextAnalysis.hashEmbed(Seq((0L, text)).toDF("doc_id", "text"), 16)
+        .collect().head.getSeq[Float](1).toArray
+    assert(out(0L).sameElements(embedOf(toks.take(8).mkString(" "))))
+    assert(out(1L).sameElements(embedOf(toks.drop(8).mkString(" "))))
+    // the cap: a 100-token doc keeps exactly maxWins windows
+    val long = Seq((8L, (0 until 100).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val capped = TextAnalysis.hashEmbedWindows(long, dim = 16).collect()
+    assert(capped.map(_.getLong(1)).sorted.toSeq === Seq(0L, 1L, 2L, 3L))
+    // real corpus: unit norms, win bounded, repartition-stable
+    val real = TextAnalysis.hashEmbedWindows(docs).cache()
+    assert(real.filter(col("win") >= 4 || col("win") < 0).count() === 0)
+    real.collect().foreach { r =>
+      val n = math.sqrt(r.getSeq[Float](2).map(x => x.toDouble * x).sum)
+      assert(math.abs(n - 1.0) < 1e-5, s"(${r.getLong(0)},${r.getLong(1)}) norm $n")
+    }
+    val again = TextAnalysis.hashEmbedWindows(docs.repartition(7))
+    assert(real.exceptAll(again).count() === 0 &&
+      again.exceptAll(real).count() === 0)
+    real.unpersist()
+  }
+
   test("fingerprint: fp_norm is whitespace-invariant, fp_raw is not") {
     val fps = TextAnalysis.fingerprint(tinyDocs).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap

@@ -41,6 +41,10 @@ else:
     print(f"calib: prior {cp} -> current {cc}  (ambient factor {deflate:.3f})")
 qp, qc = prior["queries"], cur["queries"]
 common = [k for k in qc if k in qp and qp[k] > 0 and qc[k] > 0]
+if not common:
+    print(f"no common gates between the two artifacts "
+          f"({len(qp)}/{len(qc)} each side) - nothing to compare")
+    sys.exit(2)
 if len(common) < min(len(qp), len(qc)) * 0.9:
     print(f"WARNING: only {len(common)} common gates of "
           f"{len(qp)}/{len(qc)} - sweep shapes differ, deflation is rough")
