@@ -151,6 +151,35 @@ object RecallSweep {
           println(s"MAXSIM TARGET t=$t UNREACHABLE on grid: ${e.getMessage}")
       }
     }
+    // Clustered shape for MaxSim: anchor by DOC GROUP (dkey % 8), not by
+    // vec_id — the ivf clustered synthetic above cycles anchors WITHIN a
+    // group (vec_id % 8), which makes every document identical under
+    // MaxSim. Grouping docs into 8 "topics" is the shape a real
+    // late-interaction corpus has (a document's tokens share its topic).
+    val msClustered = emb.select(col("vec_id"),
+      zip_with(
+        element_at(anchorLit, ((col("vec_id") / 8).cast("long") % 8).cast("int") + 1),
+        col("embedding"),
+        (a, x) => (a * lit(0.9f) + x * lit(0.1f)).cast("float")).as("embedding"))
+      .cache()
+    msClustered.count()
+    Similarity.buildIvfIndex(msClustered, "graft_sweep_msc_ivf")
+    Similarity.buildVectorStore(msClustered, "graft_sweep_msc_vec")
+    Similarity.maxSimProbeCalibration(spark, "graft_sweep_msc_ivf",
+        "graft_sweep_msc_vec", expr("dkey % 10 = 0"))
+      .collect().foreach(r => println(
+        f"MAXSIM-CLUSTERED np=${r.getInt(0)}%2d sl=${r.getInt(1)}%3d " +
+          f"recall=${r.getDouble(2)}%5.3f"))
+    for (t <- Seq(0.8, 0.9)) {
+      scala.util.Try(Similarity.calibrateMaxSimProbe(spark,
+          "graft_sweep_msc_ivf", "graft_sweep_msc_vec",
+          expr("dkey % 10 = 0"), t)) match {
+        case scala.util.Success((np, sl)) =>
+          println(f"MAXSIM-CLUSTERED TARGET t=$t np=$np%2d sl=$sl%3d met=true")
+        case scala.util.Failure(e) =>
+          println(s"MAXSIM-CLUSTERED TARGET t=$t UNREACHABLE on grid: ${e.getMessage}")
+      }
+    }
     spark.stop()
   }
 }

@@ -277,7 +277,7 @@ object SparkEntry {
       ("graft_comp_tbl", "graft_comp_tbl", "doc_id", one,
         Seq("dedup_components_incr")),
       ("graft_comp_prg", "graft_comp_prg", "doc_id", one,
-        Seq("dedup_components_purged")),
+        Seq("dedup_components_purged", "sample_split_purged")),
       ("graft_forget_band", "graft_forget_band_sigs", "doc_id", one,
         Seq("curation_forget")),
       ("graft_fuzzy_idx", "graft_fuzzy_idx", "id", None,
@@ -1063,6 +1063,23 @@ object SparkEntry {
     "sample_split_drift_indexed" -> ((s, d) => {
       ensureSplitLifecycle(s, d)
       Sampling.splitDriftReportIndexed(s, "graft_split_assign", "graft_split_comp")
+    }),
+    // forget propagation INTO the split (completes the split lifecycle's
+    // build/incr/purge triple): the assignment projected from the PURGED
+    // components table — dedup_components_purged's stored artifact,
+    // reused as-is — must equal the leak-free split of the filtered
+    // corpus (a removed bridge doc can SPLIT its component; the new
+    // smaller labels re-deal those docs' buckets, and the purge gate
+    // already proves the labels; this gate proves the projection rides
+    // them). Zero new builds: same buildOnce key as the purge gate.
+    "sample_split_purged" -> ((s, d) => {
+      val all = SharedCorpus.docsTok(s, d)
+      buildOnce(s"comp_purge:$d") {
+        Dedup.buildComponentsTable(all, "graft_comp_prg")
+        Dedup.purgeFromComponentsTable(s, "graft_comp_prg",
+          all.filter(col("doc_id") % 7 === 3).select("doc_id"))
+      }
+      Sampling.splitAssignIndexed(s, "graft_comp_prg").orderBy("doc_id")
     }),
     // the split-STABILITY audit under corpus growth (r17): yesterday's
     // corpus (%4!=1, the daily-batch convention) vs today's full corpus,
@@ -5724,6 +5741,12 @@ object SparkEntry {
          |FROM lab ORDER BY doc_id""".stripMargin,
     "sample_split_incr" ->
       s"""WITH lab AS (${componentsOracleSql})
+         |SELECT doc_id, label, ${Sampling.splitAssignSql("label")} AS split
+         |FROM lab ORDER BY doc_id""".stripMargin,
+    // forget propagation: the purged components oracle's labels (the
+    // dedup_components_purged replay), split-bucketed the same way
+    "sample_split_purged" ->
+      s"""WITH lab AS (${componentsOracleSqlWhere("doc_id % 7 <> 3")})
          |SELECT doc_id, label, ${Sampling.splitAssignSql("label")} AS split
          |FROM lab ORDER BY doc_id""".stripMargin,
     // split drift: BOTH corpora's closure labels (yesterday = %4!=1,
