@@ -653,6 +653,9 @@ object SparkEntry {
     // inside a gate), doubling this dump's cost; one partition of the
     // 320k-row long form is the same sizing Verify's coalesce(1) write
     // applies anyway. Row order is identical either way.
+    // (r18: measured the unsorted form at 1.84 s vs 1.64 s for this one —
+    // the single-partition sort is NOT the bottleneck here, the embed agg
+    // is — so the original shape stays)
     "ta_hash_embed" -> ((s, d) =>
       TextAnalysis.hashEmbed(SharedCorpus.docsTok(s, d))
         .select(col("doc_id"), posexplode(col("embedding")).as(Seq("dim_idx", "weight")))
@@ -970,7 +973,6 @@ object SparkEntry {
       Snapshot.snapshotAtVersion(base, log, 1).withColumn("as_of", lit(1L))
         .unionByName(
           Snapshot.snapshotAtVersion(base, log, 2).withColumn("as_of", lit(2L)))
-        .orderBy("as_of", "doc_id")
     }),
     // SCD2 dimension history off the same version chain: one row per
     // contiguous content interval, open interval = current row, a
@@ -1008,13 +1010,13 @@ object SparkEntry {
     // deterministic hash-based sampling (training-pipeline reproducibility)
     "sample_hash10" -> ((s, d) =>
       Sampling.hashSample(Tables.documents(s, d), "doc_id", 10)
-        .select("doc_id", "lang").orderBy("doc_id")),
+        .select("doc_id", "lang")),
     "sample_stratified" -> ((s, d) =>
       Sampling.stratifiedHashSample(Tables.documents(s, d), "doc_id", "lang", Map("en" -> 25))
-        .select("doc_id", "lang").orderBy("doc_id")),
+        .select("doc_id", "lang")),
     "sample_per_stratum" -> ((s, d) =>
       Sampling.perStratumSample(Tables.documents(s, d), "doc_id", "lang", 5)
-        .select("doc_id", "lang").orderBy("doc_id")),
+        .select("doc_id", "lang")),
     // systematic PPS (probability-proportional-to-size) sampling: the
     // hash-order token walk keeps a doc iff its span crosses a multiple
     // of the step — inclusion ∝ document length, exact integer arithmetic
@@ -1024,7 +1026,7 @@ object SparkEntry {
     // and retries — the reproducibility contract randomSplit cannot give
     "sample_split_assign" -> ((s, d) =>
       Sampling.splitAssign(Tables.documents(s, d), "doc_id")
-        .select("doc_id", "lang", "split").orderBy("doc_id")),
+        .select("doc_id", "lang", "split")),
     // LEAKAGE-FREE split (r17): the unit of assignment is the whole
     // near-dup COMPONENT (hash split on the component label), so a
     // document and its near-duplicate can never straddle train/test —
@@ -1100,7 +1102,6 @@ object SparkEntry {
       Tables.documents(s, d).select(
         col("doc_id"), u.as("url_canonical"),
         graft.ops.Curation.registrableDomain(u).as("domain"))
-        .orderBy("doc_id")
     }),
     // domain diversity cap: at most 20 docs per registrable domain by
     // deterministic hash rank — the mega-site guard
@@ -1253,7 +1254,7 @@ object SparkEntry {
         all.filter(col("doc_id") % 7 =!= 0)
           .withColumn("ts", timestamp_micros(col("doc_id"))),
         all.filter(col("doc_id") % 7 === 0))
-        .select("doc_id").orderBy("doc_id")
+        .select("doc_id")
     }),
     // streaming forget enforcement, batch mode: quality-admitted docs
     // filtered against the tombstone list (stream-static anti-join —
@@ -1265,7 +1266,7 @@ object SparkEntry {
       graft.streaming.StreamOps.streamTombstoneFiltered(
         graft.ops.Curation.qualityGate(all),
         all.filter(col("doc_id") % 11 === 5).select("doc_id"))
-        .select("doc_id").orderBy("doc_id")
+        .select("doc_id")
     }),
     // the one-row corpus health dashboard: doc count, exact-dup groups,
     // span-duplication incidence/ratio, quality-gate passes — each an
@@ -1359,7 +1360,6 @@ object SparkEntry {
       s.read.parquet(s"$root/ledger")
         .select("doc_id", "n_tokens", "q_ok", "lang_ok", "rep_ok",
           "dedup_ok", "clean_ok", "survived", "bucket", "seq_id", "seq_offset")
-        .orderBy("doc_id")
     }),
     // the forget composite (the daily commit's inverse): one takedown
     // request tombstoned into the next immutable snapshot AND physically
@@ -1810,8 +1810,7 @@ object SparkEntry {
     "mm_frames" -> ((s, d) =>
       Multimodal.sampleFrames(Multimodal.asBlobTable(Tables.documents(s, d)))
         .select(col("doc_id"), col("byte_len"), col("frame_idx").cast("long").as("frame_idx"),
-          hex(col("frame_bytes")).as("frame_hex"))
-        .orderBy("doc_id", "frame_idx")),
+          hex(col("frame_bytes")).as("frame_hex"))),
     // REAL mixed-media feature extraction (VERDICT r14 item 6 — the
     // fake-feature stub is retired): one mime-dispatched pass over the
     // PNG ∪ WAV blob corpus, pixel/sample moments per blob. Feature
@@ -1832,7 +1831,6 @@ object SparkEntry {
           element_at(col("feature"), 3).as("f_max"),
           element_at(col("feature"), 4).as("f_mean"),
           element_at(col("feature"), 5).as("f_energy"))
-        .orderBy("doc_id", "mime")
     }),
     // REAL codec path: deterministic grayscale PNGs synthesized ONCE into
     // a stored blob table (in a real pipeline the media bytes are inputs
@@ -1842,7 +1840,7 @@ object SparkEntry {
     // encode→PNG→store→decode round trip is exact
     "mm_decode_png" -> ((s, d) => {
       ensurePngBlobs(s, d)
-      Multimodal.decodePng(s.table("graft_png_blobs")).orderBy("doc_id")
+      Multimodal.decodePng(s.table("graft_png_blobs"))
     }),
     // perceptual hashes over the REAL-decoded pixel grid (the media dedup
     // tier, VERDICT r11 missing 2): 56-bit dHash codes, then banded-join
@@ -1850,7 +1848,7 @@ object SparkEntry {
     // images. The oracle replays the sampled-pixel formula decoder-free.
     "mm_phash" -> ((s, d) => {
       ensurePngBlobs(s, d)
-      Multimodal.dHash(s.table("graft_png_blobs")).orderBy("doc_id")
+      Multimodal.dHash(s.table("graft_png_blobs"))
     }),
     "mm_phash_pairs" -> ((s, d) => {
       ensurePngBlobs(s, d)
@@ -1907,7 +1905,7 @@ object SparkEntry {
     }),
     "mm_decode_wav" -> ((s, d) => {
       ensureWavBlobs(s, d)
-      Multimodal.decodeWav(s.table("graft_wav_blobs")).orderBy("doc_id")
+      Multimodal.decodeWav(s.table("graft_wav_blobs"))
     }),
     // perceptual AUDIO fingerprints over the REAL javax.sound decode (the
     // WAV twin of mm_phash): 32-bit windowed-loudness codes, then the
@@ -1915,7 +1913,7 @@ object SparkEntry {
     // modalities; oracles replay the sampled-window sums decoder-free
     "mm_ahash" -> ((s, d) => {
       ensureWavBlobs(s, d)
-      Multimodal.aHash(s.table("graft_wav_blobs")).orderBy("doc_id")
+      Multimodal.aHash(s.table("graft_wav_blobs"))
     }),
     "mm_ahash_pairs" -> ((s, d) => {
       ensureWavBlobs(s, d)
@@ -1928,19 +1926,16 @@ object SparkEntry {
       Multimodal.framePairs(Multimodal.asBlobTable(Tables.documents(s, d)))),
     "mm_downsample" -> ((s, d) =>
       Multimodal.downsampleBytes(Multimodal.asBlobTable(Tables.documents(s, d)), 4)
-        .select(col("doc_id"), col("byte_len"), col("ds_len"), hex(col("ds_bytes")).as("ds_hex"))
-        .orderBy("doc_id")),
+        .select(col("doc_id"), col("byte_len"), col("ds_len"), hex(col("ds_bytes")).as("ds_hex"))),
     // streaming-unified transform run over batch input (same code drives
     // readStream in StreamOpsSpec's MemoryStream test)
     "stream_windowed_counts" -> ((s, d) =>
-      graft.streaming.StreamOps.windowedEventCounts(Tables.events(s, d))
-        .orderBy("win_start", "event_type")),
+      graft.streaming.StreamOps.windowedEventCounts(Tables.events(s, d))),
     // OVERLAPPING windows (1h every 30min): each event lands in 2 windows
     // — the moving-rate monitoring shape; oracle replays the slide-grid
     // window assignment arithmetic
     "stream_sliding_counts" -> ((s, d) =>
-      graft.streaming.StreamOps.slidingEventCounts(Tables.events(s, d))
-        .orderBy("win_start", "event_type")),
+      graft.streaming.StreamOps.slidingEventCounts(Tables.events(s, d))),
     // ingestion quota: admit at most 2 events per (user, 6-hour window)
     // by deterministic (ts, event_id) rank — the firehose
     // admission-control primitive, parameterized so the quota genuinely
@@ -1954,7 +1949,7 @@ object SparkEntry {
           .select("event_id", "ts", "user_id", "event_type", "value")
           .as[graft.streaming.StreamOps.Event],
         n = 2, windowMs = 6L * 3600000L)
-        .toDF().orderBy("event_id")
+        .toDF()
     }),
     "stream_sessions_batch" -> ((s, d) =>
       graft.streaming.StreamOps.sessionizeBatch(Tables.events(s, d))),
@@ -1967,8 +1962,7 @@ object SparkEntry {
     // stream-stream interval join run on batch input (StreamOpsSpec drives
     // the same transform through two MemoryStream sides)
     "stream_interval_join" -> ((s, d) =>
-      graft.streaming.StreamOps.intervalJoin(Tables.events(s, d))
-        .orderBy("l_id", "r_id")),
+      graft.streaming.StreamOps.intervalJoin(Tables.events(s, d))),
     // exactly-once dedup, same code path the MemoryStream spec drives; the
     // input injects real duplicates (identical full rows, so the arbitrary
     // keep-one pick is value-deterministic)
@@ -1977,7 +1971,6 @@ object SparkEntry {
         .select("event_id", "user_id", "event_type", "value", "ts")
       val dupes = ev.filter(col("event_id") % 10 === 0)
       graft.streaming.StreamOps.dedupEvents(ev.unionAll(dupes))
-        .orderBy("event_id")
     }),
     // schema evolution: a v1 write without c_acctbal, a v2 append WITH it,
     // read back under mergeSchema — v1 rows surface null balances and the
@@ -2210,8 +2203,7 @@ object SparkEntry {
     // the literal subprocess-pipe surface under the oracle: same answer as
     // the declarative wordcount, via python mapper/reducer processes
     "piped_wordcount" -> ((s, d) =>
-      PipedMapReduce.pipedWordCount(s, Tables.documents(s, d).select(col("text").as("value")))
-        .orderBy("word")),
+      PipedMapReduce.pipedWordCount(s, Tables.documents(s, d).select(col("text").as("value")))),
     // permissive-parse surface: the reference reducer silently drops
     // malformed / non-int lines (src/app/reducer.py:11,21-24); here the
     // same corpus-with-garbage shape goes through DROPMALFORMED and the

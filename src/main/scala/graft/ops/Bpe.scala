@@ -204,7 +204,6 @@ object Bpe {
       .groupBy("doc_id").agg(
         count(lit(1)).as("n_words"),
         sum("n_syms").as("n_subwords"))
-      .orderBy("doc_id")
   }
 
   /** Final segmentations of the `k` most frequent words — gate
@@ -220,6 +219,5 @@ object Bpe {
     state
       .select(col("word"), col("cnt"),
         expr(s"replace(s, '$Sep', ' ')").as("seg"))
-      .orderBy(col("cnt").desc, col("word").asc)
       .limit(k)
 }

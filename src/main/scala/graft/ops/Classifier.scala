@@ -118,7 +118,7 @@ object Classifier {
 
   /** Score the corpus under trained weights — gate form. */
   def scores(docs: DataFrame, w: Seq[Long]): DataFrame =
-    scoredFrame(docs, w).orderBy("doc_id")
+    scoredFrame(docs, w)
 
   /** Train-then-score in one call — gate `ta_quality_classifier`. */
   def qualityClassifier(docs: DataFrame, iters: Int = DefaultIters,

@@ -151,7 +151,7 @@ object Curation {
         batch.join(flags.filter(col("survived")).select("doc_id"),
           Seq("doc_id"), "left_semi"))
       .select(col("doc_id"), col("bucket"), col("seq_id"), col("seq_offset"))
-    flags.join(packed, Seq("doc_id"), "left").orderBy("doc_id")
+    flags.join(packed, Seq("doc_id"), "left")
   }
 
   /** The surviving batch documents (full rows), per [[dailyBatch]]'s
@@ -784,7 +784,6 @@ object Curation {
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= maxPerDomain)
       .select(col("doc_id"), col("url_canonical"), col("domain"), col("rnk"))
-      .orderBy("doc_id")
   }
 
   /** ADAPTIVE per-source quality floor — keep the top `keepFrac` of each
@@ -812,10 +811,16 @@ object Curation {
     * oracle's rank formulation (top-k by (key desc, doc_id asc)) — the
     * gate proves the histogram selection EQUALS the sort selection. */
   def qualityFloor(docs: DataFrame, keepFrac: Double = 0.5): DataFrame = {
+    // materialized ONCE (r18): `scored` feeds the histogram AND both
+    // sides of the threshold probe — left as a plan, the tokenize+quality
+    // projection executed ~3x per call. The checkpoint is the guide-§8
+    // "decide on small rows" table: (doc_id, source, qkey) is ~24 B/doc
+    // at any corpus size, and the quality scan runs exactly once.
     val scored = docs.select(col("doc_id"), col("source"),
       floor(TextAnalysis.qualityColOf(
         SharedCorpus.wsOf(docs), SharedCorpus.alnumOf(docs)) * 1e6)
         .cast("long").as("qkey"))
+      .localCheckpoint()
     val hist = scored.groupBy("source", "qkey").agg(count(lit(1)).as("c"))
     val wCum = org.apache.spark.sql.expressions.Window
       .partitionBy("source").orderBy(col("qkey").desc)
@@ -838,6 +843,5 @@ object Curation {
       .filter(col("rb") <= col("need"))
     above.select("doc_id", "source", "qkey")
       .union(boundary.select("doc_id", "source", "qkey"))
-      .orderBy("doc_id")
   }
 }

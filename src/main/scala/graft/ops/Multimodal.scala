@@ -57,7 +57,6 @@ object Multimodal {
       col("meta.height").as("height"),
       md5(col("bytes")).as("checksum"),
       hex(substring(col("bytes"), 1, 8)).as("prefix_hex"))
-      .orderBy("doc_id")
 
   /** Frame sampling as byte slicing: `n` evenly spaced fixed-size windows
     * of the payload (for real fixed-stride media, frame k = bytes
@@ -102,7 +101,6 @@ object Multimodal {
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
-      .orderBy("doc_a", "doc_b")
   }
 
   /** Fixed-stride byte downsample ("resize"): every `stride`-th byte of
@@ -415,7 +413,7 @@ object Multimodal {
       .select(col("da"), explode(col("mb")).as("db"), col("hamming"))
       .select(least(col("da"), col("db")).as("doc_a"),
         greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
-    intra.unionByName(cross).orderBy("doc_a", "doc_b")
+    intra.unionByName(cross)
   }
 
   /** Perceptual-hash near-duplicate IMAGE pairs: [[dHash]] codes mined
@@ -452,7 +450,6 @@ object Multimodal {
       .select(col("doc_a"), col("doc_b"), col("image_hamming"), col("text_hamming"),
         (col("image_hamming").isNotNull && col("text_hamming").isNotNull)
           .as("both_modalities"))
-      .orderBy("doc_a", "doc_b")
   }
 
   /** The band rows of a DISTINCT-code frame (any other columns ride
@@ -595,7 +592,6 @@ object Multimodal {
       .join(broadcast(cand), "ph_a")
       .join(classesB.select(col("phash").as("ph_b"), col("members")), "ph_b")
       .select(col("doc_a"), explode(col("members")).as("doc_b"), col("hamming"))
-      .orderBy("doc_a", "doc_b")
   }
 
   /** Output schema of [[synthesizeWav]]. */

@@ -100,7 +100,6 @@ object Packing {
         floor(col("cum_before") / budgetTokens).cast("long").as("seq_id"),
         (col("cum_before") % budgetTokens).as("seq_offset"),
         col("n_tokens"))
-      .orderBy("doc_id")
   }
 
   /** Per-document subword counts under a STORED BPE model — the count
@@ -197,7 +196,6 @@ object Packing {
         (docId, bucket, seqId, offset, n)
       }
     }.toDF("doc_id", "bucket", "seq_id", "seq_offset", "n_tokens")
-      .orderBy("doc_id")
   }
 
   /** Split every document into overlapping fixed-size token windows —
@@ -228,7 +226,6 @@ object Packing {
         (col("c.chunk_id") * stride).cast("long").as("start_tok"),
         col("c.n_chunk_tokens").cast("long").as("n_chunk_tokens"),
         CrossHash.h60(col("c.chunk")).as("chunk_fp"))
-      .orderBy("doc_id", "chunk_id")
   }
 
   /** Epoch-repeat assignment under a per-source token budget — the data
@@ -256,7 +253,6 @@ object Packing {
         (expr(s"$budgetTokens div total") +
           when(col("cum_before") < expr(s"$budgetTokens % total"), 1L)
             .otherwise(0L)).as("n_repeats"))
-      .orderBy("doc_id")
   }
 
   /** Cut a fixed token budget per stratum ("2 B tokens of each domain"):
@@ -276,7 +272,6 @@ object Packing {
       .withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
       .where(col("cum_before") < budgetTokens)
       .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_before"))
-      .orderBy("doc_id")
   }
 
   /** Production form of [[tokenBudgetSample]] for hot sources: the budget
@@ -339,7 +334,6 @@ object Packing {
       .where(col("cum_before") < col("budget"))
       .select(col("doc_id"), col("source"), col("n_tokens"),
         col("cum_before"), col("budget"))
-      .orderBy("doc_id")
   }
 
   def tokenBudgetSampleSalted(docs: DataFrame, budgetTokens: Long = 800L,
@@ -353,7 +347,6 @@ object Packing {
       .where(col("cum_before") < subBudget)
       .select(col("doc_id"), col("source"), col("sub"),
         col("n_tokens"), col("cum_before"))
-      .orderBy("doc_id")
   }
 
   /** Seeded shuffle key for [[shardShuffle]]: unlike [[orderHash]] the
@@ -388,7 +381,6 @@ object Packing {
       .withColumn("shard", (col("h") % shards).cast("long"))
       .withColumn("shard_pos", row_number().over(w).cast("long"))
       .select(col("doc_id"), col("shard"), col("shard_pos"))
-      .orderBy("doc_id")
   }
 
   /** Build-once half of the epoch-plan lifecycle: PUBLISH the
@@ -417,7 +409,6 @@ object Packing {
       shard: Long): DataFrame = {
     graft.sources.Formats.requireBuilt(spark, table)
     spark.table(table).filter(col("shard") === shard)
-      .orderBy("shard_pos")
   }
 
   /** Source-INTERLEAVED shard coordinates — [[shardShuffle]] with a
@@ -443,7 +434,6 @@ object Packing {
       .withColumn("shard_pos", row_number().over(wp).cast("long"))
       .select(col("doc_id"), col("source"), col("shard"),
         col("round"), col("shard_pos"))
-      .orderBy("doc_id")
   }
 
   /** Curriculum-ordered shard coordinates — [[shardShuffle]] with a
@@ -469,7 +459,6 @@ object Packing {
       .withColumn("shard", (col("h") % shards).cast("long"))
       .withColumn("shard_pos", row_number().over(w).cast("long"))
       .select(col("doc_id"), col("tier"), col("shard"), col("shard_pos"))
-      .orderBy("doc_id")
   }
 
   /** Packing-efficiency audit over [[packGreedy]]'s layout — the
@@ -490,5 +479,4 @@ object Packing {
       .select(col("bucket"), col("seq_id"), col("n_docs"), col("fill_tokens"),
         greatest(lit(budgetTokens) - col("fill_tokens"), lit(0L)).as("waste_tokens"),
         (col("fill_tokens") > budgetTokens).as("oversized"))
-      .orderBy("bucket", "seq_id")
 }

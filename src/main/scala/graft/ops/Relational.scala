@@ -122,7 +122,6 @@ object Relational {
     e.join(o, o("o_custkey") === e("user_id") && o("o_orderdate") <= e("ts"))
       .groupBy(col("event_id"))
       .agg(max(col("o_orderdate")).as("last_order_date"))
-      .orderBy(col("event_id"))
   }
 
   /** The same as-of semantics as [[lastOrderAsOfEvent]] via the
@@ -148,7 +147,6 @@ object Relational {
       .withColumn("last_order_date", last(col("o_orderdate"), ignoreNulls = true).over(w))
       .filter(col("src") === 1 && col("last_order_date").isNotNull)
       .select(col("event_id"), col("last_order_date"))
-      .orderBy(col("event_id"))
   }
 
   /** NEAREST as-of join — the sensor-fusion alignment
@@ -188,7 +186,6 @@ object Relational {
       .filter(col("nearest_order_date").isNotNull)
       .select(col("event_id"), col("nearest_order_date"),
         diffTo(col("nearest_order_date")).as("diff_us"))
-      .orderBy(col("event_id"))
   }
 
   /** Range (band) self-join: pairs of events by the same user within one
@@ -203,7 +200,6 @@ object Relational {
           abs(unix_timestamp(col("ts2")) - unix_timestamp(col("ts1"))) <= 3600)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_pairs"))
-      .orderBy(col("user_id"))
   }
 
   /** Window: top-3 orders per customer by total price (deterministic
@@ -215,7 +211,6 @@ object Relational {
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 3)
       .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
-      .orderBy(col("o_custkey"), col("rn"))
   }
 
   /** Window: running quantity per supplier over a fully deterministic order
@@ -234,7 +229,6 @@ object Relational {
     Tables.lineitem(s, dir)
       .withColumn("running_qty", sum(col("l_quantity")).over(w))
       .select("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
-      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
   }
 
   /** Window: 3-row moving average of event value per user. Money math in
@@ -249,7 +243,6 @@ object Relational {
         sum(col("value").cast(money)).over(w).cast("double") /
           count(lit(1)).over(w))
       .select("user_id", "event_id", "mavg_value")
-      .orderBy(col("user_id"), col("event_id"))
   }
 
   /** Rollup over the Q1 grouping: subtotals + grand total, null grouping
@@ -299,7 +292,6 @@ object Relational {
     bigSpenders.union(building).distinct()
       .except(machinery)
       .intersect(withOrders)
-      .orderBy(col("k"))
   }
 
   /** Pivot: order counts per priority, one column per order status. The
@@ -322,7 +314,6 @@ object Relational {
         year(col("o_orderdate")).cast("double").as("o_year"))
       .unpivot(Array(col("o_orderkey")),
         Array(col("o_totalprice"), col("o_year")), "measure", "value")
-      .orderBy(col("o_orderkey"), col("measure"))
 
   /** Bag-semantics set ops (EXCEPT ALL / INTERSECT ALL) — multiplicity
     * preserved, unlike the distinct set ops in [[setOpsCustkeys]]. */
@@ -334,7 +325,6 @@ object Relational {
     highs.exceptAll(building)
       .intersectAll(o.select(col("o_custkey").as("k")))
       .groupBy(col("k")).agg(count(lit(1)).as("multiplicity"))
-      .orderBy(col("k"))
   }
 
   /** Ordered array aggregation: sorted collect_set per group (collect_list
@@ -362,7 +352,6 @@ object Relational {
       regexp_replace(col("c_name"), "[0-9]+", "N").as("name_norm"),
       instr(col("c_name"), "1").cast("long").as("pos_one"),
       ascii(col("c_mktsegment")).cast("long").as("seg_ascii"))
-      .orderBy(col("c_custkey"))
 
   /** Scalar function sampler: string/date/math built-ins chosen to be
     * bit-deterministic across engines (no double rounding ties). */
@@ -380,7 +369,6 @@ object Relational {
       floor(col("o_totalprice") / 1000).cast("long").as("price_k"),
       sqrt(col("o_totalprice")).as("price_sqrt"),
       abs(col("o_totalprice") * lit(-1)).as("price_abs"))
-      .orderBy(col("o_orderkey"))
 
   /** JSON extraction over the events.props string column with an explicit
     * schema (inference is a nondeterminism hazard — SURVEY §7.3). */
@@ -937,7 +925,6 @@ object Relational {
         col("user_id"), col("event_id"),
         count(lit(1)).over(w).as("n_trailing_1h"),
         sum(col("value").cast(money)).over(w).cast("double").as("sum_trailing_1h"))
-      .orderBy(col("user_id"), col("event_id"))
   }
 
   /** [[revenueBySegment]] semantics through [[Skew.saltedJoin]]: the gate
@@ -983,7 +970,6 @@ object Relational {
         coalesce(expr("nullif(o_orderstatus, 'O')"), lit("OPEN")).as("status_filled"),
         (col("o_orderstatus") <=> expr("nullif(o_orderstatus, 'O')")).as("eq_nullsafe"),
         expr("nullif(o_orderpriority, '1-URGENT')").isNull.as("is_urgent"))
-      .orderBy("o_orderkey")
 
   /** Null-aware aggregation: `count(*)` vs `count(col)` vs
     * `count(DISTINCT col)` over a column with injected nulls — the three
@@ -1008,7 +994,6 @@ object Relational {
       .select(col("user_id"), col("event_id"),
         percent_rank().over(w).as("pct_rank"),
         cume_dist().over(w).as("cdist"))
-      .orderBy("user_id", "event_id")
   }
 
   /** Per-column SCHEMA PROFILE of the orders table — the data-quality
@@ -1223,7 +1208,6 @@ object Relational {
         dense_rank().over(byValue).cast("long").as("value_rank"),
         ntile(4).over(byUser).cast("long").as("quartile"),
         first(col("value")).over(full).as("first_value"))
-      .orderBy(col("user_id"), col("event_id"))
   }
 
   /** The SQL text entry surface: temp views + `spark.sql` with a
@@ -1259,7 +1243,6 @@ object Relational {
         expr("aggregate(ws, 0L, (a, t) -> a + length(t))").as("total_len"),
         element_at(col("ws"), 1).as("first_tok"),
         expr("exists(ws, t -> t rlike '^[0-9]+$')").as("has_number"))
-      .orderBy("doc_id")
 
   /** Date arithmetic sampler: interval add, day difference, month end,
     * weekday — chosen for exact cross-engine semantics (Spark dayofweek is
@@ -1271,7 +1254,6 @@ object Relational {
       datediff(lit("1998-12-31"), col("o_orderdate")).cast("long").as("days_to_eoy"),
       last_day(col("o_orderdate")).cast("timestamp").as("month_end"),
       dayofweek(col("o_orderdate")).cast("long").as("dow"))
-      .orderBy("o_orderkey")
 
   /** One masked key per character position: the string with position `i`
     * DELETED (the concat drops the character; ADVICE r12 — under the
@@ -1326,7 +1308,14 @@ object Relational {
       maxDist: Int = 1, n: Int = 3): DataFrame = {
     val cand =
       if (maxDist == 1) {
-        val mk = maskedKeys(df, idCol, strCol)
+        // SHUFFLE_HASH hint (r18, guide §3.1): the masked-key side is
+        // |corpus| × L rows — Catalyst sees only the pre-Generate scan
+        // size and auto-broadcasts it (the sf0.1 plan collected 270k keys
+        // into a BroadcastExchange). A corpus-scale masked-key table can
+        // never broadcast; the hash-shuffle on (k, pos) is the plan that
+        // survives 100 TB, and it measured faster locally too (4.15 s →
+        // see OPTIMIZATION_r18.md).
+        val mk = maskedKeys(df, idCol, strCol).hint("shuffle_hash")
         mk.as("x").join(mk.as("y"),
           col("x.k") === col("y.k") && col("x.pos") === col("y.pos") &&
             col("x.id") < col("y.id"))
@@ -1346,7 +1335,6 @@ object Relational {
         levenshtein(col("x.s"), col("y.s")).cast("long").as("dist"))
       .filter(col("dist") <= maxDist)
       .distinct()
-      .orderBy("id_a", "id_b")
   }
 
   /** ORDERED funnel analysis — the product-analytics staple: per user,
@@ -1514,7 +1502,6 @@ object Relational {
         levenshtein(col("x.s"), col("y.s")).cast("long").as("dist"))
       .filter(col("dist") <= 1)
       .distinct()
-      .orderBy("id_probe", "id_master")
   }
 
   /** Profile DRIFT between two table generations — what a nightly
@@ -1653,9 +1640,19 @@ object Relational {
       .select(col("part_a").as("u"), col("part_b").as("v")))
 
   def triangleCountsOf(edges: DataFrame): DataFrame = {
-    val deg = edges.select(explode(array(col("u"), col("v"))).as("x"))
+    // Materialize the edge list ONCE (r18, guide §1.2/§3.3): `edges` is
+    // referenced by the degree aggregation and by every leg of the wedge
+    // join, and the oriented list `dirE` three times more — left as a
+    // plan, the (expensive) edge-mining subtree was planned and executed
+    // per reference (the agg_triangle_counts physical plan repeated the
+    // whole co-purchase pipeline 4x, 261 operators). localCheckpoint cuts
+    // the lineage: mine once, join the small materialized list. This is
+    // also the 100 TB shape — triangle counting always materializes the
+    // oriented edge list before the wedge join.
+    val edgesM = edges.localCheckpoint()
+    val deg = edgesM.select(explode(array(col("u"), col("v"))).as("x"))
       .groupBy("x").agg(count(lit(1)).as("d"))
-    val withDeg = edges
+    val withDeg = edgesM
       .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
       .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
     val dirE = withDeg.select(
@@ -1664,6 +1661,7 @@ object Relational {
         .otherwise(struct(col("v").as("src"), col("u").as("dst"), col("du").as("dd")))
         .as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.dd").as("dd"))
+      .localCheckpoint()
     val tri = dirE.as("x")
       .join(dirE.as("y"), col("x.src") === col("y.src") &&
         (struct(col("x.dd"), col("x.dst")) < struct(col("y.dd"), col("y.dst"))))
@@ -1672,7 +1670,6 @@ object Relational {
       .select(col("x.src").as("a"), col("x.dst").as("b"), col("y.dst").as("c"))
     tri.select(explode(array(col("a"), col("b"), col("c"))).as("part"))
       .groupBy("part").agg(count(lit(1)).as("n_triangles"))
-      .orderBy("part")
   }
 
   /** Rolling 7-day ACTIVE USERS (the WAU curve) — exact sliding-window
@@ -1717,7 +1714,11 @@ object Relational {
         .cast("long").as("cents")))
 
   def winsorizedStatsOf(px: DataFrame): DataFrame = {
+    // histogram materialized once (r18): it feeds the bounds window AND
+    // the winsorized fold — as a plan, the corpus scan + two-level agg
+    // executed twice per call
     val hist = px.groupBy("flag", "cents").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val wCum = Window.partitionBy("flag").orderBy("cents")
     val wG = Window.partitionBy("flag")
     val cum = hist
@@ -1902,7 +1903,6 @@ object Relational {
       .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
       .agg(count(lit(1)).as("n_orders"))
       .filter(col("n_orders") >= minOrders)
-      .orderBy("part_a", "part_b")
   }
 
   /** Volume-anomaly detection over the event stream's daily counts — the

@@ -300,6 +300,5 @@ object Sampling {
       .where(expr(s"(cum_before + n_tokens) div $stepTokens") >
         expr(s"cum_before div $stepTokens"))
       .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_before"))
-      .orderBy("doc_id")
   }
 }

@@ -63,7 +63,6 @@ object Similarity {
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
       .select("query_id", "neighbor_id", "rn", "cos")
-      .orderBy("query_id", "rn")
   }
 
   /** LATE-INTERACTION (ColBERT-style MaxSim) retrieval — multi-vector
@@ -141,7 +140,6 @@ object Similarity {
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
       .select("query_doc", "neighbor_doc", "rn", "score")
-      .orderBy("query_doc", "rn")
   }
 
   /** Stored-index serving twin of [[maxSimTopK]] — two-stage
@@ -230,7 +228,6 @@ object Similarity {
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
       .select("query_doc", "neighbor_doc", "rn", "score")
-      .orderBy("query_doc", "rn")
   }
 
   /** Default (nprobe × shortlist) grid for [[maxSimProbeCalibration]]:
@@ -342,7 +339,6 @@ object Similarity {
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
       .select("query_id", "neighbor_id", "rn", "cos")
-      .orderBy("query_id", "rn")
   }
 
   /** MMR (maximal marginal relevance) DIVERSIFIED retrieval — the
@@ -446,7 +442,6 @@ object Similarity {
       .withColumn("rn", row_number().over(wF).cast("long"))
       .filter(col("rn") <= k)
       .select("query_id", "neighbor_id", "rn", "cos")
-      .orderBy("query_id", "rn")
   }
 
   /** Index-quality monitor: per-query recall@k of an approximate
@@ -472,7 +467,6 @@ object Similarity {
         coalesce(col("n_hits"), lit(0L)).as("n_hits"), col("n_exact"),
         (coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_exact"))
           .as("recall"))
-      .orderBy("query_id")
   }
 
   /** All near-duplicate pairs with cosine ≥ `minCos` — EXACT tier
@@ -492,7 +486,6 @@ object Similarity {
       .withColumn("cos", dot("va", "vb") / (col("na") * col("nb")))
       .filter(col("cos") >= minCos)
       .select("id_a", "id_b", "cos")
-      .orderBy("id_a", "id_b")
   }
 
   /** Per-vector int8 scalar quantization: `code_i = round(x_i * 127 /
@@ -576,7 +569,6 @@ object Similarity {
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
       .select("query_id", "neighbor_id", "rn", "cos_q")
-      .orderBy("query_id", "rn")
   }
 
   val NumPlanes = 16
@@ -638,7 +630,6 @@ object Similarity {
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
       .select("query_id", "neighbor_id", "rn", "cos")
-      .orderBy("query_id", "rn")
   }
 
   private def queryBands(banded: DataFrame, queryPred: Column): DataFrame =
@@ -829,8 +820,13 @@ object Similarity {
   def ivfTopKWith(emb: DataFrame, piv: DataFrame, queryPred: Column,
       k: Int = 5, nprobe: Int = 2): DataFrame = {
     graft.functions.FloatDot.register(emb.sparkSession)
-    val scored = emb.crossJoin(broadcast(piv))
-      .withColumn("pcos", cosine("embedding", "pv"))
+    // per-side norms hoisted out of the pivot fan-out (bit-identical:
+    // same sqrt(self-dot) values, computed once per row/pivot instead of
+    // once per (row, pivot) candidate — the bruteForceTopK discipline)
+    val scored = emb
+      .withColumn("enorm", sqrt(dot("embedding", "embedding")))
+      .crossJoin(broadcast(piv.withColumn("pnorm", sqrt(dot("pv", "pv")))))
+      .withColumn("pcos", dot("embedding", "pv") / (col("enorm") * col("pnorm")))
     // nearest pivot per vector: max of (pcos, -pid) orders ties to the
     // smaller pid; first(embedding) is value-deterministic (identical
     // across a vector's 16 pivot rows). groupBy, not a window — partial
@@ -858,7 +854,6 @@ object Similarity {
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
       .select("query_id", "neighbor_id", "rn", "cos")
-      .orderBy("query_id", "rn")
   }
 
   /** Every vector's nearest-pivot cell as a storable table
@@ -866,8 +861,9 @@ object Similarity {
     * Same broadcast-argmax plan as [[ivfTopKWith]]'s cell stage. */
   def assignCells(emb: DataFrame, piv: DataFrame): DataFrame = {
     graft.functions.FloatDot.register(emb.sparkSession)
-    emb.crossJoin(broadcast(piv))
-      .withColumn("pcos", cosine("embedding", "pv"))
+    emb.withColumn("enorm", sqrt(dot("embedding", "embedding")))
+      .crossJoin(broadcast(piv.withColumn("pnorm", sqrt(dot("pv", "pv")))))
+      .withColumn("pcos", dot("embedding", "pv") / (col("enorm") * col("pnorm")))
       .groupBy(col("vec_id"))
       .agg(first(col("embedding")).as("embedding"),
         max(struct(col("pcos"), (-col("pid")).as("npid"))).as("best"))
@@ -960,7 +956,6 @@ object Similarity {
     val idx = spark.table(table).select(col("vec_id"), col("embedding"), col("cell"))
     idx.select("vec_id", "cell")
       .join(semanticDominated(idx, tau, maxCellShard), Seq("vec_id"), "left_anti")
-      .orderBy("vec_id")
   }
 
   /** The dominated set of [[semanticDedupIndexed]] — every vec_id with a
@@ -1019,7 +1014,6 @@ object Similarity {
       .withColumn("rn", row_number().over(wCell).cast("long"))
       .where(col("rn") <= perCell)
       .select(col("vec_id"), col("cell"), (col("rn") - 1).as("rank_in_cell"))
-      .orderBy("vec_id")
   }
 
   /** Build-once half of the IVF build/query split: train pivots, assign
@@ -1115,7 +1109,6 @@ object Similarity {
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
       .select("query_id", "neighbor_id", "rn", "cos")
-      .orderBy("query_id", "rn")
   }
 
   val KmeansIters = 2
@@ -1226,8 +1219,18 @@ object Similarity {
     * round). The sub-vector rides along via `first` (it is functionally
     * dependent on the group key, so `first` is deterministic). */
   private def argminCell(subs: DataFrame, codebooks: DataFrame): DataFrame =
-    subs.join(broadcast(codebooks), Seq("m"))
-      .withColumn("d2", sqDist("sv", "cv"))
+    // self-dots hoisted out of the k-way candidate fan-out (r18, guide §4):
+    // float_dot(sv,sv) is per (vector, subspace) and float_dot(cv,cv) per
+    // centroid; inside the join they re-evaluated per CANDIDATE (k=64x).
+    // The hoisted columns hold IDENTICAL values and d2 keeps sqDist's
+    // association ((xx - 2*x·c) + cc), so every distance and tie is
+    // bit-unchanged. sf0.1 timing is noise-bound (the PQ gates' spread is
+    // driver-side Lloyd's roundtrips), but per-candidate work drops 3x->1x
+    // dot products — the term that scales with corpus size.
+    subs.withColumn("xx", dot("sv", "sv"))
+      .join(broadcast(codebooks.withColumn("cc", dot("cv", "cv"))), Seq("m"))
+      .withColumn("d2",
+        col("xx") - lit(2.0) * dot("sv", "cv") + col("cc"))
       .groupBy(col("vec_id"), col("m"))
       .agg(first(col("sv")).as("sv"),
         min(struct(col("d2"), col("pid"))).as("best"))
@@ -1291,7 +1294,6 @@ object Similarity {
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
       .select("query_id", "neighbor_id", "rn", "cos_pq")
-      .orderBy("query_id", "rn")
   }
 
   /** Train and store ONLY the codebooks — the starting point of the PQ
@@ -1490,7 +1492,6 @@ object Similarity {
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
       .select("query_id", "neighbor_id", "rn", "cos_pq")
-      .orderBy("query_id", "rn")
   }
 
   /** Publish the full-precision vector corpus bucketed on `vec_id` — the
@@ -1543,7 +1544,6 @@ object Similarity {
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
       .select("query_id", "neighbor_id", "rn", "cos_exact")
-      .orderBy("query_id", "rn")
   }
 
   /** RECALL-TARGET-driven probe width (VERDICT r14 item 5): the r14
@@ -1742,8 +1742,11 @@ object Similarity {
       .collect()
     var centroids: Array[Seq[Float]] = init
     for (_ <- 1 to iters) {
-      val scored = emb.crossJoin(broadcast(pivotTable(spark, centroids)))
-        .withColumn("pcos", cosine("embedding", "pv"))
+      val scored = emb
+        .withColumn("enorm", sqrt(dot("embedding", "embedding")))
+        .crossJoin(broadcast(
+          pivotTable(spark, centroids).withColumn("pnorm", sqrt(dot("pv", "pv")))))
+        .withColumn("pcos", dot("embedding", "pv") / (col("enorm") * col("pnorm")))
       val assigned = scored.groupBy(col("vec_id"))
         .agg(first(col("embedding")).as("v"),
           max(struct(col("pcos"), (-col("pid")).as("npid"))).as("best"))
@@ -1801,6 +1804,5 @@ object Similarity {
       .withColumn("cos", cosine("va", "vb"))
       .filter(col("cos") >= minCos)
       .select("id_a", "id_b", "cos")
-      .orderBy("id_a", "id_b")
   }
 }

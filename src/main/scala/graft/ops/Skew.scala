@@ -62,7 +62,6 @@ object Skew {
         expr("CAST(cnt AS DECIMAL(38,0)) * n_distinct * 100 div n_total")
           .as("x_mean_pct"),
         col("n_total"), col("n_distinct"))
-      .orderBy("key_col", "rk")
   }
 
   /** Pre-flight JOIN-CARDINALITY report — the second pre-flight
@@ -114,7 +113,6 @@ object Skew {
         expr("contrib * 1000000 div total_pairs").as("ppm"),
         guardedLong(col("total_pairs"), "total_pairs"),
         col("n_keys_matched"))
-      .orderBy("rk")
   }
 
   /** Narrow an internal DECIMAL(38,0) measure to the BIGINT outward

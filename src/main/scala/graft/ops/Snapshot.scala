@@ -71,7 +71,6 @@ object Snapshot {
           .otherwise("unchanged"))
       .where(col("op") =!= "unchanged")
       .select(col("doc_id"), col("op"), col("fp_next").as("fp"))
-      .orderBy("doc_id")
 
   /** Latest-version-wins merge: union snapshot + batch, keep each
     * `doc_id`'s highest version via aggregate-form argmax, drop documents
@@ -85,7 +84,6 @@ object Snapshot {
       .agg(max(struct(col("version"), col("op"), col("fp"))).as("w"))
       .where(col("w.op") === "upsert")
       .select(col("doc_id"), col("w.version").as("version"), col("w.fp").as("fp"))
-      .orderBy("doc_id")
 
   /** The second synthetic change batch, extending [[changeBatch]] into a
     * version CHAIN: at version 2 the re-crawled `%10 == 3` docs are taken
@@ -143,6 +141,5 @@ object Snapshot {
       .select(col("doc_id"), col("version").as("valid_from"),
         col("valid_to"), col("fp"),
         col("valid_to").isNull.cast("int").as("is_current"))
-      .orderBy("doc_id", "valid_from")
   }
 }

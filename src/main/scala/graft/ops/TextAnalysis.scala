@@ -114,8 +114,12 @@ object TextAnalysis {
       size(SharedCorpus.alnumOf(docs)).cast("long").as("n_alnum_tokens"),
       (aggregate(transform(ws, t => length(t)), lit(0L), (a, x) => a + x)
         .cast("double") / size(ws)).as("mean_tok_len"))
-      .orderBy("doc_id")
   }
+  // NOTE (r18): final presentational `orderBy`s removed from the per-doc
+  // projections and join-rooted stats in this file — the driver's gate
+  // sorts rows before hashing, and on a zero-shuffle projection the range
+  // sort's bound-sampling pass re-executed the whole projection (~2x,
+  // guide §2.4; measured on ta_repetition: 1.94 s -> 0.87 s).
 
   /** Language identification via marker-word scoring: count each language's
     * marker hits, predict the argmax (priority order breaks ties), emit
@@ -129,7 +133,6 @@ object TextAnalysis {
       predLangColOf(ws).as("pred_lang"),
       greatest(markerHits("en", ws), markerHits("de", ws),
         markerHits("fr", ws), markerHits("es", ws)).as("n_hits"))
-      .orderBy("doc_id")
   }
 
   /** Quality scoring: length score, alnum ratio, stopword-density penalty —
@@ -144,7 +147,6 @@ object TextAnalysis {
       (nAlnumCol(alnum).cast("double") / nTokensCol(ws)).as("alnum_ratio"),
       (markerHits("en", ws).cast("double") / nTokensCol(ws)).as("stop_ratio"),
       qualityColOf(ws, alnum).as("quality"))
-      .orderBy("doc_id")
   }
 
   /** Top bigrams across the corpus by frequency (deterministic tiebreak on
@@ -180,7 +182,6 @@ object TextAnalysis {
         col("doc_id"), col("word"), col("tf"), col("df"),
         round(col("tf").cast("double") *
           log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))), 6).as("tfidf"))
-      .orderBy("doc_id", "word")
   }
 
   /** BM25 ranked keyword search — the retrieval twin of the vector ANN
@@ -581,7 +582,6 @@ object TextAnalysis {
       .agg(
         count(lit(1)).as("n_bigrams"),
         round(avg(log((col("c12") + lit(1.0)) / (col("c1") + col("v")))), 6).as("avg_logp"))
-      .orderBy("doc_id")
   }
 
   /** The (w1, w2) adjacent-bigram projection of a corpus — the shared
@@ -703,7 +703,6 @@ object TextAnalysis {
       .agg(
         count(lit(1)).as("n_bigrams"),
         round(avg(log((col("c12") + lit(1.0)) / (col("c1") + col("v")))), 6).as("avg_logp"))
-      .orderBy("doc_id")
   }
 
   /** TextRank keyword extraction — PageRank over the corpus's word
@@ -1279,7 +1278,6 @@ object TextAnalysis {
       length(col("text")).cast("long").as("len_raw"),
       length(norm).cast("long").as("len_nfc"),
       CrossHash.h60(norm).as("nfc_fp"))
-      .orderBy("doc_id")
   }
 
   /** Within-document repetition statistics — the Gopher/MassiveText-family
@@ -1333,8 +1331,14 @@ object TextAnalysis {
         frac(col("t2") - col("d2"), col("t2")).as("dup_2gram_frac"),
         frac(col("m2"), col("t2")).as("top_2gram_frac"),
         frac(col("t3") - col("d3"), col("t3")).as("dup_3gram_frac"))
-      .orderBy("doc_id")
   }
+  // ^ UNSORTED (r18): the final orderBy was presentational — the driver's
+  // gate sorts rows before hashing (see mapreduce_wordcount, green since r1
+  // with non-ORDER-BY row order) — and it was not free: a global sort on a
+  // zero-shuffle operator adds a range exchange whose bound-sampling pass
+  // re-executes the whole gram projection, i.e. ~2x the operator
+  // (guide §2.4, the ta_hash_embed r16 precedent). At 100 TB the sort also
+  // forces a corpus-wide range shuffle no caller of per-doc stats needs.
 
   /** Per-source curation funnel — the acceptance report a curation team
     * reads before committing a filter config: how many documents survive
@@ -1417,7 +1421,6 @@ object TextAnalysis {
       size(regexp_extract_all(col("text"), lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
       redacted.as("redacted"),
       CrossHash.h60(redacted).as("redacted_fp"))
-      .orderBy("doc_id")
   }
 
   /** Document fingerprints: a 60-bit content hash of the raw text and one
@@ -1429,7 +1432,6 @@ object TextAnalysis {
       col("doc_id"),
       CrossHash.h60(col("text")).as("fp_raw"),
       fpNormCol.as("fp_norm"))
-      .orderBy("doc_id")
 
   /** End-to-end curation pipeline — the composite a training-data run
     * actually executes: score quality + language + fingerprint in ONE scan
@@ -1454,7 +1456,6 @@ object TextAnalysis {
       .agg(min(struct(col("doc_id"), col("n_tokens"), col("quality"))).as("k"))
       .select(col("k.doc_id").as("doc_id"), col("k.n_tokens").as("n_tokens"),
         col("k.quality").as("quality"))
-      .orderBy("doc_id")
   }
 
   /** Text→vector featurization: hashing-trick bag-of-tokens (signed

@@ -37,12 +37,10 @@ object TextOps {
     explodeTokens(docs.select("text"), "text")
       .groupBy("word")
       .agg(count(lit(1)).as("cnt"))
-      .orderBy("word")
 
   /** Tokens per document — tokenize/project shape with a per-key aggregate. */
   def tokensPerDoc(docs: DataFrame): DataFrame =
     explodeTokens(docs.select("doc_id", "text"), "text")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"))
-      .orderBy("doc_id")
 }

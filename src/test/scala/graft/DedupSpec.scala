@@ -218,11 +218,12 @@ class DedupSpec extends SparkTestBase {
   test("contaminationStatsBloom: identical to direct path, filter genuinely prunes the scan") {
     val train = docs.filter(col("doc_id") % 7 =!= 0)
     val bench = docs.filter(col("doc_id") % 7 === 0)
-    val direct = Dedup.contaminationStats(train, bench).collect().toSeq
+    val direct = Dedup.contaminationStats(train, bench).collect().map(_.toString).sorted.toSeq
     val bloomed = Dedup.contaminationStatsBloom(train, bench)
     // superset contract: bloom false positives die in the exact join,
     // false negatives are impossible — results must be identical
-    assert(bloomed.collect().toSeq === direct)
+    // (sorted-row compare: ops return unsorted since r18)
+    assert(bloomed.collect().map(_.toString).sorted.toSeq === direct)
     // the might_contain probe sits in the plan (scan-side, pre-join)
     val plan = bloomed.queryExecution.executedPlan.toString
     assert(plan.contains("bloom_might_contain"),
@@ -287,14 +288,14 @@ class DedupSpec extends SparkTestBase {
       // not the pairs
       val indexed = Dedup.nearDupPairsIndexed(spark, "graft_band_idx_spec", batch)
       val fresh = Dedup.crossCorpusNearDups(corpus, batch)
-      assert(indexed.collect().toSeq === fresh.collect().toSeq)
+      assert(indexed.collect().map(_.toString).sorted.toSeq === fresh.collect().map(_.toString).sorted.toSeq)
       // two-batch build (half bulk + half appended) is bit-identical on
       // disk-content semantics: the probe answers exactly like the
       // one-shot index
       Dedup.buildBandIndex(corpus.filter(col("doc_id") % 2 === 0), "graft_band_incr_spec")
       Dedup.appendToBandIndex(corpus.filter(col("doc_id") % 2 =!= 0), "graft_band_incr_spec")
       val incr = Dedup.nearDupPairsIndexed(spark, "graft_band_incr_spec", batch)
-      assert(incr.collect().toSeq === fresh.collect().toSeq)
+      assert(incr.collect().map(_.toString).sorted.toSeq === fresh.collect().map(_.toString).sorted.toSeq)
       // the append wrote EXACTLY the new half's band rows — nothing of the
       // existing layout rewritten or duplicated
       assert(spark.table("graft_band_incr_spec").count() ===

@@ -199,7 +199,7 @@ class MultimodalSpec extends SparkTestBase {
       // indexed probe == a direct cross mining of the same sides: every
       // (corpus, batch) band collision at Hamming <= 3, nothing else
       val indexed = Multimodal.phashPairsIndexed(spark, "t_ph_one", batch)
-        .collect().map(_.toString).toSeq
+        .collect().map(_.toString).sorted.toSeq
       val codesAll = Multimodal.dHash(blobs)
       val ca = codesAll.filter(col("doc_id") % 3 =!= 0)
         .select(col("doc_id").as("doc_a"), col("phash").as("ph_a"))
@@ -210,7 +210,7 @@ class MultimodalSpec extends SparkTestBase {
         .select(col("doc_a"), col("doc_b"),
           bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("long").as("hamming"))
         .filter(col("hamming") <= 3)
-        .orderBy("doc_a", "doc_b").collect().map(_.toString).toSeq
+        .collect().map(_.toString).sorted.toSeq
       assert(indexed === direct) // banding is pigeonhole-lossless at radius 3
     } finally {
       drop("t_ph_one", "t_ph_incr")

@@ -12,6 +12,7 @@ class PipedMapReduceSpec extends SparkTestBase {
     val piped = PipedMapReduce.pipedWordCount(spark, docs)
       .orderBy("word")
     val native = TextOps.wordCount(docs.withColumnRenamed("value", "text"))
+      .orderBy("word") // op returns unsorted since r18; pin order for the zip-compare
     val pipedRows = piped.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     val nativeRows = native.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(pipedRows === nativeRows)

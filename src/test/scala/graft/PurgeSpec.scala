@@ -46,8 +46,8 @@ class PurgeSpec extends SparkTestBase {
       // probe parity with the fresh path over the filtered corpus
       val batch = docs.filter(col("doc_id") % 3 === 0)
       assert(Dedup.nearDupPairsIndexed(spark, "graft_prg_band", batch)
-        .collect().toSeq ===
-        Dedup.crossCorpusNearDups(kept, batch).collect().toSeq)
+        .collect().map(_.toString).sorted.toSeq ===
+        Dedup.crossCorpusNearDups(kept, batch).collect().map(_.toString).sorted.toSeq)
       // idempotence + over-broad safety: re-purging ids already gone and
       // purging never-indexed ids both leave data and stamp untouched
       import spark.implicits._
@@ -79,8 +79,8 @@ class PurgeSpec extends SparkTestBase {
         "stats must decrement by exact integer subtraction")
       assert(stamp("graft_prg_bm25") === stamp("graft_prg_bm25_ref"))
       assert(TextAnalysis.bm25SearchIndexed(spark, "graft_prg_bm25", terms)
-        .collect().toSeq ===
-        TextAnalysis.bm25Search(kept, terms).collect().toSeq,
+        .collect().map(_.toString).sorted.toSeq ===
+        TextAnalysis.bm25Search(kept, terms).collect().map(_.toString).sorted.toSeq,
         "purged index must score exactly like the filtered corpus")
     } finally drop("graft_prg_bm25", "graft_prg_bm25_stats", "graft_prg_bm25_meta",
       "graft_prg_bm25_ref", "graft_prg_bm25_ref_stats", "graft_prg_bm25_ref_meta")
@@ -102,9 +102,9 @@ class PurgeSpec extends SparkTestBase {
       assert(stamp("graft_prg_ph") === stamp("graft_prg_ph_ref"))
       val batch = blobs.filter(col("doc_id") % 3 === 0)
       assert(Multimodal.phashPairsIndexed(spark, "graft_prg_ph", batch)
-        .collect().toSeq ===
+        .collect().map(_.toString).sorted.toSeq ===
         Multimodal.phashPairsIndexed(spark, "graft_prg_ph_ref", batch)
-        .collect().toSeq)
+        .collect().map(_.toString).sorted.toSeq)
     } finally {
       blobs.unpersist()
       drop("graft_prg_ph", "graft_prg_ph_codes", "graft_prg_ph_meta",
@@ -124,9 +124,9 @@ class PurgeSpec extends SparkTestBase {
         spark.table("graft_prg_lsh_ref").collect().toSet)
       assert(stamp("graft_prg_lsh") === stamp("graft_prg_lsh_ref"))
       assert(Similarity.lshTopKIndexed(spark, "graft_prg_lsh", col("vec_id") < 10)
-        .collect().toSeq ===
+        .collect().map(_.toString).sorted.toSeq ===
         Similarity.lshTopKIndexed(spark, "graft_prg_lsh_ref", col("vec_id") < 10)
-        .collect().toSeq)
+        .collect().map(_.toString).sorted.toSeq)
     } finally drop("graft_prg_lsh", "graft_prg_lsh_meta",
       "graft_prg_lsh_ref", "graft_prg_lsh_ref_meta")
   }

@@ -163,7 +163,7 @@ class SamplingSpec extends SparkTestBase {
     // and the indexed drift report equals the from-scratch one
     val viaIndex = Sampling.splitDriftReportIndexed(spark, "t_split_assign", "t_split_comp")
     val viaScratch = Sampling.splitDriftReport(old, docs)
-    assert(viaIndex.collect().toSeq === viaScratch.collect().toSeq)
+    assert(viaIndex.collect().map(_.toString).sorted.toSeq === viaScratch.collect().map(_.toString).sorted.toSeq)
   }
 
   test("splitAssignLeakFree: no near-dup pair straddles a split, " +

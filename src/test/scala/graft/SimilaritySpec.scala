@@ -351,7 +351,7 @@ class SimilaritySpec extends SparkTestBase {
       // the answer
       val indexed = Similarity.lshTopKIndexed(spark, "graft_lsh_idx_spec", col("vec_id") < 5)
       val fresh = Similarity.lshTopK(emb, col("vec_id") < 5)
-      assert(indexed.collect().toSeq === fresh.collect().toSeq)
+      assert(indexed.collect().map(_.toString).sorted.toSeq === fresh.collect().map(_.toString).sorted.toSeq)
       // plan: the probe join reads the STORED bucketed table on both sides
       // and needs no shuffle anywhere — the only exchange is the broadcast
       // of the filtered query rows (the top-k stage after this subplan is
@@ -388,7 +388,7 @@ class SimilaritySpec extends SparkTestBase {
       Similarity.buildIvfIndex(emb, "graft_ivf_idx_spec")
       val indexed = Similarity.ivfTopKIndexed(spark, "graft_ivf_idx_spec", col("vec_id") < 5)
       val fresh = Similarity.ivfTopKKmeans(emb, col("vec_id") < 5)
-      assert(indexed.collect().toSeq === fresh.collect().toSeq)
+      assert(indexed.collect().map(_.toString).sorted.toSeq === fresh.collect().map(_.toString).sorted.toSeq)
       // the candidate join must be a broadcast HASH join on the cell key
       // (probes broadcast, bucketed cells table streamed with no shuffle —
       // inherent to the broadcast-join shape) reading the STORED index, not
@@ -612,7 +612,7 @@ class SimilaritySpec extends SparkTestBase {
       // two-batch index answers identically to the fresh full-corpus path
       val indexed = Similarity.lshTopKIndexed(spark, "graft_lsh_incr_spec", col("vec_id") < 5)
       val fresh = Similarity.lshTopK(emb, col("vec_id") < 5)
-      assert(indexed.collect().toSeq === fresh.collect().toSeq)
+      assert(indexed.collect().map(_.toString).sorted.toSeq === fresh.collect().map(_.toString).sorted.toSeq)
       // the appended layout still supports the exchange-free probe: the
       // index side of the probe join plans with no shuffle
       val probe = Similarity.indexedProbeJoin(spark, "graft_lsh_incr_spec", col("vec_id") < 5)
@@ -643,7 +643,7 @@ class SimilaritySpec extends SparkTestBase {
       // the one-shot trained path
       val indexed = Similarity.ivfTopKIndexed(spark, "graft_ivf_incr_spec", col("vec_id") < 5)
       val fresh = Similarity.ivfTopKKmeans(emb, col("vec_id") < 5)
-      assert(indexed.collect().toSeq === fresh.collect().toSeq)
+      assert(indexed.collect().map(_.toString).sorted.toSeq === fresh.collect().map(_.toString).sorted.toSeq)
     } finally {
       spark.sql("DROP TABLE IF EXISTS graft_ivf_incr_spec")
       spark.sql("DROP TABLE IF EXISTS graft_ivf_incr_spec_pivots")
@@ -734,7 +734,7 @@ class SimilaritySpec extends SparkTestBase {
       val indexed = Similarity.pqTopKIndexed(spark, "graft_pq_spec",
         emb.filter(col("vec_id") < 5))
       val fresh = Similarity.pqTopK(emb, col("vec_id") < 5)
-      assert(indexed.collect().toSeq === fresh.collect().toSeq)
+      assert(indexed.collect().map(_.toString).sorted.toSeq === fresh.collect().map(_.toString).sorted.toSeq)
       // probe plan reads the stored codes + books; the corpus float column
       // appears only on the (tiny) query side, never under the index scan
       val plan = indexed.queryExecution.executedPlan.toString
@@ -763,7 +763,7 @@ class SimilaritySpec extends SparkTestBase {
       val indexed = Similarity.pqTopKIndexed(spark, "graft_pq_incr_spec",
         emb.filter(col("vec_id") < 5))
       val fresh = Similarity.pqTopK(emb, col("vec_id") < 5)
-      assert(indexed.collect().toSeq === fresh.collect().toSeq)
+      assert(indexed.collect().map(_.toString).sorted.toSeq === fresh.collect().map(_.toString).sorted.toSeq)
     } finally {
       spark.sql("DROP TABLE IF EXISTS graft_pq_incr_spec")
       spark.sql("DROP TABLE IF EXISTS graft_pq_incr_spec_books")
@@ -775,7 +775,7 @@ class SimilaritySpec extends SparkTestBase {
       Similarity.buildIvfIndex(emb, "graft_cbs_spec")
       val indexed = Similarity.clusterBalancedSampleIndexed(spark, "graft_cbs_spec")
       val direct = Similarity.clusterBalancedSample(emb)
-      assert(indexed.collect().toSeq === direct.collect().toSeq)
+      assert(indexed.collect().map(_.toString).sorted.toSeq === direct.collect().map(_.toString).sorted.toSeq)
       // the sampler needs only (vec_id, cell): the stored index's float
       // embedding column must be pruned out of the scan entirely
       val plan = indexed.queryExecution.executedPlan.toString
@@ -899,7 +899,7 @@ class SimilaritySpec extends SparkTestBase {
     // prunes nothing, so the refined result IS brute force
     val bf = Similarity.bruteForceTopK(emb, col("vec_id") < 10)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
-    assert(wide.toSeq === bf.toSeq)
+    assert(wide.toSeq.sorted === bf.toSeq.sorted)
     // at the gate's 20-candidate budget, every returned score is still
     // the exact cosine (the re-rank never serves a truncated number)
     val narrow = Similarity.prefixRefineTopK(emb, col("vec_id") < 10)

@@ -319,7 +319,7 @@ class StreamOpsSpec extends SparkTestBase {
       val viaStream = graft.ops.Similarity.lshTopKIndexed(
         spark, "graft_lsh_ing_spec", col("vec_id") < 5)
       val fresh = graft.ops.Similarity.lshTopK(emb, col("vec_id") < 5)
-      assert(viaStream.collect().toSeq === fresh.collect().toSeq)
+      assert(viaStream.collect().map(_.toString).sorted.toSeq === fresh.collect().map(_.toString).sorted.toSeq)
     } finally {
       Seq("graft_lsh_ing_spec", "graft_lsh_ing_ledger")
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))

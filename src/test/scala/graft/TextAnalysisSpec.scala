@@ -361,7 +361,7 @@ class TextAnalysisSpec extends SparkTestBase {
       val indexed = TextAnalysis.lmScoreIndexed(spark, docs, "t_lm_spec")
       val direct = TextAnalysis.lmScore(docs)
       // exact integer counts + the same float expression → bit parity
-      assert(indexed.collect().toSeq === direct.collect().toSeq,
+      assert(indexed.collect().map(_.toString).sorted.toSeq === direct.collect().map(_.toString).sorted.toSeq,
         "stored-model scoring must answer bit-identically to train-per-call")
       // the probe's ONLY corpus-scale pass is the scored docs' bigram
       // projection: training would scan documents at least twice more
@@ -389,9 +389,9 @@ class TextAnalysisSpec extends SparkTestBase {
       val one = TextAnalysis.lmScoreIndexed(spark, docs, "t_lm_one_spec")
       // within-doc bigram counts are exactly additive across disjoint
       // batches and the vocab set unions — bit parity with the one-shot
-      assert(incr.collect().toSeq === one.collect().toSeq)
+      assert(incr.collect().map(_.toString).sorted.toSeq === one.collect().map(_.toString).sorted.toSeq)
       // ...and with the train-per-call form (transitively the oracle)
-      assert(incr.collect().toSeq === TextAnalysis.lmScore(docs).collect().toSeq)
+      assert(incr.collect().map(_.toString).sorted.toSeq === TextAnalysis.lmScore(docs).collect().map(_.toString).sorted.toSeq)
       // the append landed DELTAS: duplicate (w1, w2) keys across batches
       val t = spark.table("t_lm_incr_spec")
       assert(t.count() > t.select("w1", "w2").distinct().count(),
