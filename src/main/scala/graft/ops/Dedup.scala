@@ -528,9 +528,16 @@ object Dedup {
       // toLocalIterator over a typed Dataset: one partition of primitive
       // pairs resident at a time (the pair list is already persisted, so no
       // recompute per partition), instead of collect()'s full boxed-Row
-      // array (ADVICE r3)
+      // array (ADVICE r3). Coalesced first (r18): toLocalIterator runs ONE
+      // sequential driver job PER PARTITION, and the pair list arrives in
+      // shuffle.partitions pieces — 32 tiny round-trips (~1 s of pure
+      // scheduling) for an edge list that is orders of magnitude under the
+      // corpus. 4 partitions keeps the resident slice bounded at
+      // maxDriverEdges/4 rows while costing 4 round-trips; union-find's
+      // min-root-wins outcome is edge-order-independent, so the result is
+      // unchanged.
       import scala.jdk.CollectionConverters._
-      pairs.as[(Long, Long)].toLocalIterator().asScala.foreach { case (a, b) =>
+      pairs.as[(Long, Long)].coalesce(4).toLocalIterator().asScala.foreach { case (a, b) =>
         val (ra, rb) = (find(a), find(b))
         if (ra != rb) { // smaller root wins, so the root IS the component min
           if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)

@@ -1896,11 +1896,21 @@ object Relational {
       Tables.lineitem(s, dir).select("l_orderkey", "l_partkey"), minOrders)
 
   def coPurchasePairsOf(lineitems: DataFrame, minOrders: Int): DataFrame = {
-    val li = lineitems.select("l_orderkey", "l_partkey").distinct()
-    li.as("a").join(li.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+    // Basket form (r18): ONE aggregation to per-order distinct part sets
+    // (collect_set partial-aggregates map-side), then the i<j pairs
+    // explode order-locally — the distinct + self-join form shuffled the
+    // corpus twice more (the distinct's (order, part) exchange could not
+    // be reused by the order-keyed join). Same pair multiset by
+    // construction: collect_set == the distinct, the double explode with
+    // `<` == the join condition, per-basket blow-up identically bounded
+    // by (items per order)².
+    val baskets = lineitems.select("l_orderkey", "l_partkey")
+      .groupBy("l_orderkey").agg(collect_set(col("l_partkey")).as("parts"))
+    baskets
+      .select(explode(col("parts")).as("part_a"), col("parts"))
+      .select(col("part_a"), explode(col("parts")).as("part_b"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b")
       .agg(count(lit(1)).as("n_orders"))
       .filter(col("n_orders") >= minOrders)
   }
