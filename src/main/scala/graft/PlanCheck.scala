@@ -13,6 +13,11 @@ object PlanCheck {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val outDir = args.drop(1).headOption.getOrElse("-")
+    // Guard the pre-r18 CLI shape `PlanCheck <sfDir> <query>`: a known query
+    // name in the outDir position is a caller mistake, not a directory.
+    require(outDir == "-" || !SparkEntry.queries.contains(outDir),
+      s"second arg '$outDir' is a query name; pass an outDir or '-' first " +
+        "(usage: PlanCheck [sfDir] [outDir|-] [query...])")
     val names = if (args.length > 2) args.drop(2).toSeq else Seq(
       "filter_project", "join_broadcast_segment", "q1_pricing_summary",
       "sim_neardup_embedding", "dedup_minhash_pairs", "mm_metadata")

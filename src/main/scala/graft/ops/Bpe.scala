@@ -219,5 +219,6 @@ object Bpe {
     state
       .select(col("word"), col("cnt"),
         expr(s"replace(s, '$Sep', ' ')").as("seg"))
+      .orderBy(col("cnt").desc, col("word").asc)
       .limit(k)
 }

@@ -820,7 +820,7 @@ object Curation {
       floor(TextAnalysis.qualityColOf(
         SharedCorpus.wsOf(docs), SharedCorpus.alnumOf(docs)) * 1e6)
         .cast("long").as("qkey"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val hist = scored.groupBy("source", "qkey").agg(count(lit(1)).as("c"))
     val wCum = org.apache.spark.sql.expressions.Window
       .partitionBy("source").orderBy(col("qkey").desc)

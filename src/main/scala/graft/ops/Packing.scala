@@ -408,7 +408,7 @@ object Packing {
   def readShardPlan(spark: org.apache.spark.sql.SparkSession, table: String,
       shard: Long): DataFrame = {
     graft.sources.Formats.requireBuilt(spark, table)
-    spark.table(table).filter(col("shard") === shard)
+    spark.table(table).filter(col("shard") === shard).orderBy("shard_pos")
   }
 
   /** Source-INTERLEAVED shard coordinates — [[shardShuffle]] with a

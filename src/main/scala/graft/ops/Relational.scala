@@ -1649,7 +1649,9 @@ object Relational {
     // the lineage: mine once, join the small materialized list. This is
     // also the 100 TB shape — triangle counting always materializes the
     // oriented edge list before the wedge join.
-    val edgesM = edges.localCheckpoint()
+    // eager = false (ADVICE r18): materialize at first action, not at
+    // DataFrame construction, so explain-only paths stay free.
+    val edgesM = edges.localCheckpoint(eager = false)
     val deg = edgesM.select(explode(array(col("u"), col("v"))).as("x"))
       .groupBy("x").agg(count(lit(1)).as("d"))
     val withDeg = edgesM
@@ -1661,7 +1663,7 @@ object Relational {
         .otherwise(struct(col("v").as("src"), col("u").as("dst"), col("du").as("dd")))
         .as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.dd").as("dd"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val tri = dirE.as("x")
       .join(dirE.as("y"), col("x.src") === col("y.src") &&
         (struct(col("x.dd"), col("x.dst")) < struct(col("y.dd"), col("y.dst"))))
@@ -1718,7 +1720,7 @@ object Relational {
     // the winsorized fold — as a plan, the corpus scan + two-level agg
     // executed twice per call
     val hist = px.groupBy("flag", "cents").agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val wCum = Window.partitionBy("flag").orderBy("cents")
     val wG = Window.partitionBy("flag")
     val cum = hist
