@@ -1168,7 +1168,20 @@ object Similarity {
     * subspace key. Init per subspace: the sub-vectors of the k
     * hash-smallest vec_ids (same seeded sample as [[trainPivots]]).
     * Returns `(m, pid, cv: ARRAY<FLOAT>)`. */
-  def trainPqCodebooks(emb: DataFrame, k: Int = PqCodes, iters: Int = PqIters): DataFrame = {
+  def trainPqCodebooks(emb: DataFrame, k: Int = PqCodes, iters: Int = PqIters): DataFrame =
+    trainPqCodebooksOn(emb,
+      subVectors(emb).localCheckpoint(eager = false), k, iters)
+
+  /** [[trainPqCodebooks]] against a caller-materialized sub-vector table —
+    * the train/encode composition point (r19, guide §1.2): every Lloyd's
+    * round AND the corpus encode consume the same `(vec_id, m, sv)`
+    * projection, which as a plan re-derived the scan + 16-way slice
+    * explode per job. Callers that both train and encode (pqTopK,
+    * buildPqIndex, the IVF×PQ build) checkpoint it once and thread it
+    * through; the checkpoint is ADVICE-r13-clean (ContextCleaner-reclaimed,
+    * no session CacheManager entry). */
+  private def trainPqCodebooksOn(emb: DataFrame, subs: DataFrame,
+      k: Int = PqCodes, iters: Int = PqIters): DataFrame = {
     graft.functions.FloatDot.register(emb.sparkSession)
     val spark = emb.sparkSession
     import spark.implicits._
@@ -1182,7 +1195,6 @@ object Similarity {
     var books: Array[Array[Seq[Float]]] = Array.tabulate(PqSubspaces, k) {
       (m, pid) => init(pid).slice(m * PqSubDim, (m + 1) * PqSubDim)
     }
-    val subs = subVectors(emb)
     for (_ <- 1 to iters) {
       val assigned = argminCell(subs, codebookTable(spark, books))
         .select(col("m"), col("pid").as("cell"), col("sv"))
@@ -1239,9 +1251,12 @@ object Similarity {
   /** Encode the corpus against trained codebooks: per (vector, subspace)
     * the argmin-d2 cell, assembled in subspace order into a PqSubspaces-byte code
     * array — 16x smaller than the 256-byte float vector at the default 16 subspaces. */
-  def pqEncode(emb: DataFrame, codebooks: DataFrame): DataFrame = {
-    graft.functions.FloatDot.register(emb.sparkSession)
-    argminCell(subVectors(emb), codebooks)
+  def pqEncode(emb: DataFrame, codebooks: DataFrame): DataFrame =
+    pqEncodeOn(subVectors(emb), codebooks)
+
+  private def pqEncodeOn(subs: DataFrame, codebooks: DataFrame): DataFrame = {
+    graft.functions.FloatDot.register(subs.sparkSession)
+    argminCell(subs, codebooks)
       .groupBy("vec_id")
       .agg(expr("transform(array_sort(collect_list(struct(m, pid))), s -> CAST(s.pid AS TINYINT))")
         .as("codes"))
@@ -1259,11 +1274,15 @@ object Similarity {
     * Recall vs the exact tier is measured in SimilaritySpec. */
   def pqTopK(emb: DataFrame, queryPred: Column, k: Int = 5): DataFrame = {
     graft.functions.FloatDot.register(emb.sparkSession)
-    val books = trainPqCodebooks(emb)
+    // sub-vector projection materialized ONCE (r19): training's Lloyd's
+    // rounds and the corpus encode all consume it — as a plan it
+    // re-derived the scan + slice explode per job
+    val subs = subVectors(emb).localCheckpoint(eager = false)
+    val books = trainPqCodebooksOn(emb, subs)
     rankPq(
       emb.filter(queryPred)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
-      pqEncode(emb, books), books, k)
+      pqEncodeOn(subs, books), books, k)
   }
 
   /** Decode each code array back to its reconstructed vector `ĉ_n` (the
@@ -1272,10 +1291,14 @@ object Similarity {
   private def pqReconstruct(codes: DataFrame, books: DataFrame): DataFrame =
     codes
       .select(col("vec_id"), posexplode(col("codes")).as(Seq("cm", "code")))
+      // equi-join on BOTH keys (r19, guide §3.1): the old subspace-only
+      // join fanned every code row out to all k centroids of its subspace
+      // and filtered k-1 of them away — a k× row blow-up on the
+      // corpus-scale code table. pid is unique per subspace, so the
+      // two-key hash join emits exactly the same single match per row.
       .join(broadcast(books.select(
-          col("m").as("cm"), col("pid").as("cpid"), col("cv"))),
-        Seq("cm"))
-      .filter(col("code").cast("long") === col("cpid"))
+          col("m").as("bm"), col("pid").as("cpid"), col("cv"))),
+        col("cm") === col("bm") && col("code").cast("long") === col("cpid"))
       .groupBy(col("vec_id"))
       .agg(flatten(expr("transform(array_sort(collect_list(struct(cm, cv))), s -> s.cv)"))
         .as("rv"))
@@ -1319,9 +1342,10 @@ object Similarity {
     * and the corpus-wide encode exactly once. At 100 TB a query then reads
     * 16-byte codes off disk and never touches the float corpus. */
   def buildPqIndex(emb: DataFrame, table: String): Unit = {
-    val books = trainPqCodebooks(emb)
+    val subs = subVectors(emb).localCheckpoint(eager = false)
+    val books = trainPqCodebooksOn(emb, subs)
     graft.sources.Formats.writeBucketed(books, s"${table}_books", Seq("m"), 1)
-    graft.sources.Formats.writeManaged(pqEncode(emb, books), table)
+    graft.sources.Formats.writeManaged(pqEncodeOn(subs, books), table)
     val (n, fp) = graft.sources.Formats.corpusStamp(emb, "vec_id")
     graft.sources.Formats.writeBuildMeta(emb.sparkSession, table,
       s"kind=pq,k=$PqCodes,iters=$PqIters", n, fp)
@@ -1369,12 +1393,13 @@ object Similarity {
       iters: Int = KmeansIters, numBuckets: Int = 8,
       pqCodes: Int = PqCodes, pqIters: Int = PqIters): Unit = {
     val piv = trainPivots(emb, kClusters, iters)
-    val books = trainPqCodebooks(emb, pqCodes, pqIters)
+    val subs = subVectors(emb).localCheckpoint(eager = false)
+    val books = trainPqCodebooksOn(emb, subs, pqCodes, pqIters)
     graft.sources.Formats.writeBucketed(piv, s"${table}_pivots", Seq("pid"), 1)
     graft.sources.Formats.writeBucketed(books, s"${table}_books", Seq("m"), 1)
     graft.sources.Formats.writePartitionedTable(
       assignCells(emb, piv).select(col("vec_id"), col("cell"))
-        .join(pqEncode(emb, books), Seq("vec_id"))
+        .join(pqEncodeOn(subs, books), Seq("vec_id"))
         .select(col("vec_id"), col("cell"), col("codes")),
       table, "cell", numBuckets)
     val (n, fp) = graft.sources.Formats.corpusStamp(emb, "vec_id")

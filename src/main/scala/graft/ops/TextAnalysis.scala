@@ -262,9 +262,17 @@ object TextAnalysis {
   def hybridSearch(docs: DataFrame, terms: Seq[String], queryDocId: Long = 0L,
       k: Int = 20, candidates: Int = 100, kRrf: Int = 60): DataFrame = {
     val sparse = sparseRanking(bm25Search(docs, terms, candidates))
+    // embed ONCE (r19, guide §1.2): bruteForceTopK references its input
+    // twice (query panel + neighbor side), and as a plain plan each
+    // reference re-ran the full corpus featurization — the physical plan
+    // carried two identical corpus-wide hashEmbed subtrees. The
+    // checkpoint is ADVICE-r13-clean (ContextCleaner-reclaimed) and is
+    // exactly the embed-once/serve-from-vectors shape of the indexed twin.
+    val emb = hashEmbed(docs)
+      .select(col("doc_id").as("vec_id"), col("embedding"))
+      .localCheckpoint(eager = false)
     val dense = Similarity.bruteForceTopK(
-      hashEmbed(docs).select(col("doc_id").as("vec_id"), col("embedding")),
-      col("vec_id") === queryDocId, candidates)
+      emb, col("vec_id") === queryDocId, candidates)
       .select(col("neighbor_id").as("doc_id"), col("rn").as("r_dense"))
     rrfFuse(sparse, dense, k, kRrf)
   }
