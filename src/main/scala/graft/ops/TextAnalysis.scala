@@ -173,7 +173,11 @@ object TextAnalysis {
     val toks = docs.select(
       col("doc_id"),
       explode(SharedCorpus.alnumOf(docs)).as("word"))
+    // tf materialized ONCE (r19): it feeds the score join AND the df
+    // aggregation — as a plan the tokenize + (doc, word) aggregation ran
+    // twice per call. This is the posting table a real pipeline persists.
     val tf = toks.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false)
     val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     tf.join(dfreq, "word")
@@ -206,7 +210,14 @@ object TextAnalysis {
     val toks = docs.select(
       col("doc_id"),
       explode(SharedCorpus.alnumOf(docs)).as("word"))
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // document length = size of the token ARRAY (r19, guide §2.3): the
+    // old explode + groupBy(doc_id) count shuffled and re-aggregated the
+    // full token stream just to count it. `size` is the same number per
+    // row with no explode and no aggregation; `dl > 0` reproduces
+    // explode's semantics exactly (token-less docs emit no row).
+    val dl = docs.select(col("doc_id"),
+        size(SharedCorpus.alnumOf(docs)).cast("long").as("dl"))
+      .filter(col("dl") > 0)
     val tf = toks.filter(col("word").isin(terms: _*))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
@@ -576,11 +587,19 @@ object TextAnalysis {
     * aggregate; rounded to 6 places like tfidf for cross-engine stability. */
   def lmScore(docs: DataFrame): DataFrame = {
     val f = docs.select(col("doc_id"), SharedCorpus.alnumOf(docs).as("a"))
+    // bigrams materialized ONCE (r19, guide §1.2): as a plan, `bi` is
+    // referenced by the score join AND (via c12) the count tables, so the
+    // corpus tokenize + bigram explode executed three times per call; c12
+    // likewise feeds both the join and c1. At 100 TB the production path
+    // is the stored-model twin (ta_lm_indexed) — this keeps the
+    // from-scratch twin at one tokenize pass for the bigram side.
     val bi = f.where(size(col("a")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(a) - 2), i -> struct(a[i] AS w1, a[i + 1] AS w2))")).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .localCheckpoint(eager = false)
     val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .localCheckpoint(eager = false)
     val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
     val vocab = f.select(explode(col("a")).as("w")).agg(count_distinct(col("w")).as("v"))
     bi.join(c12, Seq("w1", "w2"))
