@@ -905,8 +905,17 @@ object TextAnalysis {
     val toks = docs.select(
       col("source"),
       explode(SharedCorpus.alnumOf(docs)).as("word"))
-    toks.groupBy("source").agg(
-      countDistinct(col("word")).as("n_exact"),
+    // Pre-reduce to the DISTINCT (source, word) pairs first (r19, guide
+    // §2.3): the one-aggregate form planned countDistinct +
+    // approx_count_distinct as an Expand — the full token stream
+    // duplicated 2x and shuffled. The distinct-pair aggregation partial-
+    // aggregates map-side, so only vocabulary-sized rows cross the wire;
+    // n_exact is then a plain count and the HLL sketch is IDENTICAL
+    // (register updates are multiplicity-invariant, so feeding each word
+    // once per source yields the same estimate as once per occurrence).
+    val words = toks.groupBy("source", "word").agg(count(lit(1)).as("c"))
+    words.groupBy("source").agg(
+      count(lit(1)).as("n_exact"),
       approx_count_distinct(col("word"), 0.02).as("n_approx"))
       .select(col("source"), col("n_exact"),
         (abs(col("n_approx") - col("n_exact")).cast("double") <=
